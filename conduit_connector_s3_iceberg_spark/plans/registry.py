@@ -1,0 +1,53 @@
+"""Query registry: every engine operator demonstrated as a named query.
+
+Each entry pairs a PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string for DuckDB. The driver harness runs
+both at sf=0.01 and compares row count + schema + order-insensitive value
+hash (see ``__spark_entry__.py``), so:
+
+* every computed column is aliased identically on both sides;
+* double aggregates accumulate in DECIMAL (exact, order-independent) and are
+  cast to double at the end — Spark's shuffled partial aggregation and
+  DuckDB's sequential scan then produce bit-identical results;
+* ties in top-k / window ranks are broken by a unique key column.
+
+Entries whose semantics a SQL oracle can't express (LSH bucketing with
+engine-specific hashing, stateful streaming) register ``oracle=None`` and get
+the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    """Register a query under ``name`` with its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = Query(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every module that registers queries; return the registry."""
+    from . import core, events  # noqa: F401
+    from ..operators import dedup, similarity, text, multimodal, cdc_batch  # noqa: F401
+
+    return QUERIES

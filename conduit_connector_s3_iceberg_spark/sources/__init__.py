@@ -1,0 +1,5 @@
+"""Data sources: parquet warehouse tables, JSON CDC payloads, streams."""
+
+from .tables import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

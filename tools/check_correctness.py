@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's duckdb-oracle correctness harness.
+
+Runs every registered query's Spark build and DuckDB oracle side by side,
+compares row count, column names, and order-insensitive values (exact for
+non-floats; exact-after-round for floats since the suite is engineered to be
+cross-engine deterministic). Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+from conduit_connector_s3_iceberg_spark.plans.registry import load_all  # noqa: E402
+from conduit_connector_s3_iceberg_spark.session import build_session  # noqa: E402
+from conduit_connector_s3_iceberg_spark.sources.tables import TABLES  # noqa: E402
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # bit-exact: the suite is engineered for determinism
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    registry = load_all()
+    spark = build_session(shuffle_partitions=32)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_weak = 0
+    for name, q in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.build(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"weak  {name}: rows={len(srows)} ({time.time()-t0:.1f}s, no oracle)")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(q.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sn, on_ = norm_rows(scols, srows), norm_rows(ocols, orows)
+            if sn != on_:
+                bad = sum(1 for a, b in zip(sn, on_) if a != b)
+                problems.append(f"values differ in {bad}/{len(sn)} rows")
+                for a, b in list(zip(sn, on_))[:200]:
+                    if a != b:
+                        problems.append(f"  spark={a}")
+                        problems.append(f"  orcl ={b}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
