@@ -1,1 +1,364 @@
-"""stub — filled in during round 1."""
+"""Deduplication operators (north-star layer): exact, n-gram Jaccard,
+MinHash-LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (100 TB):
+* Exact dedup is a hash groupBy on a 128-bit content digest — one shuffle on
+  the digest, map-side combine, no data skew (digests are uniform).
+* Near-dup never goes O(n²): candidates come from an inverted shingle index
+  (self-join on shingle digest, document-frequency-capped to bound the worst
+  key) or from MinHash band buckets; only candidates get exact scoring.
+* All hashing is md5 (JVM built-in, codegen) — no Python UDFs anywhere.
+* Embedding near-dup uses label blocking (a stand-in for any coarse
+  partitioner: LSH bucket, IVF centroid) so each block's pair join is local.
+
+Cross-engine determinism: md5 is identical everywhere; cosine is computed as
+an identical left-fold over doubles in both engines (see ``_COS`` fragments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+# 3-gram word shingles, identical token/slice semantics in Spark and DuckDB.
+SHINGLES_SPARK = (
+    "transform(sequence(1, greatest(size(split(trim(text),' ')) - 2, 1)),"
+    " i -> concat_ws(' ', slice(split(trim(text),' '), i, 3)))"
+)
+SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 1)),"
+    " i -> array_to_string(list_slice(string_split(trim(text),' '), i, i+2), ' '))"
+)
+
+N_MINHASH = 8      # MinHash permutations (md5 with salt i)
+MAX_SHINGLE_DF = 50  # document-frequency cap for the inverted index
+JACCARD_THRESHOLD = 0.3
+COSINE_THRESHOLD = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id × distinct shingle (exploded inverted-index input)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("shingle"),
+    )
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS representative
+    FROM documents
+    GROUP BY content_fp
+    """,
+    doc="Exact dedup groups: hash-groupBy on a content digest; one uniform "
+        "shuffle, no skew. Representative = lowest doc_id.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, content_fp
+    FROM (
+      SELECT doc_id, md5(lower(trim(text))) AS content_fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+    doc="Exact dedup, keep-first policy: survivors only (deterministic "
+        "keep = lowest doc_id; the distributed form of dropDuplicates).",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    return (
+        docs.select("doc_id", fp.alias("content_fp"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_fp")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), idx AS (
+      SELECT doc_id, s.shingle FROM sh s JOIN kept USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    doc="n-gram Jaccard near-dup: inverted shingle index (df-capped to bound "
+        "join fan-out), candidate pairs from shared shingles only — never "
+        "O(n²) — exact Jaccard on candidates.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = _distinct_shingles(docs)
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    idx = sh.join(kept, "shingle")
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_aggs():
+    """k salted-md5 min-hash aggregate expressions (JVM-side, no UDF)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+_MH_SQL = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(N_MINHASH)
+)
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, {_MH_SQL}
+    FROM (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    )
+    GROUP BY doc_id
+    """,
+    doc=f"MinHash signatures: {N_MINHASH} salted-md5 permutations over "
+        "distinct 3-gram shingles; one groupBy per document, all JVM-side.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return _distinct_shingles(docs).groupBy("doc_id").agg(*_minhash_aggs())
+
+
+_BANDS_SQL = ", ".join(
+    f"{{'band': {i}, 'h': mh{i}}}" for i in range(N_MINHASH)
+)
+
+
+@query(
+    "dedup_minhash_candidates",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, {_MH_SQL}
+      FROM (
+        SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+        FROM documents
+      )
+      GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{_BANDS_SQL}], recursive := true)
+      FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+    doc="MinHash-LSH candidate pairs: band bucket join (band size 1 → "
+        "collision prob = Jaccard per band). Shuffle is on (band, hash) — "
+        "uniform, bounded buckets; candidates only, never O(n²).",
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sig = _distinct_shingles(docs).groupBy("doc_id").agg(*_minhash_aggs())
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"mh{i}").alias("h")
+                    )
+                    for i in range(N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# --- SimHash (16-bit, md5-derived, cross-engine deterministic) ------------
+# bit b of hex char c (value v): b3 ⇔ v≥8, b2 ⇔ v&4, b1 ⇔ v&2, b0 ⇔ v&1.
+_BIT_SETS = ["89abcdef", "4567cdef", "2367abef", "13579bdf"]
+
+
+def _simhash_vote_sql(b: int) -> str:
+    char_pos = 1 + b // 4
+    members = _BIT_SETS[b % 4]
+    return (
+        f"SUM(CASE WHEN contains('{members}', substr(md5(token), {char_pos}, 1)) "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+    )
+
+
+_SIMHASH_FP = " + ".join(f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, CAST({_SIMHASH_FP} AS INTEGER) AS simhash16
+    FROM (
+      SELECT doc_id, {", ".join(_simhash_vote_sql(b) for b in range(16))}
+      FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents
+      )
+      GROUP BY doc_id
+    )
+    """,
+    doc="SimHash fingerprint (16-bit demo of the 64-bit scheme): per-token "
+        "md5 bits vote ±1 per position, sign → fingerprint bit. One explode "
+        "+ one groupBy; near-dups differ in few bits (Hamming ball lookup).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[F.expr(_simhash_vote_sql(b).replace(f" AS v{b}", "")).alias(f"v{b}") for b in range(16)]
+    )
+    return votes.select("doc_id", F.expr(_SIMHASH_FP).cast("int").alias("simhash16"))
+
+
+# --- Embedding-cosine near-dup (label-blocked) ----------------------------
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+)
+_SPARK_NORM = (
+    "sqrt(aggregate(transform(embedding, x -> cast(x as double)), 0.0D,"
+    " (acc, x) -> acc + x * x))"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),"
+    " (x, y) -> x + y))"
+)
+
+
+@query(
+    "neardup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           list_reduce(list_transform(generate_series(1, 64),
+             i -> a.emb[i] * b.emb[i]), (x, y) -> x + y) / (a.nrm * b.nrm)
+             AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(generate_series(1, 64),
+            i -> a.emb[i] * b.emb[i]), (x, y) -> x + y) / (a.nrm * b.nrm)
+          >= {COSINE_THRESHOLD}
+    """,
+    doc="Embedding near-dup: label blocking (stand-in for LSH/IVF coarse "
+        "partitioning) keeps the pair join block-local; exact cosine on "
+        "candidates via JVM higher-order fold — no UDF, no O(n²) global join.",
+)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.expr(_SPARK_DOT.format(a="a.emb", b="b.emb"))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )

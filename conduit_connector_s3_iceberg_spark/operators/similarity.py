@@ -1,1 +1,198 @@
-"""stub — filled in during round 1."""
+"""Similarity search over the ``embeddings`` table (north-star layer).
+
+Two tiers, as a 100 TB ANN stack should be shaped:
+
+* **Brute-force top-k** — the exactness baseline. Query vectors are tiny →
+  broadcast; the corpus scan is embarrassingly parallel (one narrow pass per
+  partition, per-partition top-k, driver merges k·P rows). Cosine is a JVM
+  higher-order fold (``aggregate``/``zip_with``) — no Python in the loop.
+* **LSH-bucketed ANN** — the scale path: 8 signed random hyperplanes → a
+  256-bucket signature; candidates = bucket collisions only, then exact
+  re-rank. Buckets are uniform (random planes), so the bucket join shuffles
+  evenly. Swap-in point for IVF centroids at larger scale.
+
+Planes are derived from md5 in *Python* at import (public hashlib), then
+embedded as literal arrays in both the Spark plan and the DuckDB oracle —
+identical constants, identical left-fold order → bit-identical cosines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 5   # query set: vec_id < 5
+TOP_K = 10
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 (public, engine-free)."""
+    return [
+        int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0], 16) - 7.5
+        for j in range(DIM)
+    ]
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+_SPARK_EMB_D = "transform(embedding, x -> cast(x as double))"
+_SPARK_NORM = f"sqrt(aggregate({_SPARK_EMB_D}, 0.0D, (acc, x) -> acc + x * x))"
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),"
+    " (x, y) -> x + y))"
+)
+
+
+def _spark_dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _bucket_spark() -> F.Column:
+    """256-bucket LSH signature: bit p = sign(dot(plane_p, emb))."""
+    bits = []
+    for p, w in enumerate(PLANES):
+        arr = "array(" + ", ".join(f"{v}D" for v in w) + ")"
+        dot = _spark_dot(_SPARK_EMB_D, arr)
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).cast("int")
+
+
+def _bucket_sql() -> str:
+    bits = []
+    for p, w in enumerate(PLANES):
+        arr = "[" + ", ".join(str(v) for v in w) + "]"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {DIM}),"
+            f" i -> ({arr})[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="Exact top-k cosine search: broadcast query set × corpus scan, "
+        "per-partition top-k then global merge (window row_number). The "
+        "correctness baseline for the ANN path.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm,
+             {_bucket_sql()} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, bucket FROM e
+      WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS INTEGER) AS rank
+      FROM cand
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="Approximate top-k: 8-hyperplane LSH signature (256 buckets) → "
+        "candidates are bucket collisions only → exact cosine re-rank. "
+        "The join key is the bucket id: uniform shuffle, no O(n²) scan.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+        _bucket_spark().alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,1 +1,216 @@
-"""stub — filled in during round 1."""
+"""Text-analysis operators over the ``documents`` table (north-star layer).
+
+Everything is built from JVM-side expression primitives (split, higher-order
+array lambdas, regexp_count, md5) — zero Python UDFs, so the whole pipeline
+stays inside whole-stage codegen and scales linearly with executors: each
+operator is a narrow map over the document rows followed by (at most) one
+hash aggregation. No shuffles except the final group-bys.
+
+Cross-engine notes: documents are lowercase ``[a-z0-9 ]`` single-spaced, so
+``split(text, ' ')`` tokenizes identically in Spark and DuckDB; ratio math
+uses one IEEE double op sequence written identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# language marker words for the n-gram/stopword-hit language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "los", "y", "que", "por", "una"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens() -> F.Column:
+    return F.split(F.trim(F.col("text")), " ")
+
+
+def _hits(words: tuple[str, ...]) -> F.Column:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(split(trim(text), ' '), x -> x IN ({lst})))")
+
+
+def _sql_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(trim(text), ' '), x -> x IN ({lst})))"
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER)
+             AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER)
+             AS n_regex_tokens,
+           CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_nonspace_chars,
+           CAST(length(text) AS INTEGER) AS n_chars_measured
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens, distinct tokens, and a BPE-ish "
+        "regex token count — all codegen expressions (no UDF).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+")).alias("n_regex_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_nonspace_chars"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, ttr, stop_ratio, digit_ratio, avg_token_len,
+           0.3*ttr + 0.3*stop_ratio + 0.2*(1 - digit_ratio)
+             + 0.2*least(avg_token_len/10, 1.0) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS ttr,
+             CAST({_sql_hits(STOPWORDS)} AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS stop_ratio,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / length(text) AS digit_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS avg_token_len
+      FROM documents
+    )
+    """,
+    doc="Heuristic quality scoring: type-token ratio, stopword ratio, digit "
+        "ratio, token length — weighted into one score (identical IEEE op "
+        "order on both engines).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    n_tok = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("ttr"),
+        (_hits(STOPWORDS).cast("double") / n_tok).alias("stop_ratio"),
+        (
+            F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double")
+            / F.length("text")
+        ).alias("digit_ratio"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tok
+        ).alias("avg_token_len"),
+    )
+    return base.select(
+        "*",
+        (
+            F.lit(0.3) * F.col("ttr")
+            + F.lit(0.3) * F.col("stop_ratio")
+            + F.lit(0.2) * (F.lit(1) - F.col("digit_ratio"))
+            + F.lit(0.2) * F.least(F.col("avg_token_len") / 10, F.lit(1.0))
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_labeled,
+           CAST(en AS INTEGER) AS hits_en, CAST(de AS INTEGER) AS hits_de,
+           CAST(fr AS INTEGER) AS hits_fr, CAST(es AS INTEGER) AS hits_es,
+           CASE
+             WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+             WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+             WHEN fr >= es AND fr > 0 THEN 'fr'
+             WHEN es > 0 THEN 'es'
+             ELSE 'und'
+           END AS lang_detected
+    FROM (
+      SELECT doc_id, lang,
+             {_sql_hits(LANG_MARKERS['en'])} AS en,
+             {_sql_hits(LANG_MARKERS['de'])} AS de,
+             {_sql_hits(LANG_MARKERS['fr'])} AS fr,
+             {_sql_hits(LANG_MARKERS['es'])} AS es
+      FROM documents
+    )
+    """,
+    doc="Marker-word language ID heuristic with a deterministic argmax "
+        "(priority tie-break en>de>fr>es, 'und' when no markers hit).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        _hits(LANG_MARKERS["en"]).alias("hits_en"),
+        _hits(LANG_MARKERS["de"]).alias("hits_de"),
+        _hits(LANG_MARKERS["fr"]).alias("hits_fr"),
+        _hits(LANG_MARKERS["es"]).alias("hits_es"),
+    )
+    en, de, fr, es = (F.col(f"hits_{x}") for x in ("en", "de", "fr", "es"))
+    return scored.select(
+        "*",
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+        .alias("lang_detected"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_fp,
+           min(md5(shingle)) AS min_shingle_fp
+    FROM (
+      SELECT doc_id, text,
+             unnest(list_transform(
+               generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(trim(text),' '), i, i+2), ' ')
+             )) AS shingle
+      FROM documents
+    )
+    GROUP BY doc_id, text
+    """,
+    doc="Document fingerprinting: exact content hash + MinHash-1 over 3-gram "
+        "shingles (stable under shingle reordering; rolling-hash analogue).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    shingled = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text),' ')) - 2, 1)),"
+                " i -> concat_ws(' ', slice(split(trim(text),' '), i, 3)))"
+            )
+        ).alias("shingle"),
+    )
+    return shingled.groupBy("doc_id", "content_fp").agg(
+        F.min(F.md5(F.col("shingle"))).alias("min_shingle_fp")
+    )

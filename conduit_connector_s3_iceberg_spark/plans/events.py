@@ -1,1 +1,193 @@
-"""stub — filled in during round 1."""
+"""Event-stream analytics over the ``events`` table (batch-checkable forms).
+
+These are the batch equivalents of the engine's Structured Streaming surface
+(:mod:`..streaming`): tumbling-window rollups, sessionization (gap-based
+session windows — the batch twin of ``F.session_window``), dedup, and JSON
+payload extraction. Expressing them over the static ``events`` table makes
+them oracle-checkable; the streaming module reuses the same column logic.
+
+Scale notes: sessionization shuffles once on ``user_id`` and computes two
+window passes over the same partitioning (Catalyst reuses the sort);
+rollups are plain partial+final hash aggs on (hour, type) — low cardinality,
+no skew. At 100 TB the user_id partitioning is the natural key; skewed
+power-users are handled by AQE skew-join/salting at the join layer, and the
+streaming path bounds state with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .helpers import davg, dec, sql_davg
+from .registry import query
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "q21_hourly_event_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_davg('value', 'avg_value')},
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY hour, event_type
+    """,
+    doc="Tumbling 1-hour rollup per event type (batch twin of a streaming "
+        "windowed aggregation; hour-aligned windows == date_trunc).",
+)
+def q21_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        davg("value", "avg_value"),
+        F.sum(dec("value")).cast("decimal(38,2)").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q22_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  ) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag → new-session "
+        "flag → running-sum session ids → per-session aggregates. Batch twin "
+        "of F.session_window / applyInPandasWithState.",
+)
+def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wrun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("duration_us"),
+            F.sum(dec("value")).cast("decimal(38,2)").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q23_event_type_share",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Event-type distribution: aggregate + global window total → ratio "
+        "(single IEEE division, deterministic).",
+)
+def q23_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(total)).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "q24_user_activity",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           COUNT(DISTINCT event_type) AS n_types,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Per-user activity profile: multi-distinct aggregation with date "
+        "truncation.",
+)
+def q24_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+@query(
+    "q25_json_payload_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS max_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON payload extraction (the reference's core codec "
+        "surface, SparkDestinationStream.java:221-227) + integer aggregation.",
+)
+def q25_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -15,6 +15,7 @@ callers decide (a 100 TB scan must never be ``.cache()``d blindly).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,9 +33,22 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table. Pushdown-friendly: callers filter/select on
-    the returned DataFrame and Catalyst pushes into the parquet scan."""
+    the returned DataFrame and Catalyst pushes into the parquet scan.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses to read natively: read it as raw int64 nanos (legacy conf) and
+    convert to a microsecond TimestampType column (values in the warehouse
+    are µs-aligned, so the floor division is lossless).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div truncates ns → µs exactly like DuckDB's ns→µs cast
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
