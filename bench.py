@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs twice; the per-query time is the min (steady-state, post-JIT)
+and the headline value is the sum of per-query times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from conduit_connector_s3_iceberg_spark.plans.registry import load_all
+from conduit_connector_s3_iceberg_spark.session import build_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q09_yearly_nation_volume",
+    "q14_large_orders",
+    "q22_sessionization",
+    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_candidates",
+    "sim_topk_bruteforce",
+    "cdc_last_write_wins",
+]
+
+RUNS = 2
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_all()
+    spark = build_session(app_name="bench", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial job so q1 doesn't pay startup costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            q.build(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

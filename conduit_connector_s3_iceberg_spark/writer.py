@@ -1,0 +1,230 @@
+"""The CDC write path: insert / delete / update / batched MERGE apply.
+
+Re-expresses the reference's data plane (``SparkDestinationStream.java:
+94-235``) Spark-first:
+
+* **insert** — fetch the target table schema (``:216``), parse the payload
+  JSON against it with FAILFAST (``:221-227``), append (``:229-232``).
+* **delete** — key map → conjunctive equality predicate; ALL key fields are
+  ANDed (fixing the reference's composite-key bug at ``:126-132``); values
+  are bound as typed literals, not string-spliced (the reference inlines
+  escaped literals via jOOQ, ``:134`` — same injection safety, cleaner).
+* **update** — atomic MERGE (upsert), fixing the reference's non-atomic
+  delete-then-insert (``:110-114``, data-loss risk documented in its
+  ``README.md:74-77``).
+* **apply_batch** — the scale path the reference lacks: collapse a
+  micro-batch last-write-wins per key, then apply with ONE merge — one
+  commit per epoch instead of one Spark job + one data file per record.
+
+Storage backends: with the Iceberg runtime present, tables resolve through
+the configured catalog and DML is real Iceberg row-level MERGE/DELETE.
+Without it (this container), :class:`ParquetWarehouse` provides the same
+semantics via copy-on-write rewrite — functionally what Iceberg CoW does,
+minus snapshot isolation (single-writer only; documented).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .records import Operation, Record, key_to_map, normalize_payload_json
+
+
+class ParquetWarehouse:
+    """A local table namespace with copy-on-write semantics.
+
+    Stand-in for the Iceberg catalog when the runtime jar is absent: same
+    operations (append / delete / overwrite-with), same observable results.
+    Each mutation writes a fresh table version directory and atomically
+    repoints a symlink-like 'current' marker — the same shape as Iceberg's
+    snapshot pointer, minus the manifest layer.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- catalog ------------------------------------------------------------
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _current_path(self, table: str) -> str:
+        marker = os.path.join(self._dir(table), "CURRENT")
+        with open(marker) as fh:
+            return os.path.join(self._dir(table), fh.read().strip())
+
+    def _commit(self, table: str, version_dir: str) -> None:
+        marker = os.path.join(self._dir(table), "CURRENT")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(version_dir))
+        os.replace(tmp, marker)  # atomic snapshot pointer swap
+
+    def create_table(self, table: str, schema: T.StructType) -> None:
+        os.makedirs(self._dir(table), exist_ok=True)
+        empty = self.spark.createDataFrame([], schema)
+        self._write_version(table, empty)
+
+    def table_exists(self, table: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(table), "CURRENT"))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._current_path(table))
+
+    def schema(self, table: str) -> T.StructType:
+        return self.read(table).schema
+
+    def _write_version(self, table: str, df: DataFrame) -> None:
+        version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(version_dir)
+        had_current = self.table_exists(table)
+        old = self._current_path(table) if had_current else None
+        self._commit(table, version_dir)
+        if old and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    # -- mutations (CoW) ----------------------------------------------------
+    def append(self, table: str, df: DataFrame) -> None:
+        current = self._current_path(table)
+        merged = self.spark.read.parquet(current).unionByName(df)
+        self._write_version(table, merged)
+
+    def overwrite_where_not(self, table: str, predicate: F.Column) -> int:
+        """DELETE FROM table WHERE predicate → CoW rewrite keeping ¬pred."""
+        cur = self.read(table)
+        deleted = cur.filter(predicate).count()
+        if deleted:
+            self._write_version(table, cur.filter(~predicate))
+        return deleted
+
+    def overwrite_with(self, table: str, df: DataFrame) -> None:
+        self._write_version(table, df)
+
+
+class CdcWriter:
+    """Applies OpenCDC records to one target table (the reference's
+    ``SparkDestinationStream`` role)."""
+
+    def __init__(self, warehouse: ParquetWarehouse, table: str):
+        self.wh = warehouse
+        self.table = table
+        self.spark = warehouse.spark
+
+    # -- helpers ------------------------------------------------------------
+    def _payload_df(self, records: list[Record]) -> DataFrame:
+        """Schema-conformed FAILFAST parse of payload JSON against the
+        target table's schema (reference ``:216,221-227``)."""
+        schema = self.wh.schema(self.table)
+        lines = [normalize_payload_json(r.payload_after) for r in records]
+        ds = self.spark.createDataFrame([(s,) for s in lines], "value string")
+        return ds.select(
+            F.from_json("value", schema, {"mode": "FAILFAST"}).alias("row")
+        ).select("row.*")
+
+    def _key_predicate(self, key_map: dict[str, Any]) -> F.Column:
+        """Conjunction over ALL key fields (bug-fix vs reference ``:126-132``).
+        String values compare against typed columns via Catalyst's implicit
+        casts — preserving the reference's stringified-struct-key behavior
+        (``SparkDestinationStreamIT.java:167-183``)."""
+        schema = self.wh.schema(self.table)
+        pred = F.lit(True)
+        for name, value in key_map.items():
+            col_type = next(
+                (f.dataType for f in schema.fields if f.name == name), None
+            )
+            lit = F.lit(value)
+            if col_type is not None and isinstance(value, str):
+                # stringified struct keys: cast the literal to the column
+                # type (Catalyst-equivalent of '12' = int_col)
+                lit = lit.cast(col_type)
+            pred = pred & (F.col(name) == lit)
+        return pred
+
+    # -- per-record operations (reference dispatch, ``:94-108``) ------------
+    def write(self, record: Record) -> None:
+        op = record.operation
+        if op in (Operation.CREATE, Operation.SNAPSHOT):
+            self.insert(record)
+        elif op == Operation.UPDATE:
+            self.update(record)
+        elif op == Operation.DELETE:
+            self.delete(record)
+        elif op == Operation.UNSPECIFIED:
+            return  # silent no-op, reference ``:105-106``
+        else:  # pragma: no cover
+            raise ValueError(f"invalid operation {op!r}")
+
+    def insert(self, record: Record) -> None:
+        self.wh.append(self.table, self._payload_df([record]))
+
+    def delete(self, record: Record) -> int:
+        key_map = key_to_map(record.key)
+        return self.wh.overwrite_where_not(self.table, self._key_predicate(key_map))
+
+    def update(self, record: Record) -> None:
+        """Atomic replace-by-key (MERGE), not delete-then-insert."""
+        key_map = key_to_map(record.key)
+        new_rows = self._payload_df([record])
+        current = self.wh.read(self.table)
+        merged = current.filter(~self._key_predicate(key_map)).unionByName(new_rows)
+        self.wh.overwrite_with(self.table, merged)
+
+    # -- the scale path: batched apply -------------------------------------
+    def apply_batch(self, records: list[Record], key_fields: list[str]) -> None:
+        """Collapse a micro-batch last-write-wins per key and apply it with
+        one MERGE-shaped set operation (insert/update/delete together).
+
+        At 10^6 records/epoch this is one shuffle + one commit; the
+        reference performs 10^6 Spark jobs and writes 10^6 files.
+        """
+        if not records:
+            return
+        # LWW collapse per key: the record list is driver-resident by
+        # construction (this is the record-level API; the DataFrame-scale
+        # collapse is operators/cdc_batch.py + streaming/cdc.py), so resolve
+        # the final operation per key in plain Python, then apply with ONE
+        # set-oriented job.
+        final_op: dict[tuple, tuple[str, Record]] = {}
+        for r in records:
+            if r.operation == Operation.UNSPECIFIED:
+                continue
+            if r.operation == Operation.DELETE:
+                km = key_to_map(r.key)
+                final_op[tuple(str(km.get(k)) for k in key_fields)] = ("delete", r)
+            else:
+                km = key_to_map(r.key) if r.key else None
+                if km is None:
+                    import json as _json
+
+                    payload = _json.loads(normalize_payload_json(r.payload_after))
+                    km = {k: payload.get(k) for k in key_fields}
+                final_op[tuple(str(km.get(k)) for k in key_fields)] = ("upsert", r)
+
+        upserts = [r for kind, r in final_op.values() if kind == "upsert"]
+        delete_keys = [
+            key for key, (kind, _) in final_op.items() if kind == "delete"
+        ]
+        schema = self.wh.schema(self.table)
+        result = self.wh.read(self.table)
+        if upserts:
+            latest = self._payload_df(upserts)
+            keys_df = latest.select(*key_fields).distinct()
+            result = result.join(keys_df, key_fields, "left_anti").unionByName(latest)
+        if delete_keys:
+            # one anti-join against all delete keys (not N sequential filters)
+            del_df = self.spark.createDataFrame(
+                [tuple(k) for k in delete_keys], ", ".join(f"{k} string" for k in key_fields)
+            )
+            for f_ in schema.fields:
+                if f_.name in key_fields:
+                    del_df = del_df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+            result = result.join(del_df, key_fields, "left_anti")
+        self.wh.overwrite_with(self.table, result)
