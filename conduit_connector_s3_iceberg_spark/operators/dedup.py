@@ -44,8 +44,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _distinct_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id × distinct shingle (exploded inverted-index input)."""
-    return docs.select(
+    """doc_id × distinct shingle (exploded inverted-index input).
+
+    Repartitions first: the warehouse table is one parquet file at small SF,
+    which would otherwise pin the whole explode+hash pipeline to a single
+    task (at 100 TB the scan is naturally many-splits; this keeps local
+    behavior shaped the same way).
+    """
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism, "doc_id").select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("shingle"),
     )
@@ -133,21 +140,25 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = _distinct_shingles(docs)
+    # join/shuffle on an 8-byte xxhash64 of the shingle, not the string:
+    # halves shuffle bytes; collision risk ~(n²/2⁶⁵) is negligible.
+    sh = _distinct_shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle_h")
+    )
     kept = (
-        sh.groupBy("shingle")
+        sh.groupBy("shingle_h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+        .select("shingle_h")
     )
-    idx = sh.join(kept, "shingle")
+    idx = sh.join(kept, "shingle_h")
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = idx.alias("a")
     b = idx.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
