@@ -1,1 +1,5 @@
-"""stub — filled in during round 1."""
+"""Reusable column-expression function library (JVM-side, codegen-friendly)."""
+
+from .codec import CDC_ENVELOPE, conform_payload, key_struct
+
+__all__ = ["CDC_ENVELOPE", "conform_payload", "key_struct"]

@@ -1,1 +1,25 @@
-"""stub — filled in during round 1."""
+"""Structured Streaming surface: CDC ingestion (micro-batch MERGE apply),
+watermarked window rollups, stream dedup, and custom stateful operators."""
+
+from .cdc import (
+    apply_cdc_batch,
+    apply_cdc_stream,
+    collapse_lww,
+    decode_cdc,
+    read_cdc_stream,
+)
+from .stateful import running_user_totals
+from .windows import dedup_stream, session_rollup, sliding_rollup, tumbling_rollup
+
+__all__ = [
+    "apply_cdc_batch",
+    "apply_cdc_stream",
+    "collapse_lww",
+    "decode_cdc",
+    "read_cdc_stream",
+    "running_user_totals",
+    "dedup_stream",
+    "session_rollup",
+    "sliding_rollup",
+    "tumbling_rollup",
+]

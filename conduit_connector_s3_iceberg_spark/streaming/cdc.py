@@ -1,0 +1,148 @@
+"""Structured Streaming CDC ingestion — the idiomatic form of the
+reference's record-at-a-time gRPC loop (``SparkDestinationStream.java:
+70-108``).
+
+The reference receives one record per gRPC message and runs one Spark job
+(and writes one data file) per record. The Spark-native shape is:
+
+    readStream (envelope JSON) → decode (column exprs, :mod:`..functions.
+    codec`) → foreachBatch: collapse last-write-wins per key → ONE
+    MERGE-shaped apply per epoch.
+
+Acking: the reference acks per record (``:87-92``); here the checkpoint
+commit of each epoch acks the whole micro-batch — same at-least-once
+contract, amortized over 10^6 records instead of 1.
+
+Scale: per epoch this is one shuffle on the key (the LWW window), one
+shuffle-join against the target (broadcast when the epoch is small — the
+common case: an epoch is MBs against a 100 TB table, so Spark broadcasts
+the collapsed batch side automatically under AQE), one commit. State on
+the stream itself is zero — all keyed state lives in the target table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codec import CDC_ENVELOPE, conform_payload, key_struct
+from ..writer import ParquetWarehouse
+
+#: Terminal operations (reference dispatch ``:94-108``): create/snapshot/
+#: update all materialize `after`; delete removes the key; unspecified is a
+#: silent no-op.
+UPSERT_OPS = ("create", "snapshot", "update")
+
+
+def read_cdc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based CDC envelope stream (JSON-lines). On a real deployment
+    the same envelope arrives from Kafka (``readStream.format("kafka")`` +
+    ``from_json(value, CDC_ENVELOPE)``) — downstream is identical."""
+    reader = spark.readStream.schema(CDC_ENVELOPE)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def decode_cdc(
+    envelope: DataFrame, table_schema: T.StructType, key_fields: list[str]
+) -> DataFrame:
+    """Envelope → typed change rows: ``(position, seq, op, key struct,
+    row struct)``. Pure column expressions (whole-stage codegen; no Python
+    in the hot path).
+
+    ``seq`` orders records within a key for the LWW collapse. The envelope
+    position is opaque bytes (``opencdc.proto:54``) with no order contract,
+    so we use the record's arrival order within the batch — monotonic ids
+    assigned at decode."""
+    return envelope.select(
+        "position",
+        F.monotonically_increasing_id().alias("seq"),
+        F.col("operation").alias("op"),
+        key_struct("key", key_fields).alias("k"),
+        conform_payload("after", table_schema).alias("row"),
+    )
+
+
+def collapse_lww(decoded: DataFrame, key_fields: list[str]) -> DataFrame:
+    """One row per key: the LAST operation wins (SURVEY.md §4's 'CDC batch
+    collapse'). For upserts the key may live in the payload rather than the
+    envelope key (inserts don't require one), so coalesce both sides."""
+    keyed = decoded.select(
+        *[
+            F.coalesce(F.col(f"k.{k}").cast("string"), F.col(f"row.{k}").cast("string")).alias(
+                f"__key_{k}"
+            )
+            for k in key_fields
+        ],
+        "seq",
+        "op",
+        "row",
+    ).filter(F.col("op") != "unspecified")
+    w = Window.partitionBy(*[f"__key_{k}" for k in key_fields]).orderBy(
+        F.col("seq").desc()
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "seq")
+    )
+
+
+def apply_cdc_batch(
+    wh: ParquetWarehouse,
+    table: str,
+    decoded_batch: DataFrame,
+    key_fields: list[str],
+) -> None:
+    """Apply one collapsed micro-batch with MERGE semantics:
+
+    upserts replace-or-insert their key; deletes drop it. With the Iceberg
+    runtime this is literally ``MERGE INTO t USING batch ON keys WHEN
+    MATCHED AND op='delete' THEN DELETE WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *``; the ParquetWarehouse form computes
+    the same result via anti-join + union (copy-on-write)."""
+    final = collapse_lww(decoded_batch, key_fields)
+    schema = wh.schema(table)
+    current = wh.read(table)
+
+    # all touched keys leave the table once; surviving upserts re-enter
+    field_types = {f.name: f.dataType for f in schema.fields}
+    touched = final.select(
+        *[F.col(f"__key_{k}").cast(field_types[k]).alias(k) for k in key_fields]
+    )
+    upserts = final.filter(F.col("op").isin(*UPSERT_OPS)).select("row.*")
+    result = current.join(F.broadcast(touched), key_fields, "left_anti").unionByName(
+        upserts
+    )
+    wh.overwrite_with(table, result)
+
+
+def apply_cdc_stream(
+    stream: DataFrame,
+    wh: ParquetWarehouse,
+    table: str,
+    key_fields: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Wire a decoded CDC stream into the warehouse: one epoch = one apply =
+    one commit. Returns the started StreamingQuery."""
+    schema = wh.schema(table)
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        apply_cdc_batch(wh, table, decode_cdc(batch, schema, key_fields), key_fields)
+
+    writer = (
+        stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

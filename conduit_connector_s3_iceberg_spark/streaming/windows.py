@@ -1,0 +1,118 @@
+"""Watermarked window operators over event streams.
+
+Streaming twins of the batch queries in :mod:`..plans.events` (the batch
+forms are the oracle-checked versions; these share the same aggregate
+expressions, so a batch/stream pair computes identical results on the same
+data — verified in ``tests/test_streaming.py``).
+
+The reference has no streaming analytics at all (its only 'stream' is the
+per-record gRPC loop, ``SparkDestinationStream.java:70-85``); this is
+north-star surface built directly on Structured Streaming.
+
+Scale / state: every operator bounds its state with a watermark — state
+per key×window is dropped once the watermark passes the window end.
+Tumbling/sliding aggs keyed by (window, event_type) are low-cardinality;
+session windows and dedup key by user/event id — at 100 TB-rate streams
+the state store partitions on the grouping key across executors (RocksDB
+state store in production; local HDFS-backed here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Per event-type counts/sums in tumbling windows; late rows beyond the
+    watermark are dropped (streaming form of ``q21_hourly_event_rollup``)."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window event counts — each row lands in window/slide
+    overlapping windows."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session windows per user (``F.session_window``): a session
+    closes after ``gap`` of inactivity; state for a session is emitted and
+    dropped once the watermark passes its end. Streaming twin of
+    ``q22_sessionization``."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key emission within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): duplicate events arriving within
+    the watermark are suppressed; state is bounded — per-key entries expire
+    with the watermark, unlike an unbounded ``dropDuplicates``."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def late_data_filter(time_col: Column | str, watermark_ts: Column | str) -> Column:
+    """Explicit late/on-time predicate for batch backfills that must match
+    the streaming watermark semantics exactly."""
+    return F.col(time_col) >= F.col(watermark_ts)

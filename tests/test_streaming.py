@@ -1,0 +1,230 @@
+"""Streaming-layer tests: CDC stream apply end-to-end, watermarked window
+rollups vs their batch twins, stream dedup, custom stateful totals.
+
+All use file-based streams + ``trigger(availableNow=True)`` so each test is
+a bounded run over deterministic input (the standard local harness for
+Structured Streaming; identical code path to a live stream)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conduit_connector_s3_iceberg_spark.streaming import (
+    apply_cdc_stream,
+    dedup_stream,
+    read_cdc_stream,
+    running_user_totals,
+    session_rollup,
+    tumbling_rollup,
+)
+from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("qty", T.IntegerType(), True),
+    ]
+)
+
+
+def env(position, op, key=None, after=None):
+    return {
+        "position": position,
+        "operation": op,
+        "key": json.dumps(key) if key is not None else None,
+        "before": None,
+        "after": json.dumps(after) if after is not None else None,
+        "metadata": {},
+    }
+
+
+@pytest.fixture
+def events_df(spark):
+    rows = [
+        # user 1: two events 10 min apart, then one 2h later (2 sessions)
+        (1, "2024-01-01 10:00:00", "click", 1.0, 1),
+        (1, "2024-01-01 10:10:00", "click", 2.0, 2),
+        (1, "2024-01-01 13:00:00", "view", 4.0, 3),
+        # user 2: one event + an exact duplicate event_id
+        (2, "2024-01-01 10:05:00", "view", 8.0, 4),
+        (2, "2024-01-01 10:05:00", "view", 8.0, 4),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string, value double, event_id long"
+    ).select(
+        "user_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+
+def stream_of(spark, tmp_path, df, name):
+    """Write df as a parquet dir and open it as a file-source stream with
+    the same schema."""
+    path = str(tmp_path / name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def run_to_memory(stream_df, tmp_path, name, output_mode="append"):
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------- CDC apply
+
+
+def test_cdc_stream_apply_end_to_end(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+    wh.create_table("items", TABLE_SCHEMA)
+
+    # one file == one deterministic arrival order (single scan partition)
+    records = [
+        env("p1", "create", after={"id": 1, "name": "a", "qty": 5.0}),  # 5.0→int
+        env("p2", "create", after={"id": 2, "name": "b", "qty": 7}),
+        env("p3", "update", key={"id": 1}, after={"id": 1, "name": "a2", "qty": 6}),
+        env("p4", "delete", key={"id": 2}),
+        env("p5", "snapshot", after={"id": 3, "name": "c", "qty": 9}),
+        env("p6", "unspecified"),  # silent no-op
+    ]
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "batch0.json").write_text("\n".join(json.dumps(r) for r in records))
+
+    stream = read_cdc_stream(spark, str(src))
+    q = apply_cdc_stream(
+        stream, wh, "items", ["id"], checkpoint_dir=str(tmp_path / "ckpt_cdc")
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"]: (r["name"], r["qty"]) for r in wh.read("items").collect()}
+    # id=1 upserted then updated (LWW → update wins); id=2 deleted; id=3 inserted
+    assert got == {1: ("a2", 6), 3: ("c", 9)}
+    # schema conformance: integral-in-float 5.0 coerced on the way in
+    assert dict(wh.read("items").dtypes)["qty"] == "int"
+
+
+def test_cdc_stream_second_epoch_incremental(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+    wh.create_table("items", TABLE_SCHEMA)
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps(env("p1", "create", after={"id": 1, "name": "a", "qty": 1}))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    apply_cdc_stream(read_cdc_stream(spark, str(src)), wh, "items", ["id"], ckpt).awaitTermination(120)
+
+    # second epoch: restart from the same checkpoint; only the new file runs
+    (src / "b1.json").write_text(
+        json.dumps(env("p2", "update", key={"id": 1}, after={"id": 1, "name": "z", "qty": 2}))
+    )
+    apply_cdc_stream(read_cdc_stream(spark, str(src)), wh, "items", ["id"], ckpt).awaitTermination(120)
+
+    assert [(r["id"], r["name"], r["qty"]) for r in wh.read("items").collect()] == [
+        (1, "z", 2)
+    ]
+
+
+# ------------------------------------------------------------- window rollups
+
+
+def test_tumbling_rollup_matches_batch(spark, tmp_path, events_df):
+    stream = stream_of(spark, tmp_path, events_df, "ev_tumble")
+    # update mode: emits every touched window each epoch; with one input
+    # batch that's exactly the final value per window (append would hold
+    # back windows the watermark hasn't closed)
+    got = run_to_memory(
+        tumbling_rollup(stream), tmp_path, "tumble_out", output_mode="update"
+    )
+    # batch twin on the same data with the same expressions
+    expect = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_rollup(events_df).collect()
+    }
+    rows = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+    assert rows == expect and len(rows) == 3
+
+
+def test_session_rollup_matches_batch(spark, tmp_path, events_df):
+    # session windows are append-only: a session is emitted when the
+    # watermark passes its end. Stage two micro-batches — the real events,
+    # then a far-future "flush" event that advances the watermark (computed
+    # at batch boundaries) past every real session.
+    import glob
+    import os
+    import shutil
+
+    flush = events_df.limit(1).select(
+        F.lit(99).cast("long").alias("user_id"),
+        F.to_timestamp(F.lit("2024-01-02 10:00:00")).alias("ts"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(999).cast("long").alias("event_id"),
+    )
+    src = tmp_path / "ev_sess"
+    src.mkdir()
+    for i, df in enumerate([events_df, flush]):
+        stage = str(tmp_path / f"stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = str(src / f"{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1000 + i, 1000 + i))  # deterministic arrival order
+
+    stream = (
+        spark.readStream.schema(events_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = run_to_memory(
+        session_rollup(stream), tmp_path, "sess_out", output_mode="append"
+    ).collect()
+    sessions = {(r["user_id"], str(r["session_start"])): r["n_events"] for r in got}
+    # user 1 splits into 2 sessions (2h gap > 30min); user 2 has 1 session
+    assert sessions == {
+        (1, "2024-01-01 10:00:00"): 2,
+        (1, "2024-01-01 13:00:00"): 1,
+        (2, "2024-01-01 10:05:00"): 2,
+    }
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path, events_df):
+    stream = stream_of(spark, tmp_path, events_df, "ev_dedup")
+    got = run_to_memory(
+        dedup_stream(stream, ["event_id"]), tmp_path, "dedup_out"
+    ).collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------- stateful operator
+
+
+def test_running_user_totals(spark, tmp_path, events_df):
+    stream = stream_of(spark, tmp_path, events_df, "ev_state")
+    got = run_to_memory(
+        running_user_totals(stream), tmp_path, "totals_out", output_mode="update"
+    ).collect()
+    by_user = {r["user_id"]: r for r in got}
+    assert by_user[1]["n_events"] == 3 and by_user[1]["sum_value"] == 7.0
+    assert by_user[2]["n_events"] == 2 and by_user[2]["sum_value"] == 16.0
+    assert str(by_user[1]["last_ts"]) == "2024-01-01 13:00:00"
