@@ -40,6 +40,65 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload.
+
+    STUB (same contract as :func:`decode_image`): needs an image library.
+    The production shape is a ``mapInPandas`` stage identical to
+    ``mm_feature_extract`` — binary in, binary out, fixed metadata columns —
+    so the plumbing below is what carries it at scale.
+    """
+    raise NotImplementedError("image resizing requires an image library")
+
+
+FRAME_STRIDE = 64  # bytes per synthetic "frame"
+N_FRAMES = 3       # frames sampled per payload
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(CASE WHEN strlen(text) > {i * FRAME_STRIDE} THEN "
+               f"ord(substr(text, {i * FRAME_STRIDE + 1}, 1)) END AS INTEGER)"
+               f" AS frame{i}" for i in range(N_FRAMES)
+           )},
+           CAST(ceil(strlen(text) / {FRAME_STRIDE}.0) AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    doc="Frame sampling over binary media payloads: every k-th fixed-stride "
+        "frame is decoded per payload (deterministic first-byte stand-in "
+        "for a real video decoder, cf. decode_image/resize_image stubs). "
+        "mapInPandas, Arrow-batched; output schema fixed regardless of "
+        "payload length.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    schema = (
+        "doc_id bigint, "
+        + ", ".join(f"frame{i} int" for i in range(N_FRAMES))
+        + ", n_frames bigint"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            for i in range(N_FRAMES):
+                pos = i * FRAME_STRIDE
+                out[f"frame{i}"] = pdf["payload"].map(
+                    lambda b, p=pos: int(b[p]) if len(b) > p else None
+                )
+            out["n_frames"] = pdf["payload"].map(
+                lambda b: -(-len(b) // FRAME_STRIDE)
+            )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(sample, schema)
+
+
 @query(
     "mm_binary_metadata",
     oracle="""

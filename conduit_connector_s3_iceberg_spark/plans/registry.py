@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None, doc: str = ""):
 
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the registry."""
-    from . import core, events  # noqa: F401
-    from ..operators import dedup, similarity, text, multimodal, cdc_batch  # noqa: F401
+    from . import advanced, core, events  # noqa: F401
+    from ..operators import cdc_batch, dedup, joins, multimodal, similarity, text  # noqa: F401
 
     return QUERIES
