@@ -26,6 +26,9 @@ HEADLINE = [
     "q09_yearly_nation_volume",
     "q14_large_orders",
     "q22_sessionization",
+    "q26_asof_join",
+    "q29_cube_flag_status",
+    "sim_ann_ivf",
     "text_quality_score",
     "dedup_ngram_jaccard",
     "dedup_minhash_candidates",

@@ -196,3 +196,143 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------- IVF
+#
+# The inverted-file (IVF) scale path: partition the vector space into
+# Voronoi cells around centroids, store each vector in its nearest cell,
+# probe only the query's NPROBE nearest cells at search time. Centroids here
+# are deterministic md5-derived constants so the DuckDB oracle can replicate
+# the exact index; at production scale they come from pyspark.ml KMeans —
+# the assignment / probe / re-rank plumbing below is unchanged.
+
+N_CENTROIDS = 16
+NPROBE = 2
+
+
+def _centroid(c: int) -> list[float]:
+    return [
+        (int(hashlib.md5(f"ivf_{c}_{j}".encode()).hexdigest()[:2], 16) - 127.5)
+        / 42.5
+        for j in range(DIM)
+    ]
+
+
+CENTROIDS = [_centroid(c) for c in range(N_CENTROIDS)]
+
+
+def _l2_spark(carr: str) -> str:
+    return (
+        f"aggregate(zip_with({_SPARK_EMB_D}, {carr}, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _l2_sql(carr: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}),"
+        f" i -> (({carr})[i] - (embedding::DOUBLE[])[i])"
+        f" * (({carr})[i] - (embedding::DOUBLE[])[i])), (x, y) -> x + y)"
+    )
+
+
+def _cells_spark() -> tuple[F.Column, F.Column]:
+    """(nearest cell, NPROBE nearest cells) via distance-array sort; ties
+    impossible with real-valued md5 centroids, array_position is 1-based."""
+    dists = "array(" + ", ".join(
+        _l2_spark("array(" + ", ".join(f"{v}D" for v in c) + ")")
+        for c in CENTROIDS
+    ) + ")"
+    cell = F.expr(f"array_position({dists}, array_min({dists}))").cast("int")
+    probes = F.expr(
+        f"transform(slice(array_sort({dists}), 1, {NPROBE}),"
+        f" d -> cast(array_position({dists}, d) as int))"
+    )
+    return cell, probes
+
+
+def _cells_sql() -> tuple[str, str]:
+    dists = "[" + ", ".join(
+        _l2_sql("[" + ", ".join(str(v) for v in c) + "]") for c in CENTROIDS
+    ) + "]"
+    cell = f"CAST(list_position({dists}, list_min({dists})) AS INTEGER)"
+    probes = (
+        f"list_transform(list_sort({dists})[1:{NPROBE}],"
+        f" d -> CAST(list_position({dists}, d) AS INTEGER))"
+    )
+    return cell, probes
+
+
+_IVF_CELL_SQL, _IVF_PROBES_SQL = _cells_sql()
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm,
+             {_IVF_CELL_SQL} AS cell
+      FROM embeddings
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.emb AS qemb, e.nrm AS qnrm,
+             unnest(p.probes) AS probe_cell
+      FROM (SELECT vec_id, {_IVF_PROBES_SQL} AS probes FROM embeddings
+            WHERE vec_id < {N_QUERIES}) p
+      JOIN e ON e.vec_id = p.vec_id
+    ), cand AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.cell = q.probe_cell AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS INTEGER) AS rank
+      FROM cand
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="IVF approximate top-k: vectors inverted into Voronoi cells around "
+        "16 deterministic centroids; a query probes its 2 nearest cells and "
+        "exact-re-ranks only those candidates. Cell id is the shuffle key "
+        "(bounded fan-out = NPROBE), centroid set broadcast by construction "
+        "— at scale the centroids come from pyspark.ml KMeans, same plan.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell, probes = _cells_spark()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+        cell.alias("cell"),
+        probes.alias("probes"),
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            F.explode("probes").alias("probe_cell"),
+        )
+    )
+    cand = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

