@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the scale properties the engine promises
+(pushdown, broadcast, no accidental cartesian products) asserted against
+`explain` output so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+
+from conduit_connector_s3_iceberg_spark.plans.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = load_all()[name].build(spark, SF)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return je.explainString(mode)
+
+
+def test_filters_push_into_parquet_scan(spark):
+    plan = plan_of(spark, "q03_shipping_priority")
+    assert "PushedFilters" in plan
+    # the date filter and the segment filter must reach their scans
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400] or "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "q05_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit the broadcast threshold
+    assert "CartesianProduct" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # lineitem has 16 columns; the pricing summary needs 7 — the scan's
+    # ReadSchema must not include untouched wide columns like l_comment
+    read_schemas = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    assert read_schemas and all("l_comment" not in rs for rs in read_schemas)
+
+
+def test_dedup_pipeline_has_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    plan = plan_of(spark, "q26_asof_join")
+    # the as-of implementation must stay join-free: one exchange on the key,
+    # a window, no join operator of any kind
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"asof plan unexpectedly contains {op}"
+    assert "Window" in plan
