@@ -206,6 +206,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are deterministic md5-derived constants so the DuckDB oracle can replicate
 # the exact index; at production scale they come from pyspark.ml KMeans —
 # the assignment / probe / re-rank plumbing below is unchanged.
+#
+# The 16-way distance array is materialized ONCE as a column (`dists`);
+# cell assignment and probe selection are cheap array ops over it — without
+# this the N_CENTROIDS×DIM fold would be re-evaluated inside every
+# array_position/sort lambda.
 
 N_CENTROIDS = 16
 NPROBE = 2
@@ -221,65 +226,38 @@ def _centroid(c: int) -> list[float]:
 
 CENTROIDS = [_centroid(c) for c in range(N_CENTROIDS)]
 
+# distance array over a pre-computed double-array `emb` column
+_DISTS_SPARK = "array(" + ", ".join(
+    "aggregate(zip_with(emb, "
+    + "array(" + ", ".join(f"{v}D" for v in c) + ")"
+    + ", (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    for c in CENTROIDS
+) + ")"
 
-def _l2_spark(carr: str) -> str:
-    return (
-        f"aggregate(zip_with({_SPARK_EMB_D}, {carr}, (x, y) -> (x - y) * (x - y)),"
-        " 0.0D, (acc, x) -> acc + x)"
-    )
-
-
-def _l2_sql(carr: str) -> str:
-    return (
-        f"list_reduce(list_transform(generate_series(1, {DIM}),"
-        f" i -> (({carr})[i] - (embedding::DOUBLE[])[i])"
-        f" * (({carr})[i] - (embedding::DOUBLE[])[i])), (x, y) -> x + y)"
-    )
-
-
-def _cells_spark() -> tuple[F.Column, F.Column]:
-    """(nearest cell, NPROBE nearest cells) via distance-array sort; ties
-    impossible with real-valued md5 centroids, array_position is 1-based."""
-    dists = "array(" + ", ".join(
-        _l2_spark("array(" + ", ".join(f"{v}D" for v in c) + ")")
-        for c in CENTROIDS
-    ) + ")"
-    cell = F.expr(f"array_position({dists}, array_min({dists}))").cast("int")
-    probes = F.expr(
-        f"transform(slice(array_sort({dists}), 1, {NPROBE}),"
-        f" d -> cast(array_position({dists}, d) as int))"
-    )
-    return cell, probes
-
-
-def _cells_sql() -> tuple[str, str]:
-    dists = "[" + ", ".join(
-        _l2_sql("[" + ", ".join(str(v) for v in c) + "]") for c in CENTROIDS
-    ) + "]"
-    cell = f"CAST(list_position({dists}, list_min({dists})) AS INTEGER)"
-    probes = (
-        f"list_transform(list_sort({dists})[1:{NPROBE}],"
-        f" d -> CAST(list_position({dists}, d) AS INTEGER))"
-    )
-    return cell, probes
-
-
-_IVF_CELL_SQL, _IVF_PROBES_SQL = _cells_sql()
+_DISTS_SQL = "[" + ", ".join(
+    f"list_reduce(list_transform(generate_series(1, {DIM}),"
+    f" i -> (emb[i] - ([" + ", ".join(str(v) for v in c) + f"])[i])"
+    f" * (emb[i] - ([" + ", ".join(str(v) for v in c) + f"])[i])), (x, y) -> x + y)"
+    for c in CENTROIDS
+) + "]"
 
 
 @query(
     "sim_ann_ivf",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm,
-             {_IVF_CELL_SQL} AS cell
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
       FROM embeddings
+    ), e AS (
+      SELECT vec_id, emb, nrm,
+             CAST(list_position({_DISTS_SQL}, list_min({_DISTS_SQL})) AS INTEGER) AS cell,
+             list_transform(list_sort({_DISTS_SQL})[1:{NPROBE}],
+                            x -> CAST(list_position({_DISTS_SQL}, x) AS INTEGER)) AS probes
+      FROM d
     ), q AS (
-      SELECT e.vec_id AS query_id, e.emb AS qemb, e.nrm AS qnrm,
-             unnest(p.probes) AS probe_cell
-      FROM (SELECT vec_id, {_IVF_PROBES_SQL} AS probes FROM embeddings
-            WHERE vec_id < {N_QUERIES}) p
-      JOIN e ON e.vec_id = p.vec_id
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm,
+             unnest(probes) AS probe_cell
+      FROM e WHERE vec_id < {N_QUERIES}
     ), cand AS (
       SELECT q.query_id, e.vec_id,
              {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
@@ -299,13 +277,25 @@ _IVF_CELL_SQL, _IVF_PROBES_SQL = _cells_sql()
         "— at scale the centroids come from pyspark.ml KMeans, same plan.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cell, probes = _cells_spark()
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(_SPARK_EMB_D).alias("emb"),
-        F.expr(_SPARK_NORM).alias("nrm"),
-        cell.alias("cell"),
-        probes.alias("probes"),
+    )
+    with_dists = base.select(
+        "vec_id",
+        "emb",
+        F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias("nrm"),
+        F.expr(_DISTS_SPARK).alias("dists"),
+    )
+    emb = with_dists.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.expr("cast(array_position(dists, array_min(dists)) as int)").alias("cell"),
+        F.expr(
+            f"transform(slice(array_sort(dists), 1, {NPROBE}),"
+            " d -> cast(array_position(dists, d) as int))"
+        ).alias("probes"),
     )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
