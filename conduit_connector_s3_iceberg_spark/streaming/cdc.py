@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.codec import CDC_ENVELOPE, conform_payload, key_struct
-from ..writer import ParquetWarehouse
 
 #: Terminal operations (reference dispatch ``:94-108``): create/snapshot/
 #: update all materialize `after`; delete removes the key; unspecified is a
@@ -93,24 +92,44 @@ def collapse_lww(decoded: DataFrame, key_fields: list[str]) -> DataFrame:
 
 
 def apply_cdc_batch(
-    wh: ParquetWarehouse,
+    wh,
     table: str,
     decoded_batch: DataFrame,
     key_fields: list[str],
 ) -> None:
-    """Apply one collapsed micro-batch with MERGE semantics:
+    """Apply one collapsed micro-batch with MERGE semantics: upserts
+    replace-or-insert their key; deletes drop it.
 
-    upserts replace-or-insert their key; deletes drop it. With the Iceberg
-    runtime this is literally ``MERGE INTO t USING batch ON keys WHEN
-    MATCHED AND op='delete' THEN DELETE WHEN MATCHED THEN UPDATE SET *
-    WHEN NOT MATCHED THEN INSERT *``; the ParquetWarehouse form computes
-    the same result via anti-join + union (copy-on-write)."""
+    Store dispatch: an :class:`..iceberg.IcebergTableStore` applies the
+    batch as ONE atomic ``MERGE INTO`` (real Iceberg row-level DML); a
+    :class:`..writer.ParquetWarehouse` computes the same result via
+    anti-join + union copy-on-write."""
     final = collapse_lww(decoded_batch, key_fields)
     schema = wh.schema(table)
-    current = wh.read(table)
-
-    # all touched keys leave the table once; surviving upserts re-enter
     field_types = {f.name: f.dataType for f in schema.fields}
+
+    if hasattr(wh, "merge_apply"):  # Iceberg path: one atomic MERGE
+        from ..iceberg import OP_COL
+
+        source = final.select(
+            *[
+                F.coalesce(
+                    F.col(f"row.{f.name}"),
+                    F.col(f"__key_{f.name}").cast(field_types[f.name])
+                    if f.name in key_fields
+                    else F.lit(None).cast(f.dataType),
+                ).alias(f.name)
+                for f in schema.fields
+            ],
+            F.when(F.col("op").isin(*UPSERT_OPS), F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias(OP_COL),
+        )
+        wh.merge_apply(table, source, key_fields)
+        return
+
+    current = wh.read(table)
+    # all touched keys leave the table once; surviving upserts re-enter
     touched = final.select(
         *[F.col(f"__key_{k}").cast(field_types[k]).alias(k) for k in key_fields]
     )
@@ -123,7 +142,7 @@ def apply_cdc_batch(
 
 def apply_cdc_stream(
     stream: DataFrame,
-    wh: ParquetWarehouse,
+    wh,
     table: str,
     key_fields: list[str],
     checkpoint_dir: str,

@@ -228,3 +228,46 @@ def test_running_user_totals(spark, tmp_path, events_df):
     assert by_user[1]["n_events"] == 3 and by_user[1]["sum_value"] == 7.0
     assert by_user[2]["n_events"] == 2 and by_user[2]["sum_value"] == 16.0
     assert str(by_user[1]["last_ts"]) == "2024-01-01 13:00:00"
+
+
+# ------------------------------------------------- Iceberg MERGE dispatch
+
+
+def test_apply_cdc_batch_iceberg_merge_path(spark, tmp_path):
+    """A store exposing merge_apply gets ONE table-shaped source with the
+    __op marker — the atomic-MERGE path — instead of the CoW rewrite."""
+    from conduit_connector_s3_iceberg_spark.streaming.cdc import (
+        apply_cdc_batch,
+        decode_cdc,
+    )
+
+    class FakeIcebergStore:
+        def __init__(self):
+            self.calls = []
+
+        def schema(self, table):
+            return TABLE_SCHEMA
+
+        def merge_apply(self, table, source, key_fields):
+            self.calls.append((table, source.collect(), key_fields))
+
+    records = [
+        env("p1", "create", after={"id": 1, "name": "a", "qty": 5}),
+        env("p2", "update", key={"id": 1}, after={"id": 1, "name": "a2", "qty": 6}),
+        env("p3", "delete", key={"id": 2}),
+    ]
+    envelope = spark.createDataFrame(
+        [tuple(r[c] for c in ("position", "operation", "key", "before", "after", "metadata"))
+         for r in records],
+        "position string, operation string, key string, before string, "
+        "after string, metadata map<string,string>",
+    )
+    store = FakeIcebergStore()
+    apply_cdc_batch(store, "items", decode_cdc(envelope, TABLE_SCHEMA, ["id"]), ["id"])
+
+    (table, rows, keys), = store.calls
+    assert table == "items" and keys == ["id"]
+    by_id = {r["id"]: (r["name"], r["qty"], r["__op"]) for r in rows}
+    # LWW collapsed: id=1 final state is the update, as an upsert row;
+    # id=2 is a delete row with the key materialized from the envelope key
+    assert by_id == {1: ("a2", 6, "upsert"), 2: (None, None, "delete")}
