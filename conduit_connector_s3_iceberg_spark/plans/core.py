@@ -515,18 +515,25 @@ def q13_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
     """,
-    doc="Large-volume orders: aggregate with HAVING over a grouped join.",
+    doc="Large-volume orders: aggregate with HAVING over a grouped join. "
+        "Plan: pre-aggregate lineitem on its join key and apply the HAVING "
+        "filter BEFORE joining — the aggregation shuffles only the narrow "
+        "(orderkey, qty) pairs and the join sees just qualifying orders, "
+        "instead of shuffling the full 3-way join then aggregating. "
+        "Equivalent because o_orderkey is unique in orders.",
 )
 def q14_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 180)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
