@@ -373,3 +373,94 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
+
+
+# The near-dup pair SQL above, reused as the edge set for clustering.
+_PAIRS_SQL = f"""
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), idx AS (
+      SELECT doc_id, s.shingle FROM sh s JOIN kept USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id
+    ), rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM rawpairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "dedup_cluster_labels",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(root, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT root AS doc_id, MIN(node) AS cluster_id
+    FROM reach GROUP BY root
+    """,
+    doc="Duplicate-cluster labeling: connected components over the near-dup "
+        "pair graph via iterative min-label propagation (each round: one "
+        "join edges⋈labels + one min-aggregate; lineage cut per round with "
+        "localCheckpoint). Label = smallest doc_id reachable — the "
+        "keep-one-per-cluster step a dedup pipeline runs after pair "
+        "generation. Converges in O(cluster diameter) rounds; the oracle "
+        "is DuckDB's recursive reachability closure.",
+)
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()  # materialize ONCE — every round re-joins these
+    )
+
+    # propagate only over nodes that HAVE edges (the overwhelming majority
+    # of a corpus is singleton — they never change label and would only pad
+    # every round's shuffle); singletons rejoin at the end.
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    prev_sum = None
+    for _ in range(32):  # >= diameter of any near-dup cluster in practice
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()  # cut lineage: plans stay O(1) per round
+        )
+        # labels only ever decrease, so the (exact, integer) sum strictly
+        # drops until the fixpoint — one agg job per round, no compare-join
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
