@@ -30,6 +30,7 @@ HEADLINE = [
     "q29_cube_flag_status",
     "sim_ann_ivf",
     "text_quality_score",
+    "pipeline_training_set",
     "dedup_ngram_jaccard",
     "dedup_minhash_candidates",
     "sim_topk_bruteforce",

@@ -214,3 +214,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingled.groupBy("doc_id", "content_fp").agg(
         F.min(F.md5(F.col("shingle"))).alias("min_shingle_fp")
     )
+
+
+QUALITY_THRESHOLD = 0.45  # ~median of the corpus quality distribution
+
+
+@query(
+    "pipeline_training_set",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(lower(trim(text))) AS content_fp,
+             CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+             0.3*(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                  / len(string_split(trim(text), ' ')))
+           + 0.3*(CAST({_sql_hits(STOPWORDS)} AS DOUBLE)
+                  / len(string_split(trim(text), ' ')))
+           + 0.2*(1 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                      / length(text))
+           + 0.2*least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(trim(text), ' ')) / 10, 1.0)
+               AS quality,
+             {_sql_hits(LANG_MARKERS['en'])} AS en_hits
+      FROM documents
+    )
+    SELECT doc_id, content_fp, n_tokens, quality FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY content_fp ORDER BY doc_id
+      ) AS rn
+      FROM scored
+      WHERE en_hits > 0 AND quality >= {QUALITY_THRESHOLD}
+    ) WHERE rn = 1
+    """,
+    doc="The composed training-data filter pipeline: language gate (en "
+        "markers) -> quality gate -> exact-dedup keep-first — all computed "
+        "in ONE narrow pass over the corpus (no joins between stages; every "
+        "signal is an expression over the same row), then a single "
+        "fingerprint-partitioned window for the dedup. The canonical "
+        "LLM-corpus cleaning shape at 100 TB: map-only until one shuffle.",
+)
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    n_tok = F.size(toks)
+    quality = (
+        F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double") / n_tok)
+        + F.lit(0.3) * (_hits(STOPWORDS).cast("double") / n_tok)
+        + F.lit(0.2)
+        * (
+            F.lit(1)
+            - F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double")
+            / F.length("text")
+        )
+        + F.lit(0.2)
+        * F.least(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tok
+            / 10,
+            F.lit(1.0),
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),
+        n_tok.alias("n_tokens"),
+        quality.alias("quality"),
+        _hits(LANG_MARKERS["en"]).alias("en_hits"),
+    )
+    kept = scored.filter(
+        (F.col("en_hits") > 0) & (F.col("quality") >= QUALITY_THRESHOLD)
+    )
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_fp", "n_tokens", "quality")
+    )
