@@ -93,9 +93,29 @@ class ParquetWarehouse:
 
     # -- mutations (CoW) ----------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
+        """O(new data) append: write only the new rows as data files; the
+        previous version's files are HARDLINKED into the new version dir
+        (the same manifest-reuse idea as an Iceberg append commit — new
+        snapshot, shared unchanged data files). Rewriting the whole table
+        per append would make ingest O(table) per batch, which is worse
+        than the reference's per-record file appends at any real scale."""
         current = self._current_path(table)
-        merged = self.spark.read.parquet(current).unionByName(df)
-        self._write_version(table, merged)
+        version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
+        staging = version_dir + ".stage"
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(version_dir)
+        # Spark part filenames embed a per-write UUID → no collisions
+        for name in os.listdir(current):
+            if name.endswith(".parquet"):
+                os.link(os.path.join(current, name), os.path.join(version_dir, name))
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                os.rename(os.path.join(staging, name), os.path.join(version_dir, name))
+        shutil.rmtree(staging, ignore_errors=True)
+        old = self._current_path(table)
+        self._commit(table, version_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
 
     def overwrite_where_not(self, table: str, predicate: F.Column) -> int:
         """DELETE FROM table WHERE predicate → CoW rewrite keeping ¬pred."""

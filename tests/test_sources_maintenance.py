@@ -59,3 +59,25 @@ def test_compact_reduces_file_count(spark, tmp_path):
     stats = wh.compact("t", target_files=2)
     assert stats["files_after"] <= 2 < stats["files_before"]
     assert wh.read("t").count() == before
+
+
+def test_append_links_old_files_writes_only_delta(spark, tmp_path):
+    """Append must be O(new data): previous data files carry over into the
+    new version (hardlinks), only the appended rows become new files."""
+    import os
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh2"))
+    wh.create_table("t", SCHEMA)
+    wh.append("t", spark.createDataFrame([(1, "a")], SCHEMA).coalesce(1))
+    v1 = wh._current_path("t")
+    v1_files = {f for f in os.listdir(v1) if f.endswith(".parquet")}
+
+    wh.append("t", spark.createDataFrame([(2, "b")], SCHEMA).coalesce(1))
+    v2 = wh._current_path("t")
+    v2_files = {f for f in os.listdir(v2) if f.endswith(".parquet")}
+
+    assert v1_files < v2_files  # old files carried over by name + new ones
+    assert sorted((r["id"], r["name"]) for r in wh.read("t").collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
