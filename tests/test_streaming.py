@@ -271,3 +271,69 @@ def test_apply_cdc_batch_iceberg_merge_path(spark, tmp_path):
     # LWW collapsed: id=1 final state is the update, as an upsert row;
     # id=2 is a delete row with the key materialized from the envelope key
     assert by_id == {1: ("a2", 6, "upsert"), 2: (None, None, "delete")}
+
+
+# --------------------------------------------------------- stream-stream join
+
+
+def test_stream_stream_join_within_horizon(spark, tmp_path):
+    from conduit_connector_s3_iceberg_spark.streaming.joins import stream_stream_join
+
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "c1"), (2, "2024-01-01 09:00:00", "c2")],
+        "user_id long, cts_s string, click_id string",
+    ).select("user_id", F.to_timestamp("cts_s").alias("click_ts"), "click_id")
+    convs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:30:00", "v1"),   # within 1h of c1 → joins
+            (1, "2024-01-01 12:00:00", "v2"),   # outside horizon → dropped
+            (2, "2024-01-01 08:30:00", "v3"),   # before the click → dropped
+        ],
+        "user_id long, vts_s string, conv_id string",
+    ).select("user_id", F.to_timestamp("vts_s").alias("conv_ts"), "conv_id")
+
+    joined = stream_stream_join(
+        stream_of(spark, tmp_path, clicks, "ss_clicks"),
+        stream_of(spark, tmp_path, convs, "ss_convs"),
+        key="user_id",
+        left_time="click_ts",
+        right_time="conv_ts",
+        within="1 hour",
+    )
+    rows = run_to_memory(joined, tmp_path, "ss_out").collect()
+    assert [(r["user_id"], r["click_id"], r["conv_id"]) for r in rows] == [
+        (1, "c1", "v1")
+    ]
+
+
+# ------------------------------------------------------ epoch re-delivery
+
+
+def test_cdc_apply_is_idempotent_on_redelivery(spark, tmp_path):
+    """foreachBatch gives at-least-once epoch delivery; the MERGE-shaped
+    apply (replace-by-key upserts, key deletes) must be idempotent so
+    re-running an epoch cannot corrupt the table (effectively-once)."""
+    from conduit_connector_s3_iceberg_spark.streaming.cdc import (
+        apply_cdc_batch,
+        decode_cdc,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh_idem"))
+    wh.create_table("items", TABLE_SCHEMA)
+    records = [
+        env("p1", "create", after={"id": 1, "name": "a", "qty": 5}),
+        env("p2", "delete", key={"id": 99}),  # delete of an absent key: no-op
+    ]
+    envelope = spark.createDataFrame(
+        [tuple(r[c] for c in ("position", "operation", "key", "before", "after", "metadata"))
+         for r in records],
+        "position string, operation string, key string, before string, "
+        "after string, metadata map<string,string>",
+    )
+    for _ in range(2):  # same epoch applied twice
+        apply_cdc_batch(
+            wh, "items", decode_cdc(envelope, TABLE_SCHEMA, ["id"]), ["id"]
+        )
+    assert [(r["id"], r["name"], r["qty"]) for r in wh.read("items").collect()] == [
+        (1, "a", 5)
+    ]
