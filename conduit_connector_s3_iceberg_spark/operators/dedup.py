@@ -241,7 +241,14 @@ _BANDS_SQL = ", ".join(
 )
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sig = _distinct_shingles(docs).groupBy("doc_id").agg(*_minhash_aggs())
+    # one row per doc (tiny vs the corpus): materialize before the self-join
+    # or Spark computes the whole shingle+minhash pipeline once PER SIDE
+    sig = (
+        _distinct_shingles(docs)
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
+        .localCheckpoint(eager=False)
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -428,7 +435,13 @@ _PAIRS_SQL = f"""
 )
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize pairs BEFORE the union-with-swap (else the pair pipeline
+    # runs once per union branch), then edges once for the loop
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

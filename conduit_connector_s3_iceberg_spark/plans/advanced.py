@@ -77,3 +77,35 @@ def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+@query(
+    "q31_grouping_sets_sql",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS via the engine's SQL entry path "
+        "(register_views + spark.sql — every other query uses the "
+        "DataFrame API; this exercises the parser-facing surface): "
+        "per-flag and per-status marginals (a strict subset of CUBE's sets) in one pass.",
+)
+def q31_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_lines,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
