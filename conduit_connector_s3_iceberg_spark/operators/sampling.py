@@ -1,0 +1,106 @@
+"""Deterministic corpus-sampling operators (north-star layer).
+
+A 100 TB training-data pipeline needs *reproducible* sampling — rerunning the
+job, or running it on a different cluster layout, must select the same rows.
+``rand()`` can't do that (per-task seeds change with partitioning), so every
+operator here derives its randomness from a content-free key hash:
+
+* **Bernoulli-by-hash**: keep a row iff a hex prefix of ``md5(salt || key)``
+  falls below a per-stratum threshold. Pure narrow map — no shuffle, no
+  state, embarrassingly parallel, and the sample is a *consistent* subset
+  (the 10%% sample is a superset of the 5%% sample for the same salt).
+  Per-language thresholds rebalance a skewed corpus in the same pass.
+* **Per-stratum top-k by hash rank**: the distributed equivalent of
+  reservoir sampling — rank rows inside each stratum by the same key hash
+  and keep the first k. One shuffle on the stratum key; each stratum's
+  window is independent, so skew is bounded by the largest stratum (and the
+  rank can be computed with a partial top-k per partition first, which
+  Spark's window + filter plan does via running rank).
+
+Hashes are md5 over the stringified key — identical lowercase hex in Spark
+and DuckDB, and hex strings compare lexicographically exactly like the
+128-bit values they encode, so thresholds are plain string comparisons.
+
+Reference scope note: the reference connector (s3-iceberg destination,
+``src/main/java/io/conduit/SparkDestinationStream.java``) has no sampling
+surface; this layer is part of the north-star LLM-pipeline extensions
+(BASELINE.json ``north_star``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+SALT = "s1:"           # version the sample; changing it redraws everything
+# per-language keep-rates as hex-prefix thresholds (256 buckets of 1/256):
+# en is downsampled to 25%, everything else kept at 75% — the usual
+# "rebalance the dominant language" shape.
+RATE_EN_HEX = "40"     # 64/256  = 25%
+RATE_OTHER_HEX = "c0"  # 192/256 = 75%
+STRATUM_K = 25         # per-language reservoir size
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _sample_key() -> F.Column:
+    return F.md5(F.concat(F.lit(SALT), F.col("doc_id").cast("string")))
+
+
+_SQL_SAMPLE_KEY = f"md5('{SALT}' || doc_id::VARCHAR)"
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang, substr({_SQL_SAMPLE_KEY}, 1, 2) AS bucket
+    FROM documents
+    WHERE substr({_SQL_SAMPLE_KEY}, 1, 2)
+          < CASE WHEN lang = 'en' THEN '{RATE_EN_HEX}' ELSE '{RATE_OTHER_HEX}' END
+    """,
+    doc="Deterministic stratified Bernoulli sampling: keep a doc iff the "
+        "first two hex chars of md5(salt||doc_id) fall under the language's "
+        "rate threshold (en 25%, other 75%). Narrow map, zero shuffle, "
+        "reproducible across runs/cluster layouts, consistent across rates.",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(_sample_key(), 1, 2)
+    threshold = F.when(F.col("lang") == "en", F.lit(RATE_EN_HEX)).otherwise(
+        F.lit(RATE_OTHER_HEX)
+    )
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < threshold
+    )
+
+
+@query(
+    "sample_stratum_reservoir",
+    oracle=f"""
+    SELECT doc_id, lang, rk
+    FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY {_SQL_SAMPLE_KEY}, doc_id
+             ) AS INTEGER) AS rk
+      FROM documents
+    )
+    WHERE rk <= {STRATUM_K}
+    """,
+    doc=f"Per-stratum uniform {STRATUM_K}-sample (distributed reservoir): "
+        "rank each language's docs by the deterministic key hash and keep "
+        "the first k. One shuffle on lang; window rank + filter lets Spark "
+        "keep a running top-k per partition instead of a full sort.",
+)
+def sample_stratum_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(_sample_key(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= STRATUM_K)
+    )

@@ -326,3 +326,52 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# --- Per-label centroids (exact, shuffle-once vector aggregation) ---------
+#
+# Cross-row float sums are order-dependent, so the centroid pipeline scales
+# each component to an exact integer FIRST: round(x * 1e6) is the same IEEE
+# double in both engines (x is float→double exact, ties round away from zero
+# in both), and the resulting BIGINT sum is associative → bit-identical
+# regardless of shuffle order. The final centroid component is one double
+# division sequence written identically on both sides.
+CENTROID_SCALE = 1_000_000
+
+
+@query(
+    "emb_label_centroids",
+    oracle=f"""
+    SELECT label, i - 1 AS pos,
+           SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE}) AS BIGINT))
+             AS sum_scaled,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE}) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / {CENTROID_SCALE} AS centroid
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    GROUP BY label, pos
+    """,
+    doc="Per-label centroid of the embedding corpus: posexplode → one hash "
+        "aggregation on (label, dim). Components are scaled to exact "
+        "integers before summing (deterministic under any shuffle order); "
+        "output cardinality is labels × dims, independent of corpus size — "
+        "the classic 'reduce 100 TB to a model' shape (k-means update step, "
+        "class prototypes for dedup/retrieval).",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "label",
+        F.posexplode(F.expr(_SPARK_EMB_D)).alias("pos", "x"),
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+    )
+    return scaled.groupBy("label", "pos").agg(
+        F.sum("xs").alias("sum_scaled"),
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum("xs").cast("double") / F.count(F.lit(1)) / F.lit(CENTROID_SCALE)
+        ).alias("centroid"),
+    )

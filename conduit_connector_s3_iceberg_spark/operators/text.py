@@ -216,6 +216,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAVY_HITTER_K = 20
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS token
+      FROM documents
+    )
+    GROUP BY token
+    ORDER BY n_docs DESC, token
+    LIMIT {HEAVY_HITTER_K}
+    """,
+    doc=f"Corpus heavy hitters: top-{HEAVY_HITTER_K} tokens by document "
+        "frequency. Distinct-per-doc explode then one hash aggregation — "
+        "map-side partial counts collapse the token stream before the "
+        "shuffle, and the final top-k is a TakeOrderedAndProject (k rows "
+        "per partition to the driver, never a full sort). Deterministic "
+        "tie-break on the token itself.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.array_distinct(_tokens())).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("token"))
+        .limit(HEAVY_HITTER_K)
+    )
+
+
 QUALITY_THRESHOLD = 0.45  # ~median of the corpus quality distribution
 
 

@@ -109,3 +109,92 @@ def q31_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+@query(
+    "q32_mom_revenue_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders,
+             {sql_dsum('o_totalprice', 'revenue')}
+      FROM orders
+      GROUP BY month
+    )
+    SELECT month, n_orders, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           revenue - LAG(revenue) OVER (ORDER BY month) AS mom_delta
+    FROM m
+    """,
+    doc="Month-over-month revenue growth: monthly rollup (exact decimal "
+        "accumulation) then LAG over the month axis. The global window is "
+        "safe at any data scale because its input cardinality is #months — "
+        "the 100-TB fact scan collapses in the partial aggregation first. "
+        "Delta is a single IEEE subtraction of two bit-exact doubles.",
+)
+def q32_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("mom_delta"),
+    )
+
+
+@query(
+    "q33_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT s.custkey, c.c_mktsegment AS segment,
+           CAST(CAST(spend_dec AS DECIMAL(38,2)) AS DOUBLE) AS total_spend,
+           CAST(NTILE(10) OVER (
+             PARTITION BY c.c_mktsegment ORDER BY spend_dec DESC, s.custkey
+           ) AS INTEGER) AS decile
+    FROM spend s JOIN customer c ON s.custkey = c.c_custkey
+    """,
+    doc="Per-segment customer spend deciles: decimal-exact spend per "
+        "customer, broadcast join to the dimension, NTILE(10) within each "
+        "market segment (ties broken by custkey → deterministic). Ranking "
+        "stays decimal until emission so both engines order identically; "
+        "partitioning by segment bounds each window's sort.",
+)
+def q33_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(dec("o_totalprice")).alias("spend_dec")
+    )
+    joined = spend.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        spend.custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend_dec").desc(), F.col("custkey")
+    )
+    return joined.select(
+        "custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("spend_dec").cast("decimal(38,2)").cast("double").alias("total_spend"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -48,6 +48,14 @@ def query(name: str, oracle: str | None, doc: str = ""):
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the registry."""
     from . import advanced, core, events  # noqa: F401
-    from ..operators import cdc_batch, dedup, joins, multimodal, similarity, text  # noqa: F401
+    from ..operators import (  # noqa: F401
+        cdc_batch,
+        dedup,
+        joins,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+    )
 
     return QUERIES
