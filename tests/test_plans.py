@@ -57,3 +57,38 @@ def test_asof_join_is_single_shuffle_window(spark):
                "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, f"asof plan unexpectedly contains {op}"
     assert "Window" in plan
+
+
+def test_hash_sampling_is_narrow_map(spark):
+    # deterministic Bernoulli sampling must not shuffle: the whole operator
+    # is filter+project over the scan (at 100 TB this is the difference
+    # between a map-only pass and a pointless repartition)
+    plan = plan_of(spark, "sample_stratified_hash")
+    assert "Exchange" not in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert op not in plan
+
+
+def test_heavy_hitters_is_partial_agg_plus_topk(spark):
+    plan = plan_of(spark, "text_heavy_hitters")
+    # top-k must be TakeOrderedAndProject (k rows/partition to the driver),
+    # never a global Sort
+    assert "TakeOrderedAndProject" in plan
+    # partial (map-side) aggregation before the shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_centroids_single_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "emb_label_centroids")
+    # posexplode → partial agg → ONE exchange on (label, pos) → final agg
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"expected 1 shuffle, plan has {n_exchange}"
+
+
+def test_spend_deciles_broadcasts_dimension(spark):
+    plan = plan_of(spark, "q33_spend_deciles")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
