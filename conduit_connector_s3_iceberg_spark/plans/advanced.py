@@ -1,8 +1,11 @@
-"""Advanced aggregation surface: CUBE grouping sets and exact percentiles.
+"""Advanced aggregation and window surface: CUBE / GROUPING SETS, exact
+percentiles, pivot, correlated scalar subqueries, and lag/ntile windows.
 
-Rounds out SURVEY.md §2C's aggregation row (``df.cube()``, ``GROUPING
-SETS``, percentile) beyond the ROLLUP already covered by
-``q12_rollup_flag_status``.
+Rounds out SURVEY.md §2C's aggregation + window rows beyond the ROLLUP
+already covered by ``q12_rollup_flag_status``. Two queries here
+(``q31``, ``q34``) deliberately enter through ``spark.sql`` to exercise
+the parser-facing surface (GROUPING SETS syntax, scalar-subquery
+decorrelation) that the DataFrame API can't reach.
 
 Scale: CUBE expands each input row into 2^k grouping-set copies before the
 partial aggregation — with k=2 low-cardinality keys the partial agg
@@ -197,4 +200,75 @@ def q33_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("spend_dec").cast("decimal(38,2)").cast("double").alias("total_spend"),
         F.ntile(10).over(w).alias("decile"),
+    )
+
+
+# Written once, submitted verbatim to BOTH engines: Spark must decorrelate
+# the scalar subquery (aggregate + rewritten join) — a planner surface the
+# DataFrame API can't reach — and the arithmetic follows the helpers.py
+# decimal discipline so the two engines emit bit-identical doubles.
+_Q34_SQL = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+            AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@query(
+    "q34_small_quantity_revenue",
+    oracle=_Q34_SQL,
+    doc="TPC-H Q17 shape: revenue from below-one-fifth-of-average-quantity "
+        "orders per part, expressed as a correlated scalar subquery and "
+        "submitted as SQL so Catalyst exercises subquery decorrelation "
+        "(rewrite to per-part aggregate + join). At scale the decorrelated "
+        "per-part aggregate shuffles on l_partkey once and the brand "
+        "dimension filter broadcasts.",
+)
+def q34_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q34_SQL)
+
+
+@query(
+    "q35_pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS DOUBLE) AS F,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS DOUBLE) AS O
+    FROM lineitem
+    GROUP BY returnflag
+    """,
+    doc="Pivot: linestatus values become columns of per-flag quantity "
+        "totals. The pivot value list is explicit — at 100 TB an implicit "
+        "pivot would first run a driver-side DISTINCT over the fact table; "
+        "pinning the values keeps it one pass (conditional partial aggs, "
+        "single shuffle on the group key).",
+)
+def q35_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import dec
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")))
+    )
+    return pivoted.select(
+        "returnflag",
+        F.col("F").cast("decimal(38,2)").cast("double").alias("F"),
+        F.col("O").cast("decimal(38,2)").cast("double").alias("O"),
     )
