@@ -92,3 +92,27 @@ def test_spend_deciles_broadcasts_dimension(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Deliberate broadcast non-equi joins over tiny build sides (literal band
+# dimension; 5-row query set). Everything else must plan hash joins.
+BROADCAST_NONEQUI_OK = {"q27_range_band_join", "sim_topk_bruteforce"}
+
+
+def test_no_unbounded_join_in_any_registered_query(spark):
+    # registry-wide hygiene net: a refactor that degrades any query to a
+    # cartesian product (or an accidental nested-loop join over two big
+    # sides) fails here, not at 100 TB
+    failures = []
+    for name, q in sorted(load_all().items()):
+        df = q.build(spark, SF)
+        je = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = je.explainString(mode)
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BROADCAST_NONEQUI_OK:
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not failures, failures
