@@ -67,6 +67,8 @@ class ParquetWarehouse:
         with open(tmp, "w") as fh:
             fh.write(os.path.basename(version_dir))
         os.replace(tmp, marker)  # atomic snapshot pointer swap
+        with open(os.path.join(self._dir(table), "LOG"), "a") as fh:
+            fh.write(os.path.basename(version_dir) + "\n")
 
     def create_table(self, table: str, schema: T.StructType) -> None:
         os.makedirs(self._dir(table), exist_ok=True)
@@ -76,8 +78,22 @@ class ParquetWarehouse:
     def table_exists(self, table: str) -> bool:
         return os.path.exists(os.path.join(self._dir(table), "CURRENT"))
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._current_path(table))
+    def read(self, table: str, version: int | str | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to an older one.
+
+        ``version`` is a name from :meth:`history` or an index into it
+        (negative indexes count from the latest, Python-style) — the
+        engine-side analog of Iceberg's ``VERSION AS OF`` read. Snapshots
+        remain readable until :meth:`expire_snapshots` removes them.
+        """
+        if version is None:
+            return self.spark.read.parquet(self._current_path(table))
+        if isinstance(version, int):
+            version = self.history(table)[version]
+        path = os.path.join(self._dir(table), version)
+        if not os.path.isdir(path):
+            raise ValueError(f"unknown or expired version {version!r} of {table!r}")
+        return self.spark.read.parquet(path)
 
     def schema(self, table: str) -> T.StructType:
         return self.read(table).schema
@@ -85,11 +101,7 @@ class ParquetWarehouse:
     def _write_version(self, table: str, df: DataFrame) -> None:
         version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(version_dir)
-        had_current = self.table_exists(table)
-        old = self._current_path(table) if had_current else None
         self._commit(table, version_dir)
-        if old and os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
 
     # -- mutations (CoW) ----------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
@@ -112,10 +124,7 @@ class ParquetWarehouse:
             if name.endswith(".parquet"):
                 os.rename(os.path.join(staging, name), os.path.join(version_dir, name))
         shutil.rmtree(staging, ignore_errors=True)
-        old = self._current_path(table)
         self._commit(table, version_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
 
     def overwrite_where_not(self, table: str, predicate: F.Column) -> int:
         """DELETE FROM table WHERE predicate → CoW rewrite keeping ¬pred."""
@@ -127,6 +136,54 @@ class ParquetWarehouse:
 
     def overwrite_with(self, table: str, df: DataFrame) -> None:
         self._write_version(table, df)
+
+    # -- snapshots: history / time travel / rollback ------------------------
+    def history(self, table: str) -> list[str]:
+        """Commit-ordered snapshot names still on disk (oldest first).
+
+        The LOG records every commit; entries disappear from history once
+        :meth:`expire_snapshots` removes their directories — mirroring an
+        Iceberg table's metadata log after snapshot expiry.
+        """
+        log = os.path.join(self._dir(table), "LOG")
+        if not os.path.exists(log):
+            return [os.path.basename(self._current_path(table))]
+        with open(log) as fh:
+            names = [ln.strip() for ln in fh if ln.strip()]
+        return [n for n in names if os.path.isdir(os.path.join(self._dir(table), n))]
+
+    def rollback(self, table: str, version: int | str) -> str:
+        """Repoint the table at an earlier snapshot (Iceberg
+        ``rollback_to_snapshot``). The rollback itself is a new commit —
+        history moves forward, data moves back."""
+        if isinstance(version, int):
+            version = self.history(table)[version]
+        path = os.path.join(self._dir(table), version)
+        if not os.path.isdir(path):
+            raise ValueError(f"unknown or expired version {version!r} of {table!r}")
+        self._commit(table, path)
+        return version
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots (never the
+        current one). Data files shared via hardlinks survive as long as
+        any retaining snapshot references them — deleting an old version
+        directory only drops link counts, exactly like Iceberg removing
+        manifests while shared data files stay referenced."""
+        keep_last = max(keep_last, 1)
+        hist = self.history(table)
+        current = os.path.basename(self._current_path(table))
+        keep = set(hist[-keep_last:]) | {current}
+        removed = [n for n in hist if n not in keep]
+        for name in removed:
+            shutil.rmtree(os.path.join(self._dir(table), name), ignore_errors=True)
+        kept = [n for n in hist if n in keep]
+        log = os.path.join(self._dir(table), "LOG")
+        tmp = log + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("".join(n + "\n" for n in kept))
+        os.replace(tmp, log)
+        return {"expired": len(removed), "kept": len(kept)}
 
     # -- maintenance (Iceberg `rewrite_data_files` / `expire_snapshots`
     #    analogs; SURVEY.md §7 Phase 5) ------------------------------------

@@ -81,3 +81,46 @@ def test_append_links_old_files_writes_only_delta(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     ]
+
+
+def _mk_versioned(spark, tmp_path, name="tt"):
+    from pyspark.sql import functions as F
+
+    wh = ParquetWarehouse(spark, str(tmp_path / name))
+    wh.create_table("t", SCHEMA)
+    wh.append("t", spark.createDataFrame([(1, "a")], SCHEMA))
+    wh.append("t", spark.createDataFrame([(2, "b")], SCHEMA))
+    wh.overwrite_where_not("t", F.col("id") == 1)
+    return wh
+
+
+def test_time_travel_reads_each_snapshot(spark, tmp_path):
+    wh = _mk_versioned(spark, tmp_path)
+    hist = wh.history("t")
+    assert len(hist) == 4  # create, 2 appends, delete
+    assert wh.read("t", 0).count() == 0
+    assert sorted(r["id"] for r in wh.read("t", 2).collect()) == [1, 2]
+    assert [r["id"] for r in wh.read("t").collect()] == [2]
+    assert wh.read("t", -1).count() == 1
+    # by-name read matches by-index read
+    assert wh.read("t", hist[1]).count() == 1
+
+
+def test_rollback_restores_old_data_and_extends_history(spark, tmp_path):
+    wh = _mk_versioned(spark, tmp_path)
+    before = len(wh.history("t"))
+    wh.rollback("t", 2)
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [1, 2]
+    assert len(wh.history("t")) == before + 1  # rollback is a forward commit
+
+
+def test_expire_snapshots_keeps_current_readable(spark, tmp_path):
+    wh = _mk_versioned(spark, tmp_path)
+    old = wh.history("t")[0]
+    stats = wh.expire_snapshots("t", keep_last=2)
+    assert stats["expired"] == 2
+    assert [r["id"] for r in wh.read("t").collect()] == [2]
+    # expired snapshot is gone; survivors (incl. hardlink-shared files) read fine
+    with pytest.raises(ValueError):
+        wh.read("t", old)
+    assert wh.read("t", -2).count() == 2
