@@ -25,6 +25,7 @@ minus snapshot isolation (single-writer only; documented).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -70,10 +71,40 @@ class ParquetWarehouse:
         with open(os.path.join(self._dir(table), "LOG"), "a") as fh:
             fh.write(os.path.basename(version_dir) + "\n")
 
-    def create_table(self, table: str, schema: T.StructType) -> None:
+    def create_table(
+        self,
+        table: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """Create an empty table, optionally with a partition spec and a
+        write sort order (Iceberg ``PARTITIONED BY`` + ``WRITE ORDERED BY``).
+
+        ``partition_by`` columns become hive-style ``col=value`` directories
+        in every version — scans filtered on them prune whole directories
+        (Iceberg partition pruning; at 100 TB this is the difference between
+        scanning one day and scanning a decade). ``sort_by`` clusters rows
+        within each written file so parquet row-group min/max stats become
+        selective (Iceberg's metrics-based file skipping).
+        """
         os.makedirs(self._dir(table), exist_ok=True)
+        spec = {"partition_by": partition_by or [], "sort_by": sort_by or []}
+        if partition_by or sort_by:
+            with open(os.path.join(self._dir(table), "SPEC"), "w") as fh:
+                json.dump(spec, fh)
+        if partition_by:
+            with open(os.path.join(self._dir(table), "SCHEMA"), "w") as fh:
+                json.dump(schema.jsonValue(), fh)
         empty = self.spark.createDataFrame([], schema)
         self._write_version(table, empty)
+
+    def _spec(self, table: str) -> dict:
+        path = os.path.join(self._dir(table), "SPEC")
+        if not os.path.exists(path):
+            return {"partition_by": [], "sort_by": []}
+        with open(path) as fh:
+            return json.load(fh)
 
     def table_exists(self, table: str) -> bool:
         return os.path.exists(os.path.join(self._dir(table), "CURRENT"))
@@ -87,12 +118,22 @@ class ParquetWarehouse:
         remain readable until :meth:`expire_snapshots` removes them.
         """
         if version is None:
-            return self.spark.read.parquet(self._current_path(table))
-        if isinstance(version, int):
-            version = self.history(table)[version]
-        path = os.path.join(self._dir(table), version)
-        if not os.path.isdir(path):
-            raise ValueError(f"unknown or expired version {version!r} of {table!r}")
+            path = self._current_path(table)
+        else:
+            if isinstance(version, int):
+                version = self.history(table)[version]
+            path = os.path.join(self._dir(table), version)
+            if not os.path.isdir(path):
+                raise ValueError(
+                    f"unknown or expired version {version!r} of {table!r}"
+                )
+        stored = os.path.join(self._dir(table), "SCHEMA")
+        if os.path.exists(stored):
+            # partitioned tables: explicit schema so an all-pruned or empty
+            # version (zero data files) still reads as an empty DataFrame
+            with open(stored) as fh:
+                schema = T.StructType.fromJson(json.load(fh))
+            return self.spark.read.schema(schema).parquet(path)
         return self.spark.read.parquet(path)
 
     def schema(self, table: str) -> T.StructType:
@@ -100,8 +141,52 @@ class ParquetWarehouse:
 
     def _write_version(self, table: str, df: DataFrame) -> None:
         version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(version_dir)
+        self._write_data(table, df, version_dir)
         self._commit(table, version_dir)
+
+    def _write_data(self, table: str, df: DataFrame, out_dir: str) -> None:
+        """Write one version's data files honoring the table spec:
+        hive-layout partition dirs, and the declared write sort order —
+        Iceberg's ``write.distribution-mode=range`` + ``WRITE ORDERED BY``:
+        range-partition on the sort key (one shuffle), then a local
+        per-task sort, so each parquet file covers a narrow, disjoint
+        sort-key range and row-group min/max stats actually skip files."""
+        spec = self._spec(table)
+        if spec["sort_by"]:
+            n = max(df.rdd.getNumPartitions(), 1)
+            df = df.repartitionByRange(n, *spec["sort_by"]).sortWithinPartitions(
+                *(spec["partition_by"] + spec["sort_by"])
+            )
+        writer = df.write.mode("overwrite")
+        if spec["partition_by"]:
+            writer = writer.partitionBy(*spec["partition_by"])
+        writer.parquet(out_dir)
+
+    @staticmethod
+    def _data_files(version_dir: str) -> list[str]:
+        """Relative paths of all data files in a version (walks hive-style
+        partition subdirectories)."""
+        out = []
+        for root, _dirs, files in os.walk(version_dir):
+            rel = os.path.relpath(root, version_dir)
+            for name in files:
+                if name.endswith(".parquet"):
+                    out.append(name if rel == "." else os.path.join(rel, name))
+        return out
+
+    def _link_files(
+        self, src: str, dst: str, skip_dirs: set[str] | None = None
+    ) -> None:
+        """Hardlink every data file from ``src`` into ``dst``, preserving
+        partition sub-paths; files under a relative dir in ``skip_dirs``
+        are left out (the partitions being replaced)."""
+        for rel in self._data_files(src):
+            rel_dir = os.path.dirname(rel)
+            if skip_dirs is not None and rel_dir in skip_dirs:
+                continue
+            if rel_dir:
+                os.makedirs(os.path.join(dst, rel_dir), exist_ok=True)
+            os.link(os.path.join(src, rel), os.path.join(dst, rel))
 
     # -- mutations (CoW) ----------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
@@ -114,17 +199,42 @@ class ParquetWarehouse:
         current = self._current_path(table)
         version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
         staging = version_dir + ".stage"
-        df.write.mode("overwrite").parquet(staging)
+        self._write_data(table, df, staging)
         os.makedirs(version_dir)
+        self._link_files(current, version_dir)
         # Spark part filenames embed a per-write UUID → no collisions
-        for name in os.listdir(current):
-            if name.endswith(".parquet"):
-                os.link(os.path.join(current, name), os.path.join(version_dir, name))
-        for name in os.listdir(staging):
-            if name.endswith(".parquet"):
-                os.rename(os.path.join(staging, name), os.path.join(version_dir, name))
-        shutil.rmtree(staging, ignore_errors=True)
+        self._move_files(staging, version_dir)
         self._commit(table, version_dir)
+
+    @staticmethod
+    def _move_files(staging: str, version_dir: str) -> None:
+        for rel in ParquetWarehouse._data_files(staging):
+            rel_dir = os.path.dirname(rel)
+            if rel_dir:
+                os.makedirs(os.path.join(version_dir, rel_dir), exist_ok=True)
+            os.rename(os.path.join(staging, rel), os.path.join(version_dir, rel))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def overwrite_partitions(self, table: str, df: DataFrame) -> dict:
+        """Dynamic-partition overwrite (Iceberg ``writeTo(t).
+        overwritePartitions()`` / Spark's dynamic ``INSERT OVERWRITE``):
+        replace exactly the partitions present in ``df``, hardlink every
+        other partition's files unchanged. Cost is O(touched partitions),
+        not O(table) — the property that makes daily backfills viable on a
+        100 TB table."""
+        spec = self._spec(table)
+        if not spec["partition_by"]:
+            raise ValueError(f"table {table!r} has no partition spec")
+        current = self._current_path(table)
+        version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
+        staging = version_dir + ".stage"
+        self._write_data(table, df, staging)
+        touched = {os.path.dirname(rel) for rel in self._data_files(staging)}
+        os.makedirs(version_dir)
+        self._link_files(current, version_dir, skip_dirs=touched)
+        self._move_files(staging, version_dir)
+        self._commit(table, version_dir)
+        return {"replaced_partitions": sorted(touched)}
 
     def overwrite_where_not(self, table: str, predicate: F.Column) -> int:
         """DELETE FROM table WHERE predicate → CoW rewrite keeping ¬pred."""
@@ -188,8 +298,7 @@ class ParquetWarehouse:
     # -- maintenance (Iceberg `rewrite_data_files` / `expire_snapshots`
     #    analogs; SURVEY.md §7 Phase 5) ------------------------------------
     def num_data_files(self, table: str) -> int:
-        current = self._current_path(table)
-        return sum(1 for f in os.listdir(current) if f.endswith(".parquet"))
+        return len(self._data_files(self._current_path(table)))
 
     def compact(self, table: str, target_files: int | None = None) -> dict:
         """Rewrite the table into ``target_files`` files (default: one per
@@ -204,7 +313,15 @@ class ParquetWarehouse:
         evenly-sized outputs."""
         before = self.num_data_files(table)
         n = target_files or self.spark.sparkContext.defaultParallelism
-        self._write_version(table, self.read(table).repartition(n))
+        spec = self._spec(table)
+        cur = self.read(table)
+        if spec["partition_by"]:
+            # co-locate each partition's rows so every task writes into few
+            # partition dirs (binpack-per-partition, like rewrite_data_files)
+            cur = cur.repartition(n, *spec["partition_by"])
+        else:
+            cur = cur.repartition(n)
+        self._write_version(table, cur)
         return {"files_before": before, "files_after": self.num_data_files(table)}
 
 

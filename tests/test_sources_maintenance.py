@@ -124,3 +124,103 @@ def test_expire_snapshots_keeps_current_readable(spark, tmp_path):
     with pytest.raises(ValueError):
         wh.read("t", old)
     assert wh.read("t", -2).count() == 2
+
+
+PART_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+    ]
+)
+
+
+def _mk_partitioned(spark, tmp_path, sort_by=None):
+    wh = ParquetWarehouse(spark, str(tmp_path / "pwh"))
+    wh.create_table("t", PART_SCHEMA, partition_by=["day"], sort_by=sort_by)
+    wh.append(
+        "t",
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)], PART_SCHEMA
+        ),
+    )
+    return wh
+
+
+def test_partitioned_roundtrip_and_empty_read(spark, tmp_path):
+    wh = _mk_partitioned(spark, tmp_path)
+    assert wh.read("t", 0).count() == 0  # empty partitioned version readable
+    rows = wh.read("t").orderBy("id").collect()
+    assert [(r["id"], r["day"], r["v"]) for r in rows] == [
+        (1, "d1", 10),
+        (2, "d1", 20),
+        (3, "d2", 30),
+    ]
+    # hive layout on disk: day=d1 / day=d2 dirs
+    import os
+
+    cur = wh._current_path("t")
+    assert sorted(d for d in os.listdir(cur) if d.startswith("day=")) == [
+        "day=d1",
+        "day=d2",
+    ]
+
+
+def test_partition_filter_prunes_directories(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    wh = _mk_partitioned(spark, tmp_path)
+    plan = (
+        wh.read("t")
+        .filter(F.col("day") == "d2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+    assert wh.read("t").filter(F.col("day") == "d2").count() == 1
+
+
+def test_overwrite_partitions_touches_only_named_partition(spark, tmp_path):
+    wh = _mk_partitioned(spark, tmp_path)
+    stats = wh.overwrite_partitions(
+        "t", spark.createDataFrame([(9, "d1", 99)], PART_SCHEMA)
+    )
+    assert stats["replaced_partitions"] == ["day=d1"]
+    rows = wh.read("t").orderBy("id").collect()
+    # d1 fully replaced, d2 untouched (its files were hardlinked, not rewritten)
+    assert [(r["id"], r["day"], r["v"]) for r in rows] == [(3, "d2", 30), (9, "d1", 99)]
+    # still time-travelable to before the overwrite
+    assert wh.read("t", -2).count() == 3
+
+
+def test_sort_order_yields_disjoint_file_ranges(spark, tmp_path):
+    import os
+    import random
+
+    import pyarrow.parquet as pq
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "swh"))
+    wh.create_table(
+        "t",
+        T.StructType([T.StructField("id", T.IntegerType())]),
+        sort_by=["id"],
+    )
+    ids = list(range(1000))
+    random.Random(7).shuffle(ids)
+    wh.append("t", spark.createDataFrame([(i,) for i in ids], "id int").repartition(4))
+    cur = wh._current_path("t")
+    ranges = []
+    for name in sorted(os.listdir(cur)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(cur, name)).metadata
+        if md.num_rows == 0:
+            continue
+        stats = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) >= 2  # range-partitioned into multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges → min/max file skipping works
+    assert wh.read("t").count() == 1000
