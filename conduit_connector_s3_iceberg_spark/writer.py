@@ -93,11 +93,16 @@ class ParquetWarehouse:
         if partition_by or sort_by:
             with open(os.path.join(self._dir(table), "SPEC"), "w") as fh:
                 json.dump(spec, fh)
-        if partition_by:
-            with open(os.path.join(self._dir(table), "SCHEMA"), "w") as fh:
-                json.dump(schema.jsonValue(), fh)
+        self._store_schema(table, schema)
         empty = self.spark.createDataFrame([], schema)
         self._write_version(table, empty)
+
+    def _store_schema(self, table: str, schema: T.StructType) -> None:
+        path = os.path.join(self._dir(table), "SCHEMA")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        os.replace(tmp, path)
 
     def _spec(self, table: str) -> dict:
         path = os.path.join(self._dir(table), "SPEC")
@@ -105,6 +110,13 @@ class ParquetWarehouse:
             return {"partition_by": [], "sort_by": []}
         with open(path) as fh:
             return json.load(fh)
+
+    def _store_spec(self, table: str, spec: dict) -> None:
+        path = os.path.join(self._dir(table), "SPEC")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(spec, fh)
+        os.replace(tmp, path)
 
     def table_exists(self, table: str) -> bool:
         return os.path.exists(os.path.join(self._dir(table), "CURRENT"))
@@ -127,17 +139,26 @@ class ParquetWarehouse:
                 raise ValueError(
                     f"unknown or expired version {version!r} of {table!r}"
                 )
-        stored = os.path.join(self._dir(table), "SCHEMA")
-        if os.path.exists(stored):
-            # partitioned tables: explicit schema so an all-pruned or empty
-            # version (zero data files) still reads as an empty DataFrame
-            with open(stored) as fh:
-                schema = T.StructType.fromJson(json.load(fh))
-            return self.spark.read.schema(schema).parquet(path)
+        stored = self._stored_schema(table)
+        if stored is not None:
+            # The stored schema is authoritative (Iceberg: table metadata,
+            # not data files, owns the schema). This makes empty/all-pruned
+            # versions readable and schema evolution metadata-only: columns
+            # added after a file was written read as null, dropped columns
+            # are simply not projected.
+            return self.spark.read.schema(stored).parquet(path)
         return self.spark.read.parquet(path)
 
+    def _stored_schema(self, table: str) -> T.StructType | None:
+        path = os.path.join(self._dir(table), "SCHEMA")
+        if not os.path.exists(path):
+            return None  # table predates schema tracking: infer from files
+        with open(path) as fh:
+            return T.StructType.fromJson(json.load(fh))
+
     def schema(self, table: str) -> T.StructType:
-        return self.read(table).schema
+        stored = self._stored_schema(table)
+        return stored if stored is not None else self.read(table).schema
 
     def _write_version(self, table: str, df: DataFrame) -> None:
         version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
@@ -294,6 +315,61 @@ class ParquetWarehouse:
             fh.write("".join(n + "\n" for n in kept))
         os.replace(tmp, log)
         return {"expired": len(removed), "kept": len(kept)}
+
+    # -- schema evolution (Iceberg `ALTER TABLE ... ADD/DROP/RENAME COLUMN`)
+    def add_column(
+        self, table: str, name: str, dtype: T.DataType | str
+    ) -> None:
+        """Metadata-only column add (Iceberg ``ADD COLUMN``): no data files
+        are touched; rows written before the add read as null for the new
+        column (Iceberg v1/v2 semantics — added columns have no default)."""
+        if isinstance(dtype, str):
+            dtype = T.StructType.fromDDL(f"`{name}` {dtype}")[name].dataType
+        schema = self.schema(table)
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists in {table!r}")
+        self._store_schema(
+            table, T.StructType(schema.fields + [T.StructField(name, dtype, True)])
+        )
+
+    def drop_column(self, table: str, name: str) -> None:
+        """Metadata-only column drop: the column stops being projected;
+        bytes stay in existing files until a compaction rewrites them.
+        NOTE (divergence): real Iceberg tracks columns by field id, so
+        re-adding a same-named column stays logically new; this name-based
+        stand-in would resurrect old values — re-add only after
+        :meth:`compact`."""
+        schema = self.schema(table)
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r} in {table!r}")
+        spec = self._spec(table)
+        if name in spec["partition_by"]:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        if name in spec["sort_by"]:
+            spec["sort_by"] = [c for c in spec["sort_by"] if c != name]
+            self._store_spec(table, spec)
+        self._store_schema(
+            table, T.StructType([f for f in schema.fields if f.name != name])
+        )
+
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """Column rename. Iceberg does this metadata-only via field ids;
+        parquet name-based resolution can't, so this is a CoW rewrite of
+        the current version (O(table) — the honest cost of the stand-in)."""
+        schema = self.schema(table)
+        if old not in schema.fieldNames():
+            raise ValueError(f"no column {old!r} in {table!r}")
+        spec = self._spec(table)
+        if old in spec["partition_by"]:
+            # old versions' hive dirs are named after the old column; a
+            # rename would orphan them for time travel — not supported
+            raise ValueError(f"cannot rename partition column {old!r}")
+        if old in spec["sort_by"]:
+            spec["sort_by"] = [new if c == old else c for c in spec["sort_by"]]
+            self._store_spec(table, spec)
+        renamed = self.read(table).withColumnRenamed(old, new)
+        self._store_schema(table, renamed.schema)
+        self._write_version(table, renamed)
 
     # -- maintenance (Iceberg `rewrite_data_files` / `expire_snapshots`
     #    analogs; SURVEY.md §7 Phase 5) ------------------------------------

@@ -224,3 +224,56 @@ def test_sort_order_yields_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges → min/max file skipping works
     assert wh.read("t").count() == 1000
+
+
+def test_add_column_is_metadata_only_and_null_fills(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "ev1"))
+    wh.create_table("t", SCHEMA)
+    wh.append("t", spark.createDataFrame([(1, "a")], SCHEMA))
+    files_before = wh.num_data_files("t")
+    wh.add_column("t", "score", "double")
+    assert wh.num_data_files("t") == files_before  # no rewrite
+    new_schema = wh.schema("t")
+    wh.append(
+        "t", spark.createDataFrame([(2, "b", 0.5)], new_schema)
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in wh.read("t").collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
+    with pytest.raises(ValueError):
+        wh.add_column("t", "name", "string")
+
+
+def test_drop_column_stops_projection(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "ev2"))
+    wh.create_table("t", SCHEMA)
+    wh.append("t", spark.createDataFrame([(1, "a")], SCHEMA))
+    wh.drop_column("t", "name")
+    assert wh.read("t").columns == ["id"]
+    assert wh.read("t").collect()[0]["id"] == 1
+    with pytest.raises(ValueError):
+        wh.drop_column("t", "nope")
+
+
+def test_rename_column_preserves_data(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "ev3"))
+    wh.create_table("t", SCHEMA, sort_by=["name"])
+    wh.append("t", spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    wh.rename_column("t", "name", "label")
+    assert wh.read("t").columns == ["id", "label"]
+    assert sorted((r["id"], r["label"]) for r in wh.read("t").collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert wh._spec("t")["sort_by"] == ["label"]  # spec follows the rename
+    # appends after the rename still honor the (renamed) sort order
+    wh.append("t", spark.createDataFrame([(3, "c")], wh.schema("t")))
+    assert wh.read("t").count() == 3
+
+
+def test_evolution_guards_partition_columns(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "ev4"))
+    wh.create_table("t", PART_SCHEMA, partition_by=["day"])
+    with pytest.raises(ValueError):
+        wh.drop_column("t", "day")
+    with pytest.raises(ValueError):
+        wh.rename_column("t", "day", "dt")
