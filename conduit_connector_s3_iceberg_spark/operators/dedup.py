@@ -276,6 +276,113 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_SHARED_BANDS = 2
+VERIFY_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, {_MH_SQL} FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{_BANDS_SQL}], recursive := true) FROM sig
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, m.n_common,
+           CAST(m.n_common AS DOUBLE) / (sa.sz + sb.sz - m.n_common) AS jaccard
+    FROM common m
+    JOIN sizes sa ON m.doc_a = sa.doc_id
+    JOIN sizes sb ON m.doc_b = sb.doc_id
+    WHERE CAST(m.n_common AS DOUBLE) / (sa.sz + sb.sz - m.n_common)
+          >= {VERIFY_THRESHOLD}
+    """,
+    doc="The full two-stage MinHash dedup pipeline: LSH band candidates "
+        f"(>= {MIN_SHARED_BANDS} shared bands) -> EXACT Jaccard verification "
+        "-> confirmed duplicate pairs. The expensive exact set intersection "
+        "runs ONLY on the candidate pairs (linear-ish in corpus size at a "
+        "given similarity profile), never on the O(n²) pair space — the "
+        "production near-dup shape at 100 TB. Verification joins the "
+        "candidate list back to the distinct-shingle index per side "
+        "(shuffle keys: doc_id, then shingle hash — both uniform).",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = _distinct_shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle_h")
+    ).localCheckpoint(eager=False)  # consumed 4×: sig, sizes, both verify legs
+    # signatures min-hash the RAW shingle (same as the oracle) so both
+    # engines produce the identical candidate set; the verify join below
+    # uses the 8-byte shingle_h index instead (half the shuffle bytes).
+    sig = (
+        _distinct_shingles(docs)
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
+        .localCheckpoint(eager=False)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
+                    for i in range(N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= MIN_SHARED_BANDS)
+        .select("doc_a", "doc_b")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(sh.alias("ia"), F.col("doc_a") == F.col("ia.doc_id"))
+        .join(
+            sh.alias("ib"),
+            (F.col("doc_b") == F.col("ib.doc_id"))
+            & (F.col("ib.shingle_h") == F.col("ia.shingle_h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= VERIFY_THRESHOLD)
+    )
+
+
 # --- SimHash (16-bit, md5-derived, cross-engine deterministic) ------------
 # bit b of hex char c (value v): b3 ⇔ v≥8, b2 ⇔ v&4, b1 ⇔ v&2, b0 ⇔ v&1.
 _BIT_SETS = ["89abcdef", "4567cdef", "2367abef", "13579bdf"]

@@ -375,3 +375,36 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("xs").cast("double") / F.count(F.lit(1)) / F.lit(CENTROID_SCALE)
         ).alias("centroid"),
     )
+
+
+@query(
+    "emb_norm_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, {_SQL_NORM} AS nrm FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm,
+           COUNT(*) FILTER (WHERE nrm BETWEEN 0.9 AND 1.1) AS n_near_unit
+    FROM e
+    GROUP BY label
+    """,
+    doc="Embedding-corpus health profile per label: L2-norm min/max and the "
+        "count of ~unit-norm vectors (the check run before cosine retrieval "
+        "— un-normalized rows poison dot-product ANN). The norm is a JVM "
+        "higher-order fold per row (identical left-fold order in both "
+        "engines → bit-identical doubles); min/max/count are "
+        "order-independent, so the one shuffle is on the tiny label key.",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr(_SPARK_NORM).alias("nrm")
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.count(F.when(F.col("nrm").between(0.9, 1.1), 1)).alias("n_near_unit"),
+    )

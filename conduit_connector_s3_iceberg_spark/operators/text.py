@@ -249,6 +249,142 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '<num>', 'g'),
+                          ' +', ' ', 'g') AS norm_text,
+           md5(regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '<num>', 'g'),
+                              ' +', ' ', 'g')) AS norm_fp
+    FROM documents
+    """,
+    doc="Canonical text normalization for dedup/training prep: lowercase, "
+        "trim, digit runs -> '<num>' placeholder, whitespace collapsed — "
+        "then a stable content fingerprint of the normalized form. Pure "
+        "narrow map (regexp_replace is codegen, no UDF, no shuffle); the "
+        "fingerprint feeds the exact-dedup groupBy downstream.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[0-9]+", "<num>"),
+        " +",
+        " ",
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_fp")
+    )
+
+
+HIST_BUCKET_TOKENS = 32  # token-count histogram bucket width
+HIST_MAX_BUCKET = 7
+
+
+@query(
+    "text_token_histogram",
+    oracle=f"""
+    SELECT lang,
+           CAST(LEAST(FLOOR(len(string_split(trim(text), ' ')) / {HIST_BUCKET_TOKENS}.0),
+                      {HIST_MAX_BUCKET}) AS INTEGER) AS len_bucket,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(trim(text), ' '))) AS total_tokens
+    FROM documents
+    GROUP BY lang, len_bucket
+    """,
+    doc="Token-length histogram per language: the corpus-profiling rollup "
+        "run before choosing packing/truncation lengths. Bucket = "
+        f"floor(n_tokens/{HIST_BUCKET_TOKENS}) capped at {HIST_MAX_BUCKET} "
+        "(open-ended tail bucket). Row-side bucketing then one tiny "
+        "aggregation — (lang × 8) groups regardless of corpus size.",
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(_tokens())
+    bucket = F.least(
+        F.floor(n_tok / F.lit(float(HIST_BUCKET_TOKENS))),
+        F.lit(HIST_MAX_BUCKET),
+    ).cast("int")
+    return docs.groupBy(
+        "lang", bucket.alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("total_tokens"),
+    )
+
+
+PROBE_MOD = 97  # probe set = doc_id % 97 == 0 (~1% of the corpus)
+
+# 3-gram shingles, same fragments as operators/dedup.py (kept textually in
+# sync; see SHINGLES_SPARK/SHINGLES_SQL there).
+_SH_SPARK = (
+    "transform(sequence(1, greatest(size(split(trim(text),' ')) - 2, 1)),"
+    " i -> concat_ws(' ', slice(split(trim(text),' '), i, 3)))"
+)
+_SH_SQL = (
+    "list_transform(generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 1)),"
+    " i -> array_to_string(list_slice(string_split(trim(text),' '), i, i+2), ' '))"
+)
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS shingle
+      FROM documents
+    ), probe AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {PROBE_MOD} = 0
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sh s JOIN probe p ON s.shingle = p.shingle
+      WHERE s.doc_id % {PROBE_MOD} <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT h.doc_id, h.n_hits, z.n_shingles,
+           CAST(h.n_hits AS DOUBLE) / z.n_shingles AS contamination
+    FROM hits h JOIN sz z ON h.doc_id = z.doc_id
+    """,
+    doc="Benchmark-contamination check: per corpus document, the fraction "
+        "of its 3-gram shingles that appear in a (deterministic ~1%) probe "
+        "set — the eval-overlap scrub every training pipeline runs. The "
+        "probe shingle index is tiny → broadcast to every executor; the "
+        "corpus side is a narrow scan + one aggregation, never a shuffle "
+        "of the 100-TB text. Shingles join on an 8-byte xxhash64.",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sc = docs.sparkSession.sparkContext
+    sh = docs.repartition(sc.defaultParallelism, "doc_id").select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_SH_SPARK})")).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+    # consumed three times (probe / sizes / hits): materialize once
+    sh = sh.localCheckpoint(eager=False)
+    probe = (
+        sh.filter(F.col("doc_id") % PROBE_MOD == 0)
+        .select("shingle_h")
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.filter(F.col("doc_id") % PROBE_MOD != 0)
+        .join(F.broadcast(probe), "shingle_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(sz, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_shingles",
+        (F.col("n_hits").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )
+
+
 QUALITY_THRESHOLD = 0.45  # ~median of the corpus quality distribution
 
 

@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None, doc: str = ""):
 
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the registry."""
-    from . import advanced, core, events  # noqa: F401
+    from . import advanced, core, events, relational2  # noqa: F401
     from ..operators import (  # noqa: F401
         cdc_batch,
         dedup,

@@ -1,0 +1,259 @@
+"""Second relational batch: global-share HAVING (TPC-H Q11 shape),
+EXISTS / NOT EXISTS decorrelation (Q21 shape), scalar-subquery + anti-join
+(Q22 shape), bucketed histograms, and exact-moment dispersion statistics.
+
+These fill the remaining classic analytic shapes in SURVEY.md §2C's join +
+aggregation rows: semi/anti joins produced by subquery decorrelation, a
+broadcast scalar threshold, and numerically robust second-moment statistics
+(built-in ``stddev``/``corr`` accumulate doubles in shuffle order and are
+not cross-engine reproducible — here the moments accumulate in exact
+DECIMAL and the final formula is a fixed IEEE op sequence, so results are
+bit-identical at any partitioning; same discipline as plans/helpers.py).
+
+Scale notes are per-query in the docstrings; the common theme: every fact
+scan aggregates (or semi-joins) before anything wide, thresholds broadcast,
+and nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+from .helpers import SQL_DISC_PRICE, dec, disc_price, sql_dsum
+from .registry import query
+
+REV_SHARE_MULT = 1.6  # Q11-style threshold: > 1.6× the average part share
+
+
+@query(
+    "q36_part_revenue_share",
+    oracle=f"""
+    WITH part_rev AS (
+      SELECT l_partkey AS partkey,
+             SUM({SQL_DISC_PRICE}) AS rev_dec
+      FROM lineitem
+      GROUP BY partkey
+    ), total AS (
+      SELECT CAST(CAST(SUM(rev_dec) AS DECIMAL(38,4)) AS DOUBLE) AS total_rev,
+             COUNT(*) AS n_parts
+      FROM part_rev
+    )
+    SELECT partkey,
+           CAST(CAST(rev_dec AS DECIMAL(38,4)) AS DOUBLE) AS part_rev,
+           CAST(CAST(rev_dec AS DECIMAL(38,4)) AS DOUBLE) / total_rev AS share
+    FROM part_rev, total
+    WHERE CAST(CAST(rev_dec AS DECIMAL(38,4)) AS DOUBLE)
+          > {REV_SHARE_MULT} * total_rev / n_parts
+    """,
+    doc="TPC-H Q11 shape: parts whose discounted revenue exceeds a multiple "
+        "of the AVERAGE part's share of the global total (scale-free — the "
+        "threshold adapts to any SF). One shuffle on l_partkey builds "
+        "per-part revenue; the global total+count is a second aggregation "
+        "over that (already tiny) table, broadcast back as a one-row cross "
+        "join — the 100-TB fact table is scanned exactly once and the "
+        "threshold comparison never reshuffles it. Both sides accumulate "
+        "in exact DECIMAL, so share = one IEEE division of bit-identical "
+        "doubles.",
+)
+def q36_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # consumed twice (global total + threshold join): materialize the
+    # per-part aggregate once so the fact table is scanned exactly once
+    part_rev = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(disc_price()).alias("rev_dec"))
+        .localCheckpoint(eager=False)
+    )
+    total = part_rev.agg(
+        F.sum("rev_dec").cast("decimal(38,4)").cast("double").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    rev_d = F.col("rev_dec").cast("decimal(38,4)").cast("double")
+    return (
+        part_rev.crossJoin(F.broadcast(total))
+        .filter(rev_d > F.lit(REV_SHARE_MULT) * F.col("total_rev") / F.col("n_parts"))
+        .select(
+            "partkey",
+            rev_d.alias("part_rev"),
+            (rev_d / F.col("total_rev")).alias("share"),
+        )
+    )
+
+
+# Submitted verbatim to BOTH engines (like q34): Spark must decorrelate one
+# EXISTS and one NOT EXISTS that reference a column of the outer join
+# (o_orderdate) into left-semi / left-anti joins on l_orderkey.
+# "Late" is adapted to this schema (no l_commitdate): shipped > 60 days
+# after the order date.
+_Q37_SQL = """
+SELECT s.s_name AS supplier, COUNT(*) AS n_waiting_lines
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY supplier
+"""
+
+
+@query(
+    "q37_waiting_suppliers",
+    oracle=_Q37_SQL,
+    doc="TPC-H Q21 shape: suppliers who were the SOLE late shipper on "
+        "completed multi-supplier orders — a correlated EXISTS plus a "
+        "correlated NOT EXISTS, submitted as SQL so Catalyst plans them as "
+        "left-semi and left-anti joins on l_orderkey. All three lineitem "
+        "legs shuffle on the same key (co-partitioned, AQE merges them); "
+        "the supplier dimension broadcasts. No driver-side logic.",
+)
+def q37_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q37_SQL)
+
+
+_Q38_SQL = """
+SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > (
+  SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+              AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*)
+  FROM customer c2 WHERE c2.c_acctbal > 0.0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY nation
+"""
+
+
+@query(
+    "q38_idle_rich_customers",
+    oracle=_Q38_SQL,
+    doc="TPC-H Q22 shape: above-average-balance customers with no urgent "
+        "order, per nation. An uncorrelated scalar subquery (exact-decimal "
+        "global average, computed once and broadcast into the filter) plus "
+        "a NOT EXISTS that Catalyst rewrites to a left-anti join against "
+        "the pre-filtered urgent-orders side. The anti join's build side "
+        "shrinks by the priority filter BEFORE the shuffle; the nation "
+        "dimension broadcasts.",
+)
+def q38_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q38_SQL)
+
+
+BUCKET_WIDTH = 25_000  # o_totalprice histogram bucket width
+
+
+@query(
+    "q39_order_price_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {BUCKET_WIDTH}.0) AS INTEGER) AS bucket,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'bucket_revenue')}
+    FROM orders
+    GROUP BY bucket
+    """,
+    doc="Fixed-width histogram of order values: bucket = floor(x / width) "
+        "computed row-side, then one hash aggregation — the distributed "
+        "histogram primitive (a training-data profiling staple). Bucket "
+        "count is data-independent and small, so map-side partial "
+        "aggregation collapses everything before one tiny shuffle.",
+)
+def q39_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(float(BUCKET_WIDTH)))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "bucket_revenue"),
+        )
+    )
+
+
+@query(
+    "q40_dispersion_exact_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag AS returnflag,
+           n AS n_lines,
+           sqrt(sxx / n - (sx / n) * (sx / n)) AS stddev_qty,
+           sqrt(syy / n - (sy / n) * (sy / n)) AS stddev_disc,
+           (sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(syy / n - (sy / n) * (sy / n))) AS corr_qty_disc
+    FROM m
+    """,
+    doc="Population stddev + Pearson correlation from EXACT decimal moments "
+        "(sums of x, x², y, y², xy — 2dp content squares to 4dp, still "
+        "exact). Built-in stddev/corr merge double partials in shuffle "
+        "order and are not reproducible across engines or even across "
+        "runs; decimal moments are associative, so one pass + one shuffle "
+        "yields bit-identical statistics at any parallelism. The closing "
+        "formula is the same fixed IEEE op sequence in both engines.",
+)
+def q40_dispersion_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_discount")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(38,2)").cast("double").alias("sx"),
+        F.sum(x * x).cast("decimal(38,4)").cast("double").alias("sxx"),
+        F.sum(y).cast("decimal(38,2)").cast("double").alias("sy"),
+        F.sum(y * y).cast("decimal(38,4)").cast("double").alias("syy"),
+        F.sum(x * y).cast("decimal(38,4)").cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")
+    )
+    var_x = sxx / n - (sx / n) * (sx / n)
+    var_y = syy / n - (sy / n) * (sy / n)
+    return m.select(
+        F.col("l_returnflag").alias("returnflag"),
+        n.alias("n_lines"),
+        F.sqrt(var_x).alias("stddev_qty"),
+        F.sqrt(var_y).alias("stddev_disc"),
+        ((sxy / n - (sx / n) * (sy / n)) / (F.sqrt(var_x) * F.sqrt(var_y))).alias(
+            "corr_qty_disc"
+        ),
+    )

@@ -96,7 +96,43 @@ def test_spend_deciles_broadcasts_dimension(spark):
 
 # Deliberate broadcast non-equi joins over tiny build sides (literal band
 # dimension; 5-row query set). Everything else must plan hash joins.
-BROADCAST_NONEQUI_OK = {"q27_range_band_join", "sim_topk_bruteforce"}
+def test_exists_subqueries_become_semi_anti_joins(spark):
+    # Q21 shape: the correlated EXISTS / NOT EXISTS must decorrelate into
+    # left-semi and left-anti joins — never a per-row subquery loop
+    plan = plan_of(spark, "q37_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_join_shape_idle_customers(spark):
+    # Q22 shape: NOT EXISTS → left-anti join; dimension join broadcasts
+    plan = plan_of(spark, "q38_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_probe_broadcasts(spark):
+    # the probe shingle index is tiny — it must broadcast, and the corpus
+    # side must never cartesian
+    plan = plan_of(spark, "text_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_part_revenue_share_single_fact_scan(spark):
+    # the global-total threshold must NOT rescan the fact table: the
+    # per-part aggregate is checkpointed and both consumers read it
+    plan = plan_of(spark, "q36_part_revenue_share")
+    assert plan.count("Scan parquet") <= 1
+
+
+BROADCAST_NONEQUI_OK = {
+    "q27_range_band_join",
+    "sim_topk_bruteforce",
+    # one-row global-threshold broadcast (Q11 shape) — bounded by design
+    "q36_part_revenue_share",
+}
 
 
 def test_no_unbounded_join_in_any_registered_query(spark):
