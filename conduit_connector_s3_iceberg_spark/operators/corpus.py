@@ -1,0 +1,159 @@
+"""Corpus-assembly operators: sequence packing and duplicate provenance.
+
+Two north-star pipeline stages downstream of cleaning/dedup:
+
+* **Sequence packing** — assigning documents to fixed-token-budget training
+  chunks. True global first-fit packing is inherently serial; the form every
+  production pipeline actually runs is *sharded sequential packing*: shard
+  the corpus deterministically, order within the shard, cut chunks at the
+  token budget by running cumulative sum. Each shard's window is
+  independent, so the whole operator is one window over (lang, shard) —
+  embarrassingly parallel, no driver involvement, stable output under
+  re-runs (everything keys off doc_id).
+* **Duplicate provenance** — which *sources* duplicate which: the near-dup
+  pair list (operators/dedup.py) rolled up to a source×source matrix. This
+  is the report a crawl operator reads to decide which feeds to drop; cost
+  is two broadcast-sized joins from pairs back to the (doc_id, source) map
+  plus one tiny aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+from .dedup import JACCARD_THRESHOLD, MAX_SHINGLE_DF, SHINGLES_SQL, dedup_ngram_jaccard
+
+CHUNK_TOKENS = 512   # token budget per packed training chunk
+N_PACK_SHARDS = 16   # deterministic shards; at 100 TB scale this up so a
+                     # shard's docs fit one task comfortably
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(doc_id % {N_PACK_SHARDS} AS INTEGER) AS shard,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_offset
+      FROM t
+    )
+    SELECT doc_id, lang, shard, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / {CHUNK_TOKENS}.0) AS BIGINT) AS chunk_no,
+           lang || '-' || shard || '-'
+                || CAST(CAST(FLOOR(start_offset / {CHUNK_TOKENS}.0) AS BIGINT)
+                        AS VARCHAR) AS chunk_key
+    FROM c
+    """,
+    doc=f"Sharded sequential sequence packing: docs are dealt into "
+        f"{N_PACK_SHARDS} deterministic shards (doc_id mod), ordered by "
+        "doc_id within (lang, shard), and cut into training chunks of "
+        f"{CHUNK_TOKENS} tokens by running cumulative token count (a doc "
+        "starts the chunk its start offset falls in — the concat-then-cut "
+        "packing LLM pipelines use). One bounded window per shard, no "
+        "global sort, no driver logic; chunk keys are globally unique and "
+        "reproducible run-to-run.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % N_PACK_SHARDS).cast("int").alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    chunk_no = F.floor(F.col("start_offset") / F.lit(float(CHUNK_TOKENS))).cast(
+        "bigint"
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        chunk_no.alias("chunk_no"),
+        F.concat_ws(
+            "-", F.col("lang"), F.col("shard"), chunk_no.cast("string")
+        ).alias("chunk_key"),
+    )
+
+
+# the near-dup pair CTE chain from operators/dedup.py, inlined for the
+# provenance rollup oracle (DuckDB requires the full lineage in one query)
+_NEARDUP_PAIRS_SQL = f"""
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), idx AS (
+      SELECT s.doc_id, s.shingle FROM sh s JOIN kept k ON s.shingle = k.shingle
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id
+    ), rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), pairs AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(p.n_common AS DOUBLE) / (sa.sz + sb.sz - p.n_common) AS jaccard
+      FROM rawpairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.n_common AS DOUBLE) / (sa.sz + sb.sz - p.n_common)
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "dedup_source_matrix",
+    oracle=f"""
+    WITH {_NEARDUP_PAIRS_SQL}
+    SELECT da.source AS source_a, db.source AS source_b,
+           COUNT(*) AS n_pairs,
+           MAX(p.jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY source_a, source_b
+    """,
+    doc="Duplicate provenance: the near-dup pair list rolled up to a "
+        "source×source matrix (pair count + strongest overlap per source "
+        "pair) — the feed-overlap report a crawl operator uses to drop or "
+        "down-weight redundant sources. The (doc_id → source) map joins "
+        "into the pair list by doc_id (uniform key); the matrix itself is "
+        "#sources² at most, so the final aggregation is tiny. max() over "
+        "doubles is order-independent — no accumulation nondeterminism.",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    da, db = docs.alias("da"), docs.alias("db")
+    return (
+        pairs.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .groupBy(
+            F.col("da.source").alias("source_a"),
+            F.col("db.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
     from . import advanced, core, events, relational2  # noqa: F401
     from ..operators import (  # noqa: F401
         cdc_batch,
+        corpus,
         dedup,
         joins,
         multimodal,

@@ -70,3 +70,30 @@ def rate_stream(
     if num_partitions is not None:
         reader = reader.option("numPartitions", str(num_partitions))
     return reader.load()
+
+
+def read_binary(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset scan for multimodal ingestion (``binaryFile`` source):
+    one row per file with ``(path, modificationTime, length, content:
+    binary)`` — the ingest edge that feeds operators/multimodal.py
+    (decode / feature-extract / frame-sample run downstream as
+    mapInPandas stages over the ``content`` column).
+
+    Scale: files are assigned to tasks by size bins (``maxPartitionBytes``
+    applies), the scan never concatenates files, and ``glob`` +
+    ``max_bytes`` prune at the LISTING stage — a 100 TB asset lake is
+    filtered before a single content byte is read. Keep individual assets
+    under a few hundred MB (one row must fit in task memory); bigger blobs
+    belong in chunked columns written by the warehouse."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(df.length <= max_bytes)
+    return df

@@ -7,6 +7,7 @@ from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
 from conduit_connector_s3_iceberg_spark.sources.files import (
+    read_binary,
     read_csv,
     read_json,
     rate_stream,
@@ -41,6 +42,19 @@ def test_read_csv_with_schema(spark, tmp_path):
     p.write_text("id,name\n1,a\n2,b\n")
     rows = read_csv(spark, str(p), SCHEMA).orderBy("id").collect()
     assert [(r["id"], r["name"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_read_binary_glob_and_size_pruning(spark, tmp_path):
+    (tmp_path / "img0.jpg").write_bytes(b"\x00" * 10)
+    (tmp_path / "img1.jpg").write_bytes(b"\x01" * 20)
+    (tmp_path / "clip.wav").write_bytes(b"\x02" * 30)
+    df = read_binary(spark, str(tmp_path), glob="*.jpg")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"img0.jpg", "img1.jpg"}
+    assert rows["img1.jpg"].length == 20
+    assert bytes(rows["img0.jpg"].content) == b"\x00" * 10
+    # size cap prunes before content is materialized downstream
+    assert read_binary(spark, str(tmp_path), max_bytes=15).count() == 1
 
 
 def test_rate_stream_is_streaming(spark):
