@@ -84,3 +84,65 @@ def test_sliding_rollup_overlapping_windows(spark):
     assert all(r["n_events"] == 1 for r in rows)
     starts = sorted(str(r["window_start"]) for r in rows)
     assert starts[0] == "2024-01-01 09:30:00" and starts[-1] == "2024-01-01 10:15:00"
+
+
+# --- corpus operators (pack_sequences / dedup_source_matrix invariants) ---
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_pack_sequences_invariants(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        CHUNK_TOKENS,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, SF001).collect()
+    # every document is packed exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict[tuple, list] = {}
+    for r in rows:
+        assert r.shard == r.doc_id % 16
+        assert r.chunk_key == f"{r.lang}-{r.shard}-{r.chunk_no}"
+        assert r.chunk_no == r.start_offset // CHUNK_TOKENS
+        by_shard.setdefault((r.lang, r.shard), []).append(r)
+    # offsets are contiguous in doc_id order within each (lang, shard):
+    # each doc starts where the previous one ended — no gaps, no overlap
+    for group in by_shard.values():
+        group.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in group:
+            assert r.start_offset == expect
+            expect += r.n_tokens
+
+
+def test_source_matrix_consistent_with_pair_list(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        dedup_source_matrix,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    n_pairs = dedup_ngram_jaccard(spark, SF001).count()
+    matrix = dedup_source_matrix(spark, SF001).collect()
+    # the matrix is a lossless rollup: per-cell counts sum to the pair count
+    assert sum(r.n_pairs for r in matrix) == n_pairs
+    assert all(r.max_jaccard >= 0.3 for r in matrix)
+
+
+def test_text_normalize_is_idempotent(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import text_normalize
+
+    once = {r.doc_id: r.norm_text for r in text_normalize(spark, SF001).collect()}
+    # re-normalizing the normalized text must be a fixpoint
+    df = spark.createDataFrame(
+        [(k, v) for k, v in once.items()], "doc_id long, text string"
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[0-9]+", "<num>"),
+        " +",
+        " ",
+    )
+    twice = {r.doc_id: r.n for r in df.select("doc_id", norm.alias("n")).collect()}
+    assert twice == once
