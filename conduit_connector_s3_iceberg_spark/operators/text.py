@@ -39,6 +39,31 @@ def _tokens() -> F.Column:
     return F.split(F.trim(F.col("text")), " ")
 
 
+def quality_col() -> F.Column:
+    """The heuristic quality score over the ``text`` column — shared by the
+    batch queries below and the streaming corpus pipeline
+    (streaming/corpus.py), so batch and stream gate identically."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    return (
+        F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double") / n_tok)
+        + F.lit(0.3) * (_hits(STOPWORDS).cast("double") / n_tok)
+        + F.lit(0.2)
+        * (
+            F.lit(1)
+            - F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double")
+            / F.length("text")
+        )
+        + F.lit(0.2)
+        * F.least(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tok
+            / 10,
+            F.lit(1.0),
+        )
+    )
+
+
 def _hits(words: tuple[str, ...]) -> F.Column:
     lst = ", ".join(f"'{w}'" for w in words)
     return F.expr(f"size(filter(split(trim(text), ' '), x -> x IN ({lst})))")
@@ -426,30 +451,11 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    toks = _tokens()
-    n_tok = F.size(toks)
-    quality = (
-        F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double") / n_tok)
-        + F.lit(0.3) * (_hits(STOPWORDS).cast("double") / n_tok)
-        + F.lit(0.2)
-        * (
-            F.lit(1)
-            - F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double")
-            / F.length("text")
-        )
-        + F.lit(0.2)
-        * F.least(
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-            / n_tok
-            / 10,
-            F.lit(1.0),
-        )
-    )
     scored = docs.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),
-        n_tok.alias("n_tokens"),
-        quality.alias("quality"),
+        F.size(_tokens()).alias("n_tokens"),
+        quality_col().alias("quality"),
         _hits(LANG_MARKERS["en"]).alias("en_hits"),
     )
     kept = scored.filter(

@@ -8,6 +8,7 @@ from .cdc import (
     decode_cdc,
     read_cdc_stream,
 )
+from .corpus import clean_doc_stream
 from .joins import stream_stream_join
 from .stateful import running_user_totals
 from .windows import dedup_stream, session_rollup, sliding_rollup, tumbling_rollup
@@ -18,6 +19,7 @@ __all__ = [
     "collapse_lww",
     "decode_cdc",
     "read_cdc_stream",
+    "clean_doc_stream",
     "running_user_totals",
     "stream_stream_join",
     "dedup_stream",

@@ -337,3 +337,41 @@ def test_cdc_apply_is_idempotent_on_redelivery(spark, tmp_path):
     assert [(r["id"], r["name"], r["qty"]) for r in wh.read("items").collect()] == [
         (1, "a", 5)
     ]
+
+
+# -------------------------------------------------- streaming corpus clean
+
+
+def test_clean_doc_stream_matches_batch_pipeline(spark, tmp_path):
+    """The streaming cleaning pipeline over real corpus docs: gates must
+    admit exactly the batch pipeline's survivors (same expressions), and
+    within-watermark dedup must leave one row per fingerprint."""
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        pipeline_training_set,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+    from conduit_connector_s3_iceberg_spark.streaming import clean_doc_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # give every doc the same event time: all duplicates are inside the
+    # watermark horizon → streaming dedup covers the whole (bounded) input
+    with_ts = docs.withColumn("ingest_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    src = stream_of(spark, tmp_path, with_ts, "docs_src")
+    out = run_to_memory(
+        clean_doc_stream(src), tmp_path, "cleaned_docs", output_mode="append"
+    )
+    got = out.collect()
+
+    batch = pipeline_training_set(spark, sf).collect()
+    batch_by_fp = {r.content_fp: r for r in batch}
+
+    # one survivor per fingerprint, same fingerprint set as batch
+    fps = [r.content_fp for r in got]
+    assert len(fps) == len(set(fps))
+    assert set(fps) == set(batch_by_fp)
+    # and identical signals for each surviving fingerprint
+    for r in got:
+        b = batch_by_fp[r.content_fp]
+        assert r.n_tokens == b.n_tokens
+        assert r.quality == b.quality
