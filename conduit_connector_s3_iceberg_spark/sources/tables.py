@@ -31,6 +31,15 @@ TABLES = (
 )
 
 
+# Resolved-relation cache: creating a parquet relation reads file footers
+# on the driver, and the warehouse tables are immutable within a session —
+# re-resolving them per query is pure planning overhead (the local-mode
+# analogue of a catalog metadata cache; Iceberg caches table metadata the
+# same way). Keyed by session so concurrent/stopped sessions never share
+# JVM-bound plan objects.
+_RELATION_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table. Pushdown-friendly: callers filter/select on
     the returned DataFrame and Catalyst pushes into the parquet scan.
@@ -42,14 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark, sf_dir, name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             # integer div truncates ns → µs exactly like DuckDB's ns→µs cast
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _RELATION_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
