@@ -191,3 +191,72 @@ def q25_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q41_conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS click_rate,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c) AS purchase_rate
+    """,
+    doc="Ordered conversion funnel view -> click -> purchase: each stage is "
+        "the users whose first qualifying event strictly follows their "
+        "previous stage's timestamp. Every stage is a groupBy on user_id — "
+        "the SAME shuffle key three times, so the exchanges line up "
+        "(co-partitioned joins, AQE merges them); output is one row of "
+        "stage counts + conversion rates regardless of input size. The "
+        "streaming twin is a sessionized pattern match with watermarked "
+        "state.",
+)
+def q41_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        (F.col("n_view_click").cast("double") / F.col("n_view")).alias("click_rate"),
+        (
+            F.col("n_view_click_purchase").cast("double") / F.col("n_view_click")
+        ).alias("purchase_rate"),
+    )

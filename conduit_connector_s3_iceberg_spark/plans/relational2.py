@@ -257,3 +257,64 @@ def q40_dispersion_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_disc"
         ),
     )
+
+
+@query(
+    "q42_unpivot_measures",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             {sql_dsum('l_quantity', 'sum_qty')},
+             {sql_dsum('l_extendedprice', 'sum_price')}
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM m
+    """,
+    doc="Unpivot (melt): wide per-flag measures reshaped to long "
+        "(flag, measure, value) rows — the DataFrame `unpivot` operator "
+        "(SQL UNION ALL equivalent in the oracle). Runs AFTER the "
+        "aggregation, so the reshape touches #groups x #measures rows, "
+        "never the fact table.",
+)
+def q42_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"), dsum("l_extendedprice", "sum_price")
+    )
+    return m.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "measure", "value"
+    )
+
+
+@query(
+    "q43_suppliers_per_nation_array",
+    oracle="""
+    SELECT n.n_name AS nation,
+           list_sort(array_agg(s.s_name)) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY nation
+    """,
+    doc="Array-valued aggregation: per nation, the sorted list of supplier "
+        "names (collect_list + sort_array == DuckDB array_agg + list_sort; "
+        "sorting makes the collected order deterministic — collect_list "
+        "alone is partition-order-dependent and NOT reproducible). "
+        "Collected groups must be bounded (dimension-sized here); an "
+        "unbounded collect at 100 TB is an OOM by design, not a bug.",
+)
+def q43_suppliers_per_nation_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )

@@ -132,6 +132,8 @@ BROADCAST_NONEQUI_OK = {
     "sim_topk_bruteforce",
     # one-row global-threshold broadcast (Q11 shape) — bounded by design
     "q36_part_revenue_share",
+    # cross join of three one-row funnel-stage counts — bounded by design
+    "q41_conversion_funnel",
 }
 
 
