@@ -260,3 +260,67 @@ def q41_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_view_click_purchase").cast("double") / F.col("n_view_click")
         ).alias("purchase_rate"),
     )
+
+
+TRAILING_WINDOW_S = 30 * 86_400  # 30-day trailing revenue frame
+
+
+@query(
+    "q44_trailing_window_revenue",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN {TRAILING_WINDOW_S} PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,2)) AS DOUBLE) AS trailing_30d_revenue
+    FROM orders
+    """,
+    doc="RANGE-frame window: per customer, the trailing-30-day revenue at "
+        "each order (frame = value range over epoch seconds, NOT row "
+        "count — same-day orders are frame peers in both engines). "
+        "Partitioned by customer so every window sort is bounded; the "
+        "decimal in-frame sum is exact, so results are reproducible at any "
+        "parallelism.",
+)
+def q44_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-TRAILING_WINDOW_S, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("trailing_30d_revenue"),
+    )
+
+
+@query(
+    "q45_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing
+    FROM events
+    """,
+    doc="Semi-structured access through Spark 4's VariantType: parse_json "
+        "once per row into the binary variant encoding, then typed path "
+        "extraction (try_variant_get; absent paths -> NULL, matching the "
+        "oracle's json_extract). Variant decodes lazily per path — at "
+        "100 TB this is the schema-on-read column for payloads too "
+        "heterogeneous for a struct, while staying fully codegen "
+        "(no Python).",
+)
+def q45_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
+    )
