@@ -146,3 +146,43 @@ def test_text_normalize_is_idempotent(spark):
     )
     twice = {r.doc_id: r.n for r in df.select("doc_id", norm.alias("n")).collect()}
     assert twice == once
+
+
+# --- sketch aggregations (HLL distinct counts, count-min frequencies) -----
+
+
+def test_hll_sketches_accurate_and_reaggregable(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sketches import (
+        distinct_sketches,
+        union_rollup,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF001, "events")
+    per_type = distinct_sketches(ev, ["event_type"], "user_id")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in per_type.collect():
+        assert abs(r.approx_distinct - exact[r.event_type]) <= max(
+            2, 0.05 * exact[r.event_type]
+        )
+    # the scale property: union of per-group sketches answers the GLOBAL
+    # distinct without rescanning the input
+    global_est = union_rollup(per_type, []).collect()[0].approx_distinct
+    global_exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(global_est - global_exact) <= max(2, 0.05 * global_exact)
+
+
+def test_count_min_sketch_deterministic(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sketches import freq_sketch
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF001, "events")
+    s1 = freq_sketch(ev, "event_type")
+    s2 = freq_sketch(ev.repartition(7), "event_type")
+    # additive merge → identical bytes regardless of partitioning
+    assert s1 == s2 and len(s1) > 0
