@@ -318,3 +318,36 @@ def q43_suppliers_per_nation_array(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
+
+
+# Submitted verbatim to BOTH engines: a correlated LATERAL subquery with
+# ORDER BY + LIMIT — Catalyst plans a LateralJoin (DuckDB a lateral
+# dependent join); values are raw parquet doubles, no accumulation needed.
+_Q46_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query(
+    "q46_lateral_topk",
+    oracle=_Q46_SQL,
+    doc="Correlated LATERAL subquery: top-2 orders per BUILDING-segment "
+        "customer, expressed as a lateral dependent join (the remaining "
+        "subquery planner surface after scalar/EXISTS decorrelation — "
+        "q34/q37/q38). Catalyst rewrites it to a ranked join on o_custkey; "
+        "ties broken by orderkey so both engines pick identical rows. The "
+        "window form (q07) is the hand-decorrelated twin — this exercises "
+        "the parser/planner path.",
+)
+def q46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q46_SQL)
