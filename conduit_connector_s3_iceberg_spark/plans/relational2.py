@@ -351,3 +351,166 @@ WHERE c.c_mktsegment = 'BUILDING'
 def q46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q46_SQL)
+
+
+TRADE_A, TRADE_B = "NATION_1", "NATION_2"
+
+
+@query(
+    "q47_bilateral_trade",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(8,2)))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = '{TRADE_A}' AND cn.n_name = '{TRADE_B}')
+       OR (sn.n_name = '{TRADE_B}' AND cn.n_name = '{TRADE_A}')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bilateral shipping volume between two nations by "
+        "year. Both dimension legs pre-filter to the two nations BEFORE "
+        "joining (nation broadcasts into supplier and customer, shrinking "
+        "each to 2/25), so the filtered supplier side broadcasts into the "
+        "fact scan; the orders leg stays an unhinted equi-join — at 100 TB "
+        "orders is fact-sized and must shuffle (AQE converts it to "
+        "broadcast only when the filtered side actually fits).",
+)
+def q47_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .filter(F.col("n_name").isin(TRADE_A, TRADE_B))
+    )
+    supp_f = supp.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_f = cust.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    ord_f = orders.join(cust_f, orders.o_custkey == cust_f.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    pair = (
+        (F.col("supp_nation") == TRADE_A) & (F.col("cust_nation") == TRADE_B)
+    ) | ((F.col("supp_nation") == TRADE_B) & (F.col("cust_nation") == TRADE_A))
+    joined = (
+        li.join(F.broadcast(supp_f), li.l_suppkey == F.col("s_suppkey"))
+        .join(ord_f, li.l_orderkey == F.col("o_orderkey"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(disc_price()).cast("decimal(38,4)").cast("double").alias("revenue"),
+    )
+
+
+SHARE_NATION = "NATION_3"
+
+
+@query(
+    "q48_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(CAST(SUM(CASE WHEN sn.n_name = '{SHARE_NATION}'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(8,2))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS DECIMAL(38,4)) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l.l_discount AS DECIMAL(8,2)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's share of total revenue per order "
+        "year — a conditional aggregate divided by the unconditional one, "
+        "both accumulated in exact DECIMAL within the same single pass "
+        "(no second scan, no join between numerator and denominator). "
+        "Share = one IEEE division of two bit-exact doubles.",
+)
+def q48_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # orders is fact-sized: unhinted equi-join (shuffles at 100 TB; AQE may
+    # still broadcast locally). Supplier + nation are true dimensions.
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    cond_rev = F.when(F.col("n_name") == SHARE_NATION, disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    num = F.sum(cond_rev).cast("decimal(38,4)").cast("double")
+    den = F.sum(disc_price()).cast("decimal(38,4)").cast("double")
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        (num / den).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q49_disjunctive_predicates",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(8,2)))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides. "
+        "Catalyst factors the common sub-predicates per side (constraint "
+        "propagation pushes the per-table OR residuals below the join) so "
+        "each scan prunes before shuffling — the disjunction is never "
+        "evaluated row-at-a-time over the full cross product.",
+)
+def q49_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (q >= 1)
+        & (q <= 30)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & (q >= 10)
+        & (q <= 40)
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(disc_price()).cast("decimal(38,4)").cast("double").alias("revenue"),
+    )
