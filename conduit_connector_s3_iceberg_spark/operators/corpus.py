@@ -157,3 +157,55 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+@query(
+    "pack_chunk_texts",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             CAST(doc_id % {N_PACK_SHARDS} AS INTEGER) AS shard,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text, lang, shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_offset
+      FROM t
+    )
+    SELECT lang || '-' || shard || '-'
+             || CAST(CAST(FLOOR(start_offset / {CHUNK_TOKENS}.0) AS BIGINT)
+                     AS VARCHAR) AS chunk_key,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS chunk_tokens,
+           md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_fp
+    FROM c
+    GROUP BY chunk_key
+    """,
+    doc="Chunk assembly, the step after pack_sequences: concatenate each "
+        "chunk's documents (in doc_id order) into the training sequence. "
+        "The collected group is bounded by the token budget — ordered "
+        "concatenation via sort_array(collect_list(struct)) is "
+        "deterministic under any partitioning (plain collect_list is NOT). "
+        "Emits a content fingerprint per chunk (the dataset-card hash); "
+        "same single window shuffle as the assignment step plus one "
+        "bounded aggregation.",
+)
+def pack_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = pack_sequences(spark, sf_dir).select("doc_id", "chunk_key", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = assigned.join(docs, "doc_id")
+    ordered_concat = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    return rows.groupBy("chunk_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+        F.md5(ordered_concat).alias("text_fp"),
+    )
