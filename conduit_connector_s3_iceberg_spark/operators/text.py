@@ -467,3 +467,83 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "content_fp", "n_tokens", "quality")
     )
+
+
+TFIDF_TOP_K = 50
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS token
+      FROM documents
+    ), df_t AS (
+      SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT token, doc_freq,
+           CAST(n_docs AS DOUBLE) / doc_freq AS n_over_df
+    FROM df_t, n
+    ORDER BY doc_freq DESC, token
+    LIMIT {TFIDF_TOP_K}
+    """,
+    doc="Corpus IDF statistics: document frequency per distinct token and "
+        "the exact N/df ratio — the weighting table a TF-IDF retrieval or "
+        "quality-filter stage broadcasts (idf = ln(n_over_df) is a "
+        "downstream map; the transcendental itself is excluded from the "
+        "compared output because libm ln differs by 1 ulp across engines). "
+        "One distinct-explode + one hash aggregation; the corpus size "
+        "joins in as a one-row broadcast; top-k by document frequency "
+        "(TakeOrderedAndProject, deterministic token tie-break).",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(F.array_distinct(_tokens())).alias("token"))
+    df_t = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_t.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "doc_freq",
+            (F.col("n_docs").cast("double") / F.col("doc_freq")).alias("n_over_df"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(TFIDF_TOP_K)
+    )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    SELECT lang AS lang_labeled,
+           CASE
+             WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+             WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+             WHEN fr >= es AND fr > 0 THEN 'fr'
+             WHEN es > 0 THEN 'es'
+             ELSE 'und'
+           END AS lang_detected,
+           COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             {_sql_hits(LANG_MARKERS['en'])} AS en,
+             {_sql_hits(LANG_MARKERS['de'])} AS de,
+             {_sql_hits(LANG_MARKERS['fr'])} AS fr,
+             {_sql_hits(LANG_MARKERS['es'])} AS es
+      FROM documents
+    )
+    GROUP BY lang_labeled, lang_detected
+    """,
+    doc="Language-ID confusion matrix: labeled vs detected language counts "
+        "— the accuracy report for the langid heuristic (which labels to "
+        "trust, where the detector needs markers). Same single-pass "
+        "scoring as text_langid, rolled to at most |langs|² cells.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = text_langid(spark, sf_dir)
+    return scored.groupBy(
+        "lang_labeled", F.col("lang_detected")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -324,3 +324,39 @@ def q45_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
     )
+
+
+@query(
+    "q50_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          CAST(date_trunc('day', e.ts) AS DATE)) AS INTEGER)
+             AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen day, activity "
+        "counted per day offset — the standard product-analytics retention "
+        "triangle. The first-seen table is one aggregation on user_id; the "
+        "activity join reuses the same key (co-partitioned); output is "
+        "#days² cells max. DuckDB date_diff == Spark datediff on "
+        "day-truncated dates.",
+)
+def q50_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    day = F.date_trunc("day", "ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

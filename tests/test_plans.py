@@ -96,6 +96,22 @@ def test_spend_deciles_broadcasts_dimension(spark):
 
 # Deliberate broadcast non-equi joins over tiny build sides (literal band
 # dimension; 5-row query set). Everything else must plan hash joins.
+def test_shuffle_hash_join_hint_honored(spark):
+    # SURVEY §2C lists all four physical join strategies; broadcast and
+    # sort-merge appear throughout the registry — this pins the third:
+    # a shuffled-hash join selected via hint (the right call when both
+    # sides are large but one side's partitions fit in memory, avoiding
+    # the sort-merge sort)
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    df = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    assert "ShuffledHashJoin" in je.explainString(mode)
+
+
 def test_exists_subqueries_become_semi_anti_joins(spark):
     # Q21 shape: the correlated EXISTS / NOT EXISTS must decorrelate into
     # left-semi and left-anti joins — never a per-row subquery loop
@@ -134,6 +150,8 @@ BROADCAST_NONEQUI_OK = {
     "q36_part_revenue_share",
     # cross join of three one-row funnel-stage counts — bounded by design
     "q41_conversion_funnel",
+    # one-row corpus-size broadcast into the IDF table — bounded by design
+    "text_tfidf_top_terms",
 }
 
 
