@@ -159,3 +159,51 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, schema)
+
+
+TRANSCODE_MAX_BYTES = 128  # deterministic "downsample" target size
+
+
+@query(
+    "mm_transcode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS orig_len,
+           CAST(least(strlen(text), {TRANSCODE_MAX_BYTES}) AS INTEGER) AS out_len,
+           md5(substr(text, 1, {TRANSCODE_MAX_BYTES})) AS out_md5
+    FROM documents
+    """,
+    doc="Binary-to-binary transcode stage (the resize_image production "
+        "shape): payload in, transformed payload out through one "
+        "Arrow-batched mapInPandas pass — here a deterministic truncation "
+        "stands in for a real codec (see resize_image stub). Output digest "
+        "and lengths are computed JVM-side over the returned binary, "
+        "proving the bytes round-trip Arrow intact. At 100 TB this stage "
+        "is embarrassingly parallel and its output schema is fixed, so "
+        "downstream plans never depend on payload content.",
+)
+def mm_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    schema = "doc_id bigint, orig_len int, out_payload binary"
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": pdf["payload"].map(len).astype("int32"),
+                    "out_payload": pdf["payload"].map(
+                        lambda b: bytes(b[:TRANSCODE_MAX_BYTES])
+                    ),
+                }
+            )
+
+    out = docs.mapInPandas(transcode, schema)
+    return out.select(
+        "doc_id",
+        "orig_len",
+        F.octet_length("out_payload").alias("out_len"),
+        F.md5("out_payload").alias("out_md5"),
+    )
