@@ -37,7 +37,10 @@ HEADLINE = [
     "cdc_last_write_wins",
 ]
 
-RUNS = 2
+# min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +
+# whole-stage codegen compile (worst on the dedup self-joins), and JIT can
+# still taint the second — three runs reliably capture steady state.
+RUNS = 3
 
 
 def main() -> None:
