@@ -514,3 +514,54 @@ def q49_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(disc_price()).cast("decimal(38,4)").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "q51_join_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY key
+    )
+    SELECT COUNT(*) AS n_keys,
+           MIN(n_rows) AS min_rows,
+           MAX(n_rows) AS max_rows,
+           CAST(SUM(n_rows) AS DOUBLE) / COUNT(*) AS avg_rows,
+           CAST(MAX(n_rows) AS DOUBLE)
+             / (CAST(SUM(n_rows) AS DOUBLE) / COUNT(*)) AS skew_factor,
+           COUNT(*) FILTER (WHERE n_rows
+             > 2 * (SELECT CAST(SUM(n_rows) AS DOUBLE) / COUNT(*) FROM per_key))
+             AS n_hot_keys
+    FROM per_key
+    """,
+    doc="Join-key skew profile: per-key cardinality distribution of the "
+        "join column (min/max/avg rows per key, skew factor = max/avg, "
+        "hot-key count above 2x average) — the diagnostic run before "
+        "choosing between plain shuffle, AQE skew split, and the explicit "
+        "salted join (q28). Integer counts and one fixed IEEE division "
+        "sequence: deterministic at any parallelism; output is one row "
+        "regardless of input size.",
+)
+def q51_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = (
+        li.groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)  # consumed twice: profile + hot-key gate
+    )
+    avg_rows = F.sum("n_rows").cast("double") / F.count(F.lit(1))
+    profile = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("n_rows").alias("min_rows"),
+        F.max("n_rows").alias("max_rows"),
+        avg_rows.alias("avg_rows"),
+        (F.max("n_rows").cast("double") / avg_rows).alias("skew_factor"),
+    )
+    hot = (
+        per_key.crossJoin(
+            F.broadcast(per_key.agg(avg_rows.alias("global_avg")))
+        )
+        .filter(F.col("n_rows") > 2 * F.col("global_avg"))
+        .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    )
+    return profile.crossJoin(F.broadcast(hot))

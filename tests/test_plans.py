@@ -152,6 +152,8 @@ BROADCAST_NONEQUI_OK = {
     "q41_conversion_funnel",
     # one-row corpus-size broadcast into the IDF table — bounded by design
     "text_tfidf_top_terms",
+    # one-row global-average + one-row hot-key-count broadcasts — bounded
+    "q51_join_key_skew_profile",
 }
 
 

@@ -375,3 +375,67 @@ def test_clean_doc_stream_matches_batch_pipeline(spark, tmp_path):
         b = batch_by_fp[r.content_fp]
         assert r.n_tokens == b.n_tokens
         assert r.quality == b.quality
+
+
+def test_clean_doc_stream_dedup_horizon(spark, tmp_path):
+    """Pins the watermark-horizon dedup semantics: a duplicate inside the
+    horizon is dropped (state alive); a duplicate arriving after its
+    original's state was evicted is ADMITTED — the bounded-state tradeoff
+    (the batch dedup compaction removes such stragglers later). Note the
+    guarantee is one-sided: eviction is applied at batch boundaries AFTER
+    input processing, so expiry takes effect one batch later — hence the
+    intermediate flush batch before the late duplicate."""
+    import glob
+    import os
+    import shutil
+
+    from conduit_connector_s3_iceberg_spark.streaming import clean_doc_stream
+
+    text_a = "the cat and the dog run to the house of the king in a field"
+    text_b = "the bird and the fish swim to the lake of the queen in a garden"
+    text_f = "the fox and the hare race to the barn of the farmer in a meadow"
+    text_g = "the owl and the wolf walk to the cave of the miner in a valley"
+
+    def docs_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, ts_s string"
+        ).select("doc_id", "text", F.to_timestamp("ts_s").alias("ingest_ts"))
+
+    batches = [
+        # originals
+        docs_df([(1, text_a, "2024-01-01 10:00:00"),
+                 (2, text_b, "2024-01-01 10:00:00")]),
+        # in-horizon duplicate of B (state alive -> dropped) + a flush doc
+        # whose event time advances the watermark past A/B state expiry
+        docs_df([(3, text_b, "2024-01-01 10:05:00"),
+                 (4, text_f, "2024-01-01 11:00:00")]),
+        # intermediate batch: eviction of A/B state actually runs here
+        docs_df([(6, text_g, "2024-01-01 11:30:00")]),
+        # duplicate of A arriving AFTER its state was evicted -> admitted
+        docs_df([(5, text_a, "2024-01-01 12:00:00")]),
+    ]
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    for i, df in enumerate(batches):
+        stage = str(tmp_path / f"doc_stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = str(src / f"{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1000 + i, 1000 + i))  # deterministic arrival order
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        clean_doc_stream(stream, watermark="10 minutes"),
+        tmp_path,
+        "horizon_out",
+        output_mode="append",
+    ).collect()
+    got_ids = sorted(r.doc_id for r in out)
+    # every text must pass the language/quality gates for the scenario to
+    # be about dedup (not filtering)
+    assert got_ids == [1, 2, 4, 5, 6], got_ids
