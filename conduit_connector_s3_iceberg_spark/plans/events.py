@@ -360,3 +360,34 @@ def q50_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "q52_windowed_distinct_users",
+    oracle="""
+    SELECT event_id, user_id,
+           date_trunc('hour', ts) AS hour,
+           COUNT(DISTINCT user_id) OVER (
+             PARTITION BY date_trunc('hour', ts)
+           ) AS distinct_users_in_hour
+    FROM events
+    """,
+    doc="Windowed distinct count: every event annotated with its hour's "
+        "distinct-user count WITHOUT collapsing the rows (the enrichment "
+        "form a feature pipeline needs — a groupBy would lose the events). "
+        "Spark has no COUNT(DISTINCT) window function, so the engine form "
+        "is size(collect_set() OVER w): exact, and bounded because the "
+        "partition key (hour) bounds the set. For unbounded keys the "
+        "HLL-sketch join (events_hll_user_counts) is the scale path.",
+)
+def q52_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy(F.date_trunc("hour", "ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias(
+            "distinct_users_in_hour"
+        ),
+    )
