@@ -565,3 +565,32 @@ def q51_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hot_keys"))
     )
     return profile.crossJoin(F.broadcast(hot))
+
+
+@query(
+    "q53_multiset_ops",
+    oracle="""
+    (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+     INTERSECT ALL
+     SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    doc="Multiset (ALL) set algebra: INTERSECT ALL keeps the minimum "
+        "multiplicity per key, EXCEPT ALL subtracts multiplicities — the "
+        "bag semantics q18's distinct variants discard. Spark plans these "
+        "as dedicated hash-based operators (no pre-distinct), one shuffle "
+        "per operand on the compared columns.",
+)
+def q53_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return big.intersectAll(urgent).exceptAll(low)
