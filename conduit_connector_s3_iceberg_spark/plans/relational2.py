@@ -594,3 +594,43 @@ def q53_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return big.intersectAll(urgent).exceptAll(low)
+
+
+@query(
+    "q54_left_join_null_extension",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_urgent,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o.o_orderkey) AS n_null_extended,
+           COALESCE(MAX(o.o_totalprice), -1.0) AS max_urgent_price
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    GROUP BY c.c_custkey
+    """,
+    doc="Left-outer join null-extension semantics made explicit: customers "
+        "keep one null-extended row when no urgent order matches, COUNT of "
+        "the nullable column skips those rows while COUNT(*) keeps them, "
+        "and the aggregate over the extended side needs a COALESCE "
+        "sentinel. The join-side filter lives in the ON clause — pushing "
+        "it to WHERE would silently turn the join inner (the classic "
+        "outer-join bug this query pins).",
+)
+def q54_left_join_null_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    joined = cust.join(
+        orders,
+        (orders.o_custkey == cust.c_custkey)
+        & (orders.o_orderpriority == "1-URGENT"),
+        "left",
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_urgent"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("n_null_extended"),
+        F.coalesce(F.max("o_totalprice"), F.lit(-1.0)).alias("max_urgent_price"),
+    )
