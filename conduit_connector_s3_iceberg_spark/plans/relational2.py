@@ -634,3 +634,32 @@ def q54_left_join_null_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("o_orderkey")).alias("n_null_extended"),
         F.coalesce(F.max("o_totalprice"), F.lit(-1.0)).alias("max_urgent_price"),
     )
+
+
+# Submitted verbatim to BOTH engines: the standard aggregate FILTER clause
+# (conditional aggregation without CASE scaffolding), through the parser.
+_Q55_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 FILTER (WHERE l_discount > 0.05)
+            AS DECIMAL(38,2)) AS DOUBLE) AS discounted_revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q55_filtered_aggregates",
+    oracle=_Q55_SQL,
+    doc="Aggregate FILTER clause (SQL:2003) through the spark.sql parser "
+        "path: per-group conditional counts and a conditionally-filtered "
+        "exact-decimal revenue sum in ONE pass — the declarative form of "
+        "q35's CASE-based pivot arms. Same partial+final hash aggregation "
+        "as any grouped query; the filters evaluate row-side before the "
+        "partial aggregate, so nothing extra shuffles.",
+)
+def q55_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q55_SQL)
