@@ -663,3 +663,34 @@ GROUP BY l_returnflag
 def q55_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q55_SQL)
+
+
+# Submitted verbatim to BOTH engines: relative-rank window functions.
+# percent_rank = (rank-1)/(n-1) and cume_dist = n_peers_le/n are IEEE
+# divisions of identical integers — deterministic with a total order.
+_Q56_SQL = """
+SELECT o_orderkey, o_custkey,
+       PERCENT_RANK() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+       ) AS price_percentile,
+       CUME_DIST() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+       ) AS price_cume_dist
+FROM orders
+"""
+
+
+@query(
+    "q56_relative_rank",
+    oracle=_Q56_SQL,
+    doc="Relative-rank window functions (PERCENT_RANK / CUME_DIST) per "
+        "customer: each order positioned within its customer's price "
+        "distribution — the row-preserving normalization a feature "
+        "pipeline uses before cross-customer comparisons. Total order via "
+        "the orderkey tie-break makes both engines emit identical ranks; "
+        "the window partitions on the join key, so one bounded sort per "
+        "customer.",
+)
+def q56_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q56_SQL)
