@@ -694,3 +694,93 @@ FROM orders
 def q56_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q56_SQL)
+
+
+@query(
+    "q57_gap_fill_carry_forward",
+    oracle="""
+    WITH actual AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 300000
+      GROUP BY segment, month
+    ), bounds AS (
+      SELECT MIN(month) AS lo, MAX(month) AS hi FROM actual
+    ), months AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+               AS month
+      FROM bounds
+    ), spine AS (
+      SELECT DISTINCT c_mktsegment AS segment FROM customer
+    )
+    SELECT s.segment, m.month,
+           a.n_orders IS NOT NULL AS has_data,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           CAST(CAST(last_value(a.rev_dec IGNORE NULLS) OVER (
+             PARTITION BY s.segment ORDER BY m.month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,2)) AS DOUBLE) AS carried_revenue
+    FROM spine s CROSS JOIN months m
+    LEFT JOIN actual a ON a.segment = s.segment AND a.month = m.month
+    """,
+    doc="Time-series gap filling: a complete (segment x month) spine built "
+        "from sequence(), left-joined to sparse actuals, missing months "
+        "filled by last_value(IGNORE NULLS) carry-forward — the dense-grid "
+        "preparation step for forecasting/feature pipelines. The spine is "
+        "dimensions x months (bounded, broadcast); the fact table only "
+        "feeds the pre-aggregated actuals, so the cross join never touches "
+        "raw rows. Carried values stay exact decimal until emission.",
+)
+def q57_gap_fill_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    actual = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 300000)
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(dec("o_totalprice")).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .localCheckpoint(eager=False)  # consumed twice: bounds + the join
+    )
+    months = actual.agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("month")
+    )
+    spine = customer.select(F.col("c_mktsegment").alias("segment")).distinct()
+    grid = spine.crossJoin(F.broadcast(months))
+    joined = grid.join(actual, ["segment", "month"], "left")
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "segment",
+        "month",
+        F.col("n_orders").isNotNull().alias("has_data"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.last("rev_dec", ignorenulls=True)
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("carried_revenue"),
+    )

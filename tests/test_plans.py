@@ -185,6 +185,8 @@ BROADCAST_NONEQUI_OK = {
     "text_tfidf_top_terms",
     # one-row global-average + one-row hot-key-count broadcasts — bounded
     "q51_join_key_skew_profile",
+    # segments × months spine cross join (both sides bounded dims)
+    "q57_gap_fill_carry_forward",
 }
 
 
