@@ -9,7 +9,7 @@ from .cdc import (
     read_cdc_stream,
 )
 from .corpus import clean_doc_stream
-from .joins import stream_stream_join
+from .joins import enrich_stream, stream_stream_join
 from .stateful import running_user_totals
 from .windows import dedup_stream, session_rollup, sliding_rollup, tumbling_rollup
 
@@ -22,6 +22,7 @@ __all__ = [
     "clean_doc_stream",
     "running_user_totals",
     "stream_stream_join",
+    "enrich_stream",
     "dedup_stream",
     "session_rollup",
     "sliding_rollup",

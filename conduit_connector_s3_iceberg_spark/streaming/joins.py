@@ -42,3 +42,24 @@ def stream_stream_join(
         & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how).drop(rw[key])
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dimension: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table.
+
+    Structured Streaming re-evaluates the static side per micro-batch, so
+    a dimension backed by a table picks up updates between batches without
+    restarting the query — the standard enrichment pattern (user profile,
+    geo, catalog lookups) and stateless, unlike stream-stream joins: no
+    watermark, no state store. ``broadcast_dim`` ships the dimension to
+    executors once per batch; disable it for dimensions too large to
+    broadcast (the join then shuffles the micro-batch, which stays small).
+    """
+    dim = F.broadcast(dimension) if broadcast_dim else dimension
+    return stream.join(dim, on, how)

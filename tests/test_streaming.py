@@ -439,3 +439,20 @@ def test_clean_doc_stream_dedup_horizon(spark, tmp_path):
     # every text must pass the language/quality gates for the scenario to
     # be about dedup (not filtering)
     assert got_ids == [1, 2, 4, 5, 6], got_ids
+
+
+def test_stream_static_enrichment(spark, tmp_path, events_df):
+    """Stream-static join: every streamed event is enriched from a batch
+    dimension (broadcast, stateless — no watermark or state store)."""
+    from conduit_connector_s3_iceberg_spark.streaming import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string"
+    )
+    stream = stream_of(spark, tmp_path, events_df, "ev_enrich")
+    out = run_to_memory(
+        enrich_stream(stream, dim, "user_id"), tmp_path, "enrich_out"
+    ).collect()
+    assert len(out) == events_df.count()
+    tiers = {r.user_id: r.tier for r in out}
+    assert tiers == {1: "gold", 2: "basic"}
