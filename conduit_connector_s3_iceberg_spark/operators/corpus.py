@@ -41,10 +41,12 @@ N_PACK_SHARDS = 16   # deterministic shards; at 100 TB scale this up so a
       FROM documents
     ), c AS (
       SELECT doc_id, lang, shard, n_tokens,
-             SUM(n_tokens) OVER (
+             -- CAST: DuckDB SUM(BIGINT) yields HUGEINT (Arrow decimal128);
+             -- Spark's running sum is BIGINT — align the wire types.
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY lang, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) - n_tokens AS start_offset
+             ) - n_tokens AS BIGINT) AS start_offset
       FROM t
     )
     SELECT doc_id, lang, shard, n_tokens, start_offset,
@@ -179,7 +181,8 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              || CAST(CAST(FLOOR(start_offset / {CHUNK_TOKENS}.0) AS BIGINT)
                      AS VARCHAR) AS chunk_key,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS chunk_tokens,
+           -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; Spark emits BIGINT.
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
            md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_fp
     FROM c
     GROUP BY chunk_key

@@ -343,8 +343,9 @@ CENTROID_SCALE = 1_000_000
     "emb_label_centroids",
     oracle=f"""
     SELECT label, i - 1 AS pos,
-           SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE}) AS BIGINT))
-             AS sum_scaled,
+           -- outer CAST: DuckDB SUM(BIGINT) yields HUGEINT; Spark emits BIGINT
+           CAST(SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE}) AS BIGINT))
+                AS BIGINT) AS sum_scaled,
            COUNT(*) AS n_vecs,
            CAST(SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE}) AS BIGINT))
                 AS DOUBLE) / COUNT(*) / {CENTROID_SCALE} AS centroid

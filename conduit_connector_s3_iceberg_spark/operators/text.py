@@ -313,7 +313,8 @@ HIST_MAX_BUCKET = 7
            CAST(LEAST(FLOOR(len(string_split(trim(text), ' ')) / {HIST_BUCKET_TOKENS}.0),
                       {HIST_MAX_BUCKET}) AS INTEGER) AS len_bucket,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(trim(text), ' '))) AS total_tokens
+           -- CAST: DuckDB SUM(integer) yields HUGEINT; Spark emits BIGINT
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang, len_bucket
     """,

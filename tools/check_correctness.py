@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
+import pyarrow.types as pat  # noqa: E402
 
 from conduit_connector_s3_iceberg_spark.plans.registry import load_all  # noqa: E402
 from conduit_connector_s3_iceberg_spark.session import build_session  # noqa: E402
@@ -69,6 +70,9 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            otypes = {
+                f.name: f.type for f in con.execute(q.oracle).arrow().schema
+            }
             res = con.execute(q.oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -77,6 +81,20 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        # Arrow-type guard: DuckDB returns SUM(integer) as HUGEINT (Arrow
+        # decimal128), which the driver's value-hash treats as != Spark's
+        # BIGINT even when values are equal. Python-level compares below are
+        # type-blind (both surface as int), so catch the mismatch here.
+        sdtypes = dict(sdf.dtypes)
+        for cname, atype in otypes.items():
+            if pat.is_decimal(atype) and not sdtypes.get(cname, "").startswith(
+                "decimal"
+            ):
+                problems.append(
+                    f"oracle col {cname} is Arrow {atype} but spark is "
+                    f"{sdtypes.get(cname)} — wrap the oracle in "
+                    "CAST(... AS BIGINT/DOUBLE) (driver hash would fail)"
+                )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
