@@ -46,13 +46,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _distinct_shingles(docs: DataFrame) -> DataFrame:
     """doc_id × distinct shingle (exploded inverted-index input).
 
-    Repartitions first: the warehouse table is one parquet file at small SF,
-    which would otherwise pin the whole explode+hash pipeline to a single
-    task (at 100 TB the scan is naturally many-splits; this keeps local
-    behavior shaped the same way).
+    The warehouse table is one parquet file at small SF, which would pin the
+    whole explode+hash pipeline to a single task — so fan out ONLY when the
+    scan has fewer splits than the cluster has slots. At 100 TB the scan is
+    naturally many-splits and the repartition (a full shuffle of the raw
+    corpus before every dedup query) must not fire.
     """
     sc = docs.sparkSession.sparkContext
-    return docs.repartition(sc.defaultParallelism, "doc_id").select(
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    return docs.select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("shingle"),
     )

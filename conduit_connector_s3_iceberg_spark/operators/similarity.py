@@ -83,6 +83,37 @@ def _bucket_sql() -> str:
     return "CAST(" + " + ".join(bits) + " AS INTEGER)"
 
 
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k over a scored (query_id, vec_id, cosine) set
+    without funneling the full corpus into N_QUERIES reducer tasks.
+
+    Phase 1 ranks within (query_id, input-partition-id): the shuffle spreads
+    over num_partitions × num_queries reducers (balanced, no stragglers) and
+    each survivor set is capped at k rows. Phase 2 runs the per-query merge
+    window over only k × P survivors — the final single-key exchange input
+    is bounded by k × partitions, independent of corpus size. Exact because
+    every global top-k row is necessarily in its source partition's top-k
+    (ties broken deterministically by vec_id in both phases).
+    """
+    local_w = Window.partitionBy("query_id", "part_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    survivors = (
+        scored.withColumn("part_id", F.spark_partition_id())
+        .withColumn("local_rank", F.row_number().over(local_w))
+        .filter(F.col("local_rank") <= k)
+        .drop("part_id", "local_rank")
+    )
+    merge_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(merge_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 @query(
     "sim_topk_bruteforce",
     oracle=f"""
@@ -129,12 +160,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _two_phase_topk(scored, TOP_K)
 
 
 @query(
@@ -190,12 +216,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _two_phase_topk(cand, TOP_K)
 
 
 # --------------------------------------------------------------------- IVF
@@ -320,12 +341,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _two_phase_topk(cand, TOP_K)
 
 
 # --- Per-label centroids (exact, shuffle-once vector aggregation) ---------

@@ -59,6 +59,28 @@ def test_asof_join_is_single_shuffle_window(spark):
     assert "Window" in plan
 
 
+def test_topk_similarity_is_two_phase(spark):
+    # the exact top-k must NOT funnel the whole scored corpus into
+    # N_QUERIES reducer tasks: phase 1 ranks within
+    # (query_id, spark_partition_id()) and truncates to k, so the final
+    # per-query merge exchange reads at most k × partitions rows
+    for qname in ("sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf"):
+        df = load_all()[qname].build(spark, SF)
+        je = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = je.explainString(mode)
+        assert "SPARK_PARTITION_ID()" in plan, qname
+        assert "local_rank" in plan, qname
+        # phase-1 window keys include the partition id
+        assert "part_id" in plan.split("Exchange hashpartitioning")[1], qname
+        # Spark's rank-limit pushdown must be active (map-side truncation
+        # before every exchange) — if this disappears, the shuffle is
+        # corpus-sized again
+        assert "WindowGroupLimit" in plan, qname
+
+
 def test_hash_sampling_is_narrow_map(spark):
     # deterministic Bernoulli sampling must not shuffle: the whole operator
     # is filter+project over the scan (at 100 TB this is the difference
