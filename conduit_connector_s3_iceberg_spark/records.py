@@ -109,6 +109,117 @@ def struct_key_to_map(struct: dict[str, Any]) -> dict[str, str]:
     return out
 
 
+# --------------------------------------------------------------- Struct wire
+#
+# The reference receives keys/payloads as either raw JSON bytes or a
+# google.protobuf.Struct (``opencdc.proto:89-97``, the proto3 Data oneof).
+# ``Record`` has so far accepted the *decoded* dict form of a Struct; the
+# functions below also accept the serialized wire bytes. When the protobuf
+# runtime is importable we delegate to it; otherwise a pure-stdlib parser of
+# the (public, stable) proto3 wire format covers the three message shapes
+# Struct needs:
+#
+#   Struct   { map<string, Value> fields = 1; }          (len-delimited)
+#   Value    { oneof kind: null=1 number=2(double) string=3 bool=4
+#              struct=5 list=6 }
+#   ListValue{ repeated Value values = 1; }
+
+try:  # soft import — the container may not ship protobuf
+    from google.protobuf.struct_pb2 import Struct as _PbStruct  # type: ignore
+except Exception:  # pragma: no cover - environment-dependent
+    _PbStruct = None
+
+
+def _varint(buf: bytes, i: int) -> tuple[int, int]:
+    """Decode one base-128 varint at offset ``i`` → (value, next offset)."""
+    shift = out = 0
+    while True:
+        b = buf[i]
+        out |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def _wire_fields(buf: bytes):
+    """Iterate (field_number, wire_type, payload) over one message."""
+    i = 0
+    while i < len(buf):
+        tag, i = _varint(buf, i)
+        field, wtype = tag >> 3, tag & 0x07
+        if wtype == 0:  # varint
+            val, i = _varint(buf, i)
+            yield field, wtype, val
+        elif wtype == 1:  # fixed64
+            yield field, wtype, buf[i : i + 8]
+            i += 8
+        elif wtype == 2:  # length-delimited
+            ln, i = _varint(buf, i)
+            yield field, wtype, buf[i : i + ln]
+            i += ln
+        elif wtype == 5:  # fixed32
+            yield field, wtype, buf[i : i + 4]
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wtype}")
+
+
+def _parse_value(buf: bytes) -> Any:
+    """One ``google.protobuf.Value`` message → Python native."""
+    import struct as _struct
+
+    kind: Any = None
+    for field, _, payload in _wire_fields(buf):
+        if field == 1:  # null_value
+            kind = None
+        elif field == 2:  # number_value (little-endian double)
+            kind = _struct.unpack("<d", payload)[0]
+        elif field == 3:  # string_value
+            kind = payload.decode("utf-8")
+        elif field == 4:  # bool_value
+            kind = bool(payload)
+        elif field == 5:  # struct_value
+            kind = parse_struct_bytes(payload)
+        elif field == 6:  # list_value
+            kind = [
+                _parse_value(p)
+                for f, _, p in _wire_fields(payload)
+                if f == 1
+            ]
+    return kind
+
+
+def parse_struct_bytes(raw: bytes) -> dict[str, Any]:
+    """Serialized ``google.protobuf.Struct`` → plain dict (numbers are
+    doubles, exactly the decoded form the reference hands to
+    ``protobufStructToMap``, ``SparkDestinationStream.java:190-209``)."""
+    if _PbStruct is not None:  # pragma: no cover - environment-dependent
+        s = _PbStruct()
+        s.ParseFromString(bytes(raw))
+        from google.protobuf.json_format import MessageToDict  # type: ignore
+
+        return MessageToDict(s)
+    out: dict[str, Any] = {}
+    for field, _, entry in _wire_fields(bytes(raw)):
+        if field != 1:
+            continue  # unknown field — skip, proto3 contract
+        key, val = "", None
+        for ef, _, ep in _wire_fields(entry):
+            if ef == 1:
+                key = ep.decode("utf-8")
+            elif ef == 2:
+                val = _parse_value(ep)
+        out[key] = val
+    return out
+
+
+def struct_wire_key_to_map(raw: bytes) -> dict[str, str]:
+    """Struct wire bytes → stringified predicate map — the full reference
+    path ``structuredData → protobufStructToMap`` in one call."""
+    return struct_key_to_map(parse_struct_bytes(raw))
+
+
 def key_to_map(key: bytes | dict | None) -> dict[str, Any]:
     """Key ``Data`` → predicate map (``toPojoMap``,
     ``SparkDestinationStream.java:138-149``) + the empty-key guard that

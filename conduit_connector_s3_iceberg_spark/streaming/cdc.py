@@ -140,6 +140,118 @@ def apply_cdc_batch(
     wh.overwrite_with(table, result)
 
 
+#: Name of the verdict column added by :func:`classify_cdc_errors`.
+ERROR_COL = "__cdc_error"
+
+#: Operations the envelope may legally carry (``opencdc.proto:38-49``).
+KNOWN_OPS = ("unspecified", "create", "update", "delete", "snapshot")
+
+
+def classify_cdc_errors(
+    envelope: DataFrame, key_fields: list[str]
+) -> DataFrame:
+    """Envelope rows → envelope + ``__cdc_error`` verdict column (null =
+    valid) — the record-granularity error contract of the reference
+    (``SparkDestinationStream.java:70-92``: each record is try/caught and a
+    failure maps to a per-record gRPC INTERNAL while the rest proceed).
+
+    The FAILFAST epoch path rejects a whole micro-batch on one bad record;
+    this classifier instead lets callers split the batch: valid rows apply,
+    invalid rows quarantine with the reference's error-message taxonomy
+    (:mod:`..records`): ``"input data is not JSON"`` for unparseable
+    key/payload bytes, ``"key has no fields"`` for absent/empty delete keys
+    (the guard that prevents accidental full-table deletes,
+    ``SparkDestinationStream.java:119-122``), ``"record has no payload"``
+    for upserts without an after-image. Every check is a column expression
+    (whole-stage codegen) — classification adds no Python to the hot path.
+    """
+    kmap = F.from_json("key", T.MapType(T.StringType(), T.StringType()))
+    # json_key_to_map drops null-valued fields before the empty-key guard
+    # (reference :164-165), so an all-null key is also "no fields"
+    kmap_nn = F.map_filter(kmap, lambda _, v: v.isNotNull())
+    amap = F.from_json("after", T.MapType(T.StringType(), T.StringType()))
+    is_upsert = F.col("operation").isin(*UPSERT_OPS)
+    err = (
+        F.when(
+            ~F.col("operation").isin(*KNOWN_OPS),
+            F.concat(F.lit("unknown operation: "), F.col("operation")),
+        )
+        .when(
+            F.col("operation") == "delete",
+            F.when(F.col("key").isNull(), F.lit("key has no fields"))
+            .when(kmap.isNull(), F.lit("input data is not JSON"))
+            .when(F.size(F.map_keys(kmap_nn)) == 0, F.lit("key has no fields")),
+        )
+        .when(
+            is_upsert,
+            F.when(F.col("after").isNull(), F.lit("record has no payload"))
+            .when(amap.isNull(), F.lit("input data is not JSON"))
+            .when(
+                # upserts must still carry every key field somewhere —
+                # envelope key or payload — or the row can never merge
+                F.array_contains(
+                    F.array(
+                        *[
+                            F.coalesce(kmap_nn[k], amap[k]).isNull()
+                            for k in key_fields
+                        ]
+                    ),
+                    F.lit(True),
+                ),
+                F.lit("key has no fields"),
+            ),
+        )
+    )
+    return envelope.withColumn(ERROR_COL, err)
+
+
+def split_cdc_batch(
+    envelope: DataFrame, key_fields: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Classify and split one envelope batch → ``(valid, dead_letter)``.
+
+    ``valid`` keeps the envelope shape (feed it to :func:`decode_cdc` →
+    :func:`apply_cdc_batch` unchanged); ``dead_letter`` is the quarantine
+    record ``(position, operation, error)`` — the durable analogue of the
+    reference's per-record error response.
+    """
+    classified = classify_cdc_errors(envelope, key_fields)
+    valid = classified.filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL)
+    dlq = classified.filter(F.col(ERROR_COL).isNotNull()).select(
+        "position", "operation", F.col(ERROR_COL).alias("error")
+    )
+    return valid, dlq
+
+
+def apply_cdc_batch_dlq(
+    wh,
+    table: str,
+    envelope_batch: DataFrame,
+    key_fields: list[str],
+    dlq_table: str | None = None,
+) -> int:
+    """Per-record-tolerant apply: quarantine malformed records, commit the
+    rest. Returns the number of quarantined records.
+
+    One malformed record in an N-record batch dead-letters alone while the
+    other N−1 apply — the reference's record-granularity contract
+    (``SparkDestinationStream.java:70-92``) at micro-batch cost. When
+    ``dlq_table`` is given, quarantined rows append durably there
+    (``position``, ``operation``, ``error``, ``quarantined_at``).
+    """
+    valid, dlq = split_cdc_batch(envelope_batch, key_fields)
+    schema = wh.schema(table)
+    decoded = decode_cdc(valid, schema, key_fields)
+    apply_cdc_batch(wh, table, decoded, key_fields)
+    n_bad = dlq.count()
+    if dlq_table is not None and n_bad:
+        stamped = dlq.withColumn("quarantined_at", F.current_timestamp())
+        if not wh.table_exists(dlq_table):
+            wh.create_table(dlq_table, stamped.schema)
+        wh.append(dlq_table, stamped)
+    return n_bad
+
+
 def apply_cdc_stream(
     stream: DataFrame,
     wh,
@@ -147,13 +259,22 @@ def apply_cdc_stream(
     key_fields: list[str],
     checkpoint_dir: str,
     available_now: bool = True,
+    dead_letter_table: str | None = None,
 ):
     """Wire a decoded CDC stream into the warehouse: one epoch = one apply =
-    one commit. Returns the started StreamingQuery."""
+    one commit. Returns the started StreamingQuery.
+
+    With ``dead_letter_table`` set, malformed records quarantine there
+    per-record instead of failing the epoch (reference error contract,
+    ``SparkDestinationStream.java:70-92``); without it the epoch is
+    FAILFAST-atomic."""
     schema = wh.schema(table)
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
+            return
+        if dead_letter_table is not None:
+            apply_cdc_batch_dlq(wh, table, batch, key_fields, dead_letter_table)
             return
         apply_cdc_batch(wh, table, decode_cdc(batch, schema, key_fields), key_fields)
 

@@ -120,6 +120,50 @@ def test_cdc_stream_apply_end_to_end(spark, tmp_path):
     assert dict(wh.read("items").dtypes)["qty"] == "int"
 
 
+def test_cdc_stream_dead_letter_quarantine(spark, tmp_path):
+    # reference error contract (SparkDestinationStream.java:70-92): a bad
+    # record fails ALONE; the rest of the batch commits. One malformed
+    # payload + one keyless delete quarantine to the DLQ table while the
+    # other records apply.
+    wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+    wh.create_table("items", TABLE_SCHEMA)
+    records = [
+        env("p1", "create", after={"id": 1, "name": "a", "qty": 5}),
+        {  # malformed payload bytes — records.py: "input data is not JSON"
+            "position": "p2",
+            "operation": "create",
+            "key": None,
+            "before": None,
+            "after": "{not json",
+            "metadata": {},
+        },
+        env("p3", "delete"),  # keyless delete — "key has no fields"
+        env("p4", "create", after={"id": 2, "name": "b", "qty": 7}),
+        env("p5", "unspecified"),  # still a silent no-op, NOT an error
+    ]
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in records))
+
+    q = apply_cdc_stream(
+        read_cdc_stream(spark, str(src)),
+        wh,
+        "items",
+        ["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_table="items_dlq",
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"]: (r["name"], r["qty"]) for r in wh.read("items").collect()}
+    assert got == {1: ("a", 5), 2: ("b", 7)}  # N-1 committed
+    dlq = {r["position"]: r["error"] for r in wh.read("items_dlq").collect()}
+    assert dlq == {
+        "p2": "input data is not JSON",
+        "p3": "key has no fields",
+    }
+
+
 def test_cdc_stream_second_epoch_incremental(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
     wh.create_table("items", TABLE_SCHEMA)
