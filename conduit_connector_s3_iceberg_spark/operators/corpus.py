@@ -212,3 +212,138 @@ def pack_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("chunk_tokens"),
         F.md5(ordered_concat).alias("text_fp"),
     )
+
+
+# ------------------------------------------------------- train/val/test split
+#
+# Deterministic corpus split: the split a doc lands in is a pure function of
+# its id (md5 hex prefix, same discipline as operators/sampling.py), so the
+# assignment is reproducible across runs, clusters, and partitionings, and
+# adding documents never moves existing ones between splits. Narrow map +
+# one tiny rollup.
+
+SPLIT_SALT = "split:"
+TRAIN_HEX = "cc"   # 204/256 ≈ 80% train
+VAL_HEX = "e6"     # 230/256 ≈ 90% cumulative → ~10% val, ~10% test
+
+
+@query(
+    "corpus_train_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2) < '{TRAIN_HEX}'
+                  THEN 'train'
+                  WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2) < '{VAL_HEX}'
+                  THEN 'val' ELSE 'test' END AS split,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned
+    GROUP BY lang, split
+    """,
+    doc="Deterministic hash-based train/val/test split (~80/10/10) rolled "
+        "up per language: split = md5(salt||doc_id) hex-prefix banding, the "
+        "reproducible-sampling discipline of operators/sampling.py. "
+        "Assignment is a narrow map (zero shuffle); the rollup output is "
+        "langs × 3 rows regardless of corpus size.",
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 2
+    )
+    assigned = docs.select(
+        "lang",
+        F.when(h < TRAIN_HEX, "train")
+        .when(h < VAL_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# --------------------------------------------------------- domain mix weights
+#
+# Per-source sampling weights for domain mixing (the Pile/DoReMi-style
+# mixture table): weight ∝ sqrt(token share), normalized. All cross-row
+# float sums go through scaled integers so the result is bit-identical under
+# any shuffle order (sqrt and division are single IEEE-exact ops; only SUMs
+# are order-sensitive, and those are integer). Output is |sources| rows —
+# the '100 TB in, mixture table out' shape.
+
+WEIGHT_SCALE = 1_000_000_000_000  # 1e12: sqrt-share quantization for exact sums
+
+
+@query(
+    "mix_domain_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens
+      FROM documents
+      GROUP BY source
+    ), shared AS (
+      SELECT source, n_docs, tokens,
+             CAST(tokens AS DOUBLE)
+               / CAST(SUM(tokens) OVER () AS BIGINT) AS token_share
+      FROM per_source
+    ), scaled AS (
+      SELECT *,
+             CAST(round(sqrt(token_share) * {WEIGHT_SCALE}) AS BIGINT)
+               AS w_scaled
+      FROM shared
+    )
+    SELECT source, n_docs, tokens, token_share,
+           CAST(w_scaled AS DOUBLE)
+             / CAST(SUM(w_scaled) OVER () AS BIGINT) AS mix_weight
+    FROM scaled
+    """,
+    doc="Domain-mixing weight table: per-source token share, then sampling "
+        "weight ∝ sqrt(share) normalized over sources (sqrt temper, the "
+        "standard 'flatten the head domains' mixture). Exactness: shares "
+        "and weights divide scaled-integer sums (order-independent); sqrt "
+        "and each division are single correctly-rounded IEEE ops, so both "
+        "engines emit identical bits. One corpus aggregation; everything "
+        "after runs on |sources| rows.",
+)
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")).alias(
+            "tokens"
+        ),
+    )
+    everything = Window.partitionBy()
+    shared = per_source.select(
+        "*",
+        (
+            F.col("tokens").cast("double") / F.sum("tokens").over(everything)
+        ).alias("token_share"),
+    )
+    scaled = shared.select(
+        "*",
+        F.round(F.sqrt(F.col("token_share")) * WEIGHT_SCALE)
+        .cast("bigint")
+        .alias("w_scaled"),
+    )
+    return scaled.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "token_share",
+        (
+            F.col("w_scaled").cast("double") / F.sum("w_scaled").over(everything)
+        ).alias("mix_weight"),
+    ).drop("w_scaled")

@@ -548,3 +548,194 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(
         "lang_labeled", F.col("lang_detected")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ------------------------------------------------------------ repetition
+#
+# Gopher/C4-style repetition gate: heavily repeated n-grams are the classic
+# signature of boilerplate and degenerate text. Score = most-frequent
+# trigram count / total trigram count. Shape at scale: one explode + two
+# hash aggregations ((doc_id, trigram) then doc_id) — both keyed by doc_id
+# so the second agg is a near-local rollup of the first's output.
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(trim(text),' '), i, i+2), ' ')
+             )) AS tri
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tri, COUNT(*) AS cnt FROM s GROUP BY doc_id, tri
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+           COUNT(*) AS n_distinct_trigrams,
+           CAST(MAX(cnt) AS BIGINT) AS max_trigram_count,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS repetition_ratio
+    FROM c
+    GROUP BY doc_id
+    """,
+    doc="Per-document trigram repetition score (the Gopher 'repeated "
+        "n-gram fraction' quality gate): most-frequent-trigram share of all "
+        "trigrams. One explode + two doc-keyed hash aggregations; output is "
+        "one row per document.",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import SHINGLES_SPARK  # same tokenization as the dedup family
+
+    docs = _docs(spark, sf_dir)
+    tri = docs.select(
+        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("tri")
+    )
+    counts = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_distinct_trigrams"),
+        F.max("cnt").alias("max_trigram_count"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("repetition_ratio"),
+    )
+
+
+# ------------------------------------------------------------ token rarity
+#
+# A model-free 'perplexity proxy': rank every vocabulary token by corpus
+# frequency (1 = most common) and score each document by the mean rank of
+# its tokens — rare-token-heavy docs score high. Integer ranks keep the
+# cross-engine math exact (no log()); the vocabulary table is tiny relative
+# to the corpus, so the rank window is a metadata-sized single partition and
+# the doc join broadcasts.
+
+@query(
+    "text_rarity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok
+    ), ranked AS (
+      SELECT tok,
+             CAST(DENSE_RANK() OVER (ORDER BY freq DESC, tok) AS INTEGER)
+               AS rarity_rank
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(r.rarity_rank) AS BIGINT) AS rank_sum,
+           CAST(SUM(r.rarity_rank) AS DOUBLE) / COUNT(*) AS mean_rarity
+    FROM tok t JOIN ranked r ON t.tok = r.tok
+    GROUP BY t.doc_id
+    """,
+    doc="Mean token-rarity score per document: vocabulary ranked by corpus "
+        "frequency (dense_rank, ties broken by token), documents scored by "
+        "the mean rank of their tokens. The vocabulary aggregation shuffles "
+        "on token; the rank window runs over the (tiny) vocab table; the "
+        "per-doc join broadcasts the ranked vocab — the corpus itself is "
+        "touched by exactly one explode and one doc-keyed aggregation.",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    from pyspark.sql import Window
+
+    ranked = vocab.select(
+        "tok",
+        F.dense_rank()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("tok")))
+        .alias("rarity_rank"),
+    )
+    return (
+        tok.join(F.broadcast(ranked), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rarity_rank").alias("rank_sum"),
+            (F.sum("rarity_rank").cast("double") / F.count(F.lit(1))).alias(
+                "mean_rarity"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------ PII scrub
+#
+# Regex PII redaction (emails, IPv4) — the scrub pass every training corpus
+# runs before packing. The synthetic corpus contains no PII, so the query
+# deterministically injects fixture PII for a known subset of doc_ids
+# (doc_id%3==0 gets an email, doc_id%5==0 an IP) and then redacts it; the
+# operator under test is the redaction expression chain, which is plain
+# regexp_count/regexp_replace — JVM codegen, narrow map, zero shuffle.
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' host 10.0.' || (doc_id % 200)::VARCHAR || '.'
+                            || (doc_id % 250)::VARCHAR
+                       ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INTEGER) AS n_ips,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{IPV4_RE}', '<IP>', 'g')) AS redacted_fp
+    FROM aug
+    """,
+    doc="PII scrub: count and redact emails/IPv4 addresses "
+        "(regexp_count + chained regexp_replace, '<EMAIL>'/'<IP>' masks). "
+        "Fixture PII is injected deterministically per doc_id since the "
+        "synthetic corpus has none; output fingerprints the redacted text. "
+        "Pure narrow map over the scan — no shuffle, no Python.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(IPV4_RE),
+        F.lit("<IP>"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(IPV4_RE)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
