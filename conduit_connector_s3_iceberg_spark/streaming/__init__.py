@@ -9,6 +9,7 @@ from .cdc import (
     read_cdc_stream,
 )
 from .corpus import clean_doc_stream
+from .ivm import apply_summary_delta, cdc_delta_frame, maintain_summary_stream
 from .joins import enrich_stream, stream_stream_join
 from .stateful import running_user_totals
 from .windows import dedup_stream, session_rollup, sliding_rollup, tumbling_rollup
@@ -20,6 +21,9 @@ __all__ = [
     "decode_cdc",
     "read_cdc_stream",
     "clean_doc_stream",
+    "apply_summary_delta",
+    "cdc_delta_frame",
+    "maintain_summary_stream",
     "running_user_totals",
     "stream_stream_join",
     "enrich_stream",

@@ -59,6 +59,47 @@ def test_asof_join_is_single_shuffle_window(spark):
     assert "Window" in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # at 100 TB the fact side of a selective dim join should be pruned by a
+    # runtime bloom filter before the shuffle (Spark injects
+    # bloom_filter_agg on the filtered build side and might_contain on the
+    # probe scan). Locally everything broadcasts, so force the shuffle-join
+    # regime the big cluster would be in and pin that the optimizer still
+    # injects the filter.
+    from pyspark.sql import functions as F
+
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        je = j._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = je.explainString(mode)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_topk_similarity_is_two_phase(spark):
     # the exact top-k must NOT funnel the whole scored corpus into
     # N_QUERIES reducer tasks: phase 1 ranks within

@@ -32,12 +32,12 @@ TABLE_SCHEMA = T.StructType(
 )
 
 
-def env(position, op, key=None, after=None):
+def env(position, op, key=None, after=None, before=None):
     return {
         "position": position,
         "operation": op,
         "key": json.dumps(key) if key is not None else None,
-        "before": None,
+        "before": json.dumps(before) if before is not None else None,
         "after": json.dumps(after) if after is not None else None,
         "metadata": {},
     }
@@ -500,3 +500,125 @@ def test_stream_static_enrichment(spark, tmp_path, events_df):
     assert len(out) == events_df.count()
     tiers = {r.user_id: r.tier for r in out}
     assert tiers == {1: "gold", 2: "basic"}
+
+
+# ------------------------------------------------------------------ IVM
+
+def _summary_of(wh, base_table):
+    return {
+        (r["name"],): (r["n_rows"], r["sum_qty"])
+        for r in wh.read(base_table)
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("qty").alias("sum_qty"))
+        .collect()
+    }
+
+
+def test_ivm_summary_matches_batch_recompute(spark, tmp_path):
+    # the summary maintained incrementally from the CDC feed must equal a
+    # full groupBy recompute over the base table maintained from the SAME
+    # feed — across multiple epochs, including updates and deletes with
+    # before-images (the IVM completeness condition).
+    from conduit_connector_s3_iceberg_spark.streaming import (
+        maintain_summary_stream,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+    wh.create_table("items", TABLE_SCHEMA)
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                env("p1", "create", after={"id": 1, "name": "a", "qty": 5}),
+                env("p2", "create", after={"id": 2, "name": "b", "qty": 7}),
+                env("p3", "create", after={"id": 3, "name": "a", "qty": 9}),
+            ]
+        )
+    )
+    base_ckpt, sum_ckpt = str(tmp_path / "ckpt_base"), str(tmp_path / "ckpt_sum")
+
+    def run_both():
+        apply_cdc_stream(
+            read_cdc_stream(spark, str(src)), wh, "items", ["id"], base_ckpt
+        ).awaitTermination(120)
+        maintain_summary_stream(
+            read_cdc_stream(spark, str(src)),
+            wh,
+            "items_by_name",
+            TABLE_SCHEMA,
+            ["name"],
+            ["qty"],
+            sum_ckpt,
+        ).awaitTermination(120)
+
+    run_both()
+    got = {
+        (r["name"],): (r["n_rows"], r["sum_qty"])
+        for r in wh.read("items_by_name").collect()
+    }
+    assert got == _summary_of(wh, "items") == {("a",): (2, 14), ("b",): (1, 7)}
+
+    # epoch 2: update moves qty, delete retracts a group member, new insert
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                env(
+                    "p4",
+                    "update",
+                    key={"id": 2},
+                    before={"id": 2, "name": "b", "qty": 7},
+                    after={"id": 2, "name": "b", "qty": 11},
+                ),
+                env(
+                    "p5",
+                    "delete",
+                    key={"id": 3},
+                    before={"id": 3, "name": "a", "qty": 9},
+                ),
+                env("p6", "create", after={"id": 4, "name": "c", "qty": 2}),
+            ]
+        )
+    )
+    run_both()
+    got = {
+        (r["name"],): (r["n_rows"], r["sum_qty"])
+        for r in wh.read("items_by_name").collect()
+    }
+    assert (
+        got
+        == _summary_of(wh, "items")
+        == {("a",): (1, 5), ("b",): (1, 11), ("c",): (1, 2)}
+    )
+
+
+def test_ivm_rejects_update_without_before_image(spark, tmp_path):
+    # silently skipping an incomplete retraction would drift the summary
+    # forever — the epoch must fail loudly instead
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from conduit_connector_s3_iceberg_spark.streaming import (
+        maintain_summary_stream,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps(
+            env("p1", "update", key={"id": 1}, after={"id": 1, "name": "a", "qty": 2})
+        )
+    )
+    q = maintain_summary_stream(
+        read_cdc_stream(spark, str(src)),
+        wh,
+        "s",
+        TABLE_SCHEMA,
+        ["name"],
+        ["qty"],
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(StreamingQueryException, match="IVM requires before-images"):
+        q.awaitTermination(120)
