@@ -347,3 +347,110 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w_scaled").cast("double") / F.sum("w_scaled").over(everything)
         ).alias("mix_weight"),
     ).drop("w_scaled")
+
+
+# ------------------------------------------------------------- split drift
+#
+# Distribution-drift monitor over the hash splits: chi-square statistic of
+# each split's token-length-bucket histogram against the whole-corpus
+# distribution. The guard every training pipeline wants: a hash split
+# SHOULD be distribution-neutral — a chi2 spike means the split key leaks
+# signal. Per-bucket contributions are quantized to 1e-9 before the
+# cross-bucket sum, so the statistic is bit-stable under any aggregation
+# order (same scaled-integer discipline as mix_domain_weights).
+
+DRIFT_SCALE = 1_000_000_000
+
+
+@query(
+    "corpus_split_drift",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2) < '{TRAIN_HEX}'
+                  THEN 'train'
+                  WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2) < '{VAL_HEX}'
+                  THEN 'val' ELSE 'test' END AS split,
+             CAST(LEAST(FLOOR(len(string_split(trim(text), ' ')) / 32.0), 7)
+                  AS INTEGER) AS len_bucket
+      FROM documents
+    ), cell AS (
+      SELECT split, len_bucket, COUNT(*) AS observed
+      FROM assigned GROUP BY split, len_bucket
+    ), totals AS (
+      SELECT split, len_bucket, observed,
+             CAST(SUM(observed) OVER (PARTITION BY split) AS BIGINT) AS split_total,
+             CAST(SUM(observed) OVER (PARTITION BY len_bucket) AS BIGINT) AS bucket_total,
+             CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+      FROM cell
+    ), contrib AS (
+      SELECT split, observed, split_total,
+             CAST(round(
+               (observed - CAST(split_total AS DOUBLE) * bucket_total / grand_total)
+               * (observed - CAST(split_total AS DOUBLE) * bucket_total / grand_total)
+               / (CAST(split_total AS DOUBLE) * bucket_total / grand_total)
+               * {DRIFT_SCALE}) AS BIGINT) AS c_scaled
+      FROM totals
+    )
+    SELECT split,
+           CAST(MAX(split_total) AS BIGINT) AS n_docs,
+           CAST(SUM(c_scaled) AS BIGINT) AS chi2_scaled,
+           CAST(CAST(SUM(c_scaled) AS BIGINT) AS DOUBLE) / {DRIFT_SCALE} AS chi2
+    FROM contrib
+    GROUP BY split
+    """,
+    doc="Split-distribution drift monitor: chi-square of each train/val/"
+        "test split's token-length histogram against the whole-corpus "
+        "distribution — the check that a sampling/split key is "
+        "distribution-neutral. One corpus-wide bucket aggregation, then "
+        "everything runs on splits × 8 cells; per-cell contributions are "
+        "quantized to scaled integers before the cross-cell sum so the "
+        "statistic is reproducible under any shuffle order.",
+)
+def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 2
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    assigned = docs.select(
+        F.when(h < TRAIN_HEX, "train")
+        .when(h < VAL_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.least(F.floor(n_tok / F.lit(32.0)), F.lit(7)).cast("int").alias(
+            "len_bucket"
+        ),
+    )
+    cell = assigned.groupBy("split", "len_bucket").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    totals = cell.select(
+        "*",
+        F.sum("observed").over(Window.partitionBy("split")).alias("split_total"),
+        F.sum("observed").over(Window.partitionBy("len_bucket")).alias(
+            "bucket_total"
+        ),
+        F.sum("observed").over(Window.partitionBy()).alias("grand_total"),
+    )
+    expected = (
+        F.col("split_total").cast("double")
+        * F.col("bucket_total")
+        / F.col("grand_total")
+    )
+    contrib = totals.select(
+        "split",
+        "split_total",
+        F.round(
+            (F.col("observed") - expected)
+            * (F.col("observed") - expected)
+            / expected
+            * DRIFT_SCALE
+        )
+        .cast("bigint")
+        .alias("c_scaled"),
+    )
+    return contrib.groupBy("split").agg(
+        F.max("split_total").alias("n_docs"),
+        F.sum("c_scaled").alias("chi2_scaled"),
+        (F.sum("c_scaled").cast("double") / DRIFT_SCALE).alias("chi2"),
+    )

@@ -207,3 +207,43 @@ def mm_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("out_payload").alias("out_len"),
         F.md5("out_payload").alias("out_md5"),
     )
+
+
+MODALITIES = ("text", "image", "audio", "video")
+_MOD_SQL = ", ".join(f"'{m}'" for m in MODALITIES)
+
+
+@query(
+    "mm_modality_mix",
+    oracle=f"""
+    SELECT [{_MOD_SQL}][CAST(doc_id % 4 AS INTEGER) + 1] AS modality,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_bytes
+    FROM documents
+    GROUP BY modality
+    """,
+    doc="Modality-mix rollup over the asset store: per-modality asset "
+        "count, total payload bytes, mean payload size — the dataset-card "
+        "summary a multimodal corpus publishes. Modality is derived "
+        "deterministically from doc_id (the synthetic store carries text "
+        "payloads only); byte accounting runs on the binary column "
+        "JVM-side. Narrow map + one 4-group aggregation.",
+)
+def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        docs.select(modality.alias("modality"), F.octet_length(payload).alias("nb"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("nb").alias("total_bytes"),
+            (F.sum("nb") / F.count(F.lit(1)).cast("double")).alias("avg_bytes"),
+        )
+    )

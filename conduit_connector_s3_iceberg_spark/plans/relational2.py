@@ -784,3 +784,55 @@ def q57_gap_fill_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("carried_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q58 — recursive CTE hierarchy walk (Spark 4 WITH RECURSIVE)
+# --------------------------------------------------------------------------
+@query(
+    "q58_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT s_suppkey AS suppkey, s_suppkey AS node, 0 AS depth,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS path_cents
+      FROM supplier
+      UNION ALL
+      SELECT w.suppkey, w.node // 2 AS node, w.depth + 1 AS depth,
+             w.path_cents + CAST(round(s.s_acctbal * 100) AS BIGINT)
+               AS path_cents
+      FROM walk w JOIN supplier s ON s.s_suppkey = w.node // 2
+      WHERE w.node > 1
+    )
+    SELECT suppkey, depth AS chain_depth, path_cents,
+           CAST(path_cents AS DOUBLE) / 100 AS path_balance
+    FROM walk WHERE node <= 1
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): walk each supplier's "
+        "ancestor chain in the implied binary hierarchy (parent = suppkey "
+        "div 2 — the management-chain shape) accumulating exact-cents "
+        "balance along the path. Recursion depth is log2(n) and each "
+        "iteration is one equi-join of the shrinking frontier against the "
+        "supplier dim — the construct scales as an iterative broadcast "
+        "join, not a blowup. Balances accumulate as BIGINT cents per row "
+        "chain (no cross-row float order anywhere).",
+)
+def q58_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT s_suppkey AS suppkey, s_suppkey AS node, 0 AS depth,
+                 CAST(round(s_acctbal * 100) AS BIGINT) AS path_cents
+          FROM supplier
+          UNION ALL
+          SELECT w.suppkey, w.node DIV 2 AS node, w.depth + 1 AS depth,
+                 w.path_cents + CAST(round(s.s_acctbal * 100) AS BIGINT)
+                   AS path_cents
+          FROM walk w JOIN supplier s ON s.s_suppkey = w.node DIV 2
+          WHERE w.node > 1
+        )
+        SELECT suppkey, depth AS chain_depth, path_cents,
+               CAST(path_cents AS DOUBLE) / 100 AS path_balance
+        FROM walk WHERE node <= 1
+        """
+    )
