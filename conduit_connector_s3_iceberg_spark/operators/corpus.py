@@ -454,3 +454,60 @@ def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_scaled").alias("chi2_scaled"),
         (F.sum("c_scaled").cast("double") / DRIFT_SCALE).alias("chi2"),
     )
+
+
+# ------------------------------------------------------------- domain caps
+#
+# Per-source document cap — the anti-spam stage of a crawl pipeline: no
+# single feed/domain may contribute more than DOMAIN_CAP documents, and the
+# survivors are the "best" by a quality rank (here n_chars DESC — longer
+# docs win — with doc_id as the deterministic tiebreak). The plan is the
+# same two-phase top-k used in operators/similarity.py: a local
+# row_number over (source, input-partition) truncates each partition to the
+# cap BEFORE the shuffle, so the per-source exchange moves at most
+# cap × n_partitions rows, not the whole corpus — with a handful of
+# sources, a single-phase window would funnel the entire corpus into a few
+# reducer tasks (exactly the straggler shape VERDICT r1 flagged in the
+# brute-force top-k).
+
+DOMAIN_CAP = 15
+
+
+@query(
+    "corpus_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, rk
+    FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS INTEGER) AS rk
+      FROM documents
+    )
+    WHERE rk <= {DOMAIN_CAP}
+    """,
+    doc=f"Per-source document cap: keep each source's top {DOMAIN_CAP} docs "
+        "by quality rank (n_chars DESC, doc_id tiebreak). Two-phase top-k: "
+        "a per-input-partition row_number truncates to the cap before the "
+        "per-source shuffle, bounding the exchange at cap x partitions "
+        "rows — sources are few, so the single-phase window would be a "
+        "straggler funnel at corpus scale.",
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    order = (F.col("n_chars").desc(), F.col("doc_id"))
+    local = Window.partitionBy("source", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        docs.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= DOMAIN_CAP)
+        .drop("_lrk")
+    )
+    final = Window.partitionBy("source").orderBy(*order)
+    return pruned.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(final).cast("int").alias("rk"),
+    ).filter(F.col("rk") <= DOMAIN_CAP)

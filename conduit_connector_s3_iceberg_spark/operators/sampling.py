@@ -104,3 +104,66 @@ def sample_stratum_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= STRATUM_K)
     )
+
+
+# --------------------------------------------------------------- token budget
+#
+# "Sample to a token budget" — the knob an actual pretraining mix is tuned
+# by: each language contributes AT MOST ``TOKEN_BUDGET`` tokens, chosen in
+# deterministic hash order so reruns (and budget increases) select a
+# consistent, growing prefix. A doc is kept iff the running token total of
+# the docs hashed before it is still under the budget — i.e. the first doc
+# to cross the line is still taken (budgets are soft caps on *starts*,
+# matching sequence packing's chunk-cut rule in operators/corpus.py).
+
+TOKEN_BUDGET = 4_000   # per-language token budget; a config knob in practice
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             {_SQL_SAMPLE_KEY} AS hk
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             -- CAST: DuckDB SUM(BIGINT) is HUGEINT; Spark's is BIGINT
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS BIGINT) AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, tokens_before
+    FROM c WHERE tokens_before < {TOKEN_BUDGET}
+    """,
+    doc=f"Token-budget sampling: order each language's docs by the "
+        "deterministic sample hash and keep the prefix whose running token "
+        f"count stays under {TOKEN_BUDGET:,} tokens (the doc that crosses "
+        "the line is kept — budgets cap starts, like chunk cuts in "
+        "pack_sequences). One window shuffle on lang; the running sum is "
+        "computed per-partition after the shuffle, and the budget filter "
+        "discards the corpus tail early in the same stage.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
+    t = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), _sample_key().alias("hk")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tokens_before"),
+        )
+        .filter(F.col("tokens_before") < TOKEN_BUDGET)
+    )

@@ -391,3 +391,185 @@ def q52_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_users_in_hour"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# events_streak_islands — gaps-and-islands consecutive-day streaks
+# --------------------------------------------------------------------------
+@query(
+    "events_streak_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS INTEGER) AS rn
+      FROM d
+    ), g AS (
+      SELECT user_id, day, day - rn AS grp FROM r
+    ), s AS (
+      SELECT user_id, grp, COUNT(*) AS streak_len FROM g
+      GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS active_days,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(streak_len) AS BIGINT) AS max_streak
+    FROM s GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: per-user longest consecutive-day activity "
+        "streak. The classic rewrite — distinct active days, row_number "
+        "per user, day minus rank collapses each run of consecutive days "
+        "to a constant group key, then two cheap aggregations. One shuffle "
+        "on user_id serves the distinct, the window, and both aggs "
+        "(Catalyst reuses the partitioning); no self-join, no explode — "
+        "the only formulation that survives a 100-TB event log.",
+)
+def events_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    g = d.select("user_id", "day", F.date_sub("day", rn).alias("grp"))
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak_len"))
+    return s.groupBy("user_id").agg(
+        F.sum("streak_len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("max_streak"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_cooccurrence — event-type co-occurrence / affinity matrix
+# --------------------------------------------------------------------------
+@query(
+    "events_cooccurrence",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), tot AS (
+      SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ), pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(tb.n AS BIGINT) AS n_b,
+           CAST(n_both AS DOUBLE) / (ta.n + tb.n - n_both) AS jaccard
+    FROM pair
+    JOIN tot ta ON ta.event_type = type_a
+    JOIN tot tb ON tb.event_type = type_b
+    """,
+    doc="Event-type co-occurrence matrix with Jaccard affinity: distinct "
+        "(user, type) pairs self-joined on user_id (type_a < type_b kills "
+        "mirror/self pairs), rolled up to type-pair user counts, then "
+        "enriched with per-type totals via two broadcast joins (the "
+        "type dimension is tiny). The self-join input is the DEDUPED "
+        "user x type map — bounded by users x |types|, not raw events — "
+        "and output cardinality is |types| choose 2. Jaccard is one "
+        "exact-integer division at emission.",
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = F.broadcast(tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        pair.join(ta, "type_a")
+        .join(tb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_zscore — integer-exact per-user daily-volume anomalies
+# --------------------------------------------------------------------------
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS day_count
+      FROM events GROUP BY user_id, day
+    ), stats AS (
+      SELECT user_id, day, day_count,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_days,
+             CAST(SUM(day_count) OVER (PARTITION BY user_id) AS BIGINT) AS s1,
+             CAST(SUM(day_count * day_count) OVER (PARTITION BY user_id)
+                  AS BIGINT) AS s2
+      FROM daily
+    )
+    SELECT user_id, day, day_count,
+           CAST(s1 AS DOUBLE) / n_days AS user_mean
+    FROM stats
+    WHERE day_count * n_days - s1 > 0
+      AND (day_count * n_days - s1) * (day_count * n_days - s1)
+          > 4 * (n_days * s2 - s1 * s1)
+    """,
+    doc="Per-user daily-volume anomaly detection (z > 2) in EXACT integer "
+        "arithmetic: the test x > mean + 2*sigma is algebraically cleared "
+        "of divisions to (x*n - s1)^2 > 4*(n*s2 - s1^2) over BIGINT "
+        "count/sum/sum-of-squares — no float accumulation anywhere, so "
+        "the flag set is bit-stable under any partitioning (at PB scale "
+        "the sums widen to DECIMAL(38,0) the same way the revenue suite "
+        "does). One groupBy to daily counts, one window over user_id; the "
+        "streaming twin (streaming/stateful.py) keeps (n, s1, s2) as "
+        "running state per user.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("day_count"))
+    )
+    w = Window.partitionBy("user_id")
+    stats = daily.select(
+        "user_id",
+        "day",
+        "day_count",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.sum("day_count").over(w).alias("s1"),
+        F.sum(F.col("day_count") * F.col("day_count")).over(w).alias("s2"),
+    )
+    dev = F.col("day_count") * F.col("n_days") - F.col("s1")
+    return stats.filter(
+        (dev > 0)
+        & (dev * dev > 4 * (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")))
+    ).select(
+        "user_id",
+        "day",
+        "day_count",
+        (F.col("s1").cast("double") / F.col("n_days")).alias("user_mean"),
+    )

@@ -15,7 +15,7 @@ COVERAGE = (Path(__file__).parent.parent / "COVERAGE.md").read_text()
 # of these is asserted to be a registered query
 QUERY_PREFIXES = (
     "q", "dedup_", "sim_", "text_", "mm_", "emb_", "cdc_",
-    "pack_", "sample_", "events_", "neardup_", "pipeline_",
+    "pack_", "sample_", "events_", "neardup_", "pipeline_", "lm_",
 )
 # backticked identifiers that share a prefix but are modules/functions
 NON_QUERY_ALLOWLIST = {
