@@ -11,7 +11,7 @@ from .cdc import (
 from .corpus import clean_doc_stream
 from .ivm import apply_summary_delta, cdc_delta_frame, maintain_summary_stream
 from .joins import enrich_stream, stream_stream_join
-from .stateful import running_user_totals
+from .stateful import anomaly_flags, running_user_totals
 from .windows import dedup_stream, session_rollup, sliding_rollup, tumbling_rollup
 
 __all__ = [
@@ -24,6 +24,7 @@ __all__ = [
     "apply_summary_delta",
     "cdc_delta_frame",
     "maintain_summary_stream",
+    "anomaly_flags",
     "running_user_totals",
     "stream_stream_join",
     "enrich_stream",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from conduit_connector_s3_iceberg_spark.streaming import (
+    anomaly_flags,
     apply_cdc_stream,
     dedup_stream,
     read_cdc_stream,
@@ -265,13 +266,64 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path, events_df):
 
 def test_running_user_totals(spark, tmp_path, events_df):
     stream = stream_of(spark, tmp_path, events_df, "ev_state")
+    # idle_timeout_ms=None: with ProcessingTimeTimeout the availableNow
+    # trigger never self-terminates (timeout-check batches keep coming) and
+    # this test would eat run_to_memory's full await timeout.
     got = run_to_memory(
-        running_user_totals(stream), tmp_path, "totals_out", output_mode="update"
+        running_user_totals(stream, idle_timeout_ms=None),
+        tmp_path, "totals_out", output_mode="update",
     ).collect()
     by_user = {r["user_id"]: r for r in got}
     assert by_user[1]["n_events"] == 3 and by_user[1]["sum_value"] == 7.0
     assert by_user[2]["n_events"] == 2 and by_user[2]["sum_value"] == 16.0
     assert str(by_user[1]["last_ts"]) == "2024-01-01 13:00:00"
+
+
+def test_anomaly_flags_across_epochs(spark, tmp_path):
+    """Stream twin of events_anomaly_zscore: per-user state (n, s1, s2)
+    survives query restarts via the checkpoint; a spike epoch is flagged
+    against the prior history with the same exact integer test, while a
+    steady user never flags."""
+    src = tmp_path / "anomaly_in"
+    src.mkdir()
+    ckpt = tmp_path / "anomaly_ckpt"
+    # fork the session: 2 state-store partitions instead of 32 makes the
+    # three checkpointed restarts cheap (state itself is layout-agnostic)
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
+
+    def run_epoch(name, counts):
+        rows = [(uid,) for uid, c in counts.items() for _ in range(c)]
+        sess.createDataFrame(rows, "user_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = sess.readStream.schema("user_id long").parquet(str(src))
+        seen = []
+        q = (
+            anomaly_flags(stream, idle_timeout_ms=None)
+            .writeStream.foreachBatch(
+                lambda batch, _id: seen.extend(batch.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["user_id"]: r for r in seen}
+
+    # two steady epochs build the minimum history (n >= 2) for both users
+    for i in range(2):
+        out = run_epoch(f"anomaly_e{i}", {1: 2, 2: 3})
+        assert not out[1]["is_anomaly"] and not out[2]["is_anomaly"]
+        assert out[1]["n_prior"] == i
+
+    # spike epoch: user 1 jumps to 10 (dev=16, variance 0 -> flagged);
+    # user 2 stays at its mean (dev=0 -> never flagged)
+    out = run_epoch("anomaly_spike", {1: 10, 2: 3})
+    assert out[1]["is_anomaly"] and out[1]["epoch_count"] == 10
+    assert out[1]["n_prior"] == 2
+    assert not out[2]["is_anomaly"]
 
 
 # ------------------------------------------------- Iceberg MERGE dispatch
