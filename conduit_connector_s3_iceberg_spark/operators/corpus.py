@@ -511,3 +511,64 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.row_number().over(final).cast("int").alias("rk"),
     ).filter(F.col("rk") <= DOMAIN_CAP)
+
+
+# ------------------------------------------------------------ shard manifest
+#
+# The write-side bookkeeping of a training-data export: assign every doc a
+# deterministic shard (first hex char of md5(salt||doc_id) — 16 uniform
+# shards, reproducible across runs and cluster layouts), and emit the
+# per-shard manifest a trainer validates against: document count, total
+# chars, id range, and an order-insensitive content digest (min/max of the
+# per-doc content hash — any dropped/duplicated/corrupted doc moves at
+# least one of the fields with high probability).
+#
+# Scale: a narrow map (two md5s) into a 16-key partial+final aggregate —
+# map-side combine reduces each input partition to <=16 rows before the
+# shuffle; the exchange moves O(shards x partitions) rows regardless of
+# corpus size.
+
+SHARD_SALT = "shard1:"
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=f"""
+    SELECT substr(md5('{SHARD_SALT}' || doc_id::VARCHAR), 1, 1) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           MIN(md5(text)) AS digest_lo,
+           MAX(md5(text)) AS digest_hi
+    FROM documents
+    GROUP BY shard
+    """,
+    doc="Deterministic 16-way shard assignment (hex digit of a salted key "
+        "hash) with a per-shard export manifest: doc count, char total, id "
+        "range, and an order-insensitive min/max content digest. Narrow "
+        "map into a 16-key partial+final aggregate — the exchange is "
+        "O(shards x partitions) rows at any corpus size.",
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.substring(
+        F.md5(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            "n_chars",
+            F.md5("text").alias("content_hash"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.min("content_hash").alias("digest_lo"),
+            F.max("content_hash").alias("digest_hi"),
+        )
+    )

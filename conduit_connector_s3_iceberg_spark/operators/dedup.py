@@ -587,3 +587,77 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
+
+
+# --------------------------------------------------- cluster representatives
+#
+# The step an actual dedup pipeline runs AFTER clustering: keep exactly one
+# "canonical" document per duplicate cluster — the best by a quality rank
+# (here n_chars DESC, doc_id ASC as the deterministic tiebreak) — and record
+# how many members it speaks for. Downstream, the corpus is rebuilt by
+# semi-joining on the representative ids.
+#
+# Scale: the labeling pass dominates (see dedup_cluster_labels); this layer
+# adds one broadcast-sized join of labels to doc metadata and ONE window
+# partitioned by cluster_id. Cluster keys are many and cluster sizes are
+# small (a dup cluster is a handful of docs), so the window shuffle is
+# uniform — the opposite of the few-key straggler shape; no two-phase
+# pre-truncation is needed.
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(root, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    labels AS (
+      SELECT root AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY root
+    ),
+    members AS (
+      SELECT l.cluster_id, d.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, d.doc_id
+             ) AS rk
+      FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_chars, n_members
+    FROM members WHERE rk = 1
+    """,
+    doc="Canonical-document selection: one representative per duplicate "
+        "cluster (best by n_chars DESC, doc_id tiebreak) with the member "
+        "count it replaces. One labels-to-metadata join plus one window "
+        "over cluster_id — many small clusters, so the window shuffle is "
+        "uniform and needs no pre-truncation.",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    labels = dedup_cluster_labels(spark, sf_dir)
+    members = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = members.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.count("*").over(w).alias("n_members"),
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_chars").alias("rep_chars"),
+        "n_members",
+    )

@@ -167,3 +167,80 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tokens_before") < TOKEN_BUDGET)
     )
+
+
+# --------------------------------------------------- quality-weighted sample
+#
+# Deterministic importance sampling: a doc's keep-probability IS its quality
+# score (the shared heuristic from operators/text.py), so the sample tilts
+# toward high-quality text without a hard threshold — the soft-gate shape
+# quality-classifier pipelines use (e.g. accept with p = score). Randomness
+# again comes from the content-free key hash, so the draw is reproducible
+# and consistent across reruns: quality is quantized to 16 bits and compared
+# against the first 4 hex chars of md5(salt||doc_id) AS STRINGS (hex order =
+# numeric order), keeping everything a narrow codegen map — no shuffle, no
+# RNG state, no UDF.
+
+SALT_Q = "q1:"
+QUALITY_BITS_MAX = 65535  # quality 1.0 maps to 0xffff (16-bit quantization)
+
+_QW_QUALITY_SQL = """
+      SELECT doc_id, lang,
+             0.3*(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                  / len(string_split(trim(text), ' ')))
+             + 0.3*(CAST(len(list_filter(string_split(trim(text), ' '),
+                            x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                    / len(string_split(trim(text), ' ')))
+             + 0.2*(1 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                        / length(text))
+             + 0.2*least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(trim(text), ' ')) / 10, 1.0)
+               AS quality
+      FROM documents
+"""
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH q AS (
+{_QW_QUALITY_SQL}
+    )
+    SELECT doc_id, lang, quality,
+           substr(md5('{SALT_Q}' || doc_id::VARCHAR), 1, 4) AS bucket
+    FROM q
+    -- lower(): DuckDB to_hex is UPPERCASE, md5 is lowercase — the string
+    -- compare needs one case for hex order to equal numeric order
+    WHERE substr(md5('{SALT_Q}' || doc_id::VARCHAR), 1, 4)
+          < lpad(lower(to_hex(least(CAST(floor(quality * 65536) AS BIGINT),
+                                    {QUALITY_BITS_MAX}))), 4, '0')
+    """,
+    doc="Quality-weighted sampling: keep a doc with probability equal to "
+        "its quality score — deterministic soft gate via a 16-bit quantized "
+        "threshold compared against the key hash's first 4 hex chars as "
+        "strings. Pure narrow map (quality + md5 + string compare in one "
+        "codegen stage), zero shuffle, reproducible across runs.",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_col
+
+    docs = _docs(spark, sf_dir)
+    quality = quality_col()
+    thr = F.least(
+        F.floor(quality * 65536).cast("bigint"), F.lit(QUALITY_BITS_MAX)
+    )
+    thr_hex = F.lpad(F.lower(F.hex(thr)), 4, "0")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(SALT_Q), F.col("doc_id").cast("string"))), 1, 4
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            quality.alias("quality"),
+            bucket.alias("bucket"),
+            thr_hex.alias("_thr"),
+        )
+        .filter(F.col("bucket") < F.col("_thr"))
+        .drop("_thr")
+    )

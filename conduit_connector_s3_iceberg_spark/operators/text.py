@@ -13,7 +13,7 @@ uses one IEEE double op sequence written identically on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -738,4 +738,136 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(F.col("t"), F.lit(IPV4_RE)).alias("n_ips"),
         F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ----------------------------------------------------------- vocab coverage
+#
+# Tokenizer-design telemetry: the top-K vocabulary by corpus frequency with
+# each word's cumulative share of all tokens — the "how big must the vocab
+# be to cover X% of the stream" curve.
+#
+# Scale: the word count is a partial+final aggregate on uniform string keys
+# (map-side combine absorbs the Zipf head — 'the' collapses to one row per
+# map task before the shuffle). The global top-K then uses the two-phase
+# shape: a per-partition row_number over the post-agg partitions truncates
+# to K BEFORE the single-partition merge, so the final window sees at most
+# K x shuffle-partitions rows — never the full vocabulary. The running
+# coverage sum runs on the K survivors only.
+
+VOCAB_K = 30
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ), counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_uses
+      FROM words WHERE word <> '' GROUP BY word
+    ), tot AS (
+      SELECT CAST(SUM(n_uses) AS BIGINT) AS total_tokens FROM counts
+    ), ranked AS (
+      SELECT word, n_uses,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_uses DESC, word) AS INTEGER)
+               AS rank,
+             CAST(SUM(n_uses) OVER (
+               ORDER BY n_uses DESC, word ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_uses
+      FROM counts
+    )
+    SELECT rank, word, n_uses, cum_uses,
+           CAST(cum_uses AS DOUBLE) / total_tokens AS coverage
+    FROM ranked, tot WHERE rank <= {VOCAB_K}
+    """,
+    doc=f"Top-{VOCAB_K} vocabulary with cumulative token-coverage share. "
+        "Partial+final word count (map-side combine tames the Zipf head), "
+        "two-phase global top-K (per-partition pre-truncation bounds the "
+        "single-partition merge at K x partitions rows), running coverage "
+        "over the K survivors only.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_uses"))
+    )
+    total = counts.agg(F.sum("n_uses").alias("total_tokens"))
+    order = (F.col("n_uses").desc(), F.col("word"))
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    survivors = (
+        counts.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= VOCAB_K)
+        .drop("_lrk")
+    )
+    merged = Window.orderBy(*order)  # K x partitions rows only — bounded
+    run = merged.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        survivors.select(
+            F.row_number().over(merged).cast("int").alias("rank"),
+            "word",
+            "n_uses",
+            F.sum("n_uses").over(run).alias("cum_uses"),
+        )
+        .filter(F.col("rank") <= VOCAB_K)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "word",
+            "n_uses",
+            "cum_uses",
+            (F.col("cum_uses").cast("double") / F.col("total_tokens")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------- length-percentile trimming
+#
+# The classic "drop the freak tails" gate: keep each language's documents
+# between the 5th and 95th length percentile — exact, via cume_dist, so the
+# cut adapts per language instead of using one global magic number.
+#
+# Scale: one shuffle on lang + a per-language sort (the same shape as the
+# stratum reservoir; bounded by the largest language). At 100 TB the same
+# gate runs as a two-pass threshold join — approx_percentile per language
+# (tiny agg), broadcast the cutoffs, filter in a narrow map; the windowed
+# form here is the oracle-checkable exact twin and the correctness anchor
+# for that rewrite. cume_dist = rank/total is an exact rational, so both
+# engines produce bit-identical doubles.
+
+LEN_PCT_LOW = 0.05
+LEN_PCT_HIGH = 0.95
+
+
+@query(
+    "text_length_percentile_gate",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, pct
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS pct
+      FROM documents
+    )
+    WHERE pct > {LEN_PCT_LOW} AND pct <= {LEN_PCT_HIGH}
+    """,
+    doc="Per-language length-percentile gate: keep docs strictly above the "
+        f"{LEN_PCT_LOW:.0%} and at or below the {LEN_PCT_HIGH:.0%} "
+        "cume_dist of n_chars. Exact windowed form (one shuffle on lang); "
+        "the documented 100-TB rewrite is approx_percentile thresholds "
+        "broadcast into a narrow filter, with this query as its exact "
+        "correctness anchor.",
+)
+def text_length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.cume_dist().over(w).alias("pct")
+        )
+        .filter((F.col("pct") > LEN_PCT_LOW) & (F.col("pct") <= LEN_PCT_HIGH))
     )

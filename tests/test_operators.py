@@ -186,3 +186,113 @@ def test_count_min_sketch_deterministic(spark):
     s2 = freq_sketch(ev.repartition(7), "event_type")
     # additive merge → identical bytes regardless of partitioning
     assert s1 == s2 and len(s1) > 0
+
+
+def test_cluster_representatives_cover_corpus_and_pick_best(spark):
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        dedup_cluster_labels,
+        dedup_cluster_representatives,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    reps = dedup_cluster_representatives(spark, SF001).collect()
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup_cluster_labels(spark, SF001).collect()}
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF001, "documents").select("doc_id", "n_chars").collect()
+    }
+    # every doc is spoken for exactly once
+    assert sum(r["n_members"] for r in reps) == len(labels)
+    assert len({r["cluster_id"] for r in reps}) == len(reps)
+    # the representative is its cluster's best (n_chars DESC, doc_id ASC)
+    for r in reps:
+        members = [d for d, c in labels.items() if c == r["cluster_id"]]
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert r["rep_doc_id"] == best and r["rep_chars"] == chars[best]
+
+
+def test_quality_weighted_sample_tilts_toward_quality(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        sample_quality_weighted,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.text import quality_col, _docs
+
+    kept = sample_quality_weighted(spark, SF001)
+    all_q = _docs(spark, SF001).select(quality_col().alias("q"))
+    n_all, mean_all = all_q.count(), all_q.agg(F.avg("q")).first()[0]
+    n_kept, mean_kept = (
+        kept.count(),
+        kept.agg(F.avg("quality")).first()[0],
+    )
+    # acceptance rate tracks mean quality (binomial noise at n=50 is wide)
+    assert abs(n_kept / n_all - mean_all) < 0.25
+    # and the sample is quality-tilted
+    assert mean_kept >= mean_all
+
+
+def test_vocab_coverage_curve_is_consistent(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        VOCAB_K,
+        text_vocab_coverage,
+        _docs,
+        _tokens,
+    )
+
+    rows = sorted(
+        text_vocab_coverage(spark, SF001).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= VOCAB_K
+    # counts non-increasing in rank order; running sum and coverage consistent
+    run = 0
+    total = _docs(spark, SF001).select(
+        F.explode(_tokens()).alias("w")
+    ).filter(F.col("w") != "").count()
+    for prev, cur in zip(rows, rows[1:]):
+        # rank order = n_uses DESC, word ASC
+        assert prev["n_uses"] > cur["n_uses"] or (
+            prev["n_uses"] == cur["n_uses"] and prev["word"] < cur["word"]
+        )
+    for r in rows:
+        run += r["n_uses"]
+        assert r["cum_uses"] == run
+        assert abs(r["coverage"] - run / total) < 1e-12
+    assert rows[-1]["coverage"] <= 1.0
+
+
+def test_length_percentile_gate_keeps_middle_band(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        LEN_PCT_HIGH,
+        LEN_PCT_LOW,
+        text_length_percentile_gate,
+        _docs,
+    )
+
+    kept = text_length_percentile_gate(spark, SF001)
+    assert kept.filter(
+        (F.col("pct") <= LEN_PCT_LOW) | (F.col("pct") > LEN_PCT_HIGH)
+    ).count() == 0
+    # per-language keep fraction is about the band width
+    per_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {
+        r["lang"]: r["n"]
+        for r in _docs(spark, SF001).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in per_lang.items():
+        frac = n / totals[lang]
+        assert 0.6 <= frac <= 1.0  # ties can push past 0.9 at tiny n
+
+
+def test_shard_manifest_partitions_whole_corpus(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        corpus_shard_manifest,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = corpus_shard_manifest(spark, SF001).collect()
+    docs = load_table(spark, SF001, "documents")
+    n_docs, total_chars = docs.count(), docs.agg(F.sum("n_chars")).first()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_chars"] for r in rows) == total_chars
+    assert all(r["shard"] in "0123456789abcdef" for r in rows)
+    assert all(len(r["digest_lo"]) == 32 and r["digest_lo"] <= r["digest_hi"] for r in rows)
