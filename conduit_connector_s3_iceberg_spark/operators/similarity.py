@@ -27,20 +27,39 @@ from ..plans.registry import query
 from ..sources.tables import load_table
 
 DIM = 64
-N_PLANES = 8
 N_QUERIES = 5   # query set: vec_id < 5
 TOP_K = 10
 
+# Banded multi-table LSH: L independent tables of k hyperplane sign bits.
+# One k-bit table collides a true neighbor at angle θ with prob (1-θ/π)^k;
+# L tables lift that to 1-(1-(1-θ/π)^k)^L. This corpus's nearest neighbors
+# sit at cosine ≈0.3-0.4 (θ≈70°, p≈0.6/bit) — a single 8-bit signature
+# collides them with prob 0.6^8 ≈ 2% (measured recall@10: 0.0), which is
+# why the banded form below exists. k=4, L=16 measures recall@10 ≈ 0.85
+# here. The tradeoff is explicit: candidate fraction for RANDOM pairs is
+# ≈ 1-(1-2^-k)^L (≈half the corpus at k=4, L=16), because this geometry
+# has almost no neighbor/random similarity gap; with genuinely clustered
+# embeddings, k grows (more bits/table) and the same plumbing prunes hard.
+# For cluster-structured data the IVF path below achieves recall 1.0
+# probing NPROBE/N_CENTROIDS of the space — it is the production default;
+# tests/test_operators.py pins both operators' measured recall.
+LSH_BAND_PLANES = 4   # k: sign bits per table
+LSH_TABLES = 16       # L: independent tables
 
-def _plane(p: int) -> list[float]:
+
+def _plane(seed: str) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 (public, engine-free)."""
     return [
-        int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0], 16) - 7.5
+        int(hashlib.md5(f"{seed}_{j}".encode()).hexdigest()[0], 16) - 7.5
         for j in range(DIM)
     ]
 
 
-PLANES = [_plane(p) for p in range(N_PLANES)]
+# table t, bit p  →  plane "t:p"
+BAND_PLANES = [
+    [_plane(f"{t}:{p}") for p in range(LSH_BAND_PLANES)]
+    for t in range(LSH_TABLES)
+]
 
 _SPARK_EMB_D = "transform(embedding, x -> cast(x as double))"
 _SPARK_NORM = f"sqrt(aggregate({_SPARK_EMB_D}, 0.0D, (acc, x) -> acc + x * x))"
@@ -61,26 +80,21 @@ def _sql_dot(a: str, b: str) -> str:
     )
 
 
-def _bucket_spark() -> F.Column:
-    """256-bucket LSH signature: bit p = sign(dot(plane_p, emb))."""
+def _table_bucket_spark(t: int) -> str:
+    """k-bit signature of table ``t``: bit p = sign(dot(plane_{t:p}, emb))."""
     bits = []
-    for p, w in enumerate(PLANES):
+    for p, w in enumerate(BAND_PLANES[t]):
         arr = "array(" + ", ".join(f"{v}D" for v in w) + ")"
         dot = _spark_dot(_SPARK_EMB_D, arr)
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
-    return F.expr(" + ".join(bits)).cast("int")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
 
 
-def _bucket_sql() -> str:
-    bits = []
-    for p, w in enumerate(PLANES):
-        arr = "[" + ", ".join(str(v) for v in w) + "]"
-        dot = (
-            f"list_reduce(list_transform(generate_series(1, {DIM}),"
-            f" i -> ({arr})[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y)"
-        )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
-    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+def _sig_spark() -> F.Column:
+    """Array of all L table buckets (index = table id)."""
+    return F.expr(
+        "array(" + ", ".join(_table_bucket_spark(t) for t in range(LSH_TABLES)) + ")"
+    )
 
 
 def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -163,49 +177,89 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _two_phase_topk(scored, TOP_K)
 
 
+def _lsh_planes_values() -> str:
+    """The L x k planes as a VALUES table — hoisted out of the dot lambda
+    (an inline array literal inside list_transform is re-constructed per
+    element in DuckDB: ~200x slower than a column reference)."""
+    rows = []
+    for t, planes in enumerate(BAND_PLANES):
+        for bit, w in enumerate(planes):
+            arr = "[" + ", ".join(str(v) for v in w) + "]::DOUBLE[]"
+            rows.append(f"({t + 1}, {bit}, {arr})")
+    return ",\n ".join(rows)
+
+
+
+
 @query(
     "sim_ann_lsh",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm,
-             {_bucket_sql()} AS bucket
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
       FROM embeddings
-    ), q AS (
-      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, bucket FROM e
-      WHERE vec_id < {N_QUERIES}
+    ), planes(tbl, bit, w) AS (VALUES {_lsh_planes_values()}),
+    sig AS MATERIALIZED (
+      SELECT e.vec_id, p.tbl,
+             CAST(SUM(CASE WHEN list_reduce(list_transform(
+                    generate_series(1, {DIM}), i -> (p.w)[i] * (e.emb)[i]),
+                    (x, y) -> x + y) >= 0
+                  THEN (1 << p.bit) ELSE 0 END) AS INTEGER) AS bkt
+      FROM e, planes p GROUP BY e.vec_id, p.tbl
     ), cand AS (
-      SELECT q.query_id, e.vec_id,
-             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
-      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+      SELECT DISTINCT qs.vec_id AS query_id, es.vec_id
+      FROM sig qs
+      JOIN sig es ON es.tbl = qs.tbl AND es.bkt = qs.bkt
+                 AND es.vec_id <> qs.vec_id
+      WHERE qs.vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT c.query_id, c.vec_id,
+             {_sql_dot('qe.emb', 'e.emb')} / (qe.nrm * e.nrm) AS cosine
+      FROM cand c
+      JOIN e ON e.vec_id = c.vec_id
+      JOIN e qe ON qe.vec_id = c.query_id
     )
     SELECT query_id, vec_id, cosine, rank FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, vec_id
       ) AS INTEGER) AS rank
-      FROM cand
+      FROM scored
     ) WHERE rank <= {TOP_K}
     """,
-    doc="Approximate top-k: 8-hyperplane LSH signature (256 buckets) → "
-        "candidates are bucket collisions only → exact cosine re-rank. "
-        "The join key is the bucket id: uniform shuffle, no O(n²) scan.",
+    doc=f"Approximate top-k via banded multi-table LSH: {LSH_TABLES} tables "
+        f"of {LSH_BAND_PLANES} hyperplane sign bits; candidates = pairs "
+        "colliding in ANY table (posexplode + broadcast join on (table, "
+        "bucket) — the corpus is never shuffled), deduped by a map-side-"
+        "combining max-group, exact cosine re-rank via the bounded "
+        "two-phase top-k. Measured recall@10 ~0.85 on this corpus vs 0.0 "
+        "for a single 8-bit signature (module comment has the k/L "
+        "tradeoff; IVF below is the production path for clustered data).",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(_SPARK_EMB_D).alias("emb"),
         F.expr(_SPARK_NORM).alias("nrm"),
-        _bucket_spark().alias("bucket"),
+        _sig_spark().alias("sig"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
-        F.col("bucket").alias("qbucket"),
+        F.posexplode("sig").alias("tbl", "qbkt"),
     )
+    c = emb.select(
+        "vec_id", "emb", "nrm", F.posexplode("sig").alias("ctbl", "bkt")
+    )
+    # cosine is computed at collision time (bit-identical for every table
+    # a pair collides in) and deduped with max(): partial aggregation
+    # collapses the <=L copies map-side, so the only shuffle carries the
+    # deduped candidate set — the corpus itself never moves (query side is
+    # broadcast).
     cand = (
-        emb.join(
+        c.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("ctbl") == F.col("tbl"))
+            & (F.col("bkt") == F.col("qbkt"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -215,6 +269,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
             ).alias("cosine"),
         )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     return _two_phase_topk(cand, TOP_K)
 

@@ -296,3 +296,33 @@ def test_shard_manifest_partitions_whole_corpus(spark):
     assert sum(r["total_chars"] for r in rows) == total_chars
     assert all(r["shard"] in "0123456789abcdef" for r in rows)
     assert all(len(r["digest_lo"]) == 32 and r["digest_lo"] <= r["digest_hi"] for r in rows)
+
+
+def test_ann_recall_against_bruteforce(spark):
+    """The ANN operators must be *good*, not merely deterministic: recall@10
+    vs the exact brute-force baseline. IVF (cluster-structured data, nprobe
+    2/16) is exact on this corpus; banded LSH (16 tables x 4 sign bits)
+    measures ~0.88 mean recall — the single-table 8-bit signature it
+    replaced measured 0.0 (neighbors at cosine ~0.3-0.4 collide a k-bit
+    signature with prob ~0.6^k; see the module comment's k/L tradeoff)."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        sim_ann_ivf,
+        sim_ann_lsh,
+        sim_topk_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact: dict[int, set[int]] = {}
+    for r in sim_topk_bruteforce(spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recalls(fn):
+        got: dict[int, set[int]] = {}
+        for r in fn(spark, sf).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return [len(got.get(q, set()) & e) / len(e) for q, e in exact.items()]
+
+    ivf = recalls(sim_ann_ivf)
+    assert min(ivf) == 1.0, f"IVF recall dropped: {ivf}"
+    lsh = recalls(sim_ann_lsh)
+    assert sum(lsh) / len(lsh) >= 0.7 and min(lsh) >= 0.5, f"LSH recall: {lsh}"
