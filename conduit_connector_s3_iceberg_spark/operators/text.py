@@ -871,3 +871,37 @@ def text_length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("pct") > LEN_PCT_LOW) & (F.col("pct") <= LEN_PCT_HIGH))
     )
+
+
+def length_gate_by_approx_thresholds(
+    docs: DataFrame,
+    low: float = LEN_PCT_LOW,
+    high: float = LEN_PCT_HIGH,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100-TB form of ``text_length_percentile_gate``: instead of a
+    per-language window sort of the corpus, compute the two cutoffs per
+    language with ``approx_percentile`` (a tiny partial+final aggregate —
+    one KLL sketch per language per map task), broadcast the |languages|-row
+    threshold table, and gate in a narrow map join. Two passes over the
+    scan, zero wide shuffles, no per-language sort.
+
+    ``approx_percentile`` at accuracy=10k is exact for groups under ~10k
+    rows and within 1/accuracy quantile error beyond —
+    ``tests/test_operators.py::test_length_gate_approx_matches_exact``
+    pins the agreement against the exact windowed gate.
+    """
+    cuts = docs.groupBy("lang").agg(
+        F.expr(
+            f"approx_percentile(n_chars, array({low}, {high}), {accuracy})"
+        ).alias("cuts")
+    ).select(
+        "lang",
+        F.col("cuts")[0].alias("lo_cut"),
+        F.col("cuts")[1].alias("hi_cut"),
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .filter((F.col("n_chars") > F.col("lo_cut")) & (F.col("n_chars") <= F.col("hi_cut")))
+        .select("doc_id", "lang", "n_chars")
+    )

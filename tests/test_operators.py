@@ -326,3 +326,35 @@ def test_ann_recall_against_bruteforce(spark):
     assert min(ivf) == 1.0, f"IVF recall dropped: {ivf}"
     lsh = recalls(sim_ann_lsh)
     assert sum(lsh) / len(lsh) >= 0.7 and min(lsh) >= 0.5, f"LSH recall: {lsh}"
+
+
+def test_length_gate_approx_matches_exact(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        _docs,
+        length_gate_by_approx_thresholds,
+        text_length_percentile_gate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["doc_id"] for r in text_length_percentile_gate(spark, sf).collect()}
+    approx = {r["doc_id"] for r in length_gate_by_approx_thresholds(_docs(spark, sf)).collect()}
+    cuts = {
+        r["lang"]: (r["lo"], r["hi"])
+        for r in _docs(spark, sf)
+        .groupBy("lang")
+        .agg(F.expr("approx_percentile(n_chars, array(0.05, 0.95), 10000)").alias("c"))
+        .select("lang", F.col("c")[0].alias("lo"), F.col("c")[1].alias("hi"))
+        .collect()
+    }
+    docs = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in _docs(spark, sf).select("doc_id", "lang", "n_chars").collect()
+    }
+    # approx_percentile is exact below 10k rows/group, so the ONLY allowed
+    # disagreements are boundary ties: rows whose n_chars equals one of
+    # their language's two cut values (cume_dist keeps/drops tie groups as
+    # a unit; the value cut drops/keeps the cut value itself)
+    for d in exact ^ approx:
+        lang, n_chars = docs[d]
+        assert n_chars in cuts[lang], (d, lang, n_chars, cuts[lang])
+    assert len(exact ^ approx) <= 0.05 * len(docs)
