@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.tables import load_table
-from .dedup import JACCARD_THRESHOLD, MAX_SHINGLE_DF, SHINGLES_SQL, dedup_ngram_jaccard
+from .dedup import (
+    JACCARD_THRESHOLD,
+    MAX_SHINGLE_DF,
+    SHINGLES_SPARK,
+    SHINGLES_SQL,
+    dedup_ngram_jaccard,
+)
 
 CHUNK_TOKENS = 512   # token budget per packed training chunk
 N_PACK_SHARDS = 16   # deterministic shards; at 100 TB scale this up so a
@@ -570,5 +576,91 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
             F.min("content_hash").alias("digest_lo"),
             F.max("content_hash").alias("digest_hi"),
+        )
+    )
+
+
+# ----------------------------------------------------- split decontamination
+#
+# Train→test leakage audit: for every TEST-split document, how many of its
+# 3-gram shingles also occur anywhere in the TRAIN split. This is the check
+# a pipeline runs before shipping an eval set carved from the same crawl —
+# near-dup pairs that straddle the split boundary inflate eval scores.
+#
+# Scale: the train shingle set is an inverted index deduped on an 8-byte
+# xxhash64 key (one shuffle on a uniform key, map-side combine); the test
+# side (~10% of the corpus) left-joins it on that key — the same
+# bucketed-join shape as dedup_ngram_jaccard, never O(n²), and the rollup
+# back to one row per test doc is a partial+final aggregate. The oracle
+# joins raw shingle strings (DuckDB has no xxhash64); a 64-bit collision
+# would surface as a driver hash mismatch — accepted, as in the dedup
+# family.
+
+def _split_col() -> F.Column:
+    h = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return (
+        F.when(h < TRAIN_HEX, "train").when(h < VAL_HEX, "val").otherwise("test")
+    )
+
+
+_SPLIT_SQL = (
+    f"CASE WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2) < '{TRAIN_HEX}'"
+    f" THEN 'train'"
+    f" WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2) < '{VAL_HEX}'"
+    f" THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "corpus_split_decontamination",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, text, {_SPLIT_SQL} AS split FROM documents
+    ), train_sh AS (
+      SELECT DISTINCT unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM assigned WHERE split = 'train'
+    ), eval_sh AS (
+      SELECT doc_id, lang, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM assigned WHERE split = 'test'
+    )
+    SELECT e.doc_id, e.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(t.shingle) AS BIGINT) AS n_leaked,
+           CAST(COUNT(t.shingle) AS DOUBLE) / COUNT(*) AS leak_frac
+    FROM eval_sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
+    GROUP BY e.doc_id, e.lang
+    """,
+    doc="Train→test decontamination audit: per test-split document, the "
+        "count and fraction of its distinct 3-gram shingles that occur "
+        "anywhere in the train split. Deduped train inverted index on an "
+        "8-byte hash key, left join from the (~10%) test side, "
+        "partial+final rollup — the dedup-family bucketed-join shape.",
+)
+def corpus_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _split_col().alias("split")
+    )
+    shingle = F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("shingle")
+    train_sh = (
+        docs.filter(F.col("split") == "train")
+        .select(shingle)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_sh = (
+        docs.filter(F.col("split") == "test")
+        .select("doc_id", "lang", shingle)
+        .select("doc_id", "lang", F.xxhash64("shingle").alias("sh"))
+    )
+    return (
+        eval_sh.join(train_sh, "sh", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_leaked"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("leak_frac"),
         )
     )
