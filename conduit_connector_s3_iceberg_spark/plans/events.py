@@ -29,6 +29,19 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def _us(col) -> F.Column:
+    """Epoch-microseconds of a timestamp column of either flavor.
+
+    The driver's parquet stores ``ts`` as ``timestamp[us]`` without UTC
+    adjustment, which Spark 4 reads as TIMESTAMP_NTZ; ``unix_micros`` only
+    accepts TIMESTAMP. Casting first is a no-op for TIMESTAMP and a
+    session-tz (UTC, pinned in ``_ev``) interpretation for NTZ — matching
+    DuckDB's ``epoch_us`` on the same values either way.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 @query(
     "q21_hourly_event_rollup",
     oracle=f"""
@@ -95,7 +108,7 @@ def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us),
+        | ((_us("ts") - _us(prev_ts)) > gap_us),
         1,
     ).otherwise(0)
     return (
@@ -106,7 +119,7 @@ def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            (_us(F.max("ts")) - _us(F.min("ts")))
             .cast("long")
             .alias("duration_us"),
             F.sum(dec("value")).cast("decimal(38,2)").cast("double").alias("sum_value"),
