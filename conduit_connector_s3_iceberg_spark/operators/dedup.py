@@ -661,3 +661,131 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_chars").alias("rep_chars"),
         "n_members",
     )
+
+
+# ------------------------------------------------ exact-substring span dedup
+#
+# The duplicated-window diagnostic from "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al., 2021, public): slide a fixed W-word
+# window over every document, hash each window, and mark windows whose exact
+# text recurs in >= 2 distinct documents. Unlike shingle Jaccard (whole-doc
+# similarity), this finds boilerplate RUNS — headers, licence blocks,
+# templated passages — inside otherwise-unique documents.
+#
+# Scale (100 TB): the explode emits ~n_words rows per doc but each carries
+# only (doc_id, 16-byte digest); dup detection is one hash groupBy on the
+# digest (uniform, map-side combined) and the join-back re-uses the same
+# hash partitioning, so Catalyst plans explode -> ONE shuffle -> join with
+# no second corpus pass. Nothing is O(n^2) and no window spans the corpus.
+
+SPAN_W = 15  # words per window (the paper uses 50 BPE tokens; same idea)
+
+_SPANS_SPARK = (
+    f"transform(sequence(1, greatest(size(split(trim(text),' ')) - {SPAN_W - 1}, 1)),"
+    f" i -> concat_ws(' ', slice(split(trim(text),' '), i, {SPAN_W})))"
+)
+_SPANS_SQL = f"""
+      SELECT doc_id, array_to_string(list_slice(w, i, i + {SPAN_W - 1}), ' ') AS span
+      FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - {SPAN_W - 1}, 1))) AS i
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+      )
+"""
+
+
+def _span_digests(docs: DataFrame) -> DataFrame:
+    """(doc_id, md5-of-window) for every sliding W-word window position.
+
+    Positions (not distinct spans) — the coverage metric counts how much of
+    each document sits under a duplicated window. Same fan-out guard as
+    `_distinct_shingles`: repartition only when the scan is under-split.
+    """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    return docs.select(
+        "doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("span")
+    ).select("doc_id", F.md5("span").alias("span_fp"))
+
+
+@query(
+    "dedup_span_hot",
+    oracle=f"""
+    WITH sp AS ({_SPANS_SQL})
+    SELECT md5(span) AS span_fp,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM sp
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc=f"Exact-substring hot spans: every {SPAN_W}-word window whose exact "
+        "text recurs in >= 2 distinct documents, with document/occurrence "
+        "counts — the boilerplate-run detector of Lee et al. (2021). One "
+        "explode + one digest groupBy; never O(n^2).",
+)
+def dedup_span_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _span_digests(_docs(spark, sf_dir))
+    return (
+        sp.groupBy("span_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH sp AS ({_SPANS_SQL}),
+    dupd AS (
+      SELECT md5(span) AS span_fp
+      FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN d.span_fp IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans
+      FROM (SELECT doc_id, md5(span) AS span_fp FROM sp) s
+      LEFT JOIN dupd d ON s.span_fp = d.span_fp
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_ratio
+    FROM per_doc
+    """,
+    doc="Per-document duplicated-window coverage: the fraction of a "
+        "document's sliding windows whose exact text recurs elsewhere — "
+        "the score an exact-substring dedup pipeline cuts on. The dup-set "
+        "groupBy and the join-back share the digest hash partitioning, so "
+        "the corpus is shuffled once.",
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _span_digests(_docs(spark, sf_dir))
+    docs_per_fp = sp.groupBy("span_fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        sp.join(docs_per_fp, "span_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_ratio"
+            ),
+        )
+    )

@@ -358,3 +358,19 @@ def test_length_gate_approx_matches_exact(spark):
         lang, n_chars = docs[d]
         assert n_chars in cuts[lang], (d, lang, n_chars, cuts[lang])
     assert len(exact ^ approx) <= 0.05 * len(docs)
+
+
+def test_span_dedup_coverage_consistent_with_hot_spans(spark):
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        dedup_span_coverage,
+        dedup_span_hot,
+    )
+
+    cov = dedup_span_coverage(spark, SF001).collect()
+    hot = dedup_span_hot(spark, SF001).collect()
+    assert all(0 <= r["n_dup_spans"] <= r["n_spans"] for r in cov)
+    assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in cov)
+    assert all(r["n_docs"] >= 2 for r in hot)
+    # every occurrence of a hot span lands in exactly one document's
+    # n_dup_spans count, so the two rollups must total identically
+    assert sum(r["n_dup_spans"] for r in cov) == sum(r["n_occurrences"] for r in hot)
