@@ -554,3 +554,139 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0.0D, (acc, v) -> acc + v)"
         ).alias("sq_err"),
     )
+
+
+# ------------------------------------------------------- k-means (Lloyd) ---
+#
+# One full Lloyd round, unrolled so it stays oracle-checkable: seed centroids
+# = the K lowest vec_ids, assign every point (iteration 0), recompute
+# centroids with the module's exact scaled-integer mean (see CENTROID_SCALE
+# note above), re-assign (iteration 1). The production loop is this body
+# repeated with a localCheckpoint per round exactly like
+# dedup_cluster_labels; two unrolled rounds pin the arithmetic cross-engine.
+#
+# Scale (100 TB): assignment is a NARROW MAP — the K×DIM centroid table
+# rides along as one broadcast array-of-structs row and the argmin is a
+# codegen'd fold per point, so no shuffle and no per-centroid row blowup.
+# The update step is posexplode → partial+final hash agg on (cluster, dim):
+# K·DIM keys, uniform, map-side combined. Nothing is quadratic and no
+# driver-side data collect exists.
+
+KMEANS_K = 8
+
+
+def _km_dist2(emb: str, cent: str) -> str:
+    """Squared L2 distance as the same fixed-order fold both engines run."""
+    return (
+        f"aggregate(zip_with({emb}, {cent}, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+# argmin over the broadcast `cents` array<struct<cid bigint, c array<double>>>
+# (sorted by cid): strict < keeps the earliest = smallest cid on exact ties,
+# matching the oracle's ORDER BY dist2, cid.
+_KM_ASSIGN = (
+    "aggregate(cents,"
+    " named_struct('d', cast('Infinity' as double), 'cid', cast(-1 as bigint)),"
+    f" (acc, ct) -> CASE WHEN {_km_dist2('emb', 'ct.c')} < acc.d"
+    f" THEN named_struct('d', {_km_dist2('emb', 'ct.c')}, 'cid', ct.cid)"
+    " ELSE acc END).cid"
+)
+
+_KM_SQL_D2 = (
+    f"list_reduce(list_transform(generate_series(1, {DIM}),"
+    " i -> (e.emb[i] - {c}[i]) * (e.emb[i] - {c}[i])), (x, y) -> x + y)"
+)
+
+
+@query(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < {KMEANS_K}),
+    d0 AS (
+      SELECT e.vec_id, c0.cid, {_KM_SQL_D2.format(c='c0.c')} AS dist2
+      FROM e, c0
+    ),
+    a0 AS (
+      SELECT vec_id, cid AS cluster0 FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+        FROM d0
+      ) WHERE rk = 1
+    ),
+    s1 AS (
+      SELECT cluster0 AS cid, i,
+             CAST(SUM(CAST(round(emb[i] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS ssum,
+             COUNT(*) AS n
+      FROM (SELECT a0.cluster0, e.emb, unnest(generate_series(1, {DIM})) AS i
+            FROM a0 JOIN e USING (vec_id))
+      GROUP BY cid, i
+    ),
+    carr AS (
+      SELECT cid,
+             array_agg(CAST(ssum AS DOUBLE) / n / {CENTROID_SCALE} ORDER BY i) AS c
+      FROM s1 GROUP BY cid
+    ),
+    d1 AS (
+      SELECT e.vec_id, carr.cid, {_KM_SQL_D2.format(c='carr.c')} AS dist2
+      FROM e, carr
+    ),
+    a1 AS (
+      SELECT vec_id, cid AS cluster1 FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+        FROM d1
+      ) WHERE rk = 1
+    )
+    SELECT a0.vec_id, a0.cluster0, a1.cluster1
+    FROM a0 JOIN a1 USING (vec_id)
+    """,
+    doc=f"K-means, one unrolled Lloyd round (K={KMEANS_K}, seeds = lowest "
+        "vec_ids): per-point cluster before and after one exact "
+        "scaled-integer centroid update. Assignment is a shuffle-free "
+        "broadcast-argmin map; the update is one (cluster, dim) hash agg — "
+        "the iterative production loop repeats exactly this body.",
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+
+    def assign(points: DataFrame, cents_row: DataFrame, out: str) -> DataFrame:
+        return points.crossJoin(F.broadcast(cents_row)).select(
+            points["*"], F.expr(_KM_ASSIGN).alias(out)
+        )
+
+    cents0 = emb.filter(F.col("vec_id") < KMEANS_K).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("c")))
+        ).alias("cents")
+    )
+    a0 = assign(emb, cents0, "cluster0")
+
+    sums = (
+        a0.select("cluster0", F.posexplode("emb").alias("pos", "x"))
+        .select(
+            "cluster0",
+            "pos",
+            F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+        )
+        .groupBy("cluster0", "pos")
+        .agg(F.sum("xs").alias("ssum"), F.count(F.lit(1)).alias("n"))
+    )
+    cents1 = (
+        sums.select(
+            F.col("cluster0").alias("cid"),
+            "pos",
+            (F.col("ssum").cast("double") / F.col("n") / CENTROID_SCALE).alias("c"),
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cid", F.expr("transform(pc, s -> s.c)").alias("c"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents"))
+    )
+    a1 = assign(a0, cents1, "cluster1")
+    return a1.select("vec_id", "cluster0", "cluster1")

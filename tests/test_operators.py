@@ -374,3 +374,16 @@ def test_span_dedup_coverage_consistent_with_hot_spans(spark):
     # every occurrence of a hot span lands in exactly one document's
     # n_dup_spans count, so the two rollups must total identically
     assert sum(r["n_dup_spans"] for r in cov) == sum(r["n_occurrences"] for r in hot)
+
+
+def test_kmeans_assign_invariants(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        KMEANS_K,
+        emb_kmeans_assign,
+    )
+
+    rows = emb_kmeans_assign(spark, SF001).collect()
+    assert all(0 <= r["cluster0"] < KMEANS_K for r in rows)
+    assert all(0 <= r["cluster1"] < KMEANS_K for r in rows)
+    # a seed point is its own iteration-0 centroid (distance exactly 0)
+    assert all(r["cluster0"] == r["vec_id"] for r in rows if r["vec_id"] < KMEANS_K)
