@@ -255,6 +255,8 @@ BROADCAST_NONEQUI_OK = {
     "q57_gap_fill_carry_forward",
     # one-row total-token-count broadcast into the K-row vocab — bounded
     "text_vocab_coverage",
+    # one-row centroid-array broadcasts (K×DIM values each) — bounded
+    "emb_kmeans_assign",
 }
 
 

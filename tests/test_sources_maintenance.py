@@ -291,3 +291,53 @@ def test_evolution_guards_partition_columns(spark, tmp_path):
         wh.drop_column("t", "day")
     with pytest.raises(ValueError):
         wh.rename_column("t", "day", "dt")
+
+
+# ---------------------------------------------------------------- bucketing
+
+
+def test_bucketed_join_plans_without_exchange(spark, tmp_path):
+    from conduit_connector_s3_iceberg_spark.sources.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    try:
+        write_bucketed(left, "bk_left", "k", 4, path=str(tmp_path / "bl"))
+        write_bucketed(right, "bk_right", "k", 4, path=str(tmp_path / "br"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = colocated_join(spark, "bk_left", "bk_right", "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # both scans expose the bucket hash-partitioning: no shuffle at all
+            assert "Exchange" not in plan
+            assert joined.count() == 1000
+
+            # control: the same join from plain (un-bucketed) frames shuffles
+            ctl = left.join(right, "k")
+            ctl_plan = ctl._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in ctl_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_bucketed_aggregation_reuses_bucket_partitioning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from conduit_connector_s3_iceberg_spark.sources.bucketing import write_bucketed
+
+    df = spark.range(0, 1000).selectExpr("id % 50 AS k", "id AS v")
+    try:
+        write_bucketed(df, "bk_agg", "k", 4, path=str(tmp_path / "ba"))
+        agg = spark.table("bk_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # groupBy key == bucket key: no shuffle
+        assert agg.count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_agg")
