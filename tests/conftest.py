@@ -1,5 +1,20 @@
+import os
+import pathlib
+
 import pytest
 from pyspark.sql import SparkSession
+
+# Spawned Python workers (pyspark.daemon forks, and the separate
+# transformWithState driver worker) resolve this package by import, not from
+# the driver's pickled closures — put the repo root on their path before the
+# JVM launches, the test-env stand-in for shipping the package via
+# --py-files / a wheel on a real cluster.
+_REPO_ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _REPO_ROOT
+)
 
 
 @pytest.fixture(scope="session")

@@ -674,3 +674,91 @@ def test_ivm_rejects_update_without_before_image(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="IVM requires before-images"):
         q.awaitTermination(120)
+
+
+# ------------------------------------------------- per-source quota (stateful)
+
+
+def _run_quota(spark, tmp_path, build):
+    """Drive a quota stream builder through two availableNow epochs against
+    one growing json dir; returns (epoch1 rows, epoch2 rows) keyed by doc."""
+    import json as _json
+
+    path = tmp_path / "quota_in"
+    path.mkdir()
+    mk = lambda i, src: {"source": src, "doc_id": i}  # noqa: E731
+    (path / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [mk(1, "srcA"), mk(2, "srcA"), mk(3, "srcA"), mk(4, "srcB")]
+        )
+    )
+    schema = "source string, doc_id long"
+
+    def epoch(name):
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, and this harness restarts the query for epoch 2
+        rows = []
+
+        def sink(batch, _epoch_id):
+            rows.extend(batch.collect())
+
+        q = (
+            build(spark.readStream.schema(schema).json(str(path)))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_quota"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"]: (r["quota_rank"], r["admitted"]) for r in rows}
+
+    first = epoch("quota_e1")
+    (path / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in [mk(5, "srcA"), mk(6, "srcB")])
+    )
+    second = epoch("quota_e2")
+    return first, second
+
+
+def _assert_quota(first, second):
+    assert first == {1: (1, True), 2: (2, True), 3: (3, False), 4: (1, True)}
+    # counters persisted across the checkpointed restart: srcA's 4th doc is
+    # rank 4 / rejected, srcB's 2nd is rank 2 / admitted
+    assert second == {5: (4, False), 6: (2, True)}
+
+
+def test_source_quota_stream_legacy_twin(spark, tmp_path):
+    from conduit_connector_s3_iceberg_spark.streaming.quota import (
+        per_source_quota_stream_legacy,
+    )
+
+    first, second = _run_quota(
+        spark, tmp_path, lambda s: per_source_quota_stream_legacy(s, cap=2)
+    )
+    _assert_quota(first, second)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "conduit_connector_s3_iceberg_spark.streaming.quota", fromlist=["x"]
+    ).tws_runtime_available(),
+    reason="transformWithState needs the google.protobuf runtime "
+    "(absent in this container; see streaming/quota.py env note)",
+)
+def test_source_quota_stream_transform_with_state(spark, tmp_path):
+    from conduit_connector_s3_iceberg_spark.streaming.quota import (
+        ROCKSDB_PROVIDER,
+        per_source_quota_stream,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        first, second = _run_quota(
+            spark, tmp_path, lambda s: per_source_quota_stream(s, cap=2)
+        )
+        _assert_quota(first, second)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
