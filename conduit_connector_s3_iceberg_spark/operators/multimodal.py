@@ -6,11 +6,14 @@ and run decode/feature-extraction as Arrow-batched pandas transforms
 (``mapInPandas``) so Python touches each batch once, vectorized — never
 row-at-a-time UDFs.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (:func:`decode_image`); the Spark-side plumbing that the
-stub plugs into — binary encode, metadata struct, Arrow batch shape,
-partition-parallel ``mapInPandas`` with a stable output schema — is real and
-oracle-checked using a deterministic byte-level feature extractor.
+The container has no image/audio libraries, so :func:`decode_image` /
+:func:`resize_image` are DETERMINISTIC FAKE codecs (shape + pixels derived
+from payload bytes; clearly marked in their docstrings, one-body swap for
+Pillow/cv2 in production). Everything around them is real and executes:
+binary encode, metadata struct, Arrow batch shape, partition-parallel
+``mapInPandas`` with stable output schemas — and ``mm_decode_stats`` runs
+the decode path end-to-end against an oracle that recomputes the fake
+format arithmetically.
 """
 
 from __future__ import annotations
@@ -28,27 +31,43 @@ N_BYTE_FEATURES = 4
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to an array.
+    """Decode an image payload to a 2-D uint8 array.
 
-    STUB: real decoding needs an image library (e.g. Pillow/cv2) that is not
-    available in this environment. The surrounding Spark plumbing
-    (binary column → mapInPandas batches → fixed-schema features) is real;
-    swap this function's body for an actual decoder in production.
+    DETERMINISTIC FAKE CODEC — no image library (Pillow/cv2) exists in this
+    container, so this "format" derives shape and pixels purely from the
+    payload bytes: height = b[0] % 12 + 4, width = b[1] % 12 + 4, pixel i =
+    payload[i mod len]. Swap this body for a real decoder in production;
+    every caller (the mapInPandas stages, the resize below, the
+    ``mm_decode_stats`` oracle query) is agnostic to which decoder runs —
+    only the fixed output schema matters.
     """
-    raise NotImplementedError(
-        "image decoding requires an image library; not available here"
-    )
+    import numpy as np
+
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros((4, 4), dtype=np.uint8)
+    h = int(buf[0]) % 12 + 4
+    w = (int(buf[1]) if buf.size > 1 else 0) % 12 + 4
+    idx = np.arange(h * w) % buf.size
+    return buf[idx].reshape(h, w)
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload.
+    """Resize an image payload to ``height x width``, re-encoded as bytes.
 
-    STUB (same contract as :func:`decode_image`): needs an image library.
-    The production shape is a ``mapInPandas`` stage identical to
-    ``mm_feature_extract`` — binary in, binary out, fixed metadata columns —
-    so the plumbing below is what carries it at scale.
+    Decode (see :func:`decode_image` — deterministic fake codec), resample
+    by nearest neighbor (pure numpy index math, deterministic), emit a
+    2-byte shape header + row-major pixels. Production swaps the codec,
+    not this plumbing; the mapInPandas production shape is ``mm_transcode``.
     """
-    raise NotImplementedError("image resizing requires an image library")
+    import numpy as np
+
+    img = decode_image(payload)
+    h, w = img.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = img[rows][:, cols]
+    return bytes([height & 0xFF, width & 0xFF]) + out.tobytes()
 
 
 FRAME_STRIDE = 64  # bytes per synthetic "frame"
@@ -247,3 +266,63 @@ def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("nb") / F.count(F.lit(1)).cast("double")).alias("avg_bytes"),
         )
     )
+
+
+@query(
+    "mm_decode_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, strlen(text) AS L,
+             ord(substr(text, 1, 1)) % 12 + 4 AS img_h,
+             ord(substr(text, 2, 1)) % 12 + 4 AS img_w
+      FROM documents
+    ),
+    pix AS (
+      SELECT doc_id, img_h, img_w,
+             ord(substr(text, (i % L) + 1, 1)) AS px
+      FROM (SELECT *, unnest(generate_series(0, img_h * img_w - 1)) AS i
+            FROM base)
+    )
+    SELECT doc_id,
+           CAST(img_h AS INTEGER) AS img_h,
+           CAST(img_w AS INTEGER) AS img_w,
+           CAST(img_h * img_w AS INTEGER) AS n_pixels,
+           CAST(SUM(px) AS BIGINT) AS pixel_sum,
+           CAST(SUM(px) AS DOUBLE) / (img_h * img_w) AS mean_pixel
+    FROM pix
+    GROUP BY doc_id, img_h, img_w
+    """,
+    doc="Decoded-image statistics through the full decode path: payload "
+        "bytes -> decode_image (deterministic fake codec; see its "
+        "docstring) -> shape + exact integer pixel sum + mean, one "
+        "Arrow-batched mapInPandas pass with a fixed output schema. The "
+        "oracle recomputes the same 'format' arithmetically, proving the "
+        "decode plumbing end-to-end, not just the stub signature. At "
+        "100 TB: embarrassingly parallel narrow map, zero shuffle.",
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    schema = (
+        "doc_id bigint, img_h int, img_w int, n_pixels int, "
+        "pixel_sum bigint, mean_pixel double"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w = img.shape
+                s = int(img.sum(dtype="int64"))
+                rows.append((doc_id, h, w, h * w, s, s / (h * w)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "img_h", "img_w", "n_pixels",
+                    "pixel_sum", "mean_pixel",
+                ],
+            )
+
+    return docs.mapInPandas(stats, schema)

@@ -387,3 +387,26 @@ def test_kmeans_assign_invariants(spark):
     assert all(0 <= r["cluster1"] < KMEANS_K for r in rows)
     # a seed point is its own iteration-0 centroid (distance exactly 0)
     assert all(r["cluster0"] == r["vec_id"] for r in rows if r["vec_id"] < KMEANS_K)
+
+
+def test_fake_codec_decode_resize_roundtrip():
+    import numpy as np
+
+    from conduit_connector_s3_iceberg_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+    )
+
+    payload = b"hello world, this is a fake image payload"
+    img = decode_image(payload)
+    assert img.dtype == np.uint8 and img.ndim == 2
+    h, w = img.shape
+    assert 4 <= h <= 15 and 4 <= w <= 15
+    # deterministic: same payload, same pixels
+    assert np.array_equal(img, decode_image(payload))
+    # resize: header carries the target shape, body is H*W pixels
+    out = resize_image(payload, width=6, height=9)
+    assert out[0] == 9 and out[1] == 6 and len(out) == 2 + 9 * 6
+    # identity resize preserves the pixel block exactly
+    same = resize_image(payload, width=w, height=h)
+    assert same[2:] == img.tobytes()
