@@ -326,3 +326,82 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(stats, schema)
+
+
+AUDIO_CENTER = 108  # fake-PCM midpoint (payloads are ASCII text; see decode_audio)
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Decode an audio payload to a centered int16 sample array.
+
+    DETERMINISTIC FAKE CODEC (same contract as :func:`decode_image`): each
+    byte is one PCM sample centered at AUDIO_CENTER. Swap the body for a
+    real decoder (soundfile/ffmpeg) in production — downstream feature
+    math and schemas don't change.
+    """
+    import numpy as np
+
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - AUDIO_CENTER
+
+
+@query(
+    "mm_audio_features",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, i,
+             ord(substr(text, i, 1)) - {AUDIO_CENTER} AS s,
+             ord(substr(text, i + 1, 1)) - {AUDIO_CENTER} AS s_next,
+             strlen(text) AS L
+      FROM documents, LATERAL (
+        SELECT unnest(generate_series(1, strlen(text))) AS i
+      )
+    )
+    SELECT doc_id,
+           CAST(MAX(L) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(abs(s)) AS INTEGER) AS peak,
+           CAST(SUM(CASE WHEN i < L AND s * s_next < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="Audio feature extraction through the decode path: payload -> "
+        "decode_audio (deterministic fake PCM; see its docstring) -> exact "
+        "integer energy, peak amplitude, and zero-crossing count per "
+        "asset, one Arrow-batched mapInPandas pass. The signal-quality "
+        "triage a speech corpus runs before transcription. Narrow map, "
+        "zero shuffle; all sums are exact integers so results are "
+        "partition-order independent.",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    schema = (
+        "doc_id bigint, n_samples bigint, energy bigint, "
+        "peak int, zero_crossings bigint"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode_audio(bytes(payload)).astype(np.int64)
+                zc = int(np.sum(s[:-1] * s[1:] < 0)) if s.size > 1 else 0
+                rows.append(
+                    (
+                        doc_id,
+                        int(s.size),
+                        int(np.sum(s * s)),
+                        int(np.max(np.abs(s))) if s.size else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "energy", "peak", "zero_crossings"],
+            )
+
+    return docs.mapInPandas(feats, schema)
