@@ -836,3 +836,34 @@ def q58_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk WHERE node <= 1
         """
     )
+
+
+@query(
+    "q59_nation_supplier_roster",
+    oracle="""
+    SELECT n.n_name AS nation,
+           string_agg(s.s_name, ',' ORDER BY s.s_acctbal DESC, s.s_name)
+             AS roster,
+           COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY nation
+    """,
+    doc="Ordered string aggregation (Spark 4 listagg WITHIN GROUP == "
+        "DuckDB string_agg ORDER BY): per nation, the supplier roster as "
+        "one CSV string ordered by balance then name — deterministic "
+        "because the order clause is total. Same bounded-group caveat as "
+        "q43: concatenated groups must be dimension-sized; the aggregation "
+        "itself is one partial+final hash agg after a broadcast dim join.",
+)
+def q59_nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n.n_name AS nation,
+               listagg(s.s_name, ',')
+                 WITHIN GROUP (ORDER BY s.s_acctbal DESC, s.s_name) AS roster,
+               COUNT(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

@@ -277,3 +277,42 @@ def test_no_unbounded_join_in_any_registered_query(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BROADCAST_NONEQUI_OK:
             failures.append(f"{name}: BroadcastNestedLoopJoin")
     assert not failures, failures
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Pin the runtime skew answer SCALE.md leans on: AQE detects a hot
+    join key's oversized shuffle partition and splits it (SMJ skew=true),
+    so one fat key cannot straggle a 1000-executor join."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # keep every shuffle a real exchange so skew stats are per-partition
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        # key 0 carries 50k fat rows; keys 1..99 one row each
+        left = spark.range(0, 50_000).select(
+            F.when(F.col("id") < 49_901, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.lit("x" * 200), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v")
+        joined = left.join(right, "k")
+        # collect() (not count()) so THIS DataFrame's query execution runs
+        # and its adaptive plan finalizes — count() spawns a separate one
+        assert len(joined.collect()) == 50_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
