@@ -520,3 +520,67 @@ class CdcWriter:
                     del_df = del_df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
             result = result.join(del_df, key_fields, "left_anti")
         self.wh.overwrite_with(self.table, result)
+
+
+# ------------------------------------------------------------ snapshot diff
+#
+# The read-side companion to history()/rollback(): classify every row
+# changed between two snapshots — the incremental-consumption primitive
+# (Iceberg's changelog/"incremental read" shape; the reference connector
+# PRODUCES such feeds, this consumes/derives them from any two versions).
+
+
+def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level diff of two same-keyed relations.
+
+    Returns one row per changed key: the key columns plus ``change``
+    ('insert' | 'delete' | 'update'); unchanged keys are dropped. Rows are
+    compared by an md5 fingerprint of the non-key columns (computed on each
+    side BEFORE the join, so the shuffle carries keys + one 32-char digest,
+    not full rows).
+
+    Scale: one hash-partitioned shuffle per side on the key columns and a
+    full outer merge — the standard 100-TB reconcile. If both snapshots
+    are stored bucketed on the keys (``sources/bucketing.py``), the
+    exchanges vanish entirely.
+    """
+    common = [c for c in new.columns if c in set(old.columns)]
+    payload = sorted(c for c in common if c not in keys)
+
+    def fp(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.md5(F.to_json(F.struct(*payload))).alias(name),
+        )
+
+    o = fp(old, "old_fp")
+    n = fp(new, "new_fp")
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), F.lit("insert"))
+        .when(F.col("new_fp").isNull(), F.lit("delete"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
+
+
+def snapshot_diff(
+    wh: ParquetWarehouse,
+    table: str,
+    v_old: int | str,
+    v_new: int | str | None,
+    keys: list[str],
+) -> DataFrame:
+    """Diff two committed versions of a warehouse table (``None`` = current).
+
+    ``wh.read`` pins each side to its snapshot directory, so this runs
+    entirely on immutable data files — repeatable regardless of later
+    commits (Iceberg time-travel semantics).
+    """
+    old = wh.read(table, v_old)
+    new = wh.read(table, v_new) if v_new is not None else wh.read(table)
+    return table_diff(old, new, keys)

@@ -341,3 +341,42 @@ def test_bucketed_aggregation_reuses_bucket_partitioning(spark, tmp_path):
         assert agg.count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_agg")
+
+
+# ------------------------------------------------------------ snapshot diff
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from conduit_connector_s3_iceberg_spark.writer import (
+        ParquetWarehouse,
+        snapshot_diff,
+        table_diff,
+    )
+
+    from pyspark.sql import types as T
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = "id long, name string, qty int"
+    wh.create_table("t", T.StructType.fromDDL(schema))
+    wh.append(
+        "t",
+        spark.createDataFrame([(1, "a", 5), (2, "b", 7), (3, "c", 9)], schema),
+    )
+    v1 = len(wh.history("t")) - 1
+    # next snapshot: 2 updated, 3 deleted, 4 inserted, 1 untouched
+    wh.overwrite_with(
+        "t",
+        spark.createDataFrame([(1, "a", 5), (2, "b", 99), (4, "d", 1)], schema),
+    )
+    got = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(wh, "t", v1, None, ["id"]).collect()
+    }
+    assert got == {2: "update", 3: "delete", 4: "insert"}
+
+    # pure-frame form handles schema evolution: only common columns compared
+    old = spark.createDataFrame([Row(id=1, name="a")])
+    new = spark.createDataFrame([Row(id=1, name="a", extra=0)])
+    assert table_diff(old, new, ["id"]).count() == 0
