@@ -867,3 +867,55 @@ def q59_nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+_PROFILE_COLS = ["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"]
+
+
+@query(
+    "q60_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           1.0 - CAST(COUNT({c}) AS DOUBLE) / COUNT(*) AS null_fraction
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+    doc="Table profiling (the ANALYZE / data-quality-dashboard shape): "
+        "null and exact-distinct counts for a column set in ONE aggregation "
+        "pass — Catalyst plans the multi-column DISTINCT as a single "
+        "Expand (xN columns) + partial/final agg, one shuffle total, "
+        "instead of N table scans. Output cardinality = column count. "
+        "Swap exact distinct for the HLL sketch (operators/sketches.py) "
+        "when profiling runs on every ingest batch at 100 TB.",
+)
+def q60_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct)"
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        (
+            F.lit(1.0)
+            - (F.col("n_rows") - F.col("n_nulls")).cast("double") / F.col("n_rows")
+        ).alias("null_fraction"),
+    )
