@@ -919,3 +919,46 @@ def q60_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n_rows") - F.col("n_nulls")).cast("double") / F.col("n_rows")
         ).alias("null_fraction"),
     )
+
+
+@query(
+    "q61_defensive_ingest",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(CASE CAST(o_orderkey % 3 AS INTEGER)
+                    WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+                    WHEN 1 THEN 'N/A'
+                    ELSE '#' || CAST(o_orderkey AS VARCHAR) END
+                    AS BIGINT) AS parsed_id,
+           TRY_CAST('2024-' || lpad(CAST(o_orderkey % 15 + 1 AS VARCHAR), 2, '0')
+                    || '-01' AS DATE) AS parsed_month,
+           o_totalprice / NULLIF(CAST(o_orderkey % 5 AS INTEGER), 0)
+             AS per_slot_price
+    FROM orders
+    """,
+    doc="Error-safe ingest surface: try_cast parses dirty numerics/dates to "
+        "NULL instead of failing the job (month 13-15 strings, '#'-prefixed "
+        "and 'N/A' ids), and NULLIF guards division by zero — the defensive "
+        "idiom for semi-trusted feeds, where one bad record must not kill "
+        "a 100-TB batch (complements the CDC dead-letter path, which "
+        "quarantines whole records). Pure narrow map, no shuffle.",
+)
+def q61_defensive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dirty_id = (
+        "CASE CAST(o_orderkey % 3 AS INT) "
+        "WHEN 0 THEN CAST(o_orderkey AS STRING) "
+        "WHEN 1 THEN 'N/A' "
+        "ELSE concat('#', CAST(o_orderkey AS STRING)) END"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.expr(f"try_cast({dirty_id} AS BIGINT)").alias("parsed_id"),
+        F.expr(
+            "try_cast(concat('2024-', lpad(CAST(o_orderkey % 15 + 1 AS STRING),"
+            " 2, '0'), '-01') AS DATE)"
+        ).alias("parsed_month"),
+        F.expr("o_totalprice / nullif(CAST(o_orderkey % 5 AS INT), 0)").alias(
+            "per_slot_price"
+        ),
+    )
