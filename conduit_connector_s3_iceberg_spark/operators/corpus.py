@@ -664,3 +664,86 @@ def corpus_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.count(F.lit(1))).alias("leak_frac"),
         )
     )
+
+
+# ------------------------------------------------------------- dataset card
+#
+# The one-table summary a corpus release publishes: volume, diversity,
+# duplication, and split sizes, each metric defined EXACTLY as its
+# dedicated operator defines it (token = whitespace token as in
+# text_token_stats; exact-dup fingerprint as in dedup_exact_groups; split
+# banding as in corpus_train_split) so the card never drifts from the
+# queries it summarizes.
+
+
+@query(
+    "corpus_dataset_card",
+    oracle=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique_texts,
+             SUM(n_chars) AS total_chars,
+             SUM(len(string_split(trim(text), ' '))) AS total_tokens,
+             SUM(CASE WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2)
+                      < '{TRAIN_HEX}' THEN 1 ELSE 0 END) AS train_docs,
+             SUM(CASE WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2)
+                      >= '{TRAIN_HEX}'
+                  AND substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 2)
+                      < '{VAL_HEX}' THEN 1 ELSE 0 END) AS val_docs
+      FROM documents
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+    UNION ALL SELECT 'excess_exact_dups',
+                     CAST(n_docs - n_unique_texts AS DOUBLE) FROM agg
+    UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM agg
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM agg
+    UNION ALL SELECT 'train_docs', CAST(train_docs AS DOUBLE) FROM agg
+    UNION ALL SELECT 'val_docs', CAST(val_docs AS DOUBLE) FROM agg
+    UNION ALL SELECT 'test_docs',
+                     CAST(n_docs - train_docs - val_docs AS DOUBLE) FROM agg
+    """,
+    doc="Dataset card: corpus volume, source/language diversity, exact-dup "
+        "excess, token totals, and train/val/test sizes in ONE aggregation "
+        "pass over the corpus (multi-DISTINCT planned as a single Expand, "
+        "like q60) unpivoted to long form. Every metric reuses its "
+        "dedicated operator's exact definition, so the published card and "
+        "the pipeline gates can never disagree. All values are exact "
+        "integers emitted as doubles (< 2^53, lossless).",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 2
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " "))
+    wide = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5(F.lower(F.trim(F.col("text"))))).alias(
+            "n_unique_texts"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(n_tokens.cast("long")).alias("total_tokens"),
+        F.sum((band < TRAIN_HEX).cast("long")).alias("train_docs"),
+        F.sum(((band >= TRAIN_HEX) & (band < VAL_HEX)).cast("long")).alias(
+            "val_docs"
+        ),
+    )
+    pairs = [
+        ("n_docs", "n_docs"),
+        ("n_sources", "n_sources"),
+        ("n_langs", "n_langs"),
+        ("excess_exact_dups", "n_docs - n_unique_texts"),
+        ("total_chars", "total_chars"),
+        ("total_tokens", "total_tokens"),
+        ("train_docs", "train_docs"),
+        ("val_docs", "val_docs"),
+        ("test_docs", "n_docs - train_docs - val_docs"),
+    ]
+    stack = ", ".join(f"'{m}', CAST({e} AS DOUBLE)" for m, e in pairs)
+    return wide.selectExpr(f"stack({len(pairs)}, {stack}) AS (metric, value)")
