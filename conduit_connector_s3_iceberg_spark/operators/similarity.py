@@ -690,3 +690,119 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a1 = assign(a0, cents1, "cluster1")
     return a1.select("vec_id", "cluster0", "cluster1")
+
+
+# -------------------------------------------------- PCA power iteration ---
+#
+# Top principal direction of the embedding corpus via two unrolled power
+# steps: G = Σ x xᵀ accumulated EXACTLY (scaled-integer products, so the
+# 64×64 Gram matrix is bit-identical under any shuffle order), then
+# v1 = G e₀ and v2 = G v1 folded in fixed index order on both engines.
+# The "reduce 100 TB to a 64×64 matrix, iterate on the matrix" shape —
+# the iterative production loop repeats the v→Gv fold against the SAME
+# materialized G (constant-size), never rescanning the corpus.
+#
+# Scale: one self-join per vector row on vec_id (map-side: the pair
+# explode is per-row, no shuffle until the (ia, ib) aggregation over
+# DIM² = 4096 keys, map-side combined). At corpus scale the BIGINT
+# product sum can overflow ~2⁶³ around 10⁹ rows × unit-scale values —
+# production swaps the accumulator cast to DECIMAL(38,0); the plan is
+# unchanged.
+
+PCA_SCALE = 1_000_000
+_PCA_S2 = PCA_SCALE * PCA_SCALE
+
+
+@query(
+    "emb_pca_power",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    xs AS (
+      SELECT vec_id, i, CAST(round(emb[i] * {PCA_SCALE}) AS BIGINT) AS s
+      FROM e, unnest(generate_series(1, {DIM})) AS t(i)
+    ),
+    g AS (
+      SELECT a.i AS ia, b.i AS ib, CAST(SUM(a.s * b.s) AS BIGINT) AS gs
+      FROM xs a JOIN xs b USING (vec_id)
+      GROUP BY ia, ib
+    ),
+    gd AS (SELECT ia, ib, CAST(gs AS DOUBLE) / {_PCA_S2} AS gv FROM g),
+    v1arr AS (
+      SELECT array_agg(gv ORDER BY ia) AS varr FROM gd WHERE ib = 1
+    ),
+    grow AS (SELECT ia, array_agg(gv ORDER BY ib) AS row FROM gd GROUP BY ia),
+    v2 AS (
+      SELECT ia,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               k -> row[k] * varr[k]), (x, y) -> x + y) AS v2
+      FROM grow, v1arr
+    ),
+    nrm AS (
+      SELECT sqrt(list_reduce(list_transform(generate_series(1, {DIM}),
+               k -> w[k] * w[k]), (x, y) -> x + y)) AS n
+      FROM (SELECT array_agg(v2 ORDER BY ia) AS w FROM v2)
+    )
+    SELECT v2.ia - 1 AS pos, v1arr.varr[v2.ia] AS v1, v2.v2 AS v2,
+           v2.v2 / nrm.n AS v2_unit
+    FROM v2, v1arr, nrm
+    """,
+    doc=f"Distributed PCA step: exact scaled-integer Gram matrix "
+        f"({DIM}x{DIM}, one aggregation over the corpus), then two power "
+        "steps v1 = G e0, v2 = G v1 folded in fixed index order — "
+        "bit-identical cross-engine, partition-order independent. Output "
+        "is the un-normalized and unit top-direction estimate per "
+        "dimension; the production loop iterates the constant-size "
+        "matrix-vector fold without rescanning the corpus.",
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    xs = emb.select(
+        "vec_id", F.posexplode("emb").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("x") * PCA_SCALE).cast("bigint").alias("s"),
+    )
+    a, b = xs.alias("a"), xs.alias("b")
+    g = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.pos").alias("ia"), F.col("b.pos").alias("ib"))
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("gs"))
+    )
+    gd = g.select(
+        "ia", "ib", (F.col("gs").cast("double") / F.lit(float(_PCA_S2))).alias("gv")
+    ).localCheckpoint(eager=False)  # G feeds three consumers; build it once
+    v1arr = (
+        gd.filter(F.col("ib") == 0)
+        .agg(F.array_sort(F.collect_list(F.struct("ia", "gv"))).alias("p"))
+        .select(F.expr("transform(p, s -> s.gv)").alias("varr"))
+    )
+    grow = gd.groupBy("ia").agg(
+        F.expr("transform(array_sort(collect_list(struct(ib, gv))), s -> s.gv)")
+        .alias("row")
+    )
+    v2 = grow.crossJoin(F.broadcast(v1arr)).select(
+        "ia",
+        "varr",
+        F.expr(
+            "aggregate(zip_with(row, varr, (x, y) -> x * y), 0.0D,"
+            " (acc, v) -> acc + v)"
+        ).alias("v2"),
+    )
+    nrm = (
+        v2.agg(F.array_sort(F.collect_list(F.struct("ia", "v2"))).alias("p"))
+        .select(
+            F.expr(
+                "sqrt(aggregate(transform(p, s -> s.v2 * s.v2), 0.0D,"
+                " (acc, v) -> acc + v))"
+            ).alias("n")
+        )
+    )
+    return v2.crossJoin(F.broadcast(nrm)).select(
+        F.col("ia").alias("pos"),
+        F.expr("varr[ia]").alias("v1"),  # Spark [] is 0-based (element_at is 1-based)
+        "v2",
+        (F.col("v2") / F.col("n")).alias("v2_unit"),
+    )

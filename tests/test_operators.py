@@ -410,3 +410,18 @@ def test_fake_codec_decode_resize_roundtrip():
     # identity resize preserves the pixel block exactly
     same = resize_image(payload, width=w, height=h)
     assert same[2:] == img.tobytes()
+
+
+def test_pca_power_invariants(spark):
+    import math
+
+    from conduit_connector_s3_iceberg_spark.operators.similarity import emb_pca_power
+
+    rows = {r["pos"]: r for r in emb_pca_power(spark, SF001).collect()}
+    assert sorted(rows) == list(range(64))
+    # v2_unit is unit-norm by construction
+    assert math.isclose(
+        sum(r["v2_unit"] ** 2 for r in rows.values()), 1.0, rel_tol=1e-9
+    )
+    # G is PSD, so <v1, v2> = v1' G v1 >= 0
+    assert sum(r["v1"] * r["v2"] for r in rows.values()) >= 0.0

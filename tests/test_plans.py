@@ -257,6 +257,8 @@ BROADCAST_NONEQUI_OK = {
     "text_vocab_coverage",
     # one-row centroid-array broadcasts (K×DIM values each) — bounded
     "emb_kmeans_assign",
+    # one-row v1-vector and norm broadcasts (DIM values) — bounded
+    "emb_pca_power",
 }
 
 
