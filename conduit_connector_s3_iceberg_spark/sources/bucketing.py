@@ -57,3 +57,64 @@ def colocated_join(
     """
     keys = [key] if isinstance(key, str) else list(key)
     return spark.table(left).join(spark.table(right), on=keys, how=how)
+
+
+# ------------------------------------------------------------ Z-order keys
+#
+# Multi-dimensional data skipping (Iceberg's `rewrite_data_files` zorder
+# analog): interleave the bits of two normalized columns so rows close in
+# BOTH dimensions land close in the sort order. Files written sorted by
+# the key then carry tight parquet footer min/max ranges in *both*
+# columns — a filter on either dimension prunes most files, where a
+# single-column sort only prunes its own column. Pure JVM bit arithmetic
+# (shifts/ands unrolled per bit), no UDF.
+
+
+def zorder_key(
+    col_a, lo_a: float, hi_a: float, col_b, lo_b: float, hi_b: float, bits: int = 16
+):
+    """Morton (Z-curve) key of two columns, each normalized to ``bits``
+    levels over a caller-supplied [lo, hi) domain (fixed domains keep the
+    key deterministic and computable in one narrow map — no extra
+    min/max pass; out-of-domain values clamp to the edge buckets)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    def norm(c, lo, hi):
+        c = c if isinstance(c, Column) else F.col(c)
+        scaled = F.floor(
+            (c.cast("double") - F.lit(float(lo)))
+            / F.lit(float(hi) - float(lo))
+            * F.lit(float(1 << bits))
+        ).cast("long")
+        return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1))
+
+    a, b = norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return key
+
+
+def write_zordered(
+    df, path: str, col_a, dom_a: tuple, col_b, dom_b: tuple, n_files: int = 8
+) -> None:
+    """Write ``df`` as parquet clustered along the Z-curve of two columns:
+    range-partition on the key (contiguous curve segments per file) and
+    sort within each file. One shuffle at layout time; afterwards filters
+    on EITHER column prune files via footer min/max."""
+    from pyspark.sql import functions as F
+
+    z = zorder_key(col_a, *dom_a, col_b, *dom_b).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -380,3 +380,75 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     old = spark.createDataFrame([Row(id=1, name="a")])
     new = spark.createDataFrame([Row(id=1, name="a", extra=0)])
     assert table_diff(old, new, ["id"]).count() == 0
+
+
+# ---------------------------------------------------------------- z-order
+
+
+def _file_ranges(path, cols):
+    """Per-parquet-file (min, max) footer stats for each column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        out.append({c: (lo[c], hi[c]) for c in cols})
+    return out
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from conduit_connector_s3_iceberg_spark.sources.bucketing import write_zordered
+
+    n = 1 << 12
+    # two independent uniform dimensions (bit-reversal makes y ~ uncorrelated
+    # with x, deterministically)
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, "x", (0, n), "y", (0, n), n_files=16)
+
+    spath = str(tmp_path / "sorted_x")
+    (
+        df.repartitionByRange(16, "x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    z_ranges = _file_ranges(zpath, ("x", "y"))
+    x_ranges = _file_ranges(spath, ("x", "y"))
+    assert len(z_ranges) == 16 and len(x_ranges) == 16
+
+    def files_hit(ranges, col, lo, hi):
+        """Files a footer-based scan must read for ``col BETWEEN lo AND hi``."""
+        return sum(1 for r in ranges if not (r[col][1] < lo or r[col][0] > hi))
+
+    slab = n // 16  # a selective range predicate (1/16 of the domain)
+    # single-column x-sort: perfect x pruning, but a y predicate reads ALL
+    # files. z-order: BOTH predicates prune (each curve segment is a
+    # compact box, ~4x4 grid at 16 files).
+    assert files_hit(x_ranges, "y", 0, slab) == 16
+    assert files_hit(z_ranges, "y", 0, slab) <= 8
+    assert files_hit(z_ranges, "x", 0, slab) <= 8
+    # z trades a little x-pruning for y-pruning; the trade must never cost
+    # more than it buys across the two dimensions combined
+    z_total = files_hit(z_ranges, "x", 0, slab) + files_hit(z_ranges, "y", 0, slab)
+    x_total = files_hit(x_ranges, "x", 0, slab) + files_hit(x_ranges, "y", 0, slab)
+    assert z_total < x_total
+    # correctness: same rows either way
+    assert spark.read.parquet(zpath).count() == n
