@@ -84,3 +84,134 @@ def freq_sketch(
 def events_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return distinct_sketches(ev, ["event_type"], "user_id").drop("sketch")
+
+
+# ------------------------------------------- oracle-checkable HLL variant --
+#
+# The Spark-native HLL above (`hll_sketch_agg`) is rows-only checkable: its
+# binary sketch is engine-internal. This variant rebuilds HyperLogLog from
+# first principles with md5-derived registers, so DuckDB can recompute the
+# EXACT same registers and estimate — converting the sketch family from
+# "trust the engine" to bit-exact cross-checked. Same plan shape as any
+# production HLL: one narrow map per row, one max-aggregation over
+# HLL_M register keys (map-side combined), constant-size output.
+#
+# Register math (identical text in both engines): bucket = first 2 md5 hex
+# chars mod HLL_M; v = next 15 hex chars (60 bits); rho = 61 - bitlength(v)
+# (v = 0 -> 61). Estimate = alpha * m^2 / sum(2^-reg), registers folded in
+# bucket order — a fixed IEEE op sequence over powers of two.
+
+HLL_M = 64          # registers (b = 6 bits)
+HLL_ALPHA = 0.709   # standard alpha for m = 64
+
+
+@query(
+    "events_hll_registers",
+    oracle=f"""
+    WITH h AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    r AS (
+      SELECT CAST(CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % {HLL_M} AS INTEGER)
+               AS bucket,
+             CAST(('0x' || substr(hx, 3, 15)) AS BIGINT) AS v
+      FROM h
+    ),
+    regs AS (
+      SELECT bucket,
+             MAX(CASE WHEN v = 0 THEN 61
+                      ELSE 61 - length(bin(v)) END) AS register
+      FROM r GROUP BY bucket
+    )
+    SELECT s.bucket, CAST(COALESCE(regs.register, 0) AS INTEGER) AS register
+    FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) s
+    LEFT JOIN regs ON regs.bucket = s.bucket
+    """,
+    doc=f"HyperLogLog registers, oracle-checkable: md5-derived bucket "
+        f"(mod {HLL_M}) and leading-zero rank per row, max per register — "
+        "bit-identical in both engines, unlike the engine-internal "
+        "hll_sketch_agg binary. One narrow map + one tiny max-agg; "
+        "registers merge by max, so shards re-aggregate exactly like any "
+        "production HLL.",
+)
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % HLL_M).cast("int")
+    v = F.conv(F.substring(hx, 3, 15), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(v))
+    )
+    regs = (
+        ev.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    spine = spark.range(0, HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    return spine.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("register", F.lit(0)).cast("int").alias("register")
+    )
+
+
+@query(
+    "events_hll_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    r AS (
+      SELECT CAST(CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % {HLL_M} AS INTEGER)
+               AS bucket,
+             CAST(('0x' || substr(hx, 3, 15)) AS BIGINT) AS v
+      FROM h
+    ),
+    regs AS (
+      SELECT bucket,
+             MAX(CASE WHEN v = 0 THEN 61
+                      ELSE 61 - length(bin(v)) END) AS register
+      FROM r GROUP BY bucket
+    ),
+    full_regs AS (
+      SELECT s.bucket, COALESCE(regs.register, 0) AS register
+      FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) s
+      LEFT JOIN regs ON regs.bucket = s.bucket
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_transform(array_agg(register ORDER BY bucket),
+                              x -> pow(2.0, -x)),
+               (a, b) -> a + b) AS inv_sum
+      FROM full_regs
+    )
+    SELECT {HLL_ALPHA} * {HLL_M} * {HLL_M} / folded.inv_sum AS hll_estimate,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS true_distinct,
+           {HLL_ALPHA} * {HLL_M} * {HLL_M} / folded.inv_sum
+             / (SELECT COUNT(DISTINCT user_id) FROM events) - 1.0 AS rel_error
+    FROM folded
+    """,
+    doc="HLL cardinality estimate from the oracle-checkable registers: "
+        "alpha * m^2 / sum(2^-register) folded in bucket order (powers of "
+        "two — every intermediate is IEEE-exact), alongside the true "
+        "distinct count and relative error. Proves the whole sketch path "
+        "(hash -> registers -> estimate) end-to-end against an "
+        "independent engine, not just row counts.",
+)
+def events_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    regs = events_hll_registers(spark, sf_dir)
+    folded = regs.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(bucket, register))),"
+            " s -> pow(2.0D, -s.register)), 0.0D, (a, b) -> a + b)"
+        ).alias("inv_sum")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    true_d = ev.agg(F.countDistinct("user_id").alias("true_distinct"))
+    est = F.lit(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M) / F.col("inv_sum")
+    return (
+        folded.crossJoin(F.broadcast(true_d))
+        .select(
+            est.alias("hll_estimate"),
+            "true_distinct",
+            (est / F.col("true_distinct") - F.lit(1.0)).alias("rel_error"),
+        )
+    )
