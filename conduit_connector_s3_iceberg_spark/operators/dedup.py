@@ -803,6 +803,40 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUZZY_BLOCK_LEN = 12   # exact-match blocking prefix
 FUZZY_VERIFY_LEN = 60  # edit-distance window
 FUZZY_MAX_DIST = 20
+FUZZY_BLOCK_CAP = 64   # drop blocks bigger than this (hot-prefix guard)
+
+
+def fuzzy_blocked_pairs(
+    b: DataFrame, max_dist: int = FUZZY_MAX_DIST, cap: int = FUZZY_BLOCK_CAP
+) -> DataFrame:
+    """Block-then-verify fuzzy linkage over a (doc_id, blk, pfx) frame.
+
+    Blocks larger than ``cap`` are dropped before the self-join — real
+    corpora have pathological hot prefixes (boilerplate headers, empty
+    docs) that would make one block quadratic (r2 verdict watch item).
+    Mirrors the document-frequency cap the shingle inverted index uses:
+    an over-common blocking key carries no linkage signal, exactly like an
+    over-common shingle. Candidate pairs are bounded by cap²/2 per block.
+    """
+    sizes = b.groupBy("blk").agg(F.count(F.lit(1)).alias("blk_n"))
+    bounded = b.join(
+        sizes.filter(F.col("blk_n") <= cap).select("blk"), "blk"
+    )
+    a, c = bounded.alias("a"), bounded.alias("c")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("c.pfx"))
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )
 
 
 @query(
@@ -813,17 +847,26 @@ FUZZY_MAX_DIST = 20
              substr(text, 1, {FUZZY_BLOCK_LEN}) AS blk,
              substr(text, 1, {FUZZY_VERIFY_LEN}) AS pfx
       FROM documents
+    ),
+    ok AS (
+      SELECT blk FROM b GROUP BY blk HAVING COUNT(*) <= {FUZZY_BLOCK_CAP}
+    ),
+    bb AS (
+      SELECT b.* FROM b JOIN ok ON b.blk = ok.blk
     )
     SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
            CAST(levenshtein(a.pfx, c.pfx) AS INTEGER) AS edit_distance
-    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    FROM bb a JOIN bb c ON a.blk = c.blk AND a.doc_id < c.doc_id
     WHERE levenshtein(a.pfx, c.pfx) <= {FUZZY_MAX_DIST}
     """,
     doc="Fuzzy linkage via blocked edit distance: exact equi-join on a "
         f"{FUZZY_BLOCK_LEN}-char blocking key (candidate set bounded by "
         "block sizes, never all-pairs), then unit-cost Levenshtein over "
         f"{FUZZY_VERIFY_LEN}-char windows verifies candidates — identical "
-        "integer DP in Spark and DuckDB. At 100 TB the blocking key is the "
+        f"integer DP in Spark and DuckDB. Blocks above {FUZZY_BLOCK_CAP} "
+        "rows are dropped before the self-join (hot boilerplate prefixes "
+        "would make one block quadratic; same df-cap discipline as the "
+        "shingle inverted index). At 100 TB the blocking key is the "
         "tunable: longer prefix (or a normalized phonetic key) shrinks "
         "blocks; the verify cost is per-candidate, not per-pair.",
 )
@@ -834,14 +877,4 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, FUZZY_BLOCK_LEN).alias("blk"),
         F.substring("text", 1, FUZZY_VERIFY_LEN).alias("pfx"),
     )
-    a, c = b.alias("a"), b.alias("c")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("c.pfx"))
-    return (
-        a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.doc_id") < F.col("c.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            dist.cast("int").alias("edit_distance"),
-        )
-        .filter(F.col("edit_distance") <= FUZZY_MAX_DIST)
-    )
+    return fuzzy_blocked_pairs(b)

@@ -297,8 +297,15 @@ def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docstring) -> shape + exact integer pixel sum + mean, one "
         "Arrow-batched mapInPandas pass with a fixed output schema. The "
         "oracle recomputes the same 'format' arithmetically, proving the "
-        "decode plumbing end-to-end, not just the stub signature. At "
-        "100 TB: embarrassingly parallel narrow map, zero shuffle.",
+        "decode plumbing end-to-end, not just the stub signature. "
+        "CORPUS INVARIANT the oracle leans on: the implementation reads "
+        "UTF-8 BYTES (numpy uint8 over the encoded payload) while the "
+        "oracle reads CODEPOINTS (ord/strlen over text) — they agree "
+        "because the synthetic corpus is pure ASCII with length >= 2 "
+        "(verified; DuckDB ord('') = -1 and any multi-byte char would "
+        "diverge). A non-ASCII corpus needs the oracle rewritten over "
+        "encoded bytes. At 100 TB: embarrassingly parallel narrow map, "
+        "zero shuffle.",
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
@@ -369,8 +376,12 @@ def decode_audio(payload: bytes) -> "object":
         "decode_audio (deterministic fake PCM; see its docstring) -> exact "
         "integer energy, peak amplitude, and zero-crossing count per "
         "asset, one Arrow-batched mapInPandas pass. The signal-quality "
-        "triage a speech corpus runs before transcription. Narrow map, "
-        "zero shuffle; all sums are exact integers so results are "
+        "triage a speech corpus runs before transcription. "
+        "CORPUS INVARIANT the oracle leans on: implementation samples are "
+        "UTF-8 BYTES, oracle samples are CODEPOINTS (ord) — equal only "
+        "because the synthetic corpus is pure ASCII and non-empty "
+        "(verified); non-ASCII input needs a bytes-based oracle. Narrow "
+        "map, zero shuffle; all sums are exact integers so results are "
         "partition-order independent.",
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,7 +97,9 @@ def _sig_spark() -> F.Column:
     )
 
 
-def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+def _two_phase_topk(
+    scored: DataFrame, k: int, base: DataFrame | None = None
+) -> DataFrame:
     """Exact per-query top-k over a scored (query_id, vec_id, cosine) set
     without funneling the full corpus into N_QUERIES reducer tasks.
 
@@ -108,21 +110,38 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     is bounded by k × partitions, independent of corpus size. Exact because
     every global top-k row is necessarily in its source partition's top-k
     (ties broken deterministically by vec_id in both phases).
+
+    Phase 1 is GATED on input width (same discipline as the conditional
+    corpus repartition in ``_distinct_shingles``): when the scored frame is
+    a handful of partitions — small SF, or an already-reduced candidate set
+    — the per-query merge input is already bounded and the extra window
+    only adds a shuffle (r2 bench: +56% on sim_topk_bruteforce at sf0.1).
+    At 100-TB widths (partitions ≫ slots) the gate is always true and the
+    bounded-merge property holds exactly as before.
+
+    ``base`` is the width probe: callers pass the pre-join corpus SCAN
+    (whose partitioning the narrow scoring join preserves) because
+    ``.rdd`` on the joined frame itself would materialize the broadcast
+    exchange outside the real run — a measured ~0.2 s of duplicated work
+    at sf0.1. A plain file-scan ``.rdd`` is lazy and free.
     """
-    local_w = Window.partitionBy("query_id", "part_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    survivors = (
-        scored.withColumn("part_id", F.spark_partition_id())
-        .withColumn("local_rank", F.row_number().over(local_w))
-        .filter(F.col("local_rank") <= k)
-        .drop("part_id", "local_rank")
-    )
+    probe = base if base is not None else scored
+    sc = scored.sparkSession.sparkContext
+    if probe.rdd.getNumPartitions() > 2 * sc.defaultParallelism:
+        local_w = Window.partitionBy("query_id", "part_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        scored = (
+            scored.withColumn("part_id", F.spark_partition_id())
+            .withColumn("local_rank", F.row_number().over(local_w))
+            .filter(F.col("local_rank") <= k)
+            .drop("part_id", "local_rank")
+        )
     merge_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
     return (
-        survivors.withColumn("rank", F.row_number().over(merge_w))
+        scored.withColumn("rank", F.row_number().over(merge_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
@@ -174,7 +193,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    return _two_phase_topk(scored, TOP_K)
+    return _two_phase_topk(scored, TOP_K, base=emb)
 
 
 def _lsh_planes_values() -> str:
@@ -272,7 +291,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.max("cosine").alias("cosine"))
     )
-    return _two_phase_topk(cand, TOP_K)
+    return _two_phase_topk(cand, TOP_K, base=emb)
 
 
 # --------------------------------------------------------------------- IVF
@@ -401,7 +420,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    return _two_phase_topk(cand, TOP_K)
+    return _two_phase_topk(cand, TOP_K, base=base)
 
 
 # --- Per-label centroids (exact, shuffle-once vector aggregation) ---------
@@ -516,7 +535,8 @@ QUANT_LEVELS = 127
                AS codes
       FROM m
     )
-    SELECT vec_id, label, max_abs, scale, codes,
+    SELECT vec_id, label, max_abs, scale,
+           array_to_string(codes, ',') AS codes,
            list_reduce(
              list_transform(generate_series(1, {DIM}),
                i -> (emb[i] - codes[i] / scale) * (emb[i] - codes[i] / scale)),
@@ -527,7 +547,9 @@ QUANT_LEVELS = 127
         "code_i = round(x_i * 127 / max|x|), plus the exact reconstruction "
         "squared error as a quality diagnostic. Narrow map over the scan — "
         "no shuffle; the error fold is an ordered left fold, identical "
-        "IEEE sequence in both engines.",
+        "IEEE sequence in both engines. Codes are emitted ','-joined as a "
+        "scalar string: the driver's pandas canonicalizer cannot hash list "
+        "cells (r02 harness crash), so top-level outputs are scalar-only.",
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "embeddings").select(
@@ -548,7 +570,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "max_abs",
         "scale",
-        "codes",
+        F.array_join("codes", ",").alias("codes"),
         F.expr(
             "aggregate(zip_with(emb, codes, (x, c) -> (x - c / scale) * (x - c / scale)),"
             " 0.0D, (acc, v) -> acc + v)"

@@ -70,18 +70,19 @@ def freq_sketch(
     return bytes(row["cms"])
 
 
-@query(
-    "events_hll_user_counts",
-    oracle=None,  # engine-specific estimates: accuracy + re-aggregability
-    # are asserted in tests/test_operators.py against exact counts
-    doc="Per-event-type approximate distinct users via DataSketches HLL "
-        "(~0.8% error at lgK=14, 32 KB per group). The sketch column is "
-        "the point: persisted sketches answer ANY coarser rollup (daily → "
-        "monthly → global) by union, without rescanning the fact table — "
-        "the only distinct-count strategy that survives 100 TB cubes. "
-        "Rows-only check by design (DuckDB's approx algorithm differs).",
-)
 def events_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users via DataSketches HLL
+    (~0.8% error at lgK=14, 32 KB per group). The sketch column is the
+    point: persisted sketches answer ANY coarser rollup (daily → monthly →
+    global) by union, without rescanning the fact table — the only
+    distinct-count strategy that survives 100 TB cubes.
+
+    Library function, NOT a registered query: the DataSketches binary is
+    engine-internal so no DuckDB oracle exists (it sat as a permanent
+    ``no_oracle`` driver row in r01/r02). Accuracy + re-aggregability are
+    unit-tested in tests/test_operators.py; the bit-exact cross-checked
+    twin is the ``events_hll_registers``/``events_hll_estimate`` pair
+    below."""
     ev = load_table(spark, sf_dir, "events")
     return distinct_sketches(ev, ["event_type"], "user_id").drop("sketch")
 
@@ -180,21 +181,35 @@ def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT list_reduce(
                list_transform(array_agg(register ORDER BY bucket),
                               x -> pow(2.0, -x)),
-               (a, b) -> a + b) AS inv_sum
+               (a, b) -> a + b) AS inv_sum,
+             COUNT(*) FILTER (WHERE register = 0) AS n_zero
       FROM full_regs
+    ),
+    est AS (
+      SELECT {HLL_ALPHA} * {HLL_M} * {HLL_M} / inv_sum AS raw_e, n_zero
+      FROM folded
+    ),
+    corrected AS (
+      SELECT CASE WHEN raw_e <= 2.5 * {HLL_M} AND n_zero > 0
+                  THEN {HLL_M} * ln({HLL_M}.0 / n_zero)
+                  ELSE raw_e END AS hll_estimate
+      FROM est
     )
-    SELECT {HLL_ALPHA} * {HLL_M} * {HLL_M} / folded.inv_sum AS hll_estimate,
+    SELECT corrected.hll_estimate,
            (SELECT COUNT(DISTINCT user_id) FROM events) AS true_distinct,
-           {HLL_ALPHA} * {HLL_M} * {HLL_M} / folded.inv_sum
+           corrected.hll_estimate
              / (SELECT COUNT(DISTINCT user_id) FROM events) - 1.0 AS rel_error
-    FROM folded
+    FROM corrected
     """,
     doc="HLL cardinality estimate from the oracle-checkable registers: "
         "alpha * m^2 / sum(2^-register) folded in bucket order (powers of "
-        "two — every intermediate is IEEE-exact), alongside the true "
-        "distinct count and relative error. Proves the whole sketch path "
-        "(hash -> registers -> estimate) end-to-end against an "
-        "independent engine, not just row counts.",
+        "two — every intermediate is IEEE-exact), with the standard "
+        "small-range linear-counting branch (E <= 2.5m and empty registers "
+        "present -> m*ln(m/V), Flajolet et al. 2007) applied identically "
+        "in both engines, alongside the true distinct count and relative "
+        "error. Proves the whole sketch path (hash -> registers -> "
+        "estimate) end-to-end against an independent engine, not just row "
+        "counts.",
 )
 def events_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = events_hll_registers(spark, sf_dir)
@@ -202,11 +217,16 @@ def events_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(transform(array_sort(collect_list(struct(bucket, register))),"
             " s -> pow(2.0D, -s.register)), 0.0D, (a, b) -> a + b)"
-        ).alias("inv_sum")
+        ).alias("inv_sum"),
+        F.count(F.when(F.col("register") == 0, 1)).alias("n_zero"),
     )
     ev = load_table(spark, sf_dir, "events")
     true_d = ev.agg(F.countDistinct("user_id").alias("true_distinct"))
-    est = F.lit(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M) / F.col("inv_sum")
+    raw_e = F.lit(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M) / F.col("inv_sum")
+    est = F.when(
+        (raw_e <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0),
+        F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw_e)
     return (
         folded.crossJoin(F.broadcast(true_d))
         .select(

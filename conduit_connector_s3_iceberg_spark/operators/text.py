@@ -602,12 +602,16 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ token rarity
 #
-# A model-free 'perplexity proxy': rank every vocabulary token by corpus
-# frequency (1 = most common) and score each document by the mean rank of
-# its tokens — rare-token-heavy docs score high. Integer ranks keep the
-# cross-engine math exact (no log()); the vocabulary table is tiny relative
-# to the corpus, so the rank window is a metadata-sized single partition and
-# the doc join broadcasts.
+# A model-free 'perplexity proxy': score each token by an integer
+# information weight — floor(log2(total_tokens / freq)) + 1, computed as
+# the bit length of the integer quotient — and each document by the mean
+# weight of its tokens; rare-token-heavy docs score high. Rank-free by
+# design (r2 verdict): the previous dense_rank over the whole vocabulary
+# ran in a single reducer and broadcast the full ranked vocab, which dies
+# at web-corpus vocabulary sizes (10^8+ tokens). This formulation needs
+# only a 1-row corpus-total broadcast; the weight is a narrow integer
+# expression per vocab row, and integer weights keep the cross-engine math
+# exact (bit length == truncated log2, no libm).
 
 @query(
     "text_rarity_score",
@@ -617,45 +621,44 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), vocab AS (
       SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok
-    ), ranked AS (
-      SELECT tok,
-             CAST(DENSE_RANK() OVER (ORDER BY freq DESC, tok) AS INTEGER)
-               AS rarity_rank
-      FROM vocab
+    ), tot AS (
+      SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab
+    ), scored AS (
+      SELECT tok, CAST(length(bin(total // freq)) AS INTEGER) AS rarity
+      FROM vocab, tot
     )
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           CAST(SUM(r.rarity_rank) AS BIGINT) AS rank_sum,
-           CAST(SUM(r.rarity_rank) AS DOUBLE) / COUNT(*) AS mean_rarity
-    FROM tok t JOIN ranked r ON t.tok = r.tok
+           CAST(SUM(s.rarity) AS BIGINT) AS rarity_sum,
+           CAST(SUM(s.rarity) AS DOUBLE) / COUNT(*) AS mean_rarity
+    FROM tok t JOIN scored s ON t.tok = s.tok
     GROUP BY t.doc_id
     """,
-    doc="Mean token-rarity score per document: vocabulary ranked by corpus "
-        "frequency (dense_rank, ties broken by token), documents scored by "
-        "the mean rank of their tokens. The vocabulary aggregation shuffles "
-        "on token; the rank window runs over the (tiny) vocab table; the "
-        "per-doc join broadcasts the ranked vocab — the corpus itself is "
-        "touched by exactly one explode and one doc-keyed aggregation.",
+    doc="Mean token-rarity score per document: each token weighted by "
+        "floor(log2(total_tokens/freq)) + 1 (bit length of the integer "
+        "quotient — an exact, integer Shannon-information proxy), "
+        "documents scored by the mean weight of their tokens. The corpus "
+        "total rides a 1-row broadcast into the vocab table (no global "
+        "rank window, no full-vocab broadcast — both r2 scale findings "
+        "fixed); the token join shuffles on tok, reusing the vocab "
+        "aggregation's partitioning; integer sums stay order-independent.",
 )
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    from pyspark.sql import Window
-
-    ranked = vocab.select(
+    total = vocab.agg(F.sum("freq").alias("total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
-        F.dense_rank()
-        .over(Window.orderBy(F.col("freq").desc(), F.col("tok")))
-        .alias("rarity_rank"),
+        F.length(F.bin(F.expr("total div freq"))).cast("int").alias("rarity"),
     )
     return (
-        tok.join(F.broadcast(ranked), "tok")
+        tok.join(scored, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("rarity_rank").alias("rank_sum"),
-            (F.sum("rarity_rank").cast("double") / F.count(F.lit(1))).alias(
+            F.sum("rarity").alias("rarity_sum"),
+            (F.sum("rarity").cast("double") / F.count(F.lit(1))).alias(
                 "mean_rarity"
             ),
         )

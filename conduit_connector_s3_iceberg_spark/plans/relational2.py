@@ -295,7 +295,7 @@ def q42_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q43_suppliers_per_nation_array",
     oracle="""
     SELECT n.n_name AS nation,
-           list_sort(array_agg(s.s_name)) AS suppliers,
+           array_to_string(list_sort(array_agg(s.s_name)), '|') AS suppliers,
            COUNT(*) AS n_suppliers
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY nation
@@ -303,7 +303,10 @@ def q42_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Array-valued aggregation: per nation, the sorted list of supplier "
         "names (collect_list + sort_array == DuckDB array_agg + list_sort; "
         "sorting makes the collected order deterministic — collect_list "
-        "alone is partition-order-dependent and NOT reproducible). "
+        "alone is partition-order-dependent and NOT reproducible). The "
+        "output serializes the array to a '|'-joined scalar: the driver's "
+        "pandas canonicalizer cannot hash list cells (r02 finding), so "
+        "every registered query emits scalar-only top-level columns. "
         "Collected groups must be bounded (dimension-sized here); an "
         "unbounded collect at 100 TB is an OOM by design, not a bug.",
 )
@@ -314,7 +317,9 @@ def q43_suppliers_per_nation_array(spark: SparkSession, sf_dir: str) -> DataFram
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+                "suppliers"
+            ),
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )

@@ -539,6 +539,12 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     side BEFORE the join, so the shuffle carries keys + one 32-char digest,
     not full rows).
 
+    NULL keys are matched null-safely (``<=>`` join keys): a plain
+    equi-join would never match a NULL key against itself, misreporting an
+    unchanged NULL-key row as both 'insert' and 'delete'. Catalyst plans
+    null-safe equality as ordinary hash/SMJ join keys, so this costs
+    nothing over the plain join.
+
     Scale: one hash-partitioned shuffle per side on the key columns and a
     full outer merge — the standard 100-TB reconcile. If both snapshots
     are stored bucketed on the keys (``sources/bucketing.py``), the
@@ -553,9 +559,13 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
             F.md5(F.to_json(F.struct(*payload))).alias(name),
         )
 
-    o = fp(old, "old_fp")
-    n = fp(new, "new_fp")
-    joined = o.join(n, keys, "full_outer")
+    o = fp(old, "old_fp").alias("o")
+    n = fp(new, "new_fp").alias("n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("old_fp").isNull(), F.lit("insert"))
         .when(F.col("new_fp").isNull(), F.lit("delete"))
@@ -564,7 +574,13 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     return (
         joined.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(*keys, "change")
+        .select(
+            *[
+                F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+        )
     )
 
 

@@ -425,3 +425,35 @@ def test_pca_power_invariants(spark):
     )
     # G is PSD, so <v1, v2> = v1' G v1 >= 0
     assert sum(r["v1"] * r["v2"] for r in rows.values()) >= 0.0
+
+
+def test_fuzzy_linkage_hot_prefix_block_is_capped(spark):
+    """A pathological hot blocking key (boilerplate header shared by many
+    rows) must NOT go quadratic: blocks above FUZZY_BLOCK_CAP are dropped
+    before the self-join, so candidate pairs stay bounded (r2 verdict
+    watch item)."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        FUZZY_BLOCK_CAP,
+        fuzzy_blocked_pairs,
+    )
+
+    hot = [(i, "BOILERPLATE!", f"BOILERPLATE! row {i:04d}") for i in range(200)]
+    cold = [
+        (1000 + i, f"unique-{i:04d}-", f"unique-{i:04d}- body text A")
+        for i in range(5)
+    ] + [
+        (2000 + i, f"unique-{i:04d}-", f"unique-{i:04d}- body text B")
+        for i in range(5)
+    ]
+    b = spark.createDataFrame(
+        hot + cold, "doc_id long, blk string, pfx string"
+    )
+    got = fuzzy_blocked_pairs(b, max_dist=30).collect()
+    # the 200-row hot block (> FUZZY_BLOCK_CAP=64) contributes ZERO pairs;
+    # the five 2-row cold blocks each contribute exactly one verified pair
+    assert 200 > FUZZY_BLOCK_CAP
+    assert len(got) == 5
+    assert all(r["doc_a"] >= 1000 for r in got)
+    # and with the cap lifted the same frame would explode quadratically
+    uncapped = fuzzy_blocked_pairs(b, max_dist=30, cap=10_000).count()
+    assert uncapped == 5 + 200 * 199 // 2

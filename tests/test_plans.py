@@ -101,28 +101,45 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
 
 
 def test_topk_similarity_is_two_phase(spark):
-    # the exact top-k must NOT funnel the whole scored corpus into
-    # N_QUERIES reducer tasks: phase 1 ranks within
-    # (query_id, spark_partition_id()) and truncates to k, so the final
-    # per-query merge exchange reads at most k × partitions rows
-    for qname in ("sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf"):
-        df = load_all()[qname].build(spark, SF)
-        je = df._jdf.queryExecution()
-        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "simple"
-        )
-        plan = je.explainString(mode)
-        # the banded-LSH signature expression is large enough that Spark
-        # truncates the Project line containing SPARK_PARTITION_ID(); the
-        # helper's part_id/local_rank columns are equivalent evidence
-        assert "SPARK_PARTITION_ID()" in plan or "part_id" in plan, qname
-        assert "local_rank" in plan, qname
-        # phase-1 window keys include the partition id
-        assert "part_id" in plan.split("Exchange hashpartitioning")[1], qname
-        # Spark's rank-limit pushdown must be active (map-side truncation
-        # before every exchange) — if this disappears, the shuffle is
-        # corpus-sized again
-        assert "WindowGroupLimit" in plan, qname
+    # the exact top-k must NOT funnel a WIDE scored corpus into N_QUERIES
+    # reducer tasks: when the input is wider than the cluster (partitions >
+    # 2×slots — the only regime where a single-key merge can straggle),
+    # phase 1 ranks within (query_id, spark_partition_id()) and truncates
+    # to k, so the final per-query merge exchange reads at most
+    # k × partitions rows. On narrow inputs (small SF) the gate skips the
+    # extra window — phase 1 would only add a shuffle there (r2 bench:
+    # +56% on sim_topk_bruteforce). Both regimes are pinned here.
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        _two_phase_topk,
+    )
+
+    scored = spark.createDataFrame(
+        [(q, v, float((q * 31 + v) % 97)) for q in range(3) for v in range(200)],
+        "query_id long, vec_id long, cosine double",
+    )
+    wide_n = 2 * spark.sparkContext.defaultParallelism + 8
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+
+    wide = _two_phase_topk(scored.repartition(wide_n), 5)
+    plan = wide._jdf.queryExecution().explainString(mode)
+    assert "SPARK_PARTITION_ID()" in plan or "part_id" in plan
+
+    narrow = _two_phase_topk(scored.coalesce(2), 5)
+    nplan = narrow._jdf.queryExecution().explainString(mode)
+    assert "SPARK_PARTITION_ID()" not in nplan and "part_id" not in nplan
+
+    # the gate is a pure plan change: both regimes return identical rows
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, narrow.collect())
+    )
+    # phase-1 window keys include the partition id, and Spark's rank-limit
+    # pushdown must be active (map-side truncation before every exchange) —
+    # if this disappears, the shuffle is corpus-sized again
+    assert "local_rank" in plan
+    assert "part_id" in plan.split("Exchange hashpartitioning")[1]
+    assert "WindowGroupLimit" in plan
 
 
 def test_hash_sampling_is_narrow_map(spark):
@@ -259,6 +276,10 @@ BROADCAST_NONEQUI_OK = {
     "emb_kmeans_assign",
     # one-row v1-vector and norm broadcasts (DIM values) — bounded
     "emb_pca_power",
+    # 1-row × 1-row crossJoin(broadcast(true_d)) estimate fold — bounded
+    "events_hll_estimate",
+    # one-row corpus-total broadcast into the vocab table — bounded
+    "text_rarity_score",
 }
 
 

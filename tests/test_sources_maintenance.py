@@ -381,6 +381,21 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     new = spark.createDataFrame([Row(id=1, name="a", extra=0)])
     assert table_diff(old, new, ["id"]).count() == 0
 
+    # NULL keys match null-safely: an unchanged NULL-key row is NOT
+    # misreported as insert+delete, and a changed one is a single 'update'
+    nschema = "id long, name string"
+    old_n = spark.createDataFrame([(None, "a"), (1, "x")], nschema)
+    new_n = spark.createDataFrame([(None, "a"), (1, "y")], nschema)
+    assert {
+        (r["id"], r["change"])
+        for r in table_diff(old_n, new_n, ["id"]).collect()
+    } == {(1, "update")}
+    new_n2 = spark.createDataFrame([(None, "b"), (1, "x")], nschema)
+    assert {
+        (r["id"], r["change"])
+        for r in table_diff(old_n, new_n2, ["id"]).collect()
+    } == {(None, "update")}
+
 
 # ---------------------------------------------------------------- z-order
 

@@ -95,6 +95,24 @@ def main() -> int:
                     f"{sdtypes.get(cname)} — wrap the oracle in "
                     "CAST(... AS BIGINT/DOUBLE) (driver hash would fail)"
                 )
+        # Array/map-output guard: the driver canonicalizes via pandas
+        # sort_values, which throws `unhashable type: 'list'` on list cells
+        # (r02: emb_quantize_int8 crash). This harness tuple-izes lists
+        # (norm_cell) and would silently pass — so reject the schema shape
+        # outright: top-level outputs must be scalar (serialize arrays with
+        # array_join/to_json on BOTH engine and oracle sides).
+        for cname, ctype in sdf.dtypes:
+            if ctype.startswith(("array", "map", "struct")):
+                problems.append(
+                    f"spark col {cname} is {ctype} — driver hash crashes on "
+                    "non-scalar cells; serialize to string on both sides"
+                )
+        for cname, atype in otypes.items():
+            if pat.is_list(atype) or pat.is_map(atype) or pat.is_struct(atype):
+                problems.append(
+                    f"oracle col {cname} is Arrow {atype} — driver hash "
+                    "crashes on non-scalar cells; serialize to string"
+                )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
