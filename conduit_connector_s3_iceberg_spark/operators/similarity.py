@@ -828,3 +828,241 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v2",
         (F.col("v2") / F.col("n")).alias("v2_unit"),
     )
+
+
+# ------------------------------------------------- product quantization ---
+#
+# PQ is how billion-scale ANN indexes actually store vectors (IVF-PQ:
+# Jégou et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+# 2011): split DIM into M subspaces, quantize each sub-vector to one of K
+# codebook centroids, store M small codes (here 8 codes × 4 bits = 4 bytes
+# per vector vs 256 bytes of floats — 64×). Search reconstructs distances
+# from per-subspace lookup tables without touching the original floats.
+#
+# Codebook here = sub-vectors of the K lowest vec_ids (the same
+# deterministic seeding trick as emb_kmeans_assign, so the DuckDB oracle
+# replicates the index bit-exactly; production trains each subspace
+# codebook with k-means — the assignment plumbing below is unchanged).
+#
+# Scale (100 TB): the codebook is M×K×SUBDIM doubles = constant-size, one
+# broadcast row; encoding is a NARROW MAP (argmin fold per subspace per
+# row, no shuffle, no per-centroid row blowup). Same shape as the int8
+# path above — PQ is the 64× version of that 4× compression.
+
+PQ_M = 8        # subspaces
+PQ_SUBDIM = 8   # dims per subspace (PQ_M * PQ_SUBDIM == DIM)
+PQ_K = 16       # codebook entries per subspace (4-bit codes)
+
+# per-row assignment: for each subspace m, fold the broadcast codebook
+# cb[m+1] (array<struct<cid,c>>, sorted by cid) with strict < — earliest
+# (smallest cid) wins exact ties, matching the oracle's ORDER BY d2, cid.
+_PQ_SUBVEC = (
+    f"transform(sequence(1, {PQ_SUBDIM}), j -> element_at(emb, m * {PQ_SUBDIM} + j))"
+)
+_PQ_D2 = (
+    f"aggregate(zip_with({_PQ_SUBVEC}, ct.c, (x, y) -> (x - y) * (x - y)),"
+    " 0.0D, (acc, v) -> acc + v)"
+)
+_PQ_ASSIGNS = (
+    f"transform(sequence(0, {PQ_M - 1}), m -> "
+    " aggregate(element_at(cb, m + 1),"
+    "  named_struct('d', cast('Infinity' as double), 'cid', cast(-1 as bigint)),"
+    f"  (acc, ct) -> CASE WHEN {_PQ_D2} < acc.d"
+    f"  THEN named_struct('d', {_PQ_D2}, 'cid', ct.cid)"
+    "  ELSE acc END))"
+)
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """One-row broadcastable codebook: ``cb`` = array over subspaces of
+    array<struct<cid, c>> sorted by cid (constant M×K×SUBDIM size)."""
+    return (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), m -> named_struct("
+                    f" 'm', m, 'c', transform(sequence(1, {PQ_SUBDIM}),"
+                    f" j -> element_at(emb, m * {PQ_SUBDIM} + j))))"
+                )
+            ).alias("s"),
+        )
+        .select(F.col("s.m").alias("m"), "cid", F.col("s.c").alias("c"))
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("ents"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'m', m, 'ents', ents))), s -> s.ents)"
+            ).alias("cb")
+        )
+    )
+
+
+@query(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    cb AS (
+      SELECT m.m, e.vec_id AS cid,
+             list_transform(generate_series(1, {PQ_SUBDIM}),
+                            j -> e.emb[m.m * {PQ_SUBDIM} + j]) AS c
+      FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+      WHERE e.vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, cb.m, cb.cid,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+               j -> (e.emb[cb.m * {PQ_SUBDIM} + j] - cb.c[j])
+                  * (e.emb[cb.m * {PQ_SUBDIM} + j] - cb.c[j])),
+               (x, y) -> x + y) AS d2
+      FROM e, cb
+    ),
+    best AS (
+      SELECT vec_id, m, cid, d2 FROM (
+        SELECT vec_id, m, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ),
+    enc AS (
+      SELECT vec_id,
+             array_to_string(array_agg(cid ORDER BY m), ',') AS codes,
+             list_reduce(array_agg(d2 ORDER BY m), (x, y) -> x + y) AS sq_err
+      FROM best GROUP BY vec_id
+    )
+    SELECT e.vec_id, e.label, enc.codes, enc.sq_err
+    FROM e JOIN enc ON enc.vec_id = e.vec_id
+    """,
+    doc=f"Product quantization encode (Jégou et al. 2011): {PQ_M} subspaces "
+        f"× {PQ_K}-entry codebooks (4-bit codes — 64× smaller than the "
+        "float vectors), codebook seeded from the lowest vec_ids so both "
+        "engines hold the identical index; per-vector codes ','-joined "
+        "plus the exact reconstruction error (ordered IEEE fold). "
+        "Encoding is a narrow map against one broadcast constant-size "
+        "codebook row — no shuffle; the production path swaps in "
+        "k-means-trained codebooks, same plumbing.",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    assigned = emb.crossJoin(F.broadcast(_pq_codebook(emb))).select(
+        "vec_id", "label", F.expr(_PQ_ASSIGNS).alias("assigns")
+    )
+    return assigned.select(
+        "vec_id",
+        "label",
+        F.expr("array_join(transform(assigns, a -> a.cid), ',')").alias("codes"),
+        F.expr(
+            "aggregate(transform(assigns, a -> a.d), 0.0D, (acc, v) -> acc + v)"
+        ).alias("sq_err"),
+    )
+
+
+# ADC search (the second half of PQ): per query, precompute the M×K table
+# of subspace distances to every codebook centroid, then score every
+# ENCODED vector by summing its M table lookups — the original floats are
+# never touched at scan time. At 100 TB this is the difference between
+# scanning 4-byte codes and scanning 256-byte vectors: 64× less IO with
+# one constant-size broadcast (queries × M×K doubles).
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    cb AS (
+      SELECT m.m, e.vec_id AS cid,
+             list_transform(generate_series(1, {PQ_SUBDIM}),
+                            j -> e.emb[m.m * {PQ_SUBDIM} + j]) AS c
+      FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+      WHERE e.vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, cb.m, cb.cid,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+               j -> (e.emb[cb.m * {PQ_SUBDIM} + j] - cb.c[j])
+                  * (e.emb[cb.m * {PQ_SUBDIM} + j] - cb.c[j])),
+               (x, y) -> x + y) AS d2
+      FROM e, cb
+    ),
+    best AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT q.qid AS query_id, b.vec_id,
+             list_reduce(array_agg(qd.d2 ORDER BY b.m), (x, y) -> x + y)
+               AS adist
+      FROM best b
+      JOIN (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}) q
+        ON b.vec_id <> q.qid
+      JOIN d qd ON qd.vec_id = q.qid AND qd.m = b.m AND qd.cid = b.cid
+      GROUP BY q.qid, b.vec_id
+    )
+    SELECT query_id, vec_id, adist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adist, vec_id
+      ) AS INTEGER) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=f"PQ asymmetric-distance (ADC) top-{TOP_K}: each of the "
+        f"{N_QUERIES} queries precomputes its {PQ_M}×{PQ_K} subspace "
+        "distance table against the codebook, then every encoded vector "
+        "is scored by summing its M code lookups (ordered IEEE fold — "
+        "bit-exact vs the oracle's ordered list_reduce). The scan reads "
+        "CODES only (4 bytes/vector), never the floats: the 64×-less-IO "
+        "search path of a production IVF-PQ index. Broadcast side is the "
+        "bounded query table; ranking is a per-query window.",
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    cb = _pq_codebook(emb)
+    codes = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        F.expr(f"transform({_PQ_ASSIGNS}, a -> cast(a.cid as int))").alias(
+            "codes"
+        ),
+    )
+    qtab = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m ->"
+                f" transform(element_at(cb, m + 1), ct -> {_PQ_D2}))"
+            ).alias("tab"),
+        )
+    )
+    pairs = codes.join(
+        F.broadcast(qtab), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, (acc, m) -> acc +"
+            " element_at(element_at(tab, m + 1),"
+            " element_at(codes, m + 1) + 1))"
+        ).alias("adist"),
+    )
+    merge_w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(merge_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adist", "rank")
+    )

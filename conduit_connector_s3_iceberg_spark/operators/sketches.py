@@ -235,3 +235,260 @@ def events_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est / F.col("true_distinct") - F.lit(1.0)).alias("rel_error"),
         )
     )
+
+
+# --------------------------------------- oracle-checkable count-min sketch --
+#
+# The frequency-sketch twin of the HLL register pair above: count-min with
+# md5-derived row hashes, rebuilt identically in DuckDB so registers AND
+# point estimates are bit-exact cross-engine (the engine-native
+# `count_min_sketch` bytes, like the DataSketches HLL binary, are not).
+# Counts are integers throughout — no IEEE concerns at all.
+#
+# Plan shape (the production CMS shape): one narrow map exploding each row
+# into CMS_D (row, bucket) keys, one partial+final hash agg over the
+# CMS_D × CMS_W key space (constant, uniform — md5 rows spread evenly), and
+# a constant-size spine join for empty buckets. Registers merge by +, so
+# shards/days re-aggregate exactly like any production CMS.
+
+CMS_D = 4    # hash rows
+CMS_W = 64   # buckets per row
+
+_CMS_PROBE = 8  # probe keys for the estimate query: user_id < 8
+
+
+def _cms_bucket_sql(row: str, key: str) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({row} AS VARCHAR) || ':' || "
+        f"CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {CMS_W} AS INTEGER)"
+    )
+
+
+def _cms_bucket_spark(row, key) -> F.Column:
+    hx = F.md5(F.concat(row.cast("string"), F.lit(":"), key.cast("string")))
+    return (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % CMS_W).cast(
+        "int"
+    )
+
+
+@query(
+    "events_cms_registers",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT unnest(generate_series(0, {CMS_D - 1})) AS hrow
+    ),
+    hits AS (
+      SELECT r.hrow, {_cms_bucket_sql('r.hrow', 'e.user_id')} AS bucket,
+             COUNT(*) AS cnt
+      FROM events e CROSS JOIN rows_ r
+      GROUP BY r.hrow, bucket
+    ),
+    spine AS (
+      SELECT r.hrow, b.bucket
+      FROM rows_ r CROSS JOIN
+           (SELECT unnest(generate_series(0, {CMS_W - 1})) AS bucket) b
+    )
+    SELECT CAST(s.hrow AS INTEGER) AS hrow, CAST(s.bucket AS INTEGER) AS bucket,
+           CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+    FROM spine s LEFT JOIN hits h ON h.hrow = s.hrow AND h.bucket = s.bucket
+    """,
+    doc=f"Count-min sketch registers, oracle-checkable: {CMS_D} md5 hash "
+        f"rows × {CMS_W} buckets of exact occurrence counts over "
+        "events.user_id — rebuilt bit-identically in DuckDB, unlike the "
+        "engine-native count_min_sketch binary (`freq_sketch` above keeps "
+        "that fast path). One explode-by-D narrow map + one hash agg over "
+        "a constant D×W key space; registers merge additively, so shards "
+        "re-aggregate exactly like any production CMS.",
+)
+def events_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("hrow"),
+                        _cms_bucket_spark(F.lit(r), F.col("user_id")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.hrow", "p.bucket")
+    hits = pairs.groupBy("hrow", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    spine = (
+        spark.range(CMS_D)
+        .select(F.col("id").cast("int").alias("hrow"))
+        .crossJoin(
+            spark.range(CMS_W).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    return spine.join(hits, ["hrow", "bucket"], "left").select(
+        "hrow", "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+@query(
+    "events_cms_estimate",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT unnest(generate_series(0, {CMS_D - 1})) AS hrow
+    ),
+    hits AS (
+      SELECT r.hrow, {_cms_bucket_sql('r.hrow', 'e.user_id')} AS bucket,
+             COUNT(*) AS cnt
+      FROM events e CROSS JOIN rows_ r
+      GROUP BY r.hrow, bucket
+    ),
+    probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < {_CMS_PROBE}
+    ),
+    lookups AS (
+      SELECT p.user_id, r.hrow,
+             {_cms_bucket_sql('r.hrow', 'p.user_id')} AS bucket
+      FROM probes p CROSS JOIN rows_ r
+    ),
+    est AS (
+      SELECT l.user_id, MIN(COALESCE(h.cnt, 0)) AS cms_estimate
+      FROM lookups l
+      LEFT JOIN hits h ON h.hrow = l.hrow AND h.bucket = l.bucket
+      GROUP BY l.user_id
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_count FROM events
+      WHERE user_id < {_CMS_PROBE} GROUP BY user_id
+    )
+    SELECT t.user_id, CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(e.cms_estimate - t.true_count AS BIGINT) AS overcount
+    FROM truth t JOIN est e ON e.user_id = t.user_id
+    """,
+    doc=f"Count-min point estimates for {_CMS_PROBE} probe keys: "
+        f"min over the {CMS_D} rows of the register at the key's bucket, "
+        "alongside the exact count and the (always >= 0) overcount — the "
+        "one-sided error guarantee, proven end-to-end against an "
+        "independent engine. The register build is the same plan as "
+        "events_cms_registers; the probe lookup is a constant-size "
+        "broadcast join against the D×W register table.",
+)
+def events_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("hrow"),
+                        _cms_bucket_spark(F.lit(r), F.col("user_id")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.hrow", "p.bucket")
+    hits = pairs.groupBy("hrow", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = ev.filter(F.col("user_id") < _CMS_PROBE).select("user_id").distinct()
+    lookups = probes.crossJoin(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("hrow"))
+    ).select(
+        "user_id",
+        "hrow",
+        _cms_bucket_spark(F.col("hrow"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        lookups.join(hits, ["hrow", "bucket"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )
+    truth = (
+        ev.filter(F.col("user_id") < _CMS_PROBE)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return truth.join(est, "user_id").select(
+        "user_id",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+def cms_batch_hits(df: DataFrame, key_col: str) -> DataFrame:
+    """Sparse CMS registers for one frame: (hrow, bucket, cnt) for touched
+    buckets only. Additive by construction — union + re-sum of any shard
+    split equals the whole — which is what makes the streaming maintenance
+    below a plain merge."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("hrow"),
+                            _cms_bucket_spark(
+                                F.lit(r), F.col(key_col)
+                            ).alias("bucket"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.hrow", "p.bucket")
+        .groupBy("hrow", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def maintain_cms_stream(
+    stream: DataFrame,
+    wh,
+    register_table: str,
+    key_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously-maintained count-min registers over a stream: each
+    epoch folds the batch's sparse registers into the persisted D×W-bounded
+    register table by addition (CMS merges are additive, so epoch order
+    and batch boundaries cannot change the result — same exactness
+    argument as the IVM summary merge in ``streaming/ivm.py``, minus the
+    before-image requirement because counts only grow). The register table
+    stays constant-size regardless of stream volume: the 100-TB-friendly
+    way to keep live frequency estimates without any fact-table rescan.
+    """
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        d = cms_batch_hits(batch, key_col).withColumnRenamed("cnt", "d_cnt")
+        if not wh.table_exists(register_table):
+            fresh = d.select("hrow", "bucket", F.col("d_cnt").alias("cnt"))
+            wh.create_table(register_table, fresh.schema)
+            wh.append(register_table, fresh)
+            return
+        current = wh.read(register_table)
+        merged = current.join(d, ["hrow", "bucket"], "full_outer").select(
+            "hrow",
+            "bucket",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("d_cnt"), F.lit(0))
+            ).alias("cnt"),
+        )
+        wh.overwrite_with(register_table, merged)
+
+    writer = (
+        stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

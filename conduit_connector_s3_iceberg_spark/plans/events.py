@@ -586,3 +586,177 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_count",
         (F.col("s1").cast("double") / F.col("n_days")).alias("user_mean"),
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS day_count
+      FROM events GROUP BY user_id, day
+    ), med AS (
+      SELECT user_id,
+             array_agg(day_count ORDER BY day_count) AS arr,
+             COUNT(*) AS n
+      FROM daily GROUP BY user_id
+    ), m2t AS (
+      SELECT user_id,
+             arr[CAST((n + 1) // 2 AS INTEGER)]
+               + arr[CAST(n // 2 + 1 AS INTEGER)] AS m2
+      FROM med
+    ), dev AS (
+      SELECT d.user_id, d.day, d.day_count, m.m2,
+             abs(2 * d.day_count - m.m2) AS dd
+      FROM daily d JOIN m2t m ON m.user_id = d.user_id
+    ), madt AS (
+      SELECT user_id,
+             array_agg(dd ORDER BY dd) AS darr,
+             COUNT(*) AS n
+      FROM dev GROUP BY user_id
+    ), mad4t AS (
+      SELECT user_id,
+             darr[CAST((n + 1) // 2 AS INTEGER)]
+               + darr[CAST(n // 2 + 1 AS INTEGER)] AS mad4
+      FROM madt
+    )
+    SELECT v.user_id, v.day, v.day_count,
+           CAST(v.m2 AS DOUBLE) / 2 AS user_median,
+           CAST(t.mad4 AS DOUBLE) / 4 AS user_mad
+    FROM dev v JOIN mad4t t ON t.user_id = v.user_id
+    WHERE 2 * v.dd > 3 * t.mad4
+    """,
+    doc="Per-user daily-volume anomaly via MEDIAN/MAD — the robust twin of "
+        "events_anomaly_zscore (one fat day cannot drag its own threshold "
+        "up the way it inflates mean+sigma). EXACT integer arithmetic "
+        "throughout: 2*median of integers is an integer (sum of the two "
+        "middle order statistics), deviations double to |2x - m2|, and "
+        "the flag |x - med| > 3*MAD clears to 2*|2x-m2| > 3*mad4 over "
+        "BIGINTs — no float comparison anywhere, bit-stable under any "
+        "partitioning. Per-user day arrays are bounded (days per user, "
+        "not events), so the collect_list groups are dimension-sized; "
+        "two user-keyed aggregations + two joins sharing the user_id "
+        "shuffle.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("day_count"))
+    )
+    med = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("day_count")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m2t = med.select(
+        "user_id",
+        (
+            F.expr("element_at(arr, cast((n + 1) div 2 as int))")
+            + F.expr("element_at(arr, cast(n div 2 + 1 as int))")
+        ).alias("m2"),
+    )
+    dev = daily.join(m2t, "user_id").select(
+        "user_id",
+        "day",
+        "day_count",
+        "m2",
+        F.abs(2 * F.col("day_count") - F.col("m2")).alias("dd"),
+    )
+    madt = dev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("dd")).alias("darr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mad4t = madt.select(
+        "user_id",
+        (
+            F.expr("element_at(darr, cast((n + 1) div 2 as int))")
+            + F.expr("element_at(darr, cast(n div 2 + 1 as int))")
+        ).alias("mad4"),
+    )
+    return (
+        dev.join(mad4t, "user_id")
+        .filter(2 * F.col("dd") > 3 * F.col("mad4"))
+        .select(
+            "user_id",
+            "day",
+            "day_count",
+            (F.col("m2").cast("double") / 2).alias("user_median"),
+            (F.col("mad4").cast("double") / 4).alias("user_mad"),
+        )
+    )
+
+
+@query(
+    "events_user_features",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_t
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+             CAST(SUM(t - prev_t) AS BIGINT) AS total_gap_us,
+             CAST(MAX(t - prev_t) AS BIGINT) AS max_gap_us
+      FROM ordered GROUP BY user_id
+    ),
+    kinds AS (
+      SELECT user_id,
+             COUNT(DISTINCT event_type) AS n_event_types,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
+      FROM events GROUP BY user_id
+    )
+    SELECT g.user_id, g.n_events, k.n_event_types, k.n_active_days,
+           g.span_us, g.max_gap_us,
+           CAST(g.total_gap_us AS DOUBLE) / (g.n_events - 1) AS avg_gap_us
+    FROM gaps g JOIN kinds k ON k.user_id = g.user_id
+    WHERE g.n_events > 1
+    """,
+    doc="Per-user behavioral feature table — the feature-engineering "
+        "rollup a training pipeline joins onto labels: event count, "
+        "distinct types, active days, activity span, and max/mean "
+        "inter-event gap from a lag window (ties broken by event_id so "
+        "both engines difference identical neighbors). All accumulations "
+        "are BIGINT microseconds; the one double is a final division. "
+        "One user-partitioned window + two user-keyed aggregations that "
+        "reuse the same hash partitioning — the corpus shuffles once.",
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(_us("ts"), F.col("event_id"))
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        _us("ts").alias("t"),
+        F.lag(_us("ts")).over(w).alias("prev_t"),
+    )
+    gaps = ordered.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+        F.sum(F.col("t") - F.col("prev_t")).cast("long").alias("total_gap_us"),
+        F.max(F.col("t") - F.col("prev_t")).cast("long").alias("max_gap_us"),
+    )
+    kinds = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+    )
+    return (
+        gaps.join(kinds, "user_id")
+        .filter(F.col("n_events") > 1)
+        .select(
+            "user_id",
+            "n_events",
+            "n_event_types",
+            "n_active_days",
+            "span_us",
+            "max_gap_us",
+            (
+                F.col("total_gap_us").cast("double") / (F.col("n_events") - 1)
+            ).alias("avg_gap_us"),
+        )
+    )

@@ -280,6 +280,13 @@ BROADCAST_NONEQUI_OK = {
     "events_hll_estimate",
     # one-row corpus-total broadcast into the vocab table — bounded
     "text_rarity_score",
+    # one-row codebook broadcast (M×K×SUBDIM constants) — bounded
+    "emb_pq_codes",
+    # one-row codebook + N_QUERIES-row ADC-table broadcasts — bounded
+    "emb_pq_adc_topk",
+    # D×W register spine / D-row probe-lookup cross joins (constants)
+    "events_cms_registers",
+    "events_cms_estimate",
 }
 
 

@@ -762,3 +762,52 @@ def test_source_quota_stream_transform_with_state(spark, tmp_path):
         _assert_quota(first, second)
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_cms_register_stream_matches_batch(spark, tmp_path, events_df):
+    """Streaming CMS maintenance: registers folded epoch-by-epoch equal the
+    single-pass batch registers exactly (additive merge — epoch boundaries
+    cannot change counts)."""
+    import glob
+    import os
+    import shutil
+
+    from conduit_connector_s3_iceberg_spark.operators.sketches import (
+        cms_batch_hits,
+        maintain_cms_stream,
+    )
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    # stage the events as two files -> two micro-batches
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    halves = [events_df.filter(F.col("event_id") <= 2),
+              events_df.filter(F.col("event_id") > 2)]
+    for i, df in enumerate(halves):
+        stage = str(tmp_path / f"cms_stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = str(src / f"{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(events_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "cms_wh"))
+    q = maintain_cms_stream(
+        stream, wh, "cms_regs", "user_id", str(tmp_path / "cms_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["hrow"], r["bucket"]): r["cnt"]
+        for r in wh.read("cms_regs").collect()
+    }
+    expect = {
+        (r["hrow"], r["bucket"]): r["cnt"]
+        for r in cms_batch_hits(events_df, "user_id").collect()
+    }
+    assert got == expect and len(got) > 0
