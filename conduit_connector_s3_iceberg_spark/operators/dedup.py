@@ -518,6 +518,48 @@ _PAIRS_SQL = f"""
 """
 
 
+def min_label_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Connected components over an undirected pair list (first two columns
+    = the edge endpoints) by iterative min-label propagation. Returns
+    (node, cluster_id) for every node that has at least one edge —
+    singletons never change label, so callers left-join and coalesce.
+
+    Each round is one join edges⋈labels + one min-aggregate, with
+    localCheckpoint cutting lineage so plans stay O(1) per round; labels
+    only decrease, so the exact integer label-sum strictly drops until the
+    fixpoint (one 1-row agg job per round, no compare-join). Converges in
+    O(cluster diameter) rounds — near-dup clusters are shallow."""
+    ca, cb = pairs.columns[0], pairs.columns[1]
+    p = pairs.select(ca, cb).localCheckpoint(eager=False)
+    edges = (
+        p.union(p.select(F.col(cb).alias(ca), F.col(ca).alias(cb)))
+        .toDF("src", "dst")
+        .localCheckpoint()  # materialize ONCE — every round re-joins these
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "cluster_id")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()  # cut lineage: plans stay O(1) per round
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+
+
 @query(
     "dedup_cluster_labels",
     oracle=f"""
@@ -545,46 +587,15 @@ _PAIRS_SQL = f"""
 )
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    # materialize pairs BEFORE the union-with-swap (else the pair pipeline
-    # runs once per union branch), then edges once for the loop
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint()  # materialize ONCE — every round re-joins these
-    )
-
     # propagate only over nodes that HAVE edges (the overwhelming majority
     # of a corpus is singleton — they never change label and would only pad
     # every round's shuffle); singletons rejoin at the end.
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
+    labels = min_label_components(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
-    prev_sum = None
-    for _ in range(32):  # >= diameter of any near-dup cluster in practice
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "cluster_id")
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()  # cut lineage: plans stay O(1) per round
-        )
-        # labels only ever decrease, so the (exact, integer) sum strictly
-        # drops until the fixpoint — one agg job per round, no compare-join
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return docs.join(labels, "doc_id", "left").select(
+    return docs.join(
+        labels, docs.doc_id == labels.node, "left"
+    ).select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
 
@@ -878,3 +889,60 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, FUZZY_VERIFY_LEN).alias("pfx"),
     )
     return fuzzy_blocked_pairs(b)
+
+
+# ------------------------------------------------------- semantic dedup ---
+#
+# SemDeDup (Abbas et al. 2023): duplicates defined by embedding cosine, not
+# surface text — catches paraphrases and re-encodings that n-gram Jaccard
+# cannot see. Pipeline = cosine-threshold pair graph (label-blocked, from
+# neardup_embedding_cosine) -> connected components -> one cluster id per
+# vector; downstream keeps one representative per cluster exactly like the
+# text-side dedup_cluster_representatives.
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(generate_series(1, 64),
+              i -> a.emb[i] * b.emb[i]), (x, y) -> x + y) / (a.nrm * b.nrm)
+            >= {COSINE_THRESHOLD}
+    ),
+    edges AS (
+      SELECT va AS src, vb AS dst FROM pairs
+      UNION ALL
+      SELECT vb, va FROM pairs
+    ),
+    reach(root, node) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.root, g.dst FROM reach r JOIN edges g ON r.node = g.src
+    )
+    SELECT root AS vec_id, MIN(node) AS cluster_id
+    FROM reach GROUP BY root
+    """,
+    doc="Semantic dedup (SemDeDup): connected components over the "
+        "embedding-cosine near-dup graph — cluster id = smallest vec_id "
+        "reachable through pairs at cosine >= threshold within a coarse "
+        "block (label here; LSH bucket / IVF cell at scale). Same "
+        "min-label propagation engine as the text-side clustering "
+        "(min_label_components: per round one edges⋈labels join + one "
+        "min-agg, localCheckpoint lineage cut); the oracle is DuckDB's "
+        "recursive reachability closure. Catches paraphrase duplicates "
+        "that shingle-based dedup cannot.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    labels = min_label_components(
+        neardup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    )
+    return emb.join(labels, emb.vec_id == labels.node, "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    )

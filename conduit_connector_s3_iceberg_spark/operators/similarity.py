@@ -1066,3 +1066,55 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "adist", "rank")
     )
+
+
+# ---------------------------------------------------- ANN quality metric ---
+#
+# Recall@k of the LSH index against the exact brute-force baseline — the
+# number an ANN deployment actually monitors (index quality drifts as data
+# distribution shifts; re-tune k/L or retrain centroids when recall dips).
+# Composes the two registered pipelines and proves the METRIC cross-engine,
+# not just the index contents. At 100 TB this runs over a sampled query
+# set exactly like this one (N_QUERIES broadcast rows).
+
+from ..plans.registry import QUERIES as _REGISTRY
+
+_LSH_ORACLE = _REGISTRY["sim_ann_lsh"].oracle
+_BF_ORACLE = _REGISTRY["sim_topk_bruteforce"].oracle
+
+
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM ({_BF_ORACLE}) e
+    LEFT JOIN ({_LSH_ORACLE}) a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+    doc=f"ANN index quality: recall@{TOP_K} of the banded-LSH index vs the "
+        "exact brute-force top-k, per query — the production monitoring "
+        "metric for any deployed ANN index. Left-join of the two ranked "
+        "sets on (query, vector), one count per query; integers plus one "
+        "final division, so the metric is bit-exact cross-engine.",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    ann = sim_ann_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vid").alias("n_hits"),
+            (F.count("a_vid").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )

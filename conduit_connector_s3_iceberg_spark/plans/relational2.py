@@ -967,3 +967,42 @@ def q61_defensive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_slot_price"
         ),
     )
+
+
+# Recursive CTE (new SQL surface in Spark 4): iterate-within-the-planner,
+# the construct hierarchies/graph-reachability queries need without a
+# driver-side loop. The synthetic hierarchy is the binary-heap parent
+# relation parent(k) = k div 2 over supplier keys (deterministic, derived
+# from existing data — no new fixture), so every chain terminates at key 1
+# in O(log n) steps. The dedup CC operators keep their driver-side loop
+# deliberately (localCheckpoint per round bounds plan growth at web
+# scale); this exercises the PLANNER's recursion path on a bounded-depth
+# hierarchy, where it is the right tool.
+def _q62_sql(div_expr: str) -> str:
+    return f"""
+    WITH RECURSIVE up(node, anc, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      UNION ALL
+      SELECT node, {div_expr}, depth + 1 FROM up WHERE anc > 1
+    )
+    SELECT node AS s_suppkey,
+           CAST(MAX(depth) AS INTEGER) AS depth,
+           CAST(SUM(anc) AS BIGINT) AS chain_sum
+    FROM up GROUP BY node
+    """
+
+
+@query(
+    "q62_recursive_chain",
+    oracle=_q62_sql("anc // 2"),
+    doc="Recursive CTE ancestor walk: each supplier climbs the synthetic "
+        "binary-heap hierarchy parent(k) = k div 2 to the root, emitting "
+        "chain depth and the exact integer sum of ancestor keys. Verbatim "
+        "WITH RECURSIVE submitted to both planners (Spark 4 UnionLoop vs "
+        "DuckDB recursive CTE), differing only in the integer-division "
+        "spelling; all accumulations are BIGINT. Depth is log2(|supplier|) "
+        "so the iteration count is bounded by the key domain, not rows.",
+)
+def q62_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q62_sql("anc DIV 2"))

@@ -287,6 +287,8 @@ BROADCAST_NONEQUI_OK = {
     # D×W register spine / D-row probe-lookup cross joins (constants)
     "events_cms_registers",
     "events_cms_estimate",
+    # composes sim_topk_bruteforce + sim_ann_lsh (their bounded broadcasts)
+    "sim_ann_recall",
 }
 
 
