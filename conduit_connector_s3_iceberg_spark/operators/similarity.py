@@ -1118,3 +1118,165 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("a_vid").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# ------------------------------------------------ k-means training loop ---
+#
+# The iterative production loop that emb_kmeans_assign unrolls one round
+# of, and that trains real IVF/PQ codebooks. Everything stays distributed:
+# assignment is the same broadcast-argmin narrow map, the update is the
+# same exact scaled-integer (cluster, dim) hash agg, and the ONLY driver
+# traffic per round is a 1-row convergence count (same discipline as the
+# CC loop's label-sum). localCheckpoint cuts lineage so round N's plan
+# does not contain rounds 1..N-1.
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = KMEANS_K, max_rounds: int = 10
+) -> tuple[DataFrame, DataFrame, int]:
+    """Lloyd's algorithm over an (vec_id, emb array<double>) frame.
+
+    Returns (centroids, assignments, rounds_run): centroids as one row
+    per cluster (cid, c), assignments as (vec_id, cluster). Seeds = the k
+    lowest vec_ids (deterministic, same as emb_kmeans_assign); stops when
+    no assignment changes or after ``max_rounds``.
+
+    Scale: per round one narrow assignment map + one k×DIM hash agg +
+    one vec_id-keyed equality join for the change count — no data-sized
+    driver transfer, no growth in plan size (localCheckpoint per round).
+    """
+
+    def assign(points: DataFrame, cents_row: DataFrame, out: str) -> DataFrame:
+        return points.crossJoin(F.broadcast(cents_row)).select(
+            points["*"], F.expr(_KM_ASSIGN).alias(out)
+        )
+
+    def update(assigned: DataFrame, col: str) -> DataFrame:
+        sums = (
+            assigned.select(col, F.posexplode("emb").alias("pos", "x"))
+            .select(
+                col,
+                "pos",
+                F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+            )
+            .groupBy(col, "pos")
+            .agg(F.sum("xs").alias("ssum"), F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            sums.select(
+                F.col(col).alias("cid"),
+                "pos",
+                (F.col("ssum").cast("double") / F.col("n") / CENTROID_SCALE).alias(
+                    "c"
+                ),
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cid", F.expr("transform(pc, s -> s.c)").alias("c"))
+        )
+
+    cents_row = emb.filter(F.col("vec_id") < k).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("c"))
+            )
+        ).alias("cents")
+    )
+    cur = assign(emb, cents_row, "cluster").localCheckpoint()
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        cents = update(cur, "cluster")
+        cents_row = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+        )
+        nxt = assign(
+            cur.select("vec_id", "emb"), cents_row, "cluster"
+        ).localCheckpoint()
+        n_changed = (
+            nxt.alias("n")
+            .join(cur.alias("o"), "vec_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        cur = nxt
+        if n_changed == 0:
+            break
+    return update(cur, "cluster"), cur.select("vec_id", "cluster"), rounds
+
+
+def ivf_search_trained(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF search against TRAINED centroids (kmeans_fit output): assign
+    every vector to its nearest cell, probe each query's ``nprobe``
+    nearest cells, exact-cosine re-rank within the probed candidates.
+    Same plumbing as the registered sim_ann_ivf (whose centroids are
+    md5 constants for oracle replication) — this is the production wiring
+    the docstrings promise, tested for recall in tests/test_operators.py.
+
+    ``emb``/``queries``: (vec_id, emb array<double>); queries' vec_ids
+    are excluded from their own results.
+    """
+    cents_row = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+    )
+    dists = (
+        "transform(cents, ct -> named_struct('cid', ct.cid, 'd', "
+        + _km_dist2("emb", "ct.c")
+        + "))"
+    )
+    with_cells = (
+        emb.crossJoin(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            "emb",
+            F.expr(
+                "sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))"
+            ).alias("nrm"),
+            F.expr(dists).alias("dd"),
+        )
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.expr(
+                "aggregate(dd, named_struct('d', cast('Infinity' as double),"
+                " 'cid', cast(-1 as bigint)),"
+                " (acc, s) -> CASE WHEN s.d < acc.d THEN"
+                " named_struct('d', s.d, 'cid', s.cid) ELSE acc END).cid"
+            ).alias("cell"),
+            F.expr(
+                f"transform(slice(array_sort(dd, (a, b) -> CASE"
+                f" WHEN a.d < b.d THEN -1 WHEN a.d > b.d THEN 1"
+                f" WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1"
+                f" ELSE 0 END), 1, {nprobe}), s -> s.cid)"
+            ).alias("probes"),
+        )
+    )
+    q = (
+        with_cells.join(
+            queries.select("vec_id"), "vec_id", "left_semi"
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            F.explode("probes").alias("probe_cell"),
+        )
+    )
+    cand = with_cells.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    return _two_phase_topk(cand, k, base=emb)

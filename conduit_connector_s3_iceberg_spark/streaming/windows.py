@@ -116,3 +116,64 @@ def late_data_filter(time_col: Column | str, watermark_ts: Column | str) -> Colu
     """Explicit late/on-time predicate for batch backfills that must match
     the streaming watermark semantics exactly."""
     return F.col(time_col) >= F.col(watermark_ts)
+
+
+def trending_topk_stream(
+    events: DataFrame,
+    wh,
+    result_table: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+    available_now: bool = True,
+):
+    """Top-k trending event types per tumbling window, maintained as a
+    stream: the windowed count aggregation runs in APPEND mode (a window's
+    counts are emitted exactly once, when the watermark closes it), and
+    each epoch ranks ONLY the newly-closed windows before appending them
+    to the result table. Ranking inside foreachBatch is correct because
+    append-mode rows for one window always arrive in a single epoch —
+    there is nothing to re-rank later.
+
+    Scale / state: the streaming state is the (window × event_type) count
+    table the watermark already bounds; ranking per epoch touches only
+    closed windows (k small, windows few), so the per-epoch batch job is
+    metadata-sized regardless of stream rate.
+    """
+    from pyspark.sql import Window as W
+
+    agg = (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+        ranked = (
+            batch.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        if not wh.table_exists(result_table):
+            wh.create_table(result_table, ranked.schema)
+        wh.append(result_table, ranked)
+
+    writer = (
+        agg.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -457,3 +457,78 @@ def test_fuzzy_linkage_hot_prefix_block_is_capped(spark):
     # and with the cap lifted the same frame would explode quadratically
     uncapped = fuzzy_blocked_pairs(b, max_dist=30, cap=10_000).count()
     assert uncapped == 5 + 200 * 199 // 2
+
+
+def _blob_frame(spark):
+    """Three well-separated blobs in 4-d; vec_ids 0/1/2 land in distinct
+    blobs so the lowest-id seeding starts one centroid per blob."""
+    import math
+
+    centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 0.0)]
+    rows = []
+    for i in range(60):
+        blob = i % 3
+        # deterministic small perturbation, no RNG
+        eps = [0.1 * math.sin(i * 7 + d) for d in range(4)]
+        rows.append((i, [c + e for c, e in zip(centers[blob], eps)]))
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+
+def test_kmeans_fit_converges_and_separates_blobs(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import kmeans_fit
+
+    emb = _blob_frame(spark)
+    cents, assigns, rounds = kmeans_fit(emb, k=3, max_rounds=10)
+    labels = {r["vec_id"]: r["cluster"] for r in assigns.collect()}
+    # converged before the cap, and each blob maps to exactly one cluster
+    assert rounds < 10
+    for blob in range(3):
+        blob_labels = {labels[i] for i in range(60) if i % 3 == blob}
+        assert len(blob_labels) == 1, (blob, blob_labels)
+    assert len({labels[i] for i in range(3)}) == 3
+    # centroids are near the true centers (well within the perturbation)
+    got = {r["cid"]: r["c"] for r in cents.collect()}
+    assert len(got) == 3
+    for c in got.values():
+        assert max(abs(x) for x in c) > 9.0
+
+
+def test_ivf_search_trained_matches_bruteforce_in_blob(spark):
+    import math
+
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        ivf_search_trained,
+        kmeans_fit,
+    )
+
+    emb = _blob_frame(spark)
+    cents, _, _ = kmeans_fit(emb, k=3, max_rounds=10)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivf_search_trained(emb, cents, queries, k=5, nprobe=1)
+    rows = got.collect()
+    assert len(rows) == 15  # 3 queries x top-5
+
+    # python-side brute force: with nprobe=1 on separated blobs, IVF top-5
+    # must equal the exact top-5 (all true neighbors live in the own blob)
+    vecs = {r["vec_id"]: r["emb"] for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    for qid in range(3):
+        expect = sorted(
+            ((cos(vecs[qid], v), -vid) for vid, v in vecs.items() if vid != qid),
+            reverse=True,
+        )[:5]
+        expect_ids = [-t[1] for t in expect]
+        got_ids = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in rows if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got_ids == expect_ids, (qid, got_ids, expect_ids)

@@ -811,3 +811,69 @@ def test_cms_register_stream_matches_batch(spark, tmp_path, events_df):
         for r in cms_batch_hits(events_df, "user_id").collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_trending_topk_stream_matches_batch(spark, tmp_path, events_df):
+    """Windowed top-k trending: per closed tumbling window, the streamed
+    rank table equals the batch window-count + rank twin."""
+    from pyspark.sql import Window as W
+
+    from conduit_connector_s3_iceberg_spark.streaming.windows import (
+        trending_topk_stream,
+    )
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    # far-future flush event advances the watermark past every real window
+    flush = events_df.limit(1).select(
+        F.lit(99).cast("long").alias("user_id"),
+        F.to_timestamp(F.lit("2024-01-03 00:00:00")).alias("ts"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(999).cast("long").alias("event_id"),
+    )
+    import glob
+    import os
+    import shutil
+
+    src = tmp_path / "trend_src"
+    src.mkdir()
+    for i, df in enumerate([events_df, flush]):
+        stage = str(tmp_path / f"trend_stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = str(src / f"{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(events_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "trend_wh"))
+    q = trending_topk_stream(
+        stream, wh, "trending", str(tmp_path / "trend_ckpt"), k=2
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["window_start"]), r["rank"]): (r["event_type"], r["n_events"])
+        for r in wh.read("trending").collect()
+    }
+    batch = (
+        events_df.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    expect = {
+        (str(r["window_start"]), r["rank"]): (r["event_type"], r["n_events"])
+        for r in batch.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .collect()
+    }
+    assert got == expect and len(got) > 0
