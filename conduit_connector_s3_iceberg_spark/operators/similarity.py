@@ -856,21 +856,30 @@ PQ_K = 16       # codebook entries per subspace (4-bit codes)
 # per-row assignment: for each subspace m, fold the broadcast codebook
 # cb[m+1] (array<struct<cid,c>>, sorted by cid) with strict < — earliest
 # (smallest cid) wins exact ties, matching the oracle's ORDER BY d2, cid.
-_PQ_SUBVEC = (
-    f"transform(sequence(1, {PQ_SUBDIM}), j -> element_at(emb, m * {PQ_SUBDIM} + j))"
-)
-_PQ_D2 = (
-    f"aggregate(zip_with({_PQ_SUBVEC}, ct.c, (x, y) -> (x - y) * (x - y)),"
-    " 0.0D, (acc, v) -> acc + v)"
-)
-_PQ_ASSIGNS = (
-    f"transform(sequence(0, {PQ_M - 1}), m -> "
-    " aggregate(element_at(cb, m + 1),"
-    "  named_struct('d', cast('Infinity' as double), 'cid', cast(-1 as bigint)),"
-    f"  (acc, ct) -> CASE WHEN {_PQ_D2} < acc.d"
-    f"  THEN named_struct('d', {_PQ_D2}, 'cid', ct.cid)"
-    "  ELSE acc END))"
-)
+def _pq_d2_expr(subdim: int) -> str:
+    subvec = (
+        f"transform(sequence(1, {subdim}), j -> element_at(emb, m * {subdim} + j))"
+    )
+    return (
+        f"aggregate(zip_with({subvec}, ct.c, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _pq_assigns_expr(m: int, subdim: int) -> str:
+    d2 = _pq_d2_expr(subdim)
+    return (
+        f"transform(sequence(0, {m - 1}), m -> "
+        " aggregate(element_at(cb, m + 1),"
+        "  named_struct('d', cast('Infinity' as double), 'cid', cast(-1 as bigint)),"
+        f"  (acc, ct) -> CASE WHEN {d2} < acc.d"
+        f"  THEN named_struct('d', {d2}, 'cid', ct.cid)"
+        "  ELSE acc END))"
+    )
+
+
+_PQ_D2 = _pq_d2_expr(PQ_SUBDIM)
+_PQ_ASSIGNS = _pq_assigns_expr(PQ_M, PQ_SUBDIM)
 
 
 def _pq_codebook(emb: DataFrame) -> DataFrame:
@@ -1280,3 +1289,81 @@ def ivf_search_trained(
         ).alias("cosine"),
     )
     return _two_phase_topk(cand, k, base=emb)
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Train PQ codebooks: an independent k-means (``kmeans_fit``) per
+    subspace over that subspace's sub-vectors. Returns the same one-row
+    ``cb`` shape ``_pq_codebook`` produces (array over subspaces of
+    array<struct<cid, c>>, cids re-numbered 0..k-1 in centroid order), so
+    trained codebooks drop into the registered encode/ADC plumbing
+    unchanged — the production path the emb_pq_codes docstring promises.
+
+    Scale: M sequential k-means runs, each the distributed loop documented
+    on kmeans_fit; at 100 TB codebooks train on a sampled slice (classic
+    PQ practice) and the full corpus only ever runs the narrow encode map.
+    """
+    per_m = []
+    for mi in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(1, {subdim}),"
+                f" j -> element_at(emb, {mi} * {subdim} + j))"
+            ).alias("emb"),
+        )
+        cents, _, _ = kmeans_fit(sub, k=k, max_rounds=max_rounds)
+        per_m.append(
+            cents.select(
+                F.lit(mi).alias("m"),
+                F.row_number()
+                .over(Window.orderBy("cid"))
+                .cast("long")
+                .alias("rn"),
+                "c",
+            ).select(
+                "m", (F.col("rn") - 1).alias("cid"), "c"
+            )
+        )
+    allc = per_m[0]
+    for d in per_m[1:]:
+        allc = allc.unionByName(d)
+    return (
+        allc.groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("ents"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'m', m, 'ents', ents))), s -> s.ents)"
+            ).alias("cb")
+        )
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    cb_row: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+) -> DataFrame:
+    """Encode vectors against any codebook row (seeded or trained):
+    (vec_id, codes array, sq_err). The same narrow broadcast-argmin map
+    the registered emb_pq_codes runs; geometry parameterized so trained
+    codebooks of any (m, subdim) drop in."""
+    assigns = _pq_assigns_expr(m, subdim)
+    return emb.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id",
+        F.expr(f"transform({assigns}, a -> cast(a.cid as int))").alias(
+            "codes"
+        ),
+        F.expr(
+            f"aggregate(transform({assigns}, a -> a.d), 0.0D,"
+            " (acc, v) -> acc + v)"
+        ).alias("sq_err"),
+    )

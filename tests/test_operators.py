@@ -532,3 +532,47 @@ def test_ivf_search_trained_matches_bruteforce_in_blob(spark):
             )
         ]
         assert got_ids == expect_ids, (qid, got_ids, expect_ids)
+
+
+def test_pq_fit_trained_codebooks_beat_seeded(spark):
+    """Trained PQ codebooks must reconstruct strictly better (lower total
+    squared error) than the lowest-vec_id seeded codebook on clustered
+    data — the reason production PQ trains with k-means at all."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = _blob_frame(spark)  # 4-dim, 3 blobs -> test geometry m=2, subdim=2
+    # seeded codebook with matching geometry (k=3, from vec_id < 3) — the
+    # same shape _pq_codebook builds for the registered 8x8x16 queries
+    seeded = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 1), m -> named_struct("
+                    " 'm', m, 'c', transform(sequence(1, 2),"
+                    " j -> element_at(emb, m * 2 + j))))"
+                )
+            ).alias("s"),
+        )
+        .select(F.col("s.m").alias("m"), "cid", F.col("s.c").alias("c"))
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("ents"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'m', m, 'ents', ents))), s -> s.ents)"
+            ).alias("cb")
+        )
+    )
+    trained = pq_fit(emb, m=2, subdim=2, k=3, max_rounds=6)
+    err_seeded = (
+        pq_encode(emb, seeded, m=2, subdim=2).agg(F.sum("sq_err")).collect()[0][0]
+    )
+    err_trained = (
+        pq_encode(emb, trained, m=2, subdim=2).agg(F.sum("sq_err")).collect()[0][0]
+    )
+    assert 0.0 <= err_trained < err_seeded
