@@ -74,6 +74,32 @@ def merge_apply_sql(
     )
 
 
+def merge_sync_sql(
+    table_fqn: str, source_view: str, key_fields: list[str], data_fields: list[str]
+) -> str:
+    """Full-snapshot synchronization MERGE: make the target exactly equal
+    the source relation — update matched, insert unmatched, and DELETE
+    target rows absent from the source (``WHEN NOT MATCHED BY SOURCE``,
+    Spark 4 / Iceberg MERGE surface). The one-statement form of
+    ``table_diff`` + apply: the standard nightly reconcile against an
+    authoritative snapshot when no change feed exists.
+    """
+    on = " AND ".join(
+        f"t.{_qident(k)} = s.{_qident(k)}" for k in key_fields
+    )
+    sets = ", ".join(f"t.{_qident(c)} = s.{_qident(c)}" for c in data_fields)
+    cols = ", ".join(_qident(c) for c in (*key_fields, *data_fields))
+    vals = ", ".join(f"s.{_qident(c)}" for c in (*key_fields, *data_fields))
+    return (
+        f"MERGE INTO {table_fqn} AS t\n"
+        f"USING {_qident(source_view)} AS s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})\n"
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+
+
 def compact_sql(catalog: str, namespace: str, table: str) -> str:
     """Iceberg small-files compaction procedure (the cure for the
     reference's one-file-per-record write pattern)."""

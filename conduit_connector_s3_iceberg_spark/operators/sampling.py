@@ -244,3 +244,106 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("_thr"))
         .drop("_thr")
     )
+
+
+# ------------------------------------------- exact apportioned sampling ---
+#
+# "Sample EXACTLY N documents with the corpus' source mix" — the fixed-
+# budget cousin of the rate-based samplers above. Rate sampling yields a
+# binomially-noisy count; a training run with a hard token/doc budget needs
+# exact integer quotas. Quotas come from the largest-remainder (Hamilton)
+# apportionment of N over per-source counts — the same method parliament
+# seats use, and the unique one that never strays more than 1 from the
+# ideal share. Everything is integer arithmetic; selection inside each
+# source is the module's deterministic md5-rank, so the draw is
+# reproducible under any cluster layout.
+
+APPORTION_N = 100
+
+
+@query(
+    "sample_domain_apportioned",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM per
+    ), q0 AS (
+      SELECT source, n,
+             ({APPORTION_N} * n) // t AS base,
+             ({APPORTION_N} * n) % t AS rem
+      FROM per, tot
+    ), bonus AS (
+      SELECT source, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q0
+    ), need AS (
+      SELECT {APPORTION_N} - CAST(SUM(base) AS BIGINT) AS r FROM q0
+    ), quotas AS (
+      SELECT source,
+             CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+      FROM bonus, need
+    ), ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_SQL_SAMPLE_KEY}, doc_id
+             ) AS prk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.prk AS INTEGER) AS pick_rank, q.quota
+    FROM ranked r JOIN quotas q ON q.source = r.source
+    WHERE r.prk <= q.quota
+    """,
+    doc=f"Exact-budget stratified sample: precisely {APPORTION_N} documents "
+        "apportioned over sources by largest remainder (Hamilton) — "
+        "integer quotas never off the ideal share by more than 1 — then "
+        "selected per source by deterministic md5 rank. All quota math is "
+        "BIGINT; the source table is dimension-sized so the apportionment "
+        "windows are metadata-scale; the corpus pays one source-keyed "
+        "window for the pick rank (same shape as the reservoir sampler). "
+        "The fixed-budget complement to rate-based sampling: re-runs and "
+        "re-partitions draw the identical sample.",
+)
+def sample_domain_apportioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").cast("long").alias("t"))
+    q0 = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"({APPORTION_N} * n) div t").alias("base"),
+        (F.lit(APPORTION_N) * F.col("n") % F.col("t")).alias("rem"),
+    )
+    bonus = q0.select(
+        "source",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("source")))
+        .alias("rk"),
+    )
+    need = q0.agg(
+        (F.lit(APPORTION_N) - F.sum("base").cast("long")).alias("r")
+    )
+    quotas = bonus.crossJoin(F.broadcast(need)).select(
+        "source",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(_sample_key(), F.col("doc_id"))
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("prk")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("prk") <= F.col("quota"))
+        .select(
+            "doc_id", "source", F.col("prk").cast("int").alias("pick_rank"), "quota"
+        )
+    )

@@ -55,3 +55,14 @@ def test_maintenance_procedures():
     assert "expire_snapshots" in expire_snapshots_sql(
         "cat", "ns", "t", "2024-01-01 00:00:00"
     )
+
+
+def test_merge_sync_sql_shape():
+    from conduit_connector_s3_iceberg_spark.iceberg import merge_sync_sql
+
+    sql = merge_sync_sql("`c`.`n`.`t`", "snap", ["id"], ["name", "qty"])
+    assert "MERGE INTO `c`.`n`.`t` AS t" in sql
+    assert "ON t.`id` = s.`id`" in sql
+    assert "WHEN MATCHED THEN UPDATE SET t.`name` = s.`name`, t.`qty` = s.`qty`" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (`id`, `name`, `qty`)" in sql
+    assert sql.strip().endswith("WHEN NOT MATCHED BY SOURCE THEN DELETE")

@@ -289,6 +289,8 @@ BROADCAST_NONEQUI_OK = {
     "events_cms_estimate",
     # composes sim_topk_bruteforce + sim_ann_lsh (their bounded broadcasts)
     "sim_ann_recall",
+    # one-row corpus-total + one-row bonus-count broadcasts — bounded
+    "sample_domain_apportioned",
 }
 
 

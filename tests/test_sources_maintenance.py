@@ -467,3 +467,34 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert z_total < x_total
     # correctness: same rows either way
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_sync_table_reconciles_to_snapshot(spark, tmp_path):
+    """sync_table makes the target exactly equal the authoritative
+    snapshot (insert + update + delete) and reports the diff counts —
+    the executable twin of iceberg.merge_sync_sql."""
+    from pyspark.sql import types as T
+
+    from conduit_connector_s3_iceberg_spark.writer import (
+        ParquetWarehouse,
+        sync_table,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "sync_wh"))
+    schema = "id long, name string, qty int"
+    wh.create_table("t", T.StructType.fromDDL(schema))
+    wh.append(
+        "t",
+        spark.createDataFrame([(1, "a", 5), (2, "b", 7), (3, "c", 9)], schema),
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 99), (4, "d", 1)], schema
+    )
+    counts = sync_table(wh, "t", snapshot, ["id"])
+    assert counts == {"insert": 1, "update": 1, "delete": 1}
+    got = sorted(tuple(r) for r in wh.read("t").collect())
+    assert got == sorted(tuple(r) for r in snapshot.collect())
+    # idempotent: a second sync against the same snapshot is a no-op
+    assert sync_table(wh, "t", snapshot, ["id"]) == {
+        "insert": 0, "update": 0, "delete": 0,
+    }
