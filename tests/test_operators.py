@@ -576,3 +576,65 @@ def test_pq_fit_trained_codebooks_beat_seeded(spark):
         pq_encode(emb, trained, m=2, subdim=2).agg(F.sum("sq_err")).collect()[0][0]
     )
     assert 0.0 <= err_trained < err_seeded
+
+
+def test_prefix_filter_same_pairs_fewer_candidates(spark):
+    """PPJoin prefix filtering must be lossless (identical verified pairs
+    to the full inverted-index join) while generating strictly fewer
+    candidate pairs — the point of the technique."""
+    from pyspark.sql import Window as W
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _capped_index,
+        _docs,
+        dedup_jaccard_prefix_filter,
+        dedup_ngram_jaccard,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, SF001).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup_jaccard_prefix_filter(spark, SF001).collect()
+    }
+    assert pref == full and len(full) > 0
+
+    idx, sizes = _capped_index(_docs(spark, SF001))
+    a, b = idx.alias("a"), idx.alias("b")
+    n_full_cand = (
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    df_tbl = idx.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "shingle_h")
+    prefix = (
+        idx.join(df_tbl, "shingle_h")
+        .join(sizes, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(
+            F.col("rnk")
+            <= F.floor((1.0 - JACCARD_THRESHOLD) * F.col("sz")).cast("int") + 1
+        )
+        .select("doc_id", "shingle_h")
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    n_pref_cand = (
+        pa.join(
+            pb,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_pref_cand < n_full_cand
