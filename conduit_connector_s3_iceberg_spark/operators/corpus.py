@@ -747,3 +747,85 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     stack = ", ".join(f"'{m}', CAST({e} AS DOUBLE)" for m, e in pairs)
     return wide.selectExpr(f"stack({len(pairs)}, {stack}) AS (metric, value)")
+
+
+# ---------------------------------------------------- overlapping chunks --
+#
+# RAG-style chunking: fixed W-token windows advancing by stride S < W, so
+# consecutive chunks share W-S tokens of context — the retrieval-index
+# preparation step (the non-overlapping pack_* family above is the
+# training-set twin). Pure per-row array arithmetic: chunk count and every
+# slice are expressions over the token array — narrow map, zero shuffle,
+# output rows = total chunks.
+
+RAG_CHUNK_W = 40   # tokens per chunk
+RAG_CHUNK_S = 30   # stride (25% overlap)
+
+
+@query(
+    "pack_chunks_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             len(string_split(trim(text), ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n, k.k AS chunk_idx,
+             k.k * {RAG_CHUNK_S} + 1 AS chunk_start,
+             array_to_string(
+               list_slice(toks, k.k * {RAG_CHUNK_S} + 1,
+                          k.k * {RAG_CHUNK_S} + {RAG_CHUNK_W}), ' ') AS ctext
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(0,
+          CAST(greatest(n - {RAG_CHUNK_W}, 0) // {RAG_CHUNK_S} AS BIGINT)))
+          AS k
+      ) k
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           CAST(least({RAG_CHUNK_W}, n - chunk_idx * {RAG_CHUNK_S}) AS INTEGER)
+             AS n_chunk_tokens,
+           md5(ctext) AS chunk_fp
+    FROM chunks
+    """,
+    doc=f"Overlapping chunking for retrieval indexes: {RAG_CHUNK_W}-token "
+        f"windows advancing by {RAG_CHUNK_S} (consecutive chunks share "
+        f"{RAG_CHUNK_W - RAG_CHUNK_S} tokens of context). Chunk count and "
+        "every slice are per-row array expressions — narrow map, zero "
+        "shuffle; chunk text is fingerprinted (md5) so the output stays "
+        "scalar and the content is still cross-checked.",
+)
+def pack_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("toks"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n"),
+    )
+    chunks = d.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                f"sequence(0, greatest(n - {RAG_CHUNK_W}, 0) div {RAG_CHUNK_S})"
+            )
+        ).alias("chunk_idx"),
+        "toks",
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * RAG_CHUNK_S + 1).cast("int").alias("chunk_start"),
+        F.least(
+            F.lit(RAG_CHUNK_W), F.col("n") - F.col("chunk_idx") * RAG_CHUNK_S
+        )
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.expr(
+                f"concat_ws(' ', slice(toks, chunk_idx * {RAG_CHUNK_S} + 1,"
+                f" {RAG_CHUNK_W}))"
+            )
+        ).alias("chunk_fp"),
+    )

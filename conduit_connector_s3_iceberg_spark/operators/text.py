@@ -908,3 +908,84 @@ def length_gate_by_approx_thresholds(
         .filter((F.col("n_chars") > F.col("lo_cut")) & (F.col("n_chars") <= F.col("hi_cut")))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ------------------------------------------------------- token-id encode --
+#
+# The last batch step before training: map every token to a vocabulary id
+# (dictionary encoding) with OOV -> 0, emitting each document's id
+# sequence in order. Vocabulary = the top TOKEN_VOCAB_V tokens by corpus
+# frequency (ties by token text, so the table is deterministic). At scale
+# the vocab is a broadcast dimension (it is bounded by V, not the corpus)
+# and the encode is one broadcast join per exploded token + one doc-keyed
+# ordered re-assembly — no shuffle of the corpus beyond the final group.
+
+TOKEN_VOCAB_V = 256
+
+
+@query(
+    "text_token_ids",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i.pos,
+             string_split(trim(text), ' ')[i.pos] AS tok
+      FROM documents, LATERAL (
+        SELECT unnest(generate_series(1, len(string_split(trim(text), ' '))))
+          AS pos
+      ) i
+    ), vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (
+               ORDER BY COUNT(*) DESC, tok
+             ) AS INTEGER) AS token_id
+      FROM tok GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok
+      LIMIT {TOKEN_VOCAB_V}
+    ), enc AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+      FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_oov,
+           array_to_string(array_agg(tid ORDER BY pos), ',') AS ids
+    FROM enc GROUP BY doc_id
+    """,
+    doc=f"Dictionary-encode the corpus to token ids: top-{TOKEN_VOCAB_V} "
+        "frequency vocabulary (rank ties broken by token text), OOV -> 0, "
+        "per-document id sequence reassembled in token order and emitted "
+        "','-joined (scalar-safe). The vocab is a bounded broadcast "
+        "dimension; the corpus pays one explode + one broadcast join + "
+        "one doc-keyed group — the standard pre-training encode pass.",
+)
+def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    from pyspark.sql import Window
+
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(TOKEN_VOCAB_V)
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), F.col("tok")))
+            .alias("token_id"),
+        )
+    )
+    enc = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_oov"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tid))),"
+            " s -> s.tid), ',')"
+        ).alias("ids"),
+    )
