@@ -1,0 +1,61 @@
+"""Training-data pipeline walkthrough: the LLM-corpus operators end to end
+on the driver-generated tables.
+
+Run from the repo root (takes ~2 min on local[8]):
+
+    python examples/training_pipeline.py [sf_dir]
+
+Walkthrough (each stage prints a small sample):
+  1. clean    — language gate + heuristic quality score + PII redaction;
+  2. dedup    — exact keep-first, then near-dup pairs via the PPJoin
+                prefix-filtered Jaccard join, then semantic clusters over
+                embedding cosine (SemDeDup);
+  3. sample   — exactly-N stratified draw (Hamilton apportionment);
+  4. encode   — token-id dictionary encode + overlapping RAG chunks;
+  5. monitor  — HLL/CMS register sketches (the re-aggregable rollup
+                state) and ANN index recall@k.
+
+Every operator here is also a registered query with a DuckDB oracle —
+this script just strings them into the pipeline shape they exist for.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from conduit_connector_s3_iceberg_spark.plans.registry import load_all  # noqa: E402
+from conduit_connector_s3_iceberg_spark.session import build_session  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+STAGES = [
+    ("1. clean: quality score", "text_quality_score"),
+    ("1. clean: PII redaction", "text_pii_redact"),
+    ("2. dedup: exact keep-first", "dedup_exact_keep_first"),
+    ("2. dedup: near-dup pairs (prefix-filtered)", "dedup_jaccard_prefix_filter"),
+    ("2. dedup: semantic clusters", "dedup_semantic_clusters"),
+    ("3. sample: exact-N apportioned", "sample_domain_apportioned"),
+    ("4. encode: token ids", "text_token_ids"),
+    ("4. encode: RAG chunks", "pack_chunks_overlap"),
+    ("5. monitor: HLL estimate", "events_hll_estimate"),
+    ("5. monitor: CMS estimates", "events_cms_estimate"),
+    ("5. monitor: ANN recall@10", "sim_ann_recall"),
+    ("result: composed training set", "pipeline_training_set"),
+]
+
+
+def main() -> None:
+    spark = build_session(shuffle_partitions=8)
+    registry = load_all()
+    for title, qname in STAGES:
+        df = registry[qname].build(spark, SF_DIR)
+        n = df.count()
+        print(f"\n=== {title} [{qname}] — {n} rows ===")
+        df.show(3, truncate=60)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
