@@ -98,7 +98,11 @@ def _sig_spark() -> F.Column:
 
 
 def _two_phase_topk(
-    scored: DataFrame, k: int, base: DataFrame | None = None
+    scored: DataFrame,
+    k: int,
+    base: DataFrame | None = None,
+    score_col: str = "cosine",
+    ascending: bool = False,
 ) -> DataFrame:
     """Exact per-query top-k over a scored (query_id, vec_id, cosine) set
     without funneling the full corpus into N_QUERIES reducer tasks.
@@ -127,9 +131,10 @@ def _two_phase_topk(
     """
     probe = base if base is not None else scored
     sc = scored.sparkSession.sparkContext
+    score = F.col(score_col).asc() if ascending else F.col(score_col).desc()
     if probe.rdd.getNumPartitions() > 2 * sc.defaultParallelism:
         local_w = Window.partitionBy("query_id", "part_id").orderBy(
-            F.col("cosine").desc(), F.col("vec_id")
+            score, F.col("vec_id")
         )
         scored = (
             scored.withColumn("part_id", F.spark_partition_id())
@@ -137,13 +142,11 @@ def _two_phase_topk(
             .filter(F.col("local_rank") <= k)
             .drop("part_id", "local_rank")
         )
-    merge_w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
+    merge_w = Window.partitionBy("query_id").orderBy(score, F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(merge_w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", score_col, "rank")
     )
 
 
@@ -1032,7 +1035,8 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bit-exact vs the oracle's ordered list_reduce). The scan reads "
         "CODES only (4 bytes/vector), never the floats: the 64×-less-IO "
         "search path of a production IVF-PQ index. Broadcast side is the "
-        "bounded query table; ranking is a per-query window.",
+        "bounded query table; ranking goes through the same gated "
+        "two-phase merge as the cosine searches (distance ascending).",
 )
 def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1067,13 +1071,11 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " element_at(codes, m + 1) + 1))"
         ).alias("adist"),
     )
-    merge_w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("vec_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(merge_w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "adist", "rank")
+    # same gated two-phase merge as the cosine searches (distance ASC):
+    # at corpus width the per-query merge reads k×partitions survivors,
+    # never the full code scan
+    return _two_phase_topk(
+        pairs, TOP_K, base=emb, score_col="adist", ascending=True
     )
 
 
