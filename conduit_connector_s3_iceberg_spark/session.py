@@ -179,6 +179,9 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource API (sources/opencdc_source.py): let registered
+        # Python sources receive filter pushdown (off by default in 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Driver-side result paths (collect in tests) stay small; executors
         # do the work. Local mode shares one JVM.

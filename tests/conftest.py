@@ -24,6 +24,8 @@ def spark():
         .appName("engine-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
+        # mirror build_session: Python-source filter pushdown on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
