@@ -1006,3 +1006,84 @@ def _q62_sql(div_expr: str) -> str:
 def q62_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_q62_sql("anc DIV 2"))
+
+
+# SQL UDFs (new surface in Spark 4): CREATE FUNCTION ... RETURN <expr> is
+# macro-expanded by the analyzer into the calling plan — reusable business
+# logic with ZERO runtime UDF tax (stays inside whole-stage codegen,
+# pushdown still works through it). The opposite end of the UDF spectrum
+# from Python UDFs; the oracle simply inlines the same expression.
+
+
+@query(
+    "q63_sql_udf_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Spark 4 scalar SQL UDF: revenue = disc_price(price, discount) "
+        "declared once with CREATE FUNCTION ... RETURN and reused — the "
+        "analyzer inlines it as a macro, so the plan is byte-identical to "
+        "writing the expression inline (whole-stage codegen, DECIMAL "
+        "accumulation discipline intact). The reusable-business-logic "
+        "surface with none of the Python-UDF serialization tax.",
+)
+def q63_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price_udf("
+        "p DOUBLE, d DOUBLE) RETURNS DECIMAL(27,4) "
+        "RETURN CAST(p AS DECIMAL(18,2)) * CAST(1.0 - d AS DECIMAL(8,2))"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               CAST(CAST(SUM(disc_price_udf(l_extendedprice, l_discount))
+                         AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "q64_sql_table_function",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct
+    FROM (
+      SELECT d.lang, t.tok
+      FROM documents d, LATERAL unnest(string_split(trim(d.text), ' ')) AS t(tok)
+    )
+    GROUP BY lang
+    """,
+    doc="Spark 4 SQL table function: tokenize(s) RETURNS TABLE(tok) "
+        "declared in SQL and applied per row via LATERAL — the "
+        "set-returning twin of the scalar SQL UDF (and the zero-overhead "
+        "alternative to the Python UDTF surface in functions/udtfs.py: "
+        "the analyzer rewrites it to a generate/explode, no Python "
+        "worker). Per-language token totals keep the check exact.",
+)
+def q64_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tokenize_udtf(s STRING) "
+        "RETURNS TABLE(tok STRING) "
+        "RETURN SELECT explode(split(trim(s), ' '))"
+    )
+    return spark.sql(
+        """
+        SELECT d.lang,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT t.tok) AS n_distinct
+        FROM documents d, LATERAL tokenize_udtf(d.text) t
+        GROUP BY d.lang
+        """
+    )
