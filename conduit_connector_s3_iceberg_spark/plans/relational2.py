@@ -1087,3 +1087,59 @@ def q64_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.lang
         """
     )
+
+
+@query(
+    "q65_try_arithmetic",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_discount,
+           CAST(SUM(CASE WHEN l_discount = 0.0 THEN 0
+                         ELSE CAST(round(l_extendedprice / l_discount, 2)
+                                   AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_price_per_disc,
+           CAST(SUM(CASE WHEN TRY_CAST(
+                  CASE WHEN l_linenumber % 2 = 0
+                       THEN CAST(l_orderkey AS VARCHAR)
+                       ELSE l_returnflag END AS INTEGER) IS NULL
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_castable
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="ANSI-safe arithmetic surface (Spark 4 runs ANSI mode by default, "
+        "where silent-null arithmetic became errors): try_divide yields "
+        "NULL on zero divisors instead of failing the job, try_cast "
+        "probes castability — the idioms a pipeline needs on dirty data. "
+        "The oracle spells the same semantics with CASE/TRY_CAST; "
+        "divisions are rounded to a DECIMAL grid before the sum so the "
+        "aggregate stays order-independent.",
+)
+def q65_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.expr(
+        "cast(round(try_divide(l_extendedprice, l_discount), 2)"
+        " as decimal(18,2))"
+    )
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("l_discount") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_discount"),
+        F.sum(F.coalesce(ratio, F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sum_price_per_disc"),
+        F.sum(
+            F.when(
+                F.expr(
+                    "try_cast(CASE WHEN l_linenumber % 2 = 0"
+                    " THEN cast(l_orderkey as string)"
+                    " ELSE l_returnflag END as int)"
+                ).isNull(),
+                0,
+            ).otherwise(1)
+        )
+        .cast("long")
+        .alias("n_castable"),
+    )
