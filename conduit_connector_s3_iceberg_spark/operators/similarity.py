@@ -1032,11 +1032,14 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{N_QUERIES} queries precomputes its {PQ_M}×{PQ_K} subspace "
         "distance table against the codebook, then every encoded vector "
         "is scored by summing its M code lookups (ordered IEEE fold — "
-        "bit-exact vs the oracle's ordered list_reduce). The scan reads "
-        "CODES only (4 bytes/vector), never the floats: the 64×-less-IO "
-        "search path of a production IVF-PQ index. Broadcast side is the "
-        "bounded query table; ranking goes through the same gated "
-        "two-phase merge as the cosine searches (distance ascending).",
+        "bit-exact vs the oracle's ordered list_reduce). The SEARCH "
+        "touches codes only (4 bytes/vector); in a deployed index the "
+        "codes are the stored column and the float scan disappears "
+        "entirely — here they are derived inline from the demo table, so "
+        "this query demonstrates the search math, and emb_pq_codes is the "
+        "encode that would persist them. Broadcast side is the bounded "
+        "query table; ranking goes through the same gated two-phase "
+        "merge as the cosine searches (distance ascending).",
 )
 def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
