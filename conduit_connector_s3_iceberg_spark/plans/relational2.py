@@ -1143,3 +1143,47 @@ def q65_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_castable"),
     )
+
+
+@query(
+    "q66_collated_grouping",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0
+                  THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg,
+             c_acctbal
+      FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM mixed
+    GROUP BY lower(seg)
+    """,
+    doc="Collation-aware grouping (Spark 4 COLLATE): a mixed-case segment "
+        "column (synthesized: every even custkey lowercased) groups under "
+        "UTF8_LCASE collation — case variants collapse into one group "
+        "WITHOUT rewriting the data, the way a lower() pre-pass would. "
+        "The emitted key is normalized explicitly (lower) so the output "
+        "value is deterministic; the oracle is the lower() twin. "
+        "Collation rides the grouping expression — one hash agg, "
+        "identical plan shape to any groupBy.",
+)
+def q66_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN c_custkey % 2 = 0
+                      THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg,
+                 c_acctbal
+          FROM customer
+        )
+        SELECT lower(seg) AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_bal
+        FROM mixed
+        GROUP BY seg COLLATE UTF8_LCASE, lower(seg)
+        """
+    )
