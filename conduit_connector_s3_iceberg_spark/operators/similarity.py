@@ -887,7 +887,13 @@ _PQ_ASSIGNS = _pq_assigns_expr(PQ_M, PQ_SUBDIM)
 
 def _pq_codebook(emb: DataFrame) -> DataFrame:
     """One-row broadcastable codebook: ``cb`` = array over subspaces of
-    array<struct<cid, c>> sorted by cid (constant M×K×SUBDIM size)."""
+    array<struct<cid, c>> (constant M×K×SUBDIM size).
+
+    cids are renumbered DENSE 0..K-1 (seed order = ascending vec_id), the
+    same contract ``pq_fit`` emits — so ADC's positional table lookup
+    (``tab[code+1]``) is correct for ANY seed vec_id domain, not just a
+    contiguous 0-based one: code value == table position by construction,
+    never by accident of the id space."""
     return (
         emb.filter(F.col("vec_id") < PQ_K)
         .select(
@@ -902,7 +908,13 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
         )
         .select(F.col("s.m").alias("m"), "cid", F.col("s.c").alias("c"))
         .groupBy("m")
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("ents"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'cid', cid, 'c', c))),"
+                " (s, i) -> named_struct('cid', cast(i as bigint), 'c', s.c))"
+            ).alias("ents")
+        )
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(named_struct("
@@ -919,7 +931,10 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
       SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
     ),
     cb AS (
-      SELECT m.m, e.vec_id AS cid,
+      -- dense 0-based cids in seed (vec_id) order: same renumbering the
+      -- Spark codebook applies, so codes match for any seed id domain
+      SELECT m.m,
+             ROW_NUMBER() OVER (PARTITION BY m.m ORDER BY e.vec_id) - 1 AS cid,
              list_transform(generate_series(1, {PQ_SUBDIM}),
                             j -> e.emb[m.m * {PQ_SUBDIM} + j]) AS c
       FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
@@ -990,7 +1005,10 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ),
     cb AS (
-      SELECT m.m, e.vec_id AS cid,
+      -- dense 0-based cids in seed (vec_id) order: same renumbering the
+      -- Spark codebook applies, so codes match for any seed id domain
+      SELECT m.m,
+             ROW_NUMBER() OVER (PARTITION BY m.m ORDER BY e.vec_id) - 1 AS cid,
              list_transform(generate_series(1, {PQ_SUBDIM}),
                             j -> e.emb[m.m * {PQ_SUBDIM} + j]) AS c
       FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m

@@ -446,6 +446,40 @@ def cms_batch_hits(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def apply_cms_epoch(
+    wh, register_table: str, key_col: str, batch: DataFrame, epoch_id: int
+) -> None:
+    """One idempotent epoch of streaming CMS maintenance (the foreachBatch
+    body of :func:`maintain_cms_stream`, module-level so replay semantics
+    are unit-testable). Re-applying an already-applied ``epoch_id`` is a
+    no-op — see the replay-safety note on :func:`maintain_cms_stream`."""
+    from ..writer import epoch_already_applied, mark_epoch_applied
+
+    epoch_table = f"{register_table}__applied_epoch"
+    if batch.isEmpty():
+        return
+    if epoch_already_applied(wh, epoch_table, epoch_id):
+        return  # replayed epoch — already folded in
+    d = cms_batch_hits(batch, key_col).withColumnRenamed("cnt", "d_cnt")
+    if not wh.table_exists(register_table):
+        fresh = d.select("hrow", "bucket", F.col("d_cnt").alias("cnt"))
+        wh.create_table(register_table, fresh.schema)
+        wh.append(register_table, fresh)
+        mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
+        return
+    current = wh.read(register_table)
+    merged = current.join(d, ["hrow", "bucket"], "full_outer").select(
+        "hrow",
+        "bucket",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0))
+            + F.coalesce(F.col("d_cnt"), F.lit(0))
+        ).alias("cnt"),
+    )
+    wh.overwrite_with(register_table, merged)
+    mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
+
+
 def maintain_cms_stream(
     stream: DataFrame,
     wh,
@@ -462,30 +496,23 @@ def maintain_cms_stream(
     before-image requirement because counts only grow). The register table
     stays constant-size regardless of stream volume: the 100-TB-friendly
     way to keep live frequency estimates without any fact-table rescan.
+
+    Replay safety: foreachBatch is at-least-once — after a crash the last
+    epoch is re-delivered, and a blind read-add-overwrite would double-count
+    it. The last applied ``epoch_id`` is persisted in a one-row sidecar
+    table and epochs ``<=`` it are skipped, making the merge idempotent
+    (epoch ids are monotonically increasing per checkpoint, so the single
+    watermark row suffices). In the Parquet analogue the register overwrite
+    and the watermark are two commits — a crash exactly between them can
+    still double-count that one epoch; on a transactional store (Iceberg)
+    both writes share one MERGE transaction and the guarantee is exact.
     """
-
-    def _epoch(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        d = cms_batch_hits(batch, key_col).withColumnRenamed("cnt", "d_cnt")
-        if not wh.table_exists(register_table):
-            fresh = d.select("hrow", "bucket", F.col("d_cnt").alias("cnt"))
-            wh.create_table(register_table, fresh.schema)
-            wh.append(register_table, fresh)
-            return
-        current = wh.read(register_table)
-        merged = current.join(d, ["hrow", "bucket"], "full_outer").select(
-            "hrow",
-            "bucket",
-            (
-                F.coalesce(F.col("cnt"), F.lit(0))
-                + F.coalesce(F.col("d_cnt"), F.lit(0))
-            ).alias("cnt"),
-        )
-        wh.overwrite_with(register_table, merged)
-
     writer = (
-        stream.writeStream.foreachBatch(_epoch)
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch_id: apply_cms_epoch(
+                wh, register_table, key_col, batch, epoch_id
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -102,11 +102,15 @@ class OpenCDCReader(DataSourceReader):
 
 
 class OpenCDCStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch form: offset = number of (sorted) files consumed; each
-    batch drains the files that appeared since the last offset. The
-    simple-reader API re-reads from the driver on replay, which keeps the
-    source exactly-once w.r.t. the checkpointed offset (same contract as
-    the built-in file stream source)."""
+    """Micro-batch form: offset = the NAME of the last consumed file (files
+    are consumed in sorted-name order); each batch drains the files whose
+    names sort strictly after the offset. Tracking the name — not a count —
+    means a late-arriving file that sorts before already-consumed names is
+    skipped deterministically rather than silently shifting the slice and
+    re-reading old files (producers must write monotonically-named files,
+    the same contract as the built-in file stream source's log). The
+    simple-reader API re-reads from the driver on replay, keeping the
+    source exactly-once w.r.t. the checkpointed offset."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -114,25 +118,33 @@ class OpenCDCStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("opencdc source requires a 'path' option")
 
     def initialOffset(self):
-        return {"n_files": 0}
+        return {"last_file": ""}
+
+    @staticmethod
+    def _after(files, offset):
+        last = offset.get("last_file", "")
+        return [f for f in files if f > last]
 
     def read(self, start):
-        files = _envelope_files(self.path)
-        n0 = start["n_files"]
+        files = self._after(_envelope_files(self.path), start)
         rows = []
-        for f in files[n0:]:
+        for f in files:
             with open(f) as fh:
                 rows.extend(
                     _parse_line(ln) for ln in fh if ln.strip()
                 )
-        return iter(rows), {"n_files": len(files)}
+        end = {"last_file": files[-1] if files else start.get("last_file", "")}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start, end):
         files = _envelope_files(self.path)
+        last_start = start.get("last_file", "")
+        last_end = end.get("last_file", "")
         rows = []
-        for f in files[start["n_files"] : end["n_files"]]:
-            with open(f) as fh:
-                rows.extend(_parse_line(ln) for ln in fh if ln.strip())
+        for f in files:
+            if last_start < f <= last_end:
+                with open(f) as fh:
+                    rows.extend(_parse_line(ln) for ln in fh if ln.strip())
         return iter(rows)
 
     def commit(self, end):

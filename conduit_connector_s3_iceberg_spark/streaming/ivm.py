@@ -128,11 +128,21 @@ def maintain_summary_stream(
     Guards the IVM completeness condition: an update/delete whose
     before-image is absent fails the epoch loudly (a silent skip would
     drift the summary away from the base forever).
+
+    Replay safety: the additive merge is guarded by a persisted epoch
+    watermark (``<summary_table>__applied_epoch``) so foreachBatch's
+    at-least-once re-delivery of the last epoch cannot double-apply its
+    deltas — same pattern as ``operators.sketches.apply_cms_epoch``.
     """
+    from ..writer import epoch_already_applied, mark_epoch_applied
+
+    epoch_table = f"{summary_table}__applied_epoch"
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        if epoch_already_applied(wh, epoch_table, epoch_id):
+            return  # replayed epoch — deltas already merged
         n_incomplete = batch.filter(
             F.col("operation").isin("update", "delete")
             & F.col("before").isNull()
@@ -146,6 +156,7 @@ def maintain_summary_stream(
             wh, summary_table, cdc_delta_frame(batch, table_schema),
             group_cols, sum_cols,
         )
+        mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_epoch)

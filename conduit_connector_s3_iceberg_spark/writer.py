@@ -530,6 +530,34 @@ class CdcWriter:
 # PRODUCES such feeds, this consumes/derives them from any two versions).
 
 
+def epoch_already_applied(wh: ParquetWarehouse, state_table: str, epoch_id: int) -> bool:
+    """True if ``epoch_id`` was already folded into the table this sidecar
+    guards. foreachBatch is at-least-once: after a crash the last epoch is
+    re-delivered, and any read-modify-overwrite merge would double-apply it
+    unless guarded. Epoch ids are monotonically increasing per checkpoint,
+    so a single persisted watermark row suffices."""
+    if not wh.table_exists(state_table):
+        return False
+    rows = wh.read(state_table).collect()  # exactly one watermark row
+    return bool(rows) and rows[0]["epoch_id"] >= epoch_id
+
+
+def mark_epoch_applied(
+    wh: ParquetWarehouse, state_table: str, spark: SparkSession, epoch_id: int
+) -> None:
+    """Persist ``epoch_id`` as the new replay watermark (see
+    :func:`epoch_already_applied`). In the Parquet analogue the data
+    overwrite and this watermark are two commits — a crash exactly between
+    them can still double-apply that one epoch; a transactional store
+    (Iceberg) folds both into one MERGE transaction."""
+    row = spark.createDataFrame([(int(epoch_id),)], "epoch_id long")
+    if not wh.table_exists(state_table):
+        wh.create_table(state_table, row.schema)
+        wh.append(state_table, row)
+    else:
+        wh.overwrite_with(state_table, row)
+
+
 def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     """Row-level diff of two same-keyed relations.
 
@@ -623,11 +651,24 @@ def sync_table(
         r["change"]: r["n"]
         for r in diff.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+
+    # The anti/semi joins must match keys the same way table_diff did —
+    # null-safely — or NULL-key changes are counted in the diff but never
+    # applied (the rewrite would keep a stale NULL-key row AND skip its
+    # replacement). eqNullSafe compiles to ordinary hash-join keys.
+    def _null_safe(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+        l, r = left.alias("l"), right.alias("r")
+        cond = None
+        for k in keys:
+            c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+            cond = c if cond is None else cond & c
+        return l.join(r, cond, how)
+
     changed_keys = diff.filter(F.col("change") != "insert").select(*keys)
-    kept = current.join(changed_keys, keys, "left_anti")
+    kept = _null_safe(current, changed_keys, "left_anti")
     upsert_keys = diff.filter(F.col("change") != "delete").select(*keys)
-    incoming = snapshot.select(*current.columns).join(
-        upsert_keys, keys, "left_semi"
+    incoming = _null_safe(
+        snapshot.select(*current.columns), upsert_keys, "left_semi"
     )
     wh.overwrite_with(table, kept.unionByName(incoming))
     return {c: counts.get(c, 0) for c in ("insert", "update", "delete")}

@@ -124,3 +124,46 @@ def test_opencdc_stream_feeds_cdc_apply(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in wh.read("t").collect())
     assert got == [(1, "a2", 6)]
+
+
+def test_opencdc_stream_offset_is_filename_not_count(tmp_path):
+    """Offsets are the last consumed file NAME, not an index count: a
+    late file sorting before consumed names must not shift the slice and
+    cause an old file to be re-read (at-most-once per file is preserved;
+    the out-of-order file is skipped deterministically — r3 ADVICE)."""
+    from conduit_connector_s3_iceberg_spark.sources.opencdc_source import (
+        OpenCDCStreamReader,
+    )
+
+    src = tmp_path / "ooo"
+    src.mkdir()
+    _write_jsonl(
+        src / "b.jsonl",
+        [_env("p1", "create", {"id": 1}, {"id": 1, "name": "a", "qty": 1})],
+    )
+    rdr = OpenCDCStreamReader({"path": str(src)})
+    start = rdr.initialOffset()
+    rows1, off1 = rdr.read(start)
+    assert len(list(rows1)) == 1
+    assert off1["last_file"].endswith("b.jsonl")
+
+    # a late file that sorts BEFORE b, plus a genuinely new file after it
+    _write_jsonl(
+        src / "a.jsonl",
+        [_env("p2", "create", {"id": 9}, {"id": 9, "name": "x", "qty": 9})],
+    )
+    _write_jsonl(
+        src / "c.jsonl",
+        [_env("p3", "create", {"id": 2}, {"id": 2, "name": "c", "qty": 2})],
+    )
+    rows2, off2 = rdr.read(off1)
+    keys = [r[2] for r in rows2]  # position 2 = key json
+    assert keys == ['{"id": 2}']  # c consumed once; b NOT re-read; a skipped
+    assert off2["last_file"].endswith("c.jsonl")
+
+    # replay window (readBetweenOffsets) honors the same name bounds
+    replay = list(rdr.readBetweenOffsets(off1, off2))
+    assert [r[2] for r in replay] == ['{"id": 2}']
+    # empty source advance: offset sticks, nothing read
+    rows3, off3 = rdr.read(off2)
+    assert list(rows3) == [] and off3 == off2

@@ -498,3 +498,41 @@ def test_sync_table_reconciles_to_snapshot(spark, tmp_path):
     assert sync_table(wh, "t", snapshot, ["id"]) == {
         "insert": 0, "update": 0, "delete": 0,
     }
+
+
+def test_sync_table_null_keys_are_applied(spark, tmp_path):
+    """NULL-key changes must be APPLIED, not merely counted: table_diff
+    matches NULL keys null-safely, so the rewrite's anti/semi joins must
+    too — a plain equi-join would keep the stale NULL-key row and drop its
+    replacement (r3 ADVICE, writer.py sync_table)."""
+    from pyspark.sql import types as T
+
+    from conduit_connector_s3_iceberg_spark.writer import (
+        ParquetWarehouse,
+        sync_table,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "sync_null_wh"))
+    schema = T.StructType.fromDDL("id long, name string, qty int")
+    wh.create_table("t", schema)
+    wh.append(
+        "t",
+        spark.createDataFrame([(None, "x", 1), (1, "a", 5)], schema),
+    )
+    # NULL-key row updated, keyed row unchanged
+    snap1 = spark.createDataFrame([(None, "x", 2), (1, "a", 5)], schema)
+    assert sync_table(wh, "t", snap1, ["id"]) == {
+        "insert": 0, "update": 1, "delete": 0,
+    }
+    got = sorted(
+        ((r["id"], r["name"], r["qty"]) for r in wh.read("t").collect()),
+        key=str,
+    )
+    assert got == sorted([(None, "x", 2), (1, "a", 5)], key=str)
+    # NULL-key row deleted, a fresh NULL-key insert would be ambiguous with
+    # it under keyed reconcile, so exercise delete alone
+    snap2 = spark.createDataFrame([(1, "a", 5)], schema)
+    assert sync_table(wh, "t", snap2, ["id"]) == {
+        "insert": 0, "update": 0, "delete": 1,
+    }
+    assert [tuple(r) for r in wh.read("t").collect()] == [(1, "a", 5)]

@@ -812,6 +812,28 @@ def test_cms_register_stream_matches_batch(spark, tmp_path, events_df):
     }
     assert got == expect and len(got) > 0
 
+    # replay safety: foreachBatch is at-least-once — re-delivering an
+    # already-applied epoch must NOT double-count (r3 ADVICE). The epoch
+    # watermark sidecar makes apply_cms_epoch idempotent per epoch_id.
+    from conduit_connector_s3_iceberg_spark.operators.sketches import (
+        apply_cms_epoch,
+    )
+
+    last_epoch = wh.read("cms_regs__applied_epoch").collect()[0]["epoch_id"]
+    apply_cms_epoch(wh, "cms_regs", "user_id", halves[1], last_epoch)
+    replayed = {
+        (r["hrow"], r["bucket"]): r["cnt"]
+        for r in wh.read("cms_regs").collect()
+    }
+    assert replayed == expect
+    # a genuinely NEW epoch still folds in
+    apply_cms_epoch(wh, "cms_regs", "user_id", halves[1], last_epoch + 1)
+    bumped = {
+        (r["hrow"], r["bucket"]): r["cnt"]
+        for r in wh.read("cms_regs").collect()
+    }
+    assert sum(bumped.values()) > sum(expect.values())
+
 
 def test_trending_topk_stream_matches_batch(spark, tmp_path, events_df):
     """Windowed top-k trending: per closed tumbling window, the streamed
