@@ -29,7 +29,7 @@ from .dedup import (
     MAX_SHINGLE_DF,
     SHINGLES_SPARK,
     SHINGLES_SQL,
-    dedup_ngram_jaccard,
+    ngram_jaccard_pairs,
 )
 
 CHUNK_TOKENS = 512   # token budget per packed training chunk
@@ -151,7 +151,11 @@ _NEARDUP_PAIRS_SQL = f"""
 )
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    # materialize=True: the pair list feeds two more doc_id joins here, so
+    # the shingle index is built once instead of re-derived per consumer
+    pairs = ngram_jaccard_pairs(spark, sf_dir, materialize=True).select(
+        "doc_a", "doc_b", "jaccard"
+    )
     da, db = docs.alias("da"), docs.alias("db")
     return (
         pairs.join(da, F.col("doc_a") == F.col("da.doc_id"))
