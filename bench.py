@@ -37,6 +37,18 @@ HEADLINE = [
     "cdc_last_write_wins",
 ]
 
+# Heavier operators added after the HEADLINE list froze (r3 verdict #6):
+# same protocol (min-of-RUNS), reported under a separate "ext" key so the
+# frozen headline trend stays comparable round-to-round while these get a
+# recorded trend of their own.
+BENCH_EXT = [
+    "dedup_jaccard_prefix_filter",
+    "dedup_semantic_clusters",
+    "dedup_source_matrix",
+    "dedup_cluster_labels_star",
+    "emb_pq_adc_topk",
+]
+
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +
 # whole-stage codegen compile (worst on the dedup self-joins), and JIT can
 # still taint the second — three runs reliably capture steady state.
@@ -53,15 +65,21 @@ def main() -> None:
     # JVM/codegen warmup on a trivial job so q1 doesn't pay startup costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry[name]
-        best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            q.build(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+    def run_list(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            q = registry[name]
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                q.build(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()  # drop per-query materializations
+            out[name] = round(best, 3)
+        return out
+
+    times = run_list(HEADLINE)
+    ext = run_list(BENCH_EXT)
 
     total = round(sum(times.values()), 3)
     print(
@@ -71,6 +89,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "ext": ext,
+                "ext_total": round(sum(ext.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

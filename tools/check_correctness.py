@@ -10,7 +10,9 @@ cross-engine deterministic). Usage:
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -53,6 +55,19 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_weak = 0
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, q in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -63,10 +78,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            record(name, err=f"spark error: {e}")
             n_fail += 1
             continue
         if q.oracle is None:
             print(f"weak  {name}: rows={len(srows)} ({time.time()-t0:.1f}s, no oracle)")
+            record(name, spark_rows=len(srows), err="no oracle (rows-only)")
             n_weak += 1
             continue
         try:
@@ -78,6 +95,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            record(name, spark_rows=len(srows), err=f"duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
@@ -127,6 +145,16 @@ def main() -> int:
                         problems.append(f"  spark={a}")
                         problems.append(f"  orcl ={b}")
                         break
+        ok = not problems
+        record(
+            name,
+            rows_match=len(srows) == len(orows),
+            schema_match=sorted(scols) == sorted(ocols),
+            hash_match=ok,
+            spark_rows=len(srows),
+            oracle_rows=len(orows),
+            err="; ".join(problems) if problems else None,
+        )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
@@ -134,6 +162,14 @@ def main() -> int:
             print(f"PASS  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    out = os.environ.get("CORRECTNESS_JSON_OUT")
+    if out:
+        # same per-query shape as the driver's CORRECTNESS_r{N}.json, so the
+        # queries outside the driver's 50-name window carry a
+        # machine-readable verdict every round (r3 verdict #4)
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=2, sort_keys=True)
+        print(f"wrote {out} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
