@@ -1169,19 +1169,42 @@ def _capped_index(docs: DataFrame, materialize: bool = True):
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    idx, sizes = _capped_index(docs)
-    df_tbl = idx.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
-    ordered = idx.join(df_tbl, "shingle_h").join(sizes, "doc_id")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle_h")
-    prefix = (
-        ordered.withColumn("rnk", F.row_number().over(w))
-        .filter(
-            F.col("rnk")
-            <= F.floor((1.0 - JACCARD_THRESHOLD) * F.col("sz")).cast("int") + 1
+    # Set-per-document layout: ONE groupBy folds each document's capped
+    # shingle set into a rarest-first-sorted array (carrying df through the
+    # cap join so no second df aggregation is needed), and that single
+    # persisted table serves all three consumers — prefix extraction is an
+    # array slice (no per-doc row_number window over the exploded index),
+    # and verification is a per-pair array_intersect (no explode → 3-way
+    # join → groupBy re-aggregation, and no separate sizes joins: sz rides
+    # along). The corpus is scanned once; candidate pairs are identical to
+    # the row-oriented formulation.
+    sh = _distinct_shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle_h")
+    )
+    df_tbl = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+    idx = sh.join(
+        df_tbl.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle_h"
+    )
+    doc_sets = (
+        idx.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'df', df, 'h', shingle_h))), s -> s.h)"
+            ).alias("hs"),
+            F.count(F.lit(1)).alias("sz"),
         )
-        .select("doc_id", "shingle_h")
+        .persist()
+    )
+    # PPJoin prefix: the floor((1-t)·|d|)+1 globally-rarest shingles
+    prefix = doc_sets.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"slice(hs, 1, cast(floor((1.0 - {JACCARD_THRESHOLD}) * sz)"
+                " as int) + 1)"
+            )
+        ).alias("shingle_h"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -1195,24 +1218,29 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ia, ib = idx.alias("ia"), idx.alias("ib")
-    common = (
-        cand.join(ia, F.col("doc_a") == F.col("ia.doc_id"))
-        .join(
-            ib,
-            (F.col("doc_b") == F.col("ib.doc_id"))
-            & (F.col("ia.shingle_h") == F.col("ib.shingle_h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sz").alias("sz_a"),
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    pb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sz").alias("sz_b"),
     )
+    n_common = F.expr("size(array_intersect(hs_a, hs_b))").cast("bigint")
     return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_common", n_common)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
