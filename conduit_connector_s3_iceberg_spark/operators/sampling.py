@@ -347,3 +347,78 @@ def sample_domain_apportioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.col("prk").cast("int").alias("pick_rank"), "quota"
         )
     )
+
+
+# ------------------------------------------------------------------
+# Temperature-scaled domain mixture (the multilingual-LM mixing rule:
+# p_s ∝ n_s^alpha with alpha < 1 upweights small domains; alpha = 0.5
+# here, computed as sqrt so both engines use the same correctly-rounded
+# primitive instead of libm pow). All counting is exact BIGINT at the
+# group grain; the double math runs on the dimension-sized per-source
+# frame, folded in source order so the normalization sum is one fixed
+# IEEE sequence on both engines.
+# ------------------------------------------------------------------
+
+MIXTURE_BUDGET = 1_000  # documents per training epoch drawn from the mixture
+
+
+@query(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+             list_reduce(
+               list_transform(array_agg(n_docs ORDER BY source),
+                              x -> sqrt(CAST(x AS DOUBLE))),
+               (a, b) -> a + b) AS t_w
+      FROM per
+    )
+    SELECT per.source, per.n_docs, per.n_tokens,
+           CAST(per.n_docs AS DOUBLE) / t_docs AS raw_share,
+           sqrt(CAST(per.n_docs AS DOUBLE)) / t_w AS temp_share,
+           sqrt(CAST(per.n_docs AS DOUBLE)) / t_w * {MIXTURE_BUDGET}
+             AS expected_docs,
+           sqrt(CAST(per.n_docs AS DOUBLE)) / t_w * {MIXTURE_BUDGET}
+             / per.n_docs AS epochs_per_doc
+    FROM per, tot
+    """,
+    doc="Temperature-scaled mixture weights over sources (p_s ∝ n_s^0.5): "
+        "the data-mixing step before sampling a training epoch. Exact "
+        "BIGINT counts at the group grain; share math on the "
+        "dimension-sized source frame with the normalizer folded in source "
+        "order (fixed IEEE sequence). epochs_per_doc > 1 flags domains the "
+        "mixture would oversample past one epoch. One corpus scan, one "
+        "map-side-combined aggregation — the 100-TB cost is the count, "
+        "not the mixture math.",
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("t_docs"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, n_docs))),"
+            " s -> sqrt(double(s.n_docs))), 0.0D, (a, b) -> a + b)"
+        ).alias("t_w"),
+    )
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("t_w")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("t_docs")).alias("raw_share"),
+        w.alias("temp_share"),
+        (w * MIXTURE_BUDGET).alias("expected_docs"),
+        (w * MIXTURE_BUDGET / F.col("n_docs")).alias("epochs_per_doc"),
+    )

@@ -519,3 +519,105 @@ def maintain_cms_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------- mergeable histogram quantiles --
+# Fixed-width histogram sketch over document length, per language. The
+# registers are (lang, bin) -> count: they merge by + across shards exactly
+# like any production histogram/KLL-style sketch's leaf level, so the state
+# is re-aggregable and constant-size per group (HIST_BINS rows). Quantile
+# estimates read the cumulative counts and report the upper edge of the
+# first bin whose running total reaches ceil(p * n) — deterministic integer
+# math, no interpolation ambiguity across engines. At 100 TB the corpus
+# pays one narrow map (bin assignment) + one map-side-combined count; the
+# quantile extraction runs on the (langs x bins)-sized register frame.
+
+HIST_BIN_W = 32    # chars per bin
+HIST_BINS = 64     # clamp: values >= HIST_BIN_W * HIST_BINS land in the top bin
+
+
+def _hist_quantile_sql(p: int) -> str:
+    """Upper bin edge of the first bin whose cumulative count reaches
+    ceil(p% * n), as oracle SQL over the cumulated register CTE."""
+    return f"""
+           CAST(MIN(CASE WHEN cum * 100 >= {p} * n
+                         THEN (bin + 1) * {HIST_BIN_W} END) AS BIGINT)
+             AS p{p}_est"""
+
+
+@query(
+    "sketch_hist_quantiles",
+    oracle=f"""
+    WITH regs AS (
+      SELECT lang,
+             CAST(least(n_chars // {HIST_BIN_W}, {HIST_BINS - 1}) AS BIGINT)
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), cumed AS (
+      SELECT lang, bin, cnt,
+             CAST(SUM(cnt) OVER (
+               PARTITION BY lang ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM regs
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           {_hist_quantile_sql(50)},
+           {_hist_quantile_sql(90)},
+           {_hist_quantile_sql(99)}
+    FROM cumed GROUP BY lang
+    """,
+    doc=f"Mergeable histogram quantile sketch: fixed-width {HIST_BIN_W}-char "
+        f"bins (clamped to {HIST_BINS}) over n_chars per language; "
+        "registers merge by + across shards (re-aggregable state, like the "
+        "HLL/CMS registers above); p50/p90/p99 read the cumulative counts "
+        "with pure integer threshold math (cum*100 >= p*n) so both engines "
+        "pick the identical bin edge. Corpus cost: one narrow map + one "
+        "combined count; extraction is register-frame-sized.",
+)
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.least(
+        (F.col("n_chars") / HIST_BIN_W).cast("long"), F.lit(HIST_BINS - 1)
+    ).cast("long")
+    regs = docs.groupBy(
+        "lang", bin_col.alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cumed = regs.select(
+        "lang",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+
+    def est(p: int) -> F.Column:
+        return (
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(p) * F.col("n"),
+                    (F.col("bin") + 1) * HIST_BIN_W,
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_est")
+        )
+
+    return cumed.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        est(50),
+        est(90),
+        est(99),
+    )
