@@ -989,3 +989,102 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> s.tid), ',')"
         ).alias("ids"),
     )
+
+
+# ----------------------------------------------- boilerplate chunk removal --
+# CCNet-style shared-paragraph removal, adapted to this corpus's
+# single-space word soup: the "paragraph" unit is a fixed 8-token chunk at
+# a fixed offset grid. A chunk seen in >= BOILER_DF distinct documents
+# anywhere in the corpus is boilerplate (nav bars, cookie banners, license
+# headers in a real crawl); documents are re-emitted with those chunks
+# spliced out. Scale shape: one explode to the chunk grain, one
+# map-side-combined distinct-count per (source, chunk), then the corpus
+# joins only against the *flagged* chunk set — at real thresholds that set
+# is tiny relative to the corpus (boilerplate is by definition repeated),
+# so the join broadcasts and the reassembly is one doc-keyed aggregation.
+
+CHUNK_W = 8       # tokens per boilerplate unit
+BOILER_DF = 2     # chunk is boilerplate at >= this many distinct docs
+
+_CHUNKS_SPARK = f"""
+transform(sequence(0, cast(ceil(size(split(trim(text), ' ')) / {CHUNK_W}.0)
+                           as int) - 1),
+          i -> array_join(slice(split(trim(text), ' '),
+                                i * {CHUNK_W} + 1, {CHUNK_W}), ' '))
+"""
+
+
+@query(
+    "text_boilerplate_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, i,
+             array_to_string(
+               list_slice(t, i * {CHUNK_W} + 1, i * {CHUNK_W} + {CHUNK_W}),
+               ' ') AS chunk
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(
+                 0, CAST(ceil(len(t) / {CHUNK_W}.0) AS INTEGER) - 1)) AS i
+        FROM toks
+      )
+    ), boiler AS (
+      SELECT chunk
+      FROM chunks
+      GROUP BY chunk
+      HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+    ), flagged AS (
+      SELECT c.doc_id, c.i, c.chunk,
+             (b.chunk IS NOT NULL) AS is_boiler
+      FROM chunks c
+      LEFT JOIN boiler b ON b.chunk = c.chunk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_boiler,
+           COALESCE(string_agg(chunk, ' ' ORDER BY i)
+                      FILTER (WHERE NOT is_boiler), '') AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+    doc=f"Boilerplate removal: {CHUNK_W}-token grid chunks shared by >= "
+        f"{BOILER_DF} distinct docs are spliced out "
+        "(CCNet-style shared-paragraph filter). One explode + one "
+        "distinct-count agg builds the flagged set; the corpus then "
+        "left-joins only that small repeated-chunk set (broadcast at real "
+        "thresholds) and reassembles per doc in chunk order.",
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(_CHUNKS_SPARK)).alias("i", "chunk"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    flagged = chunks.join(
+        F.broadcast(boiler), ["chunk"], "left"
+    ).select(
+        "doc_id",
+        "i",
+        "chunk",
+        F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("is_boiler"), 1)).cast("long").alias("n_boiler"),
+        F.array_join(
+            F.expr(
+                "transform(filter(array_sort(collect_list("
+                "  struct(i, chunk, is_boiler))), s -> NOT s.is_boiler),"
+                " s -> s.chunk)"
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
