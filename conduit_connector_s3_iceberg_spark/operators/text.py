@@ -1088,3 +1088,114 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+# ------------------------------------------- bloom-filter decontamination --
+# The broadcast-sketch variant of text_contamination: instead of shipping
+# the benchmark's full distinct-shingle set to every executor, ship an
+# m-bit Bloom filter of it. At 100 TB the benchmark suite's n-gram set can
+# run to billions of entries; the Bloom filter is a fixed BLOOM_M bits
+# regardless, at the price of a bounded false-positive rate — which is the
+# safe direction for decontamination (flag-and-drop may discard a few
+# clean documents, never leak a benchmark document through). Bit positions
+# derive from md5 substrings (conv hex->long % m), so both engines build
+# bit-identical filters. Plan shape: benchmark scan -> k exploded
+# positions -> distinct (the "bits set" frame, <= BLOOM_M rows, broadcast);
+# corpus scan -> k positions per distinct shingle -> broadcast semi-ish
+# left join -> a shingle hits iff all k positions matched.
+
+BLOOM_M = 4096   # filter bits
+BLOOM_K = 3      # hash functions (md5 hex substrings 1-8, 9-16, 17-24)
+
+
+def _bloom_pos_spark(j: int) -> str:
+    return f"conv(substring(md5(shingle), {8 * j + 1}, 8), 16, 10) % {BLOOM_M}"
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(shingle), {8 * j + 1}, 8)) AS BIGINT)"
+        f" % {BLOOM_M}"
+    )
+
+
+@query(
+    "text_bloom_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS shingle
+      FROM documents
+    ), bits AS (
+      SELECT DISTINCT p
+      FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))}])
+          AS p
+        FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % {PROBE_MOD} = 0)
+      )
+    ), probe AS (
+      SELECT s.doc_id, s.shingle,
+             {" AND ".join(
+                f"EXISTS (SELECT 1 FROM bits WHERE p = {_bloom_pos_sql(j)})"
+                for j in range(BLOOM_K))} AS hit
+      FROM sh s
+      WHERE s.doc_id % {PROBE_MOD} <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_bloom_hits,
+           CAST(COUNT(*) FILTER (WHERE hit) AS DOUBLE) / COUNT(*)
+             AS bloom_rate
+    FROM probe GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE hit) > 0
+    """,
+    doc=f"Bloom-filter decontamination: {BLOOM_M}-bit / {BLOOM_K}-hash "
+        "filter over the benchmark shard's distinct 3-gram shingles "
+        "(md5-derived positions, bit-identical cross-engine), probed by "
+        "the rest of the corpus. Constant-size broadcast state vs the "
+        "exact join's full shingle set; false positives only over-flag "
+        "(safe for decontamination). One explode + one broadcast join + "
+        "one doc-grain agg.",
+)
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_SH_SPARK})")).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") % PROBE_MOD == 0).select("shingle").distinct()
+    bits = (
+        bench.select(
+            F.explode(
+                F.array(
+                    *[F.expr(_bloom_pos_spark(j)) for j in range(BLOOM_K)]
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+    probe = sh.filter(F.col("doc_id") % PROBE_MOD != 0)
+    # one row per (shingle, hash-slot); a shingle hits iff all K slots match
+    slots = probe.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_spark(j)) for j in range(BLOOM_K)])
+        ).alias("p"),
+    )
+    matched = (
+        slots.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "p", "left")
+        .groupBy("doc_id", "shingle")
+        .agg((F.count("hit") == BLOOM_K).alias("hit"))
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count(F.when(F.col("hit"), 1)).cast("long").alias("n_bloom_hits"),
+            (
+                F.count(F.when(F.col("hit"), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bloom_rate"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )
