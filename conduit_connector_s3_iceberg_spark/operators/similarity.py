@@ -1401,3 +1401,135 @@ def pq_encode(
             " (acc, v) -> acc + v)"
         ).alias("sq_err"),
     )
+
+
+# ------------------------------------- truncated-dimension two-stage search --
+#
+# Matryoshka-style retrieval (Kusupati et al., NeurIPS 2022: prefix
+# sub-vectors of an MRL-trained embedding are themselves usable
+# embeddings): stage 1 scores the corpus with only the first TRUNC_DIM
+# dimensions — a 4x cheaper dot product and, in a deployed index, a 4x
+# smaller scan (store the prefix as its own column/file so the stage-1
+# scan never touches the full vectors) — and keeps CAND_K candidates per
+# query; stage 2 re-ranks only those with the exact full-dimension cosine.
+# The candidate stage routes through the same gated two-phase top-k as
+# every other search here, so the per-query merge stays bounded at corpus
+# width; the re-rank joins a CAND_K x N_QUERIES candidate list (broadcast)
+# back to the corpus scan.
+
+TRUNC_DIM = DIM // 4   # stage-1 prefix dimensions
+CAND_K = 4 * TOP_K     # stage-1 candidates per query
+
+
+def _sql_tdot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {TRUNC_DIM}),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+_SPARK_TEMB = f"slice({_SPARK_EMB_D}, 1, {TRUNC_DIM})"
+_SPARK_TNRM = (
+    f"sqrt(aggregate({_SPARK_TEMB}, 0.0D, (acc, x) -> acc + x * x))"
+)
+_SQL_TNRM = (
+    f"sqrt(list_reduce(list_transform(list_slice(embedding::DOUBLE[], 1,"
+    f" {TRUNC_DIM}), x -> x * x), (x, y) -> x + y))"
+)
+
+
+@query(
+    "sim_truncated_rerank",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm,
+             list_slice(embedding::DOUBLE[], 1, {TRUNC_DIM}) AS temb,
+             {_SQL_TNRM} AS tnrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm,
+             temb AS qtemb, tnrm AS qtnrm
+      FROM e WHERE vec_id < {N_QUERIES}
+    ), t_scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_tdot('q.qtemb', 'e.temb')} / (q.qtnrm * e.tnrm) AS tcos
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY tcos DESC, vec_id
+        ) AS rk FROM t_scored
+      ) WHERE rk <= {CAND_K}
+    ), rr AS (
+      SELECT c.query_id, c.vec_id,
+             {_sql_dot('qe.qemb', 'e.emb')} / (qe.qnrm * e.nrm) AS cosine
+      FROM cand c
+      JOIN e ON e.vec_id = c.vec_id
+      JOIN q qe ON qe.query_id = c.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS INTEGER) AS rank
+      FROM rr
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=f"Matryoshka two-stage search: stage 1 ranks with the first "
+        f"{TRUNC_DIM} of {DIM} dims (4x cheaper scan; gated two-phase "
+        f"top-{CAND_K}), stage 2 re-ranks only those candidates with the "
+        f"exact full-dim cosine (top-{TOP_K}). The candidate list is "
+        "broadcast-sized, so stage 2 is one broadcast join against the "
+        "corpus scan — the standard cheap-prefilter/exact-rerank shape "
+        "for embedding retrieval at scale.",
+)
+def sim_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+        F.expr(_SPARK_TEMB).alias("temb"),
+        F.expr(_SPARK_TNRM).alias("tnrm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("temb").alias("qtemb"),
+        F.col("tnrm").alias("qtnrm"),
+    )
+    t_scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qtemb", "temb"))
+                / (F.col("qtnrm") * F.col("tnrm"))
+            ).alias("tcos"),
+        )
+    )
+    cand = _two_phase_topk(
+        t_scored, CAND_K, base=emb, score_col="tcos"
+    ).select("query_id", "vec_id")
+    rr = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(q.select("query_id", "qemb", "qnrm")), "query_id"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qemb", "emb"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    merge_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(merge_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
