@@ -1,0 +1,147 @@
+"""Data-layout operators: multi-dimensional clustering for scan pruning.
+
+At 100 TB the cheapest operator is the file you never open. Iceberg (the
+reference's storage layer, ``SparkUtils.java:45-51``) prunes files by
+per-file column min/max stats, so WHAT ORDER rows are written in decides
+how many files a selective query touches: a time-linear layout gives tight
+``ts`` ranges but every file spans all users; a Z-order (Morton) layout
+interleaves the bits of both dimensions so every file is a small rectangle
+in (user, day) space and point/range predicates on EITHER column skip most
+files.
+
+``layout_zorder_stats`` computes, for the same event table, the per-file
+min/max envelopes under both layouts — the exact numbers an Iceberg
+``rewrite_data_files(strategy => 'sort', sort_order => zorder(...))``
+maintenance pass would produce, and the direct input to a "fraction of
+files a point query must open" estimate.
+
+Scale shape: the file assignment is NOT a global-window sort. Both sort
+keys here are bounded integers (Morton code of 8+5 bits; day index), so
+the layout is computed as: (1) a metadata-sized key histogram (one
+map-side-combined count), (2) a running offset over that tiny register
+frame, (3) a broadcast join back + a per-key rank window (thousands of
+independent key partitions, no straggler), giving every row its exact
+global position without ever funneling the corpus through one reducer —
+the same register discipline as the histogram-quantile sketch. The oracle
+states the identical assignment as one global ROW_NUMBER, which DuckDB can
+afford at oracle scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+N_FILES = 32          # target files per layout
+EPOCH = "2024-01-01"  # day index origin (events fixture starts here)
+
+# Morton interleave: user bit b -> position 2b, day bit b -> position 2b+1.
+# user_id needs 8 bits at fixture scale, day 5; spans are validated by the
+# n_rows invariant (every row lands in exactly one file regardless).
+_Z_SPARK = " + ".join(
+    f"(shiftright(u, {b}) % 2) * {1 << (2 * b)}"
+    f" + (shiftright(d, {b}) % 2) * {1 << (2 * b + 1)}"
+    for b in range(8)
+)
+_Z_SQL = " + ".join(
+    f"((u >> {b}) & 1) * {1 << (2 * b)} + ((d >> {b}) & 1) * {1 << (2 * b + 1)}"
+    for b in range(8)
+)
+
+
+def _assign_files(ev: DataFrame, key: str) -> DataFrame:
+    """file_id = ((global_rank - 1) * N_FILES) // n over (key, event_id)
+    order, computed without a global window: histogram offsets + per-key
+    rank. Exact because keys are processed in order and ties are ranked by
+    event_id inside their key partition."""
+    regs = ev.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = regs.select(
+        key,
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    rk = Window.partitionBy(key).orderBy("event_id")
+    return (
+        ev.join(F.broadcast(offs), key)
+        .withColumn("rk", F.row_number().over(rk))
+        .withColumn(
+            "file_id",
+            (
+                (F.col("off") + F.col("rk") - 1) * N_FILES / F.col("n")
+            ).cast("long"),
+        )
+    )
+
+
+@query(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id AS u,
+             CAST(date_diff('day', DATE '{EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS d
+      FROM events
+    ), keyed AS (
+      SELECT *, CAST({_Z_SQL} AS BIGINT) AS zkey FROM ev
+    ), assigned AS (
+      SELECT 'linear' AS layout, u, d,
+             CAST(((ROW_NUMBER() OVER (ORDER BY d, event_id) - 1)
+                   * {N_FILES}) // COUNT(*) OVER () AS BIGINT) AS file_id
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder' AS layout, u, d,
+             CAST(((ROW_NUMBER() OVER (ORDER BY zkey, event_id) - 1)
+                   * {N_FILES}) // COUNT(*) OVER () AS BIGINT) AS file_id
+      FROM keyed
+    )
+    SELECT layout, file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(u) AS BIGINT) AS u_min, CAST(MAX(u) AS BIGINT) AS u_max,
+           CAST(MIN(d) AS BIGINT) AS d_min, CAST(MAX(d) AS BIGINT) AS d_max,
+           CAST(MAX(u) - MIN(u) AS BIGINT) AS u_span,
+           CAST(MAX(d) - MIN(d) AS BIGINT) AS d_span
+    FROM assigned GROUP BY layout, file_id
+    """,
+    doc=f"Z-order vs time-linear layout: assign events to {N_FILES} files "
+        "under each ordering and report the per-file (user, day) min/max "
+        "envelope — the stats Iceberg prunes scans with. Z-order files "
+        "are rectangles in both dimensions (small u_span AND d_span); "
+        "linear files span all users. Assignment uses bounded-key "
+        "histogram offsets + per-key ranks, never a global single-reducer "
+        "window.",
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("u"),
+        F.datediff(F.to_date("ts"), F.lit(EPOCH).cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    keyed = ev.withColumn("zkey", F.expr(_Z_SPARK).cast("long"))
+
+    def stats(assigned: DataFrame, name: str) -> DataFrame:
+        return assigned.groupBy("file_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("u").cast("long").alias("u_min"),
+            F.max("u").cast("long").alias("u_max"),
+            F.min("d").cast("long").alias("d_min"),
+            F.max("d").cast("long").alias("d_max"),
+            (F.max("u") - F.min("u")).cast("long").alias("u_span"),
+            (F.max("d") - F.min("d")).cast("long").alias("d_span"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    linear = stats(_assign_files(keyed, "d"), "linear")
+    zorder = stats(_assign_files(keyed, "zkey"), "zorder")
+    return linear.unionByName(zorder)

@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         corpus,
         dedup,
         joins,
+        layout,
         lm,
         multimodal,
         sampling,
