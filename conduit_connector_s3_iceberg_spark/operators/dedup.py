@@ -1244,3 +1244,127 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# ------------------------------------------------- incremental delta dedup --
+#
+# The production dedup shape after the first full pass: a NEW crawl batch
+# arrives and must be checked against the EXISTING corpus without
+# re-clustering it. The base corpus's content fingerprints and MinHash
+# band index are standing artifacts (stored tables, incrementally
+# appended); only the delta batch computes anything new. Because the
+# delta is small relative to the corpus, its fingerprint and band frames
+# BROADCAST — the big base index is probed in place, never shuffled, and
+# the whole check is two broadcast joins + one doc-grain aggregate. Here
+# the "new batch" is the doc_id % DELTA_MOD == DELTA_REM slice (~10%).
+
+DELTA_MOD = 10
+DELTA_REM = 9
+
+
+@query(
+    "dedup_incremental_delta",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, {_MH_SQL} FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{_BANDS_SQL}], recursive := true) FROM sig
+    ), fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
+    ), exact AS (
+      SELECT n.doc_id, COUNT(b.doc_id) AS n_exact
+      FROM (SELECT * FROM fp WHERE doc_id % {DELTA_MOD} = {DELTA_REM}) n
+      LEFT JOIN (SELECT * FROM fp
+                 WHERE doc_id % {DELTA_MOD} <> {DELTA_REM}) b
+        ON b.content_fp = n.content_fp
+      GROUP BY n.doc_id
+    ), near AS (
+      SELECT n.doc_id, b.doc_id AS base_id, COUNT(*) AS shared
+      FROM (SELECT * FROM bands
+            WHERE doc_id % {DELTA_MOD} = {DELTA_REM}) n
+      JOIN (SELECT * FROM bands
+            WHERE doc_id % {DELTA_MOD} <> {DELTA_REM}) b
+        ON b.band = n.band AND b.h = n.h
+      GROUP BY n.doc_id, b.doc_id
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    ), nearc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_cands
+      FROM near GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           COALESCE(nc.n_band_cands, 0) AS n_band_cands,
+           CASE WHEN e.n_exact > 0 THEN 'exact'
+                WHEN COALESCE(nc.n_band_cands, 0) > 0 THEN 'near'
+                ELSE 'unique' END AS verdict
+    FROM exact e LEFT JOIN nearc nc ON nc.doc_id = e.doc_id
+    """,
+    doc=f"Incremental dedup of a delta batch (doc_id % {DELTA_MOD} = "
+        f"{DELTA_REM}) against the standing corpus: exact content-"
+        "fingerprint probe + MinHash band-index probe (>= "
+        f"{MIN_SHARED_BANDS} shared bands), per new doc -> "
+        "exact/near/unique verdict. The delta side broadcasts; the base "
+        "fingerprint and band indexes are probed without shuffling — the "
+        "shape that makes daily dedup O(delta), not O(corpus).",
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % DELTA_MOD == DELTA_REM
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp")
+    )
+    sig = (
+        _distinct_shingles(docs)
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
+        .localCheckpoint(eager=False)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
+                    for i in range(N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    new_fp = fp.filter(is_new)
+    base_fp = fp.filter(~is_new).select(
+        F.col("doc_id").alias("base_id"), "content_fp"
+    )
+    exact = (
+        base_fp.join(F.broadcast(new_fp), "content_fp", "right")
+        .groupBy("doc_id")
+        .agg(F.count("base_id").cast("long").alias("n_exact"))
+    )
+    new_bands = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "h"
+    )
+    base_bands = bands.filter(~is_new).select(
+        F.col("doc_id").alias("base_id"), "band", "h"
+    )
+    nearc = (
+        base_bands.join(F.broadcast(new_bands), ["band", "h"])
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= MIN_SHARED_BANDS)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_cands"))
+    )
+    return (
+        exact.join(nearc, exact.doc_id == nearc.new_id, "left")
+        .select(
+            "doc_id",
+            "n_exact",
+            F.coalesce("n_band_cands", F.lit(0)).alias("n_band_cands"),
+            F.when(F.col("n_exact") > 0, "exact")
+            .when(F.coalesce("n_band_cands", F.lit(0)) > 0, "near")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
