@@ -47,6 +47,12 @@ BENCH_EXT = [
     "dedup_source_matrix",
     "dedup_cluster_labels_star",
     "emb_pq_adc_topk",
+    # round 4 additions
+    "dedup_incremental_delta",
+    "text_bloom_decontaminate",
+    "text_boilerplate_chunks",
+    "sim_truncated_rerank",
+    "layout_zorder_stats",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -1337,10 +1337,20 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_fp = fp.filter(~is_new).select(
         F.col("doc_id").alias("base_id"), "content_fp"
     )
-    exact = (
-        base_fp.join(F.broadcast(new_fp), "content_fp", "right")
+    # an outer join cannot broadcast its preserved (small) side, so probe
+    # with an INNER broadcast join, count per new doc, and left-join the
+    # counts back onto the delta — both joins broadcast the delta side
+    exact_counts = (
+        base_fp.join(F.broadcast(new_fp), "content_fp")
         .groupBy("doc_id")
-        .agg(F.count("base_id").cast("long").alias("n_exact"))
+        .agg(F.count("base_id").cast("long").alias("n_exact_m"))
+    )
+    exact = (
+        new_fp.select("doc_id")
+        .join(F.broadcast(exact_counts), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("n_exact_m", F.lit(0)).alias("n_exact")
+        )
     )
     new_bands = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "h"

@@ -1162,6 +1162,8 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(f"array_distinct({_SH_SPARK})")).alias("shingle"),
     )
+    # consumed twice (filter build / corpus probe): materialize once
+    sh = sh.localCheckpoint(eager=False)
     bench = sh.filter(F.col("doc_id") % PROBE_MOD == 0).select("shingle").distinct()
     bits = (
         bench.select(
@@ -1174,18 +1176,22 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     probe = sh.filter(F.col("doc_id") % PROBE_MOD != 0)
-    # one row per (shingle, hash-slot); a shingle hits iff all K slots match
-    slots = probe.select(
+    # one broadcast left join PER HASH SLOT (K narrow joins, no explode, no
+    # intermediate (doc, shingle) aggregation): a shingle hits iff every
+    # slot found its bit — the probe row count never grows past the
+    # shingle grain and the only shuffle left is the final doc-id agg
+    matched = probe
+    for j in range(BLOOM_K):
+        bj = F.broadcast(
+            bits.select(F.col("p").alias(f"p{j}"), F.lit(1).alias(f"m{j}"))
+        )
+        matched = matched.withColumn(f"p{j}", F.expr(_bloom_pos_spark(j))).join(
+            bj, f"p{j}", "left"
+        )
+    matched = matched.select(
         "doc_id",
-        "shingle",
-        F.explode(
-            F.array(*[F.expr(_bloom_pos_spark(j)) for j in range(BLOOM_K)])
-        ).alias("p"),
-    )
-    matched = (
-        slots.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "p", "left")
-        .groupBy("doc_id", "shingle")
-        .agg((F.count("hit") == BLOOM_K).alias("hit"))
+        (sum(F.col(f"m{j}").isNotNull().cast("int") for j in range(BLOOM_K))
+         == BLOOM_K).alias("hit"),
     )
     return (
         matched.groupBy("doc_id")
