@@ -1187,3 +1187,78 @@ def q66_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY seg COLLATE UTF8_LCASE, lower(seg)
         """
     )
+
+
+@query(
+    "q67_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS k_max,
+           CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NOT NULL THEN 1 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT type over semi-structured event props: "
+        "try_parse_json -> variant_get typed extraction (binary-encoded "
+        "variant, not string re-parsing — the open-table-format answer to "
+        "schemaless columns; Parquet shredding gives it columnar pushdown "
+        "at rest). Absent paths yield NULL (counted), malformed JSON "
+        "yields a NULL variant instead of failing the scan. Aggregation "
+        "itself is one map-side-combined hash agg.",
+)
+def q67_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT event_type, try_parse_json(props) AS pv FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(variant_get(pv, '$.k', 'int') AS BIGINT)) AS k_sum,
+               MIN(variant_get(pv, '$.k', 'int')) AS k_min,
+               MAX(variant_get(pv, '$.k', 'int')) AS k_max,
+               COUNT(variant_get(pv, '$.missing', 'string')) AS n_missing
+        FROM v GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "q68_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Spark 4 SQL pipe syntax (|> operators, SQL:2023-adjacent): the "
+        "q01 aggregation restated as a linear FROM |> WHERE |> AGGREGATE "
+        "|> ORDER BY pipeline. Catalyst compiles it to the identical "
+        "logical plan as the nested form — same pushdown, same partial "
+        "aggregation — so this registers the SURFACE, the oracle proves "
+        "the semantics.",
+)
+def q68_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, sum_qty
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
