@@ -1,0 +1,171 @@
+"""Property tests for the round-4 operators: bloom decontamination,
+Z-order layout, mixture weights, histogram quantiles, boilerplate chunks,
+incremental delta dedup, truncated-dim rerank.
+
+Each asserts the operator's defining invariant (the thing the oracle's
+value-hash alone doesn't state), on the sf0.001 fixture."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conduit_connector_s3_iceberg_spark.operators.dedup import (
+    DELTA_MOD,
+    DELTA_REM,
+    dedup_incremental_delta,
+)
+from conduit_connector_s3_iceberg_spark.operators.layout import (
+    N_FILES,
+    layout_zorder_stats,
+)
+from conduit_connector_s3_iceberg_spark.operators.sampling import (
+    sample_mixture_weights,
+)
+from conduit_connector_s3_iceberg_spark.operators.sketches import (
+    HIST_BIN_W,
+    sketch_hist_quantiles,
+)
+from conduit_connector_s3_iceberg_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    sim_topk_bruteforce,
+    sim_truncated_rerank,
+)
+from conduit_connector_s3_iceberg_spark.operators.text import (
+    CHUNK_W,
+    text_bloom_decontaminate,
+    text_boilerplate_chunks,
+    text_contamination,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every document the EXACT contamination join flags must be flagged
+    by the Bloom probe — the filter may over-flag (false positives), never
+    under-flag. This is the safety direction decontamination relies on."""
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in text_contamination(spark, SF).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in text_bloom_decontaminate(spark, SF).collect()
+    }
+    missing = {
+        d: n for d, n in exact.items() if bloom.get(d, 0) < n
+    }
+    assert not missing, f"bloom under-flagged: {missing}"
+
+
+def test_zorder_partitions_rows_exactly_and_tightens_user_envelope(spark):
+    rows = layout_zorder_stats(spark, SF).collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r["layout"], []).append(r)
+    total = {k: sum(r["n_rows"] for r in v) for k, v in by_layout.items()}
+    # every row lands in exactly one file under each layout
+    assert total["linear"] == total["zorder"] > 0
+    assert all(len(v) <= N_FILES for v in by_layout.values())
+    mean_uspan = {
+        k: sum(r["u_span"] for r in v) / len(v) for k, v in by_layout.items()
+    }
+    # the point of Z-order: user envelopes shrink vs the time-linear layout
+    assert mean_uspan["zorder"] < mean_uspan["linear"]
+
+
+def test_mixture_weights_normalize_and_upweight_small_domains(spark):
+    rows = sample_mixture_weights(spark, SF).collect()
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-9
+    small = min(rows, key=lambda r: r["n_docs"])
+    big = max(rows, key=lambda r: r["n_docs"])
+    if small["n_docs"] < big["n_docs"]:
+        # temperature < 1 moves share from the largest domain to the smallest
+        assert small["temp_share"] > small["raw_share"] - 1e-12
+        assert big["temp_share"] < big["raw_share"] + 1e-12
+
+
+def test_hist_quantiles_are_ordered_and_bin_accurate(spark):
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = {r["lang"]: r for r in sketch_hist_quantiles(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    for lang, r in rows.items():
+        assert r["p50_est"] <= r["p90_est"] <= r["p99_est"]
+        vals = sorted(
+            x["n_chars"]
+            for x in docs.filter(F.col("lang") == lang).collect()
+        )
+        exact_p50 = vals[math.ceil(0.5 * len(vals)) - 1]
+        # the estimate is the enclosing bin's upper edge: within one bin
+        assert 0 <= r["p50_est"] - exact_p50 <= HIST_BIN_W
+
+
+def test_boilerplate_chunk_accounting(spark):
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in text_boilerplate_chunks(spark, SF).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert set(out) == set(docs)
+    for doc_id, r in out.items():
+        n_tok = len(docs[doc_id].strip().split(" "))
+        assert r["n_chunks"] == math.ceil(n_tok / CHUNK_W)
+        assert 0 <= r["n_boiler"] <= r["n_chunks"]
+        if r["n_boiler"] == 0:
+            # untouched documents reassemble to their original text
+            assert r["clean_text"] == docs[doc_id].strip()
+        else:
+            kept = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+            assert kept < n_tok
+
+
+def test_incremental_delta_covers_batch_and_verdicts_are_consistent(spark):
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    n_new = docs.filter(
+        F.col("doc_id") % DELTA_MOD == DELTA_REM
+    ).count()
+    rows = dedup_incremental_delta(spark, SF).collect()
+    # one verdict per delta document, none dropped
+    assert len(rows) == n_new
+    for r in rows:
+        assert r["doc_id"] % DELTA_MOD == DELTA_REM
+        if r["verdict"] == "exact":
+            assert r["n_exact"] > 0
+        elif r["verdict"] == "near":
+            assert r["n_exact"] == 0 and r["n_band_cands"] > 0
+        else:
+            assert r["n_exact"] == 0 and r["n_band_cands"] == 0
+
+
+def test_truncated_rerank_shape_and_recall(spark):
+    exact = sim_topk_bruteforce(spark, SF).collect()
+    rr = sim_truncated_rerank(spark, SF).collect()
+    assert len(rr) == N_QUERIES * TOP_K
+    by_q = {}
+    for r in rr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])]
+        assert ranks == list(range(1, TOP_K + 1))
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+    # the reranked candidates carry EXACT cosines: wherever the pipeline
+    # returns a vector the brute-force also ranked, the scores agree
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    agree = [
+        (k, r["cosine"])
+        for q, rows in by_q.items()
+        for r in rows
+        if (k := (r["query_id"], r["vec_id"])) in exact_scores
+    ]
+    assert agree, "truncated prefilter found none of the exact top-k"
+    for k, c in agree:
+        assert c == pytest.approx(exact_scores[k], abs=0.0)
