@@ -9,6 +9,7 @@ from .cdc import (
     read_cdc_stream,
 )
 from .corpus import clean_doc_stream
+from .dedup_stream import apply_dedup_epoch, maintain_dedup_stream
 from .ivm import apply_summary_delta, cdc_delta_frame, maintain_summary_stream
 from .joins import enrich_stream, stream_stream_join
 from .stateful import anomaly_flags, running_user_totals
@@ -21,6 +22,8 @@ __all__ = [
     "decode_cdc",
     "read_cdc_stream",
     "clean_doc_stream",
+    "apply_dedup_epoch",
+    "maintain_dedup_stream",
     "apply_summary_delta",
     "cdc_delta_frame",
     "maintain_summary_stream",

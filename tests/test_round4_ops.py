@@ -169,3 +169,87 @@ def test_truncated_rerank_shape_and_recall(spark):
     assert agree, "truncated prefilter found none of the exact top-k"
     for k, c in agree:
         assert c == pytest.approx(exact_scores[k], abs=0.0)
+
+
+def test_streaming_dedup_against_standing_index(spark, tmp_path):
+    """maintain_dedup_stream admits exactly the first-seen fingerprints
+    across epochs (in-batch dups, cross-batch dups, dups vs a pre-seeded
+    index), and re-applying a delivered epoch is a no-op (replay safety)."""
+    import glob
+    import os
+    import shutil
+
+    from conduit_connector_s3_iceberg_spark.streaming import (
+        apply_dedup_epoch,
+        maintain_dedup_stream,
+    )
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    def doc(i, text):
+        return (i, text)
+
+    # epoch 0: docs 1/2 unique; 3 and 7 are in-batch case-variant dups of 1
+    # epoch 1: doc 4 duplicates doc 2 cross-batch, doc 5 new,
+    #          doc 6 duplicates the pre-seeded corpus doc
+    seeded_text = "already in the corpus"
+    e0 = spark.createDataFrame(
+        [
+            doc(1, "alpha beta"),
+            doc(2, "gamma delta"),
+            doc(3, "Alpha Beta"),
+            doc(7, "ALPHA BETA"),
+        ],
+        ["doc_id", "text"],
+    )
+    e1 = spark.createDataFrame(
+        [doc(4, "gamma delta"), doc(5, "epsilon zeta"), doc(6, seeded_text)],
+        ["doc_id", "text"],
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "dd_wh"))
+    # pre-seed the standing index as a prior batch ingest would have
+    seed = spark.createDataFrame([doc(0, seeded_text)], ["doc_id", "text"])
+    apply_dedup_epoch(wh, "fps", "clean_docs", seed, epoch_id=-1)
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    for i, df in enumerate([e0, e1]):
+        stage = str(tmp_path / f"dd_stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = str(src / f"{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(e0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = maintain_dedup_stream(
+        stream, wh, "fps", "clean_docs", str(tmp_path / "dd_ckpt")
+    )
+    q.awaitTermination(120)
+
+    admitted = sorted(
+        r["doc_id"] for r in wh.read("clean_docs").collect()
+    )
+    # 0 seeded; 1, 2 first-seen in e0 (3 and 7 are in-batch dups of 1);
+    # 5 first-seen in e1 (4 dups 2 cross-batch, 6 dups the seed)
+    assert admitted == [0, 1, 2, 5]
+    n_fps = wh.read("fps").count()
+    assert n_fps == 4
+
+    # replay: re-deliver epoch 1 with the same epoch_id -> no-op
+    last_epoch = max(
+        r["epoch_id"] for r in wh.read("fps__applied_epoch").collect()
+    )
+    apply_dedup_epoch(wh, "fps", "clean_docs", e1, last_epoch)
+    assert sorted(r["doc_id"] for r in wh.read("clean_docs").collect()) == [
+        0, 1, 2, 5,
+    ]
+    # a NEW epoch carrying only known fingerprints admits nothing
+    apply_dedup_epoch(wh, "fps", "clean_docs", e1, last_epoch + 1)
+    assert sorted(r["doc_id"] for r in wh.read("clean_docs").collect()) == [
+        0, 1, 2, 5,
+    ]
