@@ -25,7 +25,14 @@ from tools.check_correctness import norm_rows
 SF01 = "/root/testdata/sf0.1"
 NARROW_BYTES = 32 * 1024  # splits ~600 KB-6 MB files into 10-300 partitions
 
-GATED_QUERIES = ["sim_topk_bruteforce", "sim_ann_ivf", "dedup_ngram_jaccard"]
+GATED_QUERIES = [
+    "sim_topk_bruteforce",
+    "sim_ann_ivf",
+    "dedup_ngram_jaccard",
+    # round 4: the truncated-dim candidate stage routes through the same
+    # gated two-phase merge
+    "sim_truncated_rerank",
+]
 
 
 @pytest.fixture()
