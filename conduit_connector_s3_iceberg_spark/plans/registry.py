@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the registry."""
     from . import advanced, core, events, relational2  # noqa: F401
     from ..operators import (  # noqa: F401
+        bpe,
         cdc_batch,
         corpus,
         dedup,

@@ -253,3 +253,77 @@ def test_streaming_dedup_against_standing_index(spark, tmp_path):
     assert sorted(r["doc_id"] for r in wh.read("clean_docs").collect()) == [
         0, 1, 2, 5,
     ]
+
+
+def test_bpe_fit_matches_pure_python_reference(spark):
+    """bpe_fit's distributed loop learns the identical ordered merge list
+    and final symbolization as an independent sequential implementation,
+    on a word-frequency table with known structure."""
+    from conduit_connector_s3_iceberg_spark.operators.bpe import (
+        bpe_encode,
+        bpe_fit,
+    )
+
+    wf_rows = [
+        ("lower", 6),
+        ("lowest", 3),
+        ("newer", 8),
+        ("wider", 2),
+        ("new", 5),
+    ]
+
+    # -- sequential reference (Sennrich-style, greedy ties by pair order) --
+    def ref_fit(rows, n):
+        words = {w: (list(w), c) for w, c in rows}
+        merges = []
+        for _ in range(n):
+            freq = {}
+            for syms, c in words.values():
+                for i in range(len(syms) - 1):
+                    freq[(syms[i], syms[i + 1])] = (
+                        freq.get((syms[i], syms[i + 1]), 0) + c
+                    )
+            if not freq:
+                break
+            # deterministic tie-break: highest freq, then lexicographically
+            # smallest (a, b)
+            top = max(freq.values())
+            a, b = sorted(k for k, v in freq.items() if v == top)[0]
+            merges.append((a, b))
+            for w, (syms, c) in words.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                words[w] = (out, c)
+        return merges, {w: syms for w, (syms, c) in words.items()}
+
+    ref_merges, ref_words = ref_fit(wf_rows, 8)
+
+    wf = spark.createDataFrame(wf_rows, ["token", "cnt"])
+    merges, final = bpe_fit(wf, 8, checkpoint_every=3)
+    assert merges == ref_merges
+    got = {r["token"]: list(r["syms"]) for r in final.collect()}
+    assert got == ref_words
+
+    # inference path: encoding fresh tokens applies merges in order
+    enc = bpe_encode(
+        spark.createDataFrame([("newest",), ("er",)], ["token"]), merges
+    )
+    enc_got = {r["token"]: list(r["syms"]) for r in enc.collect()}
+
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in ref_merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    assert enc_got == {"newest": ref_encode("newest"), "er": ref_encode("er")}
