@@ -422,3 +422,134 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (w * MIXTURE_BUDGET).alias("expected_docs"),
         (w * MIXTURE_BUDGET / F.col("n_docs")).alias("epochs_per_doc"),
     )
+
+
+# ------------------------------------------------------------------
+# The two pieces above composed into the step a training run actually
+# executes: draw ONE epoch of MIXTURE_BUDGET documents whose per-source
+# quotas follow the TEMPERATURE shares (sqrt weights, cf.
+# sample_mixture_weights) instead of the raw counts — largest-remainder
+# apportionment over the real-valued ideals, a per-source cap at the
+# source's size (a domain the mixture would oversample past one epoch
+# contributes all its documents once; without-replacement sampling cannot
+# repeat), then the deterministic md5-rank pick. Doubles appear only in
+# the dimension-sized quota math, in one fixed IEEE op sequence; the
+# corpus pays the same single source-keyed window as the other exact
+# samplers.
+# ------------------------------------------------------------------
+
+MIXTURE_BUDGET_EPOCH = 30  # small enough to bite at every fixture SF
+
+
+@query(
+    "sample_epoch_by_mixture",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT list_reduce(
+               list_transform(array_agg(n_docs ORDER BY source),
+                              x -> sqrt(CAST(x AS DOUBLE))),
+               (a, b) -> a + b) AS t_w
+      FROM per
+    ), ideal AS (
+      SELECT source, n_docs,
+             {MIXTURE_BUDGET_EPOCH} * sqrt(CAST(n_docs AS DOUBLE)) / t_w
+               AS ideal
+      FROM per, tot
+    ), q0 AS (
+      SELECT source, n_docs, ideal,
+             CAST(floor(ideal) AS BIGINT) AS base,
+             ideal - floor(ideal) AS rem
+      FROM ideal
+    ), bonus AS (
+      SELECT source, n_docs, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q0
+    ), need AS (
+      SELECT {MIXTURE_BUDGET_EPOCH} - CAST(SUM(base) AS BIGINT) AS r FROM q0
+    ), quotas AS (
+      SELECT source,
+             least(CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END
+                        AS BIGINT),
+                   n_docs) AS quota
+      FROM bonus, need
+    ), ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_SQL_SAMPLE_KEY}, doc_id
+             ) AS prk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.prk AS INTEGER) AS pick_rank, q.quota
+    FROM ranked r JOIN quotas q ON q.source = r.source
+    WHERE r.prk <= q.quota
+    """,
+    doc=f"One training epoch ({MIXTURE_BUDGET_EPOCH} docs) drawn by the "
+        "temperature mixture: per-source quotas = largest-remainder "
+        "apportionment of the sqrt-weighted shares, capped at source size "
+        "(oversampled domains contribute fully once), picks by "
+        "deterministic md5 rank. The glue step between mixture design "
+        "and the sampled corpus — rerunning on any cluster layout draws "
+        "the identical epoch.",
+)
+def sample_epoch_by_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = per.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, n_docs))),"
+            " s -> sqrt(double(s.n_docs))), 0.0D, (a, b) -> a + b)"
+        ).alias("t_w")
+    )
+    ideal_c = (
+        F.lit(MIXTURE_BUDGET_EPOCH)
+        * F.sqrt(F.col("n_docs").cast("double"))
+        / F.col("t_w")
+    )
+    q0 = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(ideal_c).cast("long").alias("base"),
+        (ideal_c - F.floor(ideal_c)).alias("rem"),
+    )
+    bonus = q0.select(
+        "source",
+        "n_docs",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("source")))
+        .alias("rk"),
+    )
+    need = q0.agg(
+        (F.lit(MIXTURE_BUDGET_EPOCH) - F.sum("base").cast("long")).alias("r")
+    )
+    quotas = bonus.crossJoin(F.broadcast(need)).select(
+        "source",
+        F.least(
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+            ).cast("long"),
+            F.col("n_docs"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(_sample_key(), F.col("doc_id"))
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("prk")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("prk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("prk").cast("int").alias("pick_rank"),
+            "quota",
+        )
+    )
