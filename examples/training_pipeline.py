@@ -6,14 +6,18 @@ Run from the repo root (takes ~2 min on local[8]):
     python examples/training_pipeline.py [sf_dir]
 
 Walkthrough (each stage prints a small sample):
-  1. clean    — language gate + heuristic quality score + PII redaction;
-  2. dedup    — exact keep-first, then near-dup pairs via the PPJoin
+  1. clean    — language gate + heuristic quality score + PII redaction +
+                boilerplate-chunk splice-out (CCNet-style);
+  2. decontaminate — Bloom-filter probe of benchmark shingles;
+  3. dedup    — exact keep-first, then near-dup pairs via the PPJoin
                 prefix-filtered Jaccard join, then semantic clusters over
-                embedding cosine (SemDeDup);
-  3. sample   — exactly-N stratified draw (Hamilton apportionment);
-  4. encode   — token-id dictionary encode + overlapping RAG chunks;
-  5. monitor  — HLL/CMS register sketches (the re-aggregable rollup
-                state) and ANN index recall@k.
+                embedding cosine (SemDeDup); plus the O(delta) incremental
+                check a daily batch runs against the standing indexes;
+  4. sample   — temperature-mixture weights and the exact-budget epoch
+                draw they apportion (capped Hamilton quotas);
+  5. encode   — token-id dictionary encode + overlapping RAG chunks;
+  6. monitor  — HLL/CMS register sketches (the re-aggregable rollup
+                state), histogram quantiles, and ANN index recall@k.
 
 Every operator here is also a registered query with a DuckDB oracle —
 this script just strings them into the pipeline shape they exist for.
@@ -33,15 +37,20 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 STAGES = [
     ("1. clean: quality score", "text_quality_score"),
     ("1. clean: PII redaction", "text_pii_redact"),
-    ("2. dedup: exact keep-first", "dedup_exact_keep_first"),
-    ("2. dedup: near-dup pairs (prefix-filtered)", "dedup_jaccard_prefix_filter"),
-    ("2. dedup: semantic clusters", "dedup_semantic_clusters"),
-    ("3. sample: exact-N apportioned", "sample_domain_apportioned"),
-    ("4. encode: token ids", "text_token_ids"),
-    ("4. encode: RAG chunks", "pack_chunks_overlap"),
-    ("5. monitor: HLL estimate", "events_hll_estimate"),
-    ("5. monitor: CMS estimates", "events_cms_estimate"),
-    ("5. monitor: ANN recall@10", "sim_ann_recall"),
+    ("1. clean: boilerplate splice-out", "text_boilerplate_chunks"),
+    ("2. decontaminate: bloom probe", "text_bloom_decontaminate"),
+    ("3. dedup: exact keep-first", "dedup_exact_keep_first"),
+    ("3. dedup: near-dup pairs (prefix-filtered)", "dedup_jaccard_prefix_filter"),
+    ("3. dedup: semantic clusters", "dedup_semantic_clusters"),
+    ("3. dedup: incremental delta verdicts", "dedup_incremental_delta"),
+    ("4. sample: mixture weights", "sample_mixture_weights"),
+    ("4. sample: epoch by mixture", "sample_epoch_by_mixture"),
+    ("5. encode: token ids", "text_token_ids"),
+    ("5. encode: RAG chunks", "pack_chunks_overlap"),
+    ("6. monitor: HLL estimate", "events_hll_estimate"),
+    ("6. monitor: CMS estimates", "events_cms_estimate"),
+    ("6. monitor: length quantiles", "sketch_hist_quantiles"),
+    ("6. monitor: ANN recall@10", "sim_ann_recall"),
     ("result: composed training set", "pipeline_training_set"),
 ]
 
