@@ -416,3 +416,85 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(feats, schema)
+
+
+# ------------------------------------------------ perceptual-hash near-dup --
+#
+# Image-level near-duplicate detection: average-hash (aHash) over the
+# DECODED pixels — the multimodal twin of the text dedup family. Two
+# re-encodes of the same image (crops aside) decode to near-identical
+# pixel grids and collide on the 16-bit hash; grouping by hash is then
+# one map-side-combined aggregation, exactly like dedup_exact_groups on
+# text. The decode runs through the real Arrow-batched mapInPandas path
+# (production swaps decode_image's body for Pillow; the hash math is
+# codec-agnostic), and the oracle recomputes the whole decode+hash
+# arithmetically from the ASCII-corpus invariant (payload = UTF-8 text,
+# same discipline as mm_decode_stats). Threshold test uses integer
+# cross-multiplication (pixel * n >= sum) — no division, bit-exact in
+# both engines.
+
+PHASH_BITS = 16  # h, w >= 4 so every decoded image has >= 16 pixels
+
+
+@query(
+    "mm_phash_groups",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, strlen(text) AS L,
+             ord(substr(text, 1, 1)) % 12 + 4 AS h,
+             ord(substr(text, 2, 1)) % 12 + 4 AS w
+      FROM documents
+    ), px AS (
+      SELECT doc_id, h * w AS n,
+             list_reduce(list_transform(generate_series(0, h * w - 1),
+               i -> ord(substr(text, (i % L) + 1, 1))), (a, b) -> a + b)
+               AS s,
+             list_transform(generate_series(0, {PHASH_BITS - 1}),
+               i -> ord(substr(text, (i % L) + 1, 1))) AS p
+      FROM base
+    ), hashed AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, {PHASH_BITS}),
+               j -> CASE WHEN p[j] * n >= s THEN 1 << (j - 1) ELSE 0 END),
+               (a, b) -> a + b) AS phash
+      FROM px
+    )
+    SELECT CAST(phash AS INTEGER) AS phash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+    FROM hashed GROUP BY phash HAVING COUNT(*) >= 2
+    """,
+    doc=f"Perceptual-hash (aHash, {PHASH_BITS}-bit) near-dup groups over "
+        "DECODED image pixels: mean-threshold bits via integer "
+        "cross-multiplication, hash-groupBy collision groups. Decode runs "
+        "the real mapInPandas path (fake codec, one-body production "
+        "swap); the oracle rebuilds decode+hash arithmetically. One "
+        "Arrow pass + one combined aggregation.",
+)
+def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hashes = []
+            for b in pdf["payload"]:
+                img = decode_image(bytes(b))
+                flat = img.ravel().astype(np.int64)
+                n, s = flat.size, int(flat.sum())
+                bits = flat[:PHASH_BITS] * n >= s
+                hashes.append(int((bits << np.arange(PHASH_BITS)).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    hashed = docs.mapInPandas(phash, "doc_id bigint, phash int")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
