@@ -327,3 +327,54 @@ def test_bpe_fit_matches_pure_python_reference(spark):
         return syms
 
     assert enc_got == {"newest": ref_encode("newest"), "er": ref_encode("er")}
+
+
+def test_bpe_fit_random_corpora_property(spark):
+    """Property sweep: on randomized word-frequency tables the distributed
+    BPE loop agrees with the sequential reference merge-for-merge. Few
+    examples (each round-trips Spark jobs), but randomized structure —
+    repeated substrings, ties, single-char words — probes the fold
+    expression's edges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from conduit_connector_s3_iceberg_spark.operators.bpe import bpe_fit
+
+    def ref_fit(rows, n):
+        words = {w: (list(w), c) for w, c in rows}
+        merges = []
+        for _ in range(n):
+            freq = {}
+            for syms, c in words.values():
+                for i in range(len(syms) - 1):
+                    freq[(syms[i], syms[i + 1])] = (
+                        freq.get((syms[i], syms[i + 1]), 0) + c
+                    )
+            if not freq:
+                break
+            top = max(freq.values())
+            a, b = sorted(k for k, v in freq.items() if v == top)[0]
+            merges.append((a, b))
+            for w_, (syms, c) in words.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                words[w_] = (out, c)
+        return merges
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @given(
+        st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=6)
+    )
+    @settings(max_examples=5, deadline=None)
+    def check(wf_dict):
+        rows = sorted(wf_dict.items())
+        wf = spark.createDataFrame(rows, ["token", "cnt"])
+        merges, _ = bpe_fit(wf, 4, checkpoint_every=2)
+        assert merges == ref_fit(rows, 4)
+
+    check()
