@@ -291,6 +291,12 @@ BROADCAST_NONEQUI_OK = {
     "sim_ann_recall",
     # one-row corpus-total + one-row bonus-count broadcasts — bounded
     "sample_domain_apportioned",
+    # one-row tempered-weight-total broadcasts into |sources| rows — bounded
+    "sample_mixture_weights",
+    "sample_epoch_by_mixture",
+    # N_QUERIES-row query broadcast, non-equi self-pair predicate — same
+    # bounded shape as sim_topk_bruteforce
+    "sim_truncated_rerank",
 }
 
 
