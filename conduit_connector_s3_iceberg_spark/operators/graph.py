@@ -1,0 +1,288 @@
+"""Distributed graph analytics over warehouse-derived edge lists
+(north-star layer).
+
+Training-data pipelines use graph structure constantly: duplicate
+clusters are connected components (``dedup.py``), source/citation
+authority is PageRank, and community density (triangles, clustering
+coefficient) flags botted/boilerplate user cohorts whose documents need
+down-weighting. This module adds the two classic whole-graph operators —
+PageRank and triangle counting — as oracle-checked queries over edges the
+engine derives from its own tables, in the shape a 1000-executor job
+needs: edge lists as DataFrames, iterations as join+aggregate rounds with
+lineage cuts, and every accumulation in exact integers so results are
+bit-stable under any partitioning (the discipline of ``plans/helpers.py``).
+
+Determinism: PageRank is the textbook fixpoint ``r' = (1-d)/N + d *
+sum(r(u)/outdeg(u))`` with d = 0.85 — but run entirely in scaled BIGINT
+arithmetic: ranks are integers scaled by 10^12, per-edge contributions are
+integer divisions ``rank div outdeg``, and the damping update is
+``(3*base + 17*sum) div 20`` (0.15 = 3/20, 0.85 = 17/20). Integer sums
+are associative, so Spark's shuffled partial aggregation and DuckDB's
+sequential scan agree bit-for-bit; the rounding mass lost to floor
+division is lost identically in both engines. The emitted double rank is
+ONE exact-input IEEE division at the end.
+
+Scale: the per-iteration work is one hash join (edges ⋈ ranks, both sides
+partitioned on the join key) plus one hash aggregate — the canonical
+Pregel-as-dataframe round. Lineage is cut per round (localCheckpoint here;
+a checkpoint dir or scratch table on a cluster) so plan size stays O(1) in
+iterations. Triangle counting orients each undirected edge low-id → high-id,
+so every triangle is generated exactly once by a two-hop join+semijoin —
+the standard MapReduce formulation (Suri & Vassilvitskii, WWW'11) whose
+shuffle volume is O(sum of deg^2) on the ORIENTED graph, bounded by the
+per-bucket co-occurrence cap upstream.
+
+Reference scope note: the reference connector (s3-iceberg destination,
+``SparkDestinationStream.java``) has no graph surface; this extends the
+north-star LLM-pipeline layer alongside dedup clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (10^12 < 2^53: the
+PR_ITERS = 6                  # final double emission is exact-input)
+
+# Users co-active in the same (event_type, hour) bucket form an edge.
+# Hot buckets are the skew channel: keep the first TRI_BUCKET_CAP users
+# (by id — deterministic) per bucket so pair fan-out is bounded by
+# cap^2/bucket regardless of how hot an hour gets. Mirrored in the oracle.
+TRI_BUCKET_CAP = 128
+
+
+def _cs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier trade edges (both directions) from
+    orders ⋈ lineitem, with node ids prefixed 'c'/'s' so the two key
+    domains never collide. One shuffle to dedupe; at 100 TB this is the
+    same pre-aggregated edge extraction every graph job starts with."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+_PR_EDGES_SQL = """
+    und AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+    ), nodes AS (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ), sized AS (
+      SELECT id, outdeg,
+             CAST({scale} AS BIGINT) // (SELECT COUNT(*) FROM nodes) AS base
+      FROM nodes
+    )
+""".format(scale=PR_SCALE)
+
+_PR_ITER_SQL = """
+    , r{i} AS (
+      SELECT n.id, n.outdeg, n.base,
+             (3 * n.base + 17 * COALESCE(s.m, CAST(0 AS BIGINT))) // 20 AS rank
+      FROM sized n
+      LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(r.rank // r.outdeg) AS BIGINT) AS m
+        FROM r{prev} r JOIN edges e ON e.src = r.id
+        GROUP BY e.dst
+      ) s USING (id)
+    )
+"""
+
+_PR_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL
+    + ", r0 AS (SELECT id, outdeg, base, base AS rank FROM sized)"
+    + "".join(_PR_ITER_SQL.format(i=i, prev=i - 1) for i in range(1, PR_ITERS + 1))
+    + f"""
+    SELECT id, outdeg, rank AS rank_scaled,
+           CAST(rank AS DOUBLE) / {PR_SCALE}.0 AS rank
+    FROM r{PR_ITERS}
+    """
+)
+
+
+@query(
+    "graph_pagerank",
+    oracle=_PR_ORACLE,
+    doc="PageRank (d=0.85, 6 fixed iterations) over the undirected "
+        "customer↔supplier trade graph, entirely in scaled-BIGINT "
+        "arithmetic (rank·10^12; damping as 3/20 + 17/20 integer folds) so "
+        "every engine and every shuffle order produces identical bits. "
+        "Per iteration: one edges⋈ranks hash join + one hash aggregate, "
+        "lineage cut per round — the Pregel-as-DataFrame shape that holds "
+        "at 1000 executors. Undirected graph ⇒ no dangling mass.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_row = deg.agg(F.count(F.lit(1)).alias("n"))
+    # one bounded 1-row broadcast: every node carries base = SCALE div N
+    nodes = (
+        deg.crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("src").alias("id"),
+            "outdeg",
+            F.expr(f"{PR_SCALE} div n").alias("base"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("id", "outdeg", "base", F.col("base").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .select(F.col("dst").alias("id"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                "outdeg",
+                "base",
+                F.expr(
+                    "(3 * base + 17 * coalesce(m, 0L)) div 20"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # cut lineage: O(1) plan per round
+        )
+    return ranks.select(
+        "id",
+        "outdeg",
+        F.col("rank").alias("rank_scaled"),
+        (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+
+
+_TRI_EDGES_SQL = f"""
+    act AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, event_type, user_id
+      FROM events
+    ), capped AS (
+      SELECT h, event_type, user_id FROM (
+        SELECT h, event_type, user_id,
+               row_number() OVER (PARTITION BY h, event_type
+                                  ORDER BY user_id) AS rn
+        FROM act
+      ) WHERE rn <= {TRI_BUCKET_CAP}
+    ), edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM capped a JOIN capped b
+        ON a.h = b.h AND a.event_type = b.event_type
+       AND a.user_id < b.user_id
+    )
+"""
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH {_TRI_EDGES_SQL}, tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pernode AS (
+      SELECT x AS user_id, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT a AS x FROM tri UNION ALL
+        SELECT b AS x FROM tri UNION ALL
+        SELECT c AS x FROM tri
+      ) GROUP BY x
+    ), degs AS (
+      SELECT x AS user_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (
+        SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges
+      ) GROUP BY x
+    )
+    SELECT d.user_id, d.degree,
+           COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * COALESCE(p.triangles, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering
+    FROM degs d LEFT JOIN pernode p USING (user_id)
+    """,
+    doc="Per-user triangle count + local clustering coefficient over the "
+        "co-activity graph (users sharing an (event_type, hour) bucket). "
+        "Edges are oriented low-id → high-id so each triangle is emitted "
+        "exactly once by the two-hop join + closing semijoin (Suri & "
+        "Vassilvitskii's MapReduce formulation); hot buckets are capped at "
+        f"{TRI_BUCKET_CAP} users pre-pairing so the self-join fan-out is "
+        "bounded per bucket. Coefficient = one exact-input IEEE division.",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "user_id"
+    ).distinct()
+    w = Window.partitionBy("h", "event_type").orderBy("user_id")
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TRI_BUCKET_CAP)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # edge list reused by 3 joins + degs
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("a").alias("x"))
+        .union(tri.select(F.col("b").alias("x")))
+        .union(tri.select(F.col("c").alias("x")))
+        .groupBy(F.col("x").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    degs = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select(F.col("v").alias("x")))
+        .groupBy(F.col("x").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degs.join(pernode, "user_id", "left").select(
+        "user_id",
+        "degree",
+        F.coalesce("triangles", F.lit(0).cast("bigint")).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * F.coalesce("triangles", F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

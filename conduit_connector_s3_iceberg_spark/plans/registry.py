@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         cdc_batch,
         corpus,
         dedup,
+        graph,
         joins,
         layout,
         lm,

@@ -297,6 +297,8 @@ BROADCAST_NONEQUI_OK = {
     # N_QUERIES-row query broadcast, non-equi self-pair predicate — same
     # bounded shape as sim_topk_bruteforce
     "sim_truncated_rerank",
+    # one-row node-count broadcast seeding base = SCALE div N — bounded
+    "graph_pagerank",
 }
 
 
