@@ -553,3 +553,106 @@ def sample_epoch_by_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quota",
         )
     )
+
+
+# ---------------------------------------------------------------- priority
+#
+# Weighted sampling WITHOUT replacement via priority sampling (Duffield,
+# Lund & Thorup, JACM 2007): each item gets priority q = w / u with u
+# uniform in (0,1]; the k highest-priority items form the sample, and the
+# (k+1)-th priority tau yields the unbiased per-item weight estimator
+# max(w, tau). Long documents are proportionally more likely to be kept,
+# but no document can be drawn twice — the subsampling mode LLM data
+# curricula actually want (vs Bernoulli's variable sample size and
+# with-replacement mixtures' duplicate draws).
+#
+# Determinism: u is md5-derived — v = first 13 hex chars of
+# md5(salt||doc_id) as an integer (52 bits, exactly representable), and
+# the priority is computed as w / (v+1), ONE IEEE division of two
+# exactly-representable integers → correctly rounded → bit-identical in
+# Spark and DuckDB. No float ever accumulates; ranking ties break on
+# doc_id.
+
+PRIORITY_K = 15      # sample size per source stratum (< stratum size at every fixture SF, so the threshold estimator engages)
+PRIORITY_SALT = "p1:"
+
+_PRI_KEY_SQL = (
+    f"CAST(CAST(('0x' || substr(md5('{PRIORITY_SALT}' || doc_id::VARCHAR),"
+    " 1, 13)) AS BIGINT) + 1 AS DOUBLE)"
+)
+
+
+def _pri_v() -> F.Column:
+    h = F.md5(F.concat(F.lit(PRIORITY_SALT), F.col("doc_id").cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("long") + F.lit(1)
+    ).cast("double")
+
+
+@query(
+    "sample_priority_weighted",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars AS DOUBLE) / {_PRI_KEY_SQL} AS priority
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_chars, priority,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY priority DESC, doc_id
+             ) AS INTEGER) AS rn
+      FROM pri
+    ), tau AS (
+      SELECT source, MAX(priority) AS tau
+      FROM ranked WHERE rn = {PRIORITY_K} + 1 GROUP BY source
+    )
+    SELECT r.doc_id, r.source, r.n_chars, r.priority, r.rn,
+           COALESCE(t.tau, 0.0) AS tau,
+           GREATEST(CAST(r.n_chars AS DOUBLE), COALESCE(t.tau, 0.0))
+             AS adj_weight
+    FROM ranked r LEFT JOIN tau t USING (source)
+    WHERE r.rn <= {PRIORITY_K}
+    """,
+    doc=f"Priority sampling (Duffield-Lund-Thorup): top-{PRIORITY_K} docs "
+        "per source by priority = n_chars / u with u md5-derived, plus the "
+        "(k+1)-th priority tau and the unbiased weight estimator "
+        "max(w, tau). Weighted WITHOUT replacement, deterministic, one "
+        "shuffle on source; the window is a per-stratum top-k (running "
+        "top-k per partition, never a full sort). The estimator makes "
+        "downstream token counts unbiased: E[sum adj_weight] = sum w.",
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pri = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars").cast("double") / _pri_v()).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    ranked = pri.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= PRIORITY_K + 1
+    )
+    tau = (
+        ranked.filter(F.col("rn") == PRIORITY_K + 1)
+        .groupBy("source")
+        .agg(F.max("priority").alias("tau"))
+    )
+    return (
+        ranked.filter(F.col("rn") <= PRIORITY_K)
+        .join(F.broadcast(tau), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "priority",
+            "rn",
+            F.coalesce("tau", F.lit(0.0)).alias("tau"),
+            F.greatest(
+                F.col("n_chars").cast("double"),
+                F.coalesce("tau", F.lit(0.0)),
+            ).alias("adj_weight"),
+        )
+    )

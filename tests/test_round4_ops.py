@@ -378,3 +378,47 @@ def test_bpe_fit_random_corpora_property(spark):
         assert merges == ref_fit(rows, 4)
 
     check()
+
+
+def test_priority_sample_is_weighted_without_replacement(spark):
+    """Priority sampling's defining invariants: (a) no doc drawn twice,
+    (b) exactly K docs kept per stratum when the stratum exceeds K,
+    (c) tau is the (K+1)-th priority so every kept priority >= tau and
+    adj_weight = max(w, tau), (d) kept docs skew long: their mean n_chars
+    exceeds the corpus stratum mean (weights = n_chars)."""
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        PRIORITY_K,
+        sample_priority_weighted,
+    )
+
+    rows = sample_priority_weighted(spark, SF).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # without replacement
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("n_chars").alias("mean_chars"),
+        )
+        .collect()
+    )
+    stratum = {r["source"]: r for r in docs}
+    for src, rs in by_src.items():
+        if stratum[src]["n"] > PRIORITY_K:
+            assert len(rs) == PRIORITY_K
+            assert all(r["tau"] > 0 for r in rs)
+        for r in rs:
+            assert r["priority"] >= r["tau"]
+            assert r["adj_weight"] == max(float(r["n_chars"]), r["tau"])
+        kept_mean = sum(r["n_chars"] for r in rs) / len(rs)
+        assert kept_mean > 0.9 * stratum[src]["mean_chars"]
+    # global weighted tilt: overall kept mean exceeds overall corpus mean
+    corpus_mean = sum(
+        s["mean_chars"] * s["n"] for s in stratum.values()
+    ) / sum(s["n"] for s in stratum.values())
+    overall_kept = sum(r["n_chars"] for r in rows) / len(rows)
+    assert overall_kept > corpus_mean
