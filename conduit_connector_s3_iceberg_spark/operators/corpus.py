@@ -833,3 +833,57 @@ def pack_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_fp"),
     )
+
+
+# ------------------------------------------------------------- curriculum
+#
+# Length-curriculum shard assignment: short (easy) documents first is the
+# classic curriculum-learning schedule (Bengio et al., ICML'09), and
+# sequence-length ordering is the cheap difficulty proxy production
+# pipelines actually use. Each source is independently NTILE'd into
+# CURRICULUM_STAGES by (n_chars, doc_id) so every stage keeps the full
+# source mixture (a curriculum must not become a source schedule), and
+# within a stage documents carry a deterministic md5 shuffle key — the
+# writer emits files sorted by (stage, shuffle_key), which is exactly the
+# read order trainers consume.
+#
+# Scale: the only window is per-source NTILE (one shuffle on source,
+# partitions bounded by the per-source doc count); there is deliberately
+# NO dense global position — a row_number over a whole stage would be a
+# single-reducer sort at 100 TB. The shuffle key IS the order: consumers
+# range-partition/sort by (stage, shuffle_key), which Spark executes as a
+# distributed sort.
+
+CURRICULUM_STAGES = 4
+CURRICULUM_SALT = "cur1:"
+
+
+@query(
+    "corpus_curriculum_shards",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           CAST(NTILE({CURRICULUM_STAGES}) OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS INTEGER) AS stage,
+           md5('{CURRICULUM_SALT}' || doc_id::VARCHAR) AS shuffle_key
+    FROM documents
+    """,
+    doc=f"Length-curriculum assignment: NTILE({CURRICULUM_STAGES}) per "
+        "source by (n_chars, doc_id) — short/easy docs land in stage 1 — "
+        "plus a deterministic md5 shuffle key for within-stage order. "
+        "Every stage preserves the full source mixture; no global window "
+        "(the per-source NTILE is the only shuffle, and within-stage order "
+        "is a sort key, not a dense single-reducer rank).",
+)
+def corpus_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(CURRICULUM_STAGES).over(w).cast("int").alias("stage"),
+        F.md5(
+            F.concat(F.lit(CURRICULUM_SALT), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )

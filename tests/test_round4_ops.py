@@ -422,3 +422,27 @@ def test_priority_sample_is_weighted_without_replacement(spark):
     ) / sum(s["n"] for s in stratum.values())
     overall_kept = sum(r["n_chars"] for r in rows) / len(rows)
     assert overall_kept > corpus_mean
+
+
+def test_curriculum_stages_are_length_ordered_and_mixture_preserving(spark):
+    """Curriculum invariants: within a source, every stage-s doc is no
+    longer than any stage-(s+1) doc (modulo the NTILE boundary tie), each
+    source appears in every stage, and stage sizes differ by at most one
+    (NTILE's balance guarantee)."""
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        CURRICULUM_STAGES,
+        corpus_curriculum_shards,
+    )
+
+    rows = corpus_curriculum_shards(spark, SF).collect()
+    by_src: dict[str, dict[int, list]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {}).setdefault(r["stage"], []).append(
+            (r["n_chars"], r["doc_id"])
+        )
+    for src, stages in by_src.items():
+        assert set(stages) == set(range(1, CURRICULUM_STAGES + 1)), src
+        sizes = [len(stages[s]) for s in sorted(stages)]
+        assert max(sizes) - min(sizes) <= 1
+        for s in range(1, CURRICULUM_STAGES):
+            assert max(stages[s]) <= min(stages[s + 1]), (src, s)
