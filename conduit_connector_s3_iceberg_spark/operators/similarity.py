@@ -1533,3 +1533,147 @@ def sim_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------------- IVF + PQ ---
+#
+# The production ANN composition (Jégou et al. 2011; the FAISS "IVFPQ"
+# index): the coarse quantizer prunes the search to NPROBE Voronoi cells,
+# and within those cells vectors are scored by PQ asymmetric distance
+# against 4-bit codes — the scan touches codes only, and only in probed
+# cells. This variant encodes raw vectors (FAISS `by_residual=false`);
+# residual encoding swaps one subtraction into the encode expression,
+# same plan. At 100 TB the codes live partitioned BY CELL (the layout a
+# deployed index persists — `sources/bucketing.py` shape), so a probe
+# reads NPROBE partitions of 4-byte codes and nothing else; here both
+# pieces derive inline from the demo table and the query demonstrates
+# that exact plan: bounded broadcast (queries × probe cells + constant
+# codebook), cell-equi join, ordered-fold ADC, gated two-phase merge.
+
+
+@query(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (e.emb[i] - cent.c[i]) * (e.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM e, cent
+    ), cellrank AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM dist
+    ), cb AS (
+      SELECT m.m,
+             ROW_NUMBER() OVER (PARTITION BY m.m ORDER BY e.vec_id) - 1 AS cid,
+             list_transform(generate_series(1, {PQ_SUBDIM}),
+                            j -> e.emb[m.m * {PQ_SUBDIM} + j]) AS c
+      FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+      WHERE e.vec_id < {PQ_K}
+    ), d AS (
+      SELECT e.vec_id, cb.m, cb.cid,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+               j -> (e.emb[cb.m * {PQ_SUBDIM} + j] - cb.c[j])
+                  * (e.emb[cb.m * {PQ_SUBDIM} + j] - cb.c[j])),
+               (x, y) -> x + y) AS d2
+      FROM e, cb
+    ), best AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ), coded AS (
+      SELECT b.vec_id, b.m, b.cid, c1.cell
+      FROM best b JOIN cellrank c1 ON c1.vec_id = b.vec_id AND c1.rk = 1
+    ), q AS (
+      SELECT e.vec_id AS query_id, p.cell AS probe_cell
+      FROM e JOIN cellrank p ON p.vec_id = e.vec_id AND p.rk <= {NPROBE}
+      WHERE e.vec_id < {N_QUERIES}
+    ), pairs AS (
+      SELECT q.query_id, cd.vec_id,
+             list_reduce(array_agg(qd.d2 ORDER BY cd.m), (x, y) -> x + y)
+               AS adist
+      FROM coded cd
+      JOIN q ON cd.cell = q.probe_cell AND cd.vec_id <> q.query_id
+      JOIN d qd ON qd.vec_id = q.query_id AND qd.m = cd.m AND qd.cid = cd.cid
+      GROUP BY q.query_id, cd.vec_id
+    )
+    SELECT query_id, vec_id, adist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adist, vec_id
+      ) AS INTEGER) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=f"IVFPQ search (coarse quantizer + PQ ADC, FAISS composition): a "
+        f"query probes its {NPROBE} nearest of {N_CENTROIDS} Voronoi "
+        "cells and scores ONLY those cells' vectors by summed 4-bit-code "
+        "lookups in its precomputed subspace distance table (ordered IEEE "
+        "fold, bit-exact cross-engine). The candidate join is cell-equi "
+        "(shuffle key = cell id, fan-out bounded by NPROBE); broadcast "
+        "sides are the constant codebook and the queries×probes table. "
+        "In a deployed index codes are stored partitioned by cell, so the "
+        "float scan disappears — emb_pq_codes is the encode that would "
+        "persist them.",
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    cb = _pq_codebook(base)
+    with_cell = base.select(
+        "vec_id",
+        "emb",
+        F.expr(_DISTS_SPARK).alias("dists"),
+    ).select(
+        "vec_id",
+        "emb",
+        F.expr("cast(array_position(dists, array_min(dists)) as int)").alias(
+            "cell"
+        ),
+        F.expr(
+            f"transform(slice(array_sort(dists), 1, {NPROBE}),"
+            " d -> cast(array_position(dists, d) as int))"
+        ).alias("probes"),
+    )
+    coded = with_cell.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "cell",
+        F.expr(f"transform({_PQ_ASSIGNS}, a -> cast(a.cid as int))").alias(
+            "codes"
+        ),
+    )
+    q = (
+        with_cell.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m ->"
+                f" transform(element_at(cb, m + 1), ct -> {_PQ_D2}))"
+            ).alias("tab"),
+            F.explode("probes").alias("probe_cell"),
+        )
+    )
+    pairs = coded.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, (acc, m) -> acc +"
+            " element_at(element_at(tab, m + 1),"
+            " element_at(codes, m + 1) + 1))"
+        ).alias("adist"),
+    )
+    return _two_phase_topk(
+        pairs, TOP_K, base=base, score_col="adist", ascending=True
+    )

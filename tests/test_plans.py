@@ -299,6 +299,8 @@ BROADCAST_NONEQUI_OK = {
     "sim_truncated_rerank",
     # one-row node-count broadcast seeding base = SCALE div N — bounded
     "graph_pagerank",
+    # one-row codebook broadcast + queries×probes table — bounded
+    "sim_ann_ivfpq",
 }
 
 

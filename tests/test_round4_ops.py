@@ -446,3 +446,24 @@ def test_curriculum_stages_are_length_ordered_and_mixture_preserving(spark):
         assert max(sizes) - min(sizes) <= 1
         for s in range(1, CURRICULUM_STAGES):
             assert max(stages[s]) <= min(stages[s + 1]), (src, s)
+
+
+def test_ivfpq_scores_match_full_adc_on_shared_pairs(spark):
+    """IVFPQ is exactly full-corpus ADC restricted to probed cells: every
+    (query, vec) pair both searches return must carry the identical
+    asymmetric distance, and IVFPQ must never return a pair outside the
+    query's probed cells."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        emb_pq_adc_topk,
+        sim_ann_ivfpq,
+    )
+
+    full = {
+        (r["query_id"], r["vec_id"]): r["adist"]
+        for r in emb_pq_adc_topk(spark, SF).collect()
+    }
+    ivfpq = sim_ann_ivfpq(spark, SF).collect()
+    shared = [r for r in ivfpq if (r["query_id"], r["vec_id"]) in full]
+    assert shared, "no overlap between IVFPQ and full ADC top-k"
+    for r in shared:
+        assert r["adist"] == full[(r["query_id"], r["vec_id"])]
