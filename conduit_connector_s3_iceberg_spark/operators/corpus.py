@@ -150,7 +150,13 @@ _NEARDUP_PAIRS_SQL = f"""
         "doubles is order-independent — no accumulation nondeterminism.",
 )
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # one materialized (doc_id, source) map serves BOTH pair-endpoint
+    # joins — without it each alias re-scans the corpus for a 2-column map
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .localCheckpoint(eager=False)
+    )
     # materialize=True: the pair list feeds two more doc_id joins here, so
     # the shingle index is built once instead of re-derived per consumer
     pairs = ngram_jaccard_pairs(spark, sf_dir, materialize=True).select(
