@@ -1378,3 +1378,86 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ------------------------------------------------------------ containment
+#
+# Asymmetric near-superset detection: containment(A in B) =
+# |A∩B| / |A|. Symmetric Jaccard misses the cases containment catches —
+# a short document quoted wholesale inside a longer one (boilerplate
+# wrapping, quote-inclusion, article + comment thread) can have Jaccard
+# well under threshold while the smaller side is ~fully contained. LLM
+# dedup pipelines gate on max-containment for exactly this reason: the
+# contained side adds no new tokens.
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), idx AS (
+      SELECT s.doc_id, s.shingle FROM sh s JOIN kept k ON s.shingle = k.shingle
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment,
+           CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END AS contained_doc
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc=f"Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) >= "
+        f"{CONTAINMENT_THRESHOLD} flags a document (near-)fully contained "
+        "in another even when symmetric Jaccard is low — quote-inclusion "
+        "and boilerplate-wrapping duplicates. Same df-capped inverted "
+        "index and candidate join as the Jaccard family (shared "
+        "materialized front end; candidates only, never O(n²)); emits "
+        "which side is the contained document (smaller set, ties → "
+        "doc_a).",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    idx, sizes = _capped_index(docs, materialize=True)
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("sa.sz"), F.col("sb.sz")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            cont.alias("containment"),
+            F.when(F.col("sa.sz") <= F.col("sb.sz"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

@@ -467,3 +467,34 @@ def test_ivfpq_scores_match_full_adc_on_shared_pairs(spark):
     assert shared, "no overlap between IVFPQ and full ADC top-k"
     for r in shared:
         assert r["adist"] == full[(r["query_id"], r["vec_id"])]
+
+
+def test_containment_dominates_jaccard_and_flags_smaller_side(spark):
+    """containment = |A∩B|/min(|A|,|B|) >= jaccard always, every flagged
+    pair is >= the threshold, and contained_doc is the endpoint with the
+    smaller capped shingle set."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _capped_index,
+        _docs,
+        dedup_containment,
+        ngram_jaccard_pairs,
+    )
+
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, SF).collect()
+    }
+    _, sizes = _capped_index(_docs(spark, SF), materialize=False)
+    sz = {r["doc_id"]: r["sz"] for r in sizes.collect()}
+    rows = dedup_containment(spark, SF).collect()
+    assert rows
+    for r in rows:
+        pair = (r["doc_a"], r["doc_b"])
+        assert r["containment"] >= CONTAINMENT_THRESHOLD
+        if pair in jac:
+            assert r["containment"] >= jac[pair]
+        small = (
+            r["doc_a"] if sz[r["doc_a"]] <= sz[r["doc_b"]] else r["doc_b"]
+        )
+        assert r["contained_doc"] == small
