@@ -14,7 +14,7 @@ tests (tests/test_operators.py) instead of the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -620,4 +620,287 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(50),
         est(90),
         est(99),
+    )
+
+
+# ----------------------------------------------------- KMV (k-minimum values)
+#
+# HLL answers "how many distinct" but cannot answer "how much do two sets
+# OVERLAP" — sketch intersection is the capability that needs K-minimum-
+# values (Bar-Yossef et al., RANDOM'02; the Theta-sketch family in Apache
+# DataSketches). A KMV sketch is simply the k smallest hashes of a set's
+# members; it supports:
+#   * distinct estimate:  D ≈ (k-1) / u_k   (u_k = k-th smallest, in [0,1))
+#   * lossless union:     K(A ∪ B) = k-min of (K(A) ∪ K(B))
+#   * Jaccard:            J ≈ |K(A∪B) ∩ K(A) ∩ K(B)| / k
+# so per-group sketches persisted once answer any later cross-group overlap
+# question from metadata-sized state — the 100-TB pattern.
+#
+# Cross-engine exactness: the hash is md5 over the stringified key; lowercase
+# fixed-width hex compares lexicographically exactly like the 128-bit value,
+# so "k smallest hashes" is a plain string rank in both engines, and the
+# estimate is the same fixed IEEE op sequence ((k-1)/ (v/2^60)) — bit-equal.
+#
+# Scale shape (Spark side): NOT one rank window per group (a group's whole
+# distinct set would funnel through one reducer). K-min is mergeable, so
+# phase 1 ranks within (group, hash-derived sub-bucket) — KMV_P independent
+# partitions per group — and phase 2 ranks the ≤ KMV_P·k survivors. The
+# oracle states the identical result as one global rank, affordable at
+# oracle scale.
+
+KMV_K = 64   # sketch size: ~12.5% relative standard error on distincts
+KMV_P = 16   # phase-1 sub-buckets per group
+
+_TWO60 = float(1 << 60)  # power of two — exact as a double literal
+
+
+def _kmv_v(hx: F.Column) -> F.Column:
+    """First 60 bits of the md5 hex as a BIGINT (same math as the HLL
+    registers above)."""
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketches(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group KMV sketch rows ``(group, hx, rk)`` with rk <= KMV_K.
+    Two-phase k-min: sub-bucket rank then merge rank, so no group's full
+    distinct set ever sorts on a single reducer."""
+    h = df.select(
+        F.col(group_col), F.md5(F.col(value_col).cast("string")).alias("hx")
+    ).distinct()
+    b = h.withColumn("b", _kmv_v(F.col("hx")) % KMV_P)
+    w1 = Window.partitionBy(group_col, "b").orderBy("hx")
+    survivors = (
+        b.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= KMV_K)
+        .drop("rk1", "b")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("hx")
+    return survivors.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= KMV_K
+    )
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hx,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx) AS rk
+      FROM h
+    ),
+    k AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS kmv_size,
+             MAX(CASE WHEN rk = {KMV_K} THEN hx END) AS kth
+      FROM r WHERE rk <= {KMV_K}
+      GROUP BY event_type
+    ),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM h GROUP BY event_type
+    )
+    SELECT n.event_type,
+           n.n_exact,
+           k.kmv_size,
+           CASE WHEN k.kmv_size < {KMV_K} THEN CAST(k.kmv_size AS DOUBLE)
+                ELSE ({KMV_K} - 1.0)
+                     / (CAST(('0x' || substr(k.kth, 1, 15)) AS BIGINT)
+                        / {_TWO60!r})
+           END AS kmv_est
+    FROM n JOIN k USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="Per-event-type KMV distinct-user sketch vs exact count, bit-exact "
+    "cross-checked: both engines take the k smallest md5 hashes of the "
+    "distinct user set (hex order = numeric order) and apply the same "
+    "(k-1)/u_k IEEE expression. Spark computes the k-min in two phases "
+    "(sub-bucket rank, then merge rank over <= P*k survivors) so no "
+    "group funnels its whole distinct set through one reducer; the "
+    "exact count column rides the same distinct shuffle.",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketches(ev, "event_type", "user_id")
+    k = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("kmv_size"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("hx"))).alias("kth"),
+    )
+    n = (
+        ev.select("event_type", F.md5(F.col("user_id").cast("string")).alias("hx"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    est = F.when(
+        F.col("kmv_size") < KMV_K, F.col("kmv_size").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        / (_kmv_v(F.col("kth")).cast("double") / F.lit(_TWO60))
+    )
+    return (
+        n.join(k, "event_type")
+        .select("event_type", "n_exact", "kmv_size", est.alias("kmv_est"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hx,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx) AS rk
+      FROM h
+    ),
+    sk AS (SELECT event_type, hx FROM r WHERE rk <= {KMV_K}),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM ty a JOIN ty b ON a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT p.type_a, p.type_b, s.hx
+      FROM pairs p JOIN sk s ON s.event_type = p.type_a
+      UNION
+      SELECT p.type_a, p.type_b, s.hx
+      FROM pairs p JOIN sk s ON s.event_type = p.type_b
+    ),
+    u AS (
+      SELECT type_a, type_b, hx,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hx) AS rk
+      FROM m
+    ),
+    uk AS (SELECT type_a, type_b, hx FROM u WHERE rk <= {KMV_K}),
+    agg AS (
+      SELECT uk.type_a, uk.type_b,
+             CAST(COUNT(*) AS BIGINT) AS k_union,
+             CAST(SUM(CASE WHEN sa.hx IS NOT NULL AND sb.hx IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM uk
+      LEFT JOIN sk sa ON sa.event_type = uk.type_a AND sa.hx = uk.hx
+      LEFT JOIN sk sb ON sb.event_type = uk.type_b AND sb.hx = uk.hx
+      GROUP BY uk.type_a, uk.type_b
+    ),
+    ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ut GROUP BY event_type
+    ),
+    ix AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS inter_exact
+      FROM ut x
+      JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT agg.type_a, agg.type_b, agg.k_union, agg.n_common,
+           agg.n_common / CAST(agg.k_union AS DOUBLE) AS kmv_jaccard,
+           COALESCE(ix.inter_exact, 0) AS inter_exact,
+           COALESCE(ix.inter_exact, 0)
+             / CAST(na.n + nb.n - COALESCE(ix.inter_exact, 0) AS DOUBLE)
+             AS jaccard_exact
+    FROM agg
+    JOIN n na ON na.event_type = agg.type_a
+    JOIN n nb ON nb.event_type = agg.type_b
+    LEFT JOIN ix ON ix.type_a = agg.type_a AND ix.type_b = agg.type_b
+    ORDER BY agg.type_a, agg.type_b
+    """,
+    doc="Pairwise distinct-user overlap between event types, estimated "
+    "ENTIRELY from the per-type KMV sketches (union = k-min of merged "
+    "sketch rows; J ~= |K(AuB) n K(A) n K(B)| / k) and cross-checked "
+    "against the exact Jaccard computed from the fact table. The sketch "
+    "side is the 100-TB path: after the one distinct-shuffle that builds "
+    "the sketches, every pairwise estimate runs on T*k rows of metadata "
+    "-- adding a group or asking a new pair never rescans the corpus. "
+    "Bit-exact in both engines because k-min over lowercase fixed-width "
+    "hex is a deterministic string rank.",
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketches(ev, "event_type", "user_id").select("event_type", "hx")
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    side_a = sk.select(F.col("event_type").alias("type_a"), "hx")
+    side_b = sk.select(F.col("event_type").alias("type_b"), "hx")
+    merged = (
+        pairs.join(side_a, "type_a")
+        .select("type_a", "type_b", "hx")
+        .unionByName(pairs.join(side_b, "type_b").select("type_a", "type_b", "hx"))
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("hx")
+    uk = (
+        merged.withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= KMV_K)
+        .drop("rk")
+    )
+    # membership flags via left joins on (type, hx); sketch rows are unique
+    # per (type, hx) so multiplicity is 1
+    in_a = side_a.withColumn("in_a", F.lit(1))
+    in_b = side_b.withColumn("in_b", F.lit(1))
+    agg = (
+        uk.join(in_a, ["type_a", "hx"], "left")
+        .join(in_b, ["type_b", "hx"], "left")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_union"),
+            F.sum(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    ut = ev.select("event_type", "user_id").distinct()
+    n = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    x, y = ut.alias("x"), ut.alias("y")
+    ix = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        agg.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(ix), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "k_union",
+            "n_common",
+            (F.col("n_common") / F.col("k_union").cast("double")).alias(
+                "kmv_jaccard"
+            ),
+            F.coalesce("inter_exact", F.lit(0)).cast("long").alias("inter_exact"),
+            (
+                F.coalesce("inter_exact", F.lit(0))
+                / (
+                    F.col("n_a") + F.col("n_b") - F.coalesce("inter_exact", F.lit(0))
+                ).cast("double")
+            ).alias("jaccard_exact"),
+        )
+        .orderBy("type_a", "type_b")
     )

@@ -498,3 +498,48 @@ def test_containment_dominates_jaccard_and_flags_smaller_side(spark):
             r["doc_a"] if sz[r["doc_a"]] <= sz[r["doc_b"]] else r["doc_b"]
         )
         assert r["contained_doc"] == small
+
+
+def test_kmv_two_phase_matches_global_rank_and_estimates(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from conduit_connector_s3_iceberg_spark.operators.sketches import (
+        KMV_K,
+        kmv_sketches,
+        sketch_kmv_distinct,
+    )
+
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    sk = kmv_sketches(ev, "event_type", "user_id")
+    h = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hx")
+    naive = h.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    assert sorted(
+        (r["event_type"], r["hx"], r["rk"]) for r in sk.collect()
+    ) == sorted((r["event_type"], r["hx"], r["rk"]) for r in naive.collect())
+    # k=64 -> ~12.5% relative std err; assert a generous 4-sigma bound
+    for r in sketch_kmv_distinct(spark, SF).collect():
+        if r["kmv_size"] == KMV_K:
+            assert abs(r["kmv_est"] - r["n_exact"]) / r["n_exact"] < 0.5
+        else:
+            assert r["kmv_est"] == r["kmv_size"] == r["n_exact"]
+
+
+def test_kmv_jaccard_tracks_exact_overlap(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sketches import (
+        sketch_kmv_jaccard,
+    )
+
+    rows = sketch_kmv_jaccard(spark, SF).collect()
+    assert rows, "expected at least one event-type pair"
+    for r in rows:
+        assert 0.0 <= r["kmv_jaccard"] <= 1.0
+        # sketch estimate within an additive 0.35 of truth at k=64
+        assert abs(r["kmv_jaccard"] - r["jaccard_exact"]) < 0.35
