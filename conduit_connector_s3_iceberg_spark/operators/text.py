@@ -1205,3 +1205,165 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_bloom_hits") > 0)
     )
+
+
+# ------------------------------------------- DSIR importance weights --------
+#
+# Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+# score each raw document by the log-likelihood ratio of a TARGET-domain
+# bag-of-hashed-ngrams model vs the RAW-corpus model, then resample raw data
+# proportionally — the standard way to tilt a 100-TB crawl toward a small
+# high-quality target distribution without training a classifier.
+#
+# Features are word bigrams hashed into DSIR_B buckets (the paper's hashed
+# n-gram parameterization), with add-1 smoothing on both models. The
+# log-ratio is evaluated with Mitchell's base-2 approximation (Mitchell,
+# IRE Trans. 1962): log2(r) ~= (L-1) + r/2^(L-1) - 1 with L = bitlength(r)
+# — exact integer ops plus ONE power-of-two division, so it is bit-identical
+# across engines where a libm ln() is not guaranteed to be. Per-bucket
+# weights are quantized to scaled BIGINT once in the (DSIR_B)-row weight
+# table; every per-doc accumulation after that is exact integer arithmetic
+# (the ``plans/helpers.py`` discipline), emitted as one final division.
+#
+# Scale shape: one explode over bigrams -> (doc, bucket) pre-aggregation;
+# the model is two DSIR_B-row register tables folded from the same exploded
+# frame (map-side combined); scoring is a broadcast join of the constant
+# weight table against pre-aggregated (doc, bucket, cnt) rows. No Python,
+# no window over the corpus, no second scan of `documents` beyond the
+# shared bigram frame.
+
+DSIR_B = 1024                # hashed feature buckets
+DSIR_RSCALE = 1 << 20        # ratio quantization; log2 = exactly 20
+DSIR_WSCALE = 1_000_000      # per-bucket weight quantization
+
+_BG_TOKS_SPARK = "split(trim(lower(text)), ' ')"
+_BG_TOKS_SQL = "string_split(trim(lower(text)), ' ')"
+
+
+@query(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_BG_TOKS_SQL} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(t[g] || ' ' || t[g + 1]), 1, 15))
+                  AS BIGINT) % {DSIR_B} AS b
+      FROM toks, UNNEST(range(1, len(t))) AS u(g)
+    ), raw AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_raw FROM bg GROUP BY b
+    ), tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_tgt
+      FROM bg WHERE lang = 'en' GROUP BY b
+    ), bk AS (
+      SELECT raw.b, raw.n_raw,
+             COALESCE(tgt.n_tgt, CAST(0 AS BIGINT)) AS n_tgt
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+    ), tot AS (
+      SELECT CAST(SUM(n_raw) AS BIGINT) AS tr,
+             CAST(SUM(n_tgt) AS BIGINT) AS tt
+      FROM bk
+    ), wr AS (
+      SELECT b,
+             GREATEST(CAST(1 AS BIGINT),
+               CAST(round({DSIR_RSCALE}.0
+                 * (((n_tgt + 1) / (tt + {DSIR_B}))
+                    / ((n_raw + 1) / (tr + {DSIR_B})))) AS BIGINT)) AS r
+      FROM bk, tot
+    ), wv AS (
+      SELECT b,
+             CAST(round({DSIR_WSCALE}.0
+               * ((length(bin(r)) - 1)
+                  + (r / (CAST(1 AS BIGINT) << (length(bin(r)) - 1))
+                     - 1.0))) AS BIGINT) AS w
+      FROM wr
+    ), docb AS (
+      SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, lang, b
+    )
+    SELECT doc_id, lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_feat,
+           ((CAST(SUM(cnt * w) AS BIGINT) / CAST(SUM(cnt) AS BIGINT))
+            / {DSIR_WSCALE}.0) - 20.0 AS dsir_logw
+    FROM docb JOIN wv USING (b)
+    GROUP BY doc_id, lang
+    ORDER BY doc_id
+    """,
+    doc="DSIR importance weights (hashed-bigram log-likelihood ratio of "
+    "target 'en' model vs raw-corpus model, add-1 smoothed) per document. "
+    "Log2 via Mitchell's bitlength approximation so both engines compute "
+    "the identical value without a libm ln; per-bucket weights quantized "
+    "to BIGINT once in a 1024-row broadcast table, per-doc sums exact "
+    "integers. dsir_logw > 0 means the doc looks more like the target "
+    "domain than the raw corpus; resample with weights 2^dsir_logw.",
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(slice({_BG_TOKS_SPARK}, 1, size({_BG_TOKS_SPARK}) - 1), "
+                f"(x, i) -> concat(x, ' ', {_BG_TOKS_SPARK}[i + 1]))"
+            )
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10).cast("long")
+            % DSIR_B
+        ).alias("b"),
+    )
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    tgt = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tgt"))
+    )
+    bk = raw.join(tgt, "b", "left").select(
+        "b",
+        "n_raw",
+        F.coalesce("n_tgt", F.lit(0).cast("long")).alias("n_tgt"),
+    )
+    tot = bk.agg(
+        F.sum("n_raw").cast("long").alias("tr"),
+        F.sum("n_tgt").cast("long").alias("tt"),
+    )
+    ratio = (
+        (F.col("n_tgt") + 1) / (F.col("tt") + DSIR_B)
+    ) / ((F.col("n_raw") + 1) / (F.col("tr") + DSIR_B))
+    r = F.greatest(
+        F.lit(1).cast("long"),
+        F.round(F.lit(float(DSIR_RSCALE)) * ratio).cast("long"),
+    )
+    wr = bk.crossJoin(F.broadcast(tot)).select("b", r.alias("r"))
+    lb = F.length(F.bin(F.col("r")))
+    p2 = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(r)) - 1)")
+    mlog = (lb - 1) + (F.col("r") / p2 - F.lit(1.0))
+    wv = wr.select(
+        "b",
+        F.round(F.lit(float(DSIR_WSCALE)) * mlog).cast("long").alias("w"),
+    )
+    docb = bg.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        docb.join(F.broadcast(wv), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feat"),
+            F.sum(F.col("cnt") * F.col("w")).cast("long").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feat",
+            (
+                (F.col("s") / F.col("n_feat")) / F.lit(float(DSIR_WSCALE))
+                - F.lit(20.0)
+            ).alias("dsir_logw"),
+        )
+        .orderBy("doc_id")
+    )

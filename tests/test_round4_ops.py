@@ -543,3 +543,29 @@ def test_kmv_jaccard_tracks_exact_overlap(spark):
         assert 0.0 <= r["kmv_jaccard"] <= 1.0
         # sketch estimate within an additive 0.35 of truth at k=64
         assert abs(r["kmv_jaccard"] - r["jaccard_exact"]) < 0.35
+
+
+def test_dsir_weights_tilt_toward_target_language(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        text_dsir_weights,
+    )
+
+    rows = text_dsir_weights(spark, SF).collect()
+    assert rows
+    en = [r["dsir_logw"] for r in rows if r["lang"] == "en"]
+    other = [r["dsir_logw"] for r in rows if r["lang"] != "en"]
+    assert en and other
+    # the target model is trained on 'en' docs: their mean log-ratio must
+    # exceed the non-target mean (the whole point of importance tilting)
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_mitchell_log2_bound():
+    import math
+
+    # Mitchell's chord approximation UNDERestimates the concave log2 by at
+    # most 0.0861 bits (and is exact at powers of two)
+    for r in [1, 2, 3, 5, 7, 100, 1 << 20, (1 << 20) + 12345, (1 << 40) - 1]:
+        L = r.bit_length()
+        approx = (L - 1) + (r / (1 << (L - 1)) - 1.0)
+        assert -0.0861 <= approx - math.log2(r) <= 1e-12
