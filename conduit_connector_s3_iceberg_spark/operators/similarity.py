@@ -103,6 +103,7 @@ def _two_phase_topk(
     base: DataFrame | None = None,
     score_col: str = "cosine",
     ascending: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact per-query top-k over a scored (query_id, vec_id, cosine) set
     without funneling the full corpus into N_QUERIES reducer tasks.
@@ -146,7 +147,7 @@ def _two_phase_topk(
     return (
         scored.withColumn("rank", F.row_number().over(merge_w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", score_col, "rank")
+        .select("query_id", "vec_id", score_col, "rank", *carry)
     )
 
 
@@ -1676,4 +1677,79 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _two_phase_topk(
         pairs, TOP_K, base=base, score_col="adist", ascending=True
+    )
+
+
+# ------------------------------------------------- hard-negative mining -----
+#
+# Contrastive/embedding training needs, per anchor, the most-similar corpus
+# items that are NOT of the anchor's class — "hard negatives" (in-batch
+# negatives are mostly easy; mining hard ones is what makes retrieval
+# models sharp). Operationally it is the exact top-k search with a label
+# disagreement predicate pushed into the scoring join, so the candidate
+# stream shrinks before ranking and the bounded two-phase merge applies
+# unchanged. At 100 TB the same query runs against the IVF/PQ index paths
+# above instead of the brute-force scan; the semantics (filter on label
+# BEFORE rank) are identical.
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(label AS INTEGER) AS label,
+             embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS anchor_label,
+             emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, q.anchor_label, e.vec_id,
+             e.label AS neg_label,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id
+                   AND e.label <> q.anchor_label
+    )
+    SELECT query_id, vec_id, cosine, rank, anchor_label, neg_label FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor, the "
+    "top-k most-cosine-similar vectors whose label DISAGREES with the "
+    "anchor's. The label predicate is pushed into the broadcast scoring "
+    "join (candidates shrink before any ranking); ranking reuses the "
+    "gated two-phase top-k, so the merge input stays bounded by k x "
+    "partitions at any corpus width.",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = emb.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("anchor_label")),
+    ).select(
+        "query_id",
+        "anchor_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    return _two_phase_topk(
+        scored, TOP_K, base=emb, carry=("anchor_label", "neg_label")
     )

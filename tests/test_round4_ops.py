@@ -569,3 +569,24 @@ def test_mitchell_log2_bound():
         L = r.bit_length()
         approx = (L - 1) + (r / (1 << (L - 1)) - 1.0)
         assert -0.0861 <= approx - math.log2(r) <= 1e-12
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        TOP_K,
+        sim_hard_negatives,
+    )
+
+    rows = sim_hard_negatives(spark, SF).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r["neg_label"] != r["anchor_label"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == TOP_K
+        ranked = sorted(rs, key=lambda r: r["rank"])
+        # ranks are 1..k and cosine is non-increasing along them
+        assert [r["rank"] for r in ranked] == list(range(1, TOP_K + 1))
+        for a, b in zip(ranked, ranked[1:]):
+            assert a["cosine"] >= b["cosine"]
