@@ -145,3 +145,93 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear = stats(_assign_files(keyed, "d"), "linear")
     zorder = stats(_assign_files(keyed, "zkey"), "zorder")
     return linear.unionByName(zorder)
+
+
+# ------------------------------------------------ compaction bin packing ----
+#
+# The other half of the layout problem: at 100 TB the killer isn't just row
+# ORDER inside files, it's file COUNT — streaming/CDC ingestion (the
+# reference's write path, ``SparkDestinationStream.java``) lands one small
+# file per trigger per partition, and a year of that makes planning+open
+# costs dominate scans. Iceberg's ``rewrite_data_files(strategy=>'binpack')``
+# fixes it by coalescing adjacent small files into target-sized outputs
+# WITHOUT reordering rows. This operator is that planner: given the file
+# manifest (per-file byte sizes, sort-ordered within each partition), assign
+# every input file an output bin via running-total arithmetic —
+# bin = floor(preceding_bytes / target) — the same greedy sequential fill
+# binpack performs.
+#
+# Scale: planning runs on the MANIFEST (one row per file — metadata-sized,
+# millions of rows at worst), never on the data. The window is partitioned
+# by the table partition key, so each partition's plan is independent; no
+# global sort, no corpus scan. Here the "manifest" is simulated from the
+# events table as one file per (event_type, day) with a byte-size proxy.
+
+COMPACT_TARGET = 16_384  # target output-file bytes (fixture-scaled)
+
+
+@query(
+    "layout_compaction_bins",
+    oracle=f"""
+    WITH files AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(length(props) + 32) AS BIGINT) AS file_bytes
+      FROM events GROUP BY 1, 2
+    ), planned AS (
+      SELECT event_type, day, n_rows, file_bytes,
+             CAST(COALESCE(SUM(file_bytes) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {COMPACT_TARGET} AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT event_type, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes,
+           MIN(day) AS min_day, MAX(day) AS max_day
+    FROM planned
+    GROUP BY event_type, bin_id
+    ORDER BY event_type, bin_id
+    """,
+    doc="Compaction planner (Iceberg binpack rewrite shape): one simulated "
+    "small file per (event_type, day), greedily packed in day order into "
+    f"~{COMPACT_TARGET}-byte output bins via running-total division — "
+    "bin = floor(preceding_bytes / target), so every bin except a "
+    "partition's last holds >= target bytes once its first overflowing "
+    "file lands. Pure manifest-level arithmetic: the window runs over "
+    "one row per FILE (metadata), partitioned by the table partition "
+    "key — the data itself is never shuffled by planning.",
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("props") + 32).cast("long").alias("file_bytes"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("file_bytes").over(w), F.lit(0))
+            / F.lit(COMPACT_TARGET)
+        ).cast("long"),
+    )
+    return (
+        planned.groupBy("event_type", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("file_bytes").cast("long").alias("bin_bytes"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("event_type", "bin_id")
+    )

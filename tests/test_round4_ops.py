@@ -590,3 +590,25 @@ def test_hard_negatives_exclude_anchor_label(spark):
         assert [r["rank"] for r in ranked] == list(range(1, TOP_K + 1))
         for a, b in zip(ranked, ranked[1:]):
             assert a["cosine"] >= b["cosine"]
+
+
+def test_compaction_bins_are_contiguous_and_conserve_bytes(spark):
+    from conduit_connector_s3_iceberg_spark.operators.layout import (
+        layout_compaction_bins,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = layout_compaction_bins(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    total = ev.selectExpr("sum(length(props) + 32) b").collect()[0]["b"]
+    assert sum(r["bin_bytes"] for r in rows) == total
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["bin_id"])
+        # bins numbered contiguously from 0
+        assert [r["bin_id"] for r in rs] == list(range(len(rs)))
+        # day ranges of consecutive bins never overlap (binpack keeps order)
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_day"] < b["min_day"]
