@@ -1753,3 +1753,73 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _two_phase_topk(
         scored, TOP_K, base=emb, carry=("anchor_label", "neg_label")
     )
+
+
+# ------------------------------------------------- embedding OOD outliers ---
+#
+# Embedding-space data filtering: a vector far from EVERY cluster centroid
+# is out-of-distribution for the corpus — mislabeled, corrupted, or novel —
+# and OOD pruning/flagging by nearest-centroid distance is the standard
+# embedding-side quality gate (the distance is exactly k-means' assignment
+# cost). Composition: the same broadcast-argmin assignment map as
+# emb_kmeans_assign, but keeping the winning DISTANCE alongside the winning
+# centroid id, then a global top-k on distance. The top-k is orderBy+limit —
+# Catalyst plans TakeOrderedAndProject (per-partition heap top-k, merge of
+# k-row heads on the driver), which is already the bounded-merge shape at
+# any corpus width.
+
+OOD_K = 25  # outliers to surface
+
+
+@query(
+    "emb_outlier_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < {KMEANS_K}),
+    d0 AS (
+      SELECT e.vec_id, c0.cid, {_KM_SQL_D2.format(c='c0.c')} AS dist2
+      FROM e, c0
+    ),
+    a0 AS (
+      SELECT vec_id, cid AS cluster, dist2 FROM (
+        SELECT vec_id, cid, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+        FROM d0
+      ) WHERE rk = 1
+    )
+    SELECT vec_id, cluster, dist2, rank FROM (
+      SELECT vec_id, cluster, dist2,
+             CAST(ROW_NUMBER() OVER (ORDER BY dist2 DESC, vec_id) AS INTEGER)
+               AS rank
+      FROM a0
+    ) WHERE rank <= {OOD_K}
+    """,
+    doc="Out-of-distribution outliers: nearest-centroid squared distance "
+    f"per vector (seed centroids = lowest {KMEANS_K} vec_ids, same "
+    "broadcast-argmin fold as emb_kmeans_assign, keeping the winning "
+    "distance), global top-k farthest via orderBy+limit -> "
+    "TakeOrderedAndProject. The flagged rows are the prune/review set "
+    "an embedding-quality gate feeds downstream.",
+)
+def emb_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    cents0 = emb.filter(F.col("vec_id") < KMEANS_K).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("c"))
+            )
+        ).alias("cents")
+    )
+    win = _KM_ASSIGN.removesuffix(".cid")
+    scored = emb.crossJoin(F.broadcast(cents0)).select(
+        "vec_id",
+        F.expr(win + ".cid").alias("cluster"),
+        F.expr(win + ".d").alias("dist2"),
+    )
+    top = scored.orderBy(F.desc("dist2"), "vec_id").limit(OOD_K)
+    w = Window.orderBy(F.desc("dist2"), "vec_id")
+    return top.select(
+        "vec_id", "cluster", "dist2", F.row_number().over(w).alias("rank")
+    )

@@ -612,3 +612,17 @@ def test_compaction_bins_are_contiguous_and_conserve_bytes(spark):
         # day ranges of consecutive bins never overlap (binpack keeps order)
         for a, b in zip(rs, rs[1:]):
             assert a["max_day"] < b["min_day"]
+
+
+def test_outlier_topk_distances_dominate_corpus(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        OOD_K,
+        emb_outlier_topk,
+    )
+
+    rows = sorted(emb_outlier_topk(spark, SF).collect(), key=lambda r: r["rank"])
+    assert len(rows) == OOD_K
+    # ranks contiguous, distances non-increasing, all non-negative
+    assert [r["rank"] for r in rows] == list(range(1, OOD_K + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["dist2"] >= b["dist2"] >= 0.0
