@@ -27,8 +27,11 @@ from ..sources.tables import load_table
 from .dedup import (
     JACCARD_THRESHOLD,
     MAX_SHINGLE_DF,
+    N_MINHASH,
     SHINGLES_SPARK,
     SHINGLES_SQL,
+    VERIFY_THRESHOLD,
+    _minhash_aggs,
     ngram_jaccard_pairs,
 )
 
@@ -892,4 +895,150 @@ def corpus_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat(F.lit(CURRICULUM_SALT), F.col("doc_id").cast("string"))
         ).alias("shuffle_key"),
+    )
+
+
+# ------------------------------------------ near-dup decontamination --------
+#
+# Exact-shingle leakage (corpus_split_decontamination above) misses the
+# common real-world case: the benchmark item was lightly paraphrased,
+# reformatted, or truncated before landing in the crawl. The published
+# recipe (GPT-3 appendix C / The Pile / Dolma) is NEAR-dup decontamination:
+# MinHash-LSH candidates between eval and train, exact-Jaccard verify, drop
+# or flag eval items above threshold. This operator is that pipeline with
+# the roles made ASYMMETRIC: the train side is the big standing index, the
+# eval probe is tiny, so at 100 TB you persist the train band index once
+# and stream eval sets through it (same probe-side shape as
+# dedup_incremental_delta).
+#
+# Candidate gate is >= 1 shared band (decontamination optimizes recall, not
+# pair-count thrift); the verified Jaccard and the leak verdict use the
+# dedup family's VERIFY_THRESHOLD so "leaky" here means exactly what
+# "duplicate" means there.
+
+@query(
+    "corpus_neardup_decontamination",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, text, {_SPLIT_SQL} AS split FROM documents
+    ), sh AS (
+      SELECT doc_id, split, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM assigned WHERE split IN ('train', 'test')
+    ), sig AS (
+      SELECT doc_id, split,
+             {", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(N_MINHASH))}
+      FROM sh GROUP BY doc_id, split
+    ), bands AS (
+      SELECT doc_id, split,
+             unnest([{", ".join(f"{{'band': {i}, 'h': mh{i}}}" for i in range(N_MINHASH))}],
+                    recursive := true)
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+      FROM bands e
+      JOIN bands t ON t.band = e.band AND t.h = e.h AND t.split = 'train'
+      WHERE e.split = 'test'
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), verified AS (
+      SELECT c.eval_id, c.train_id,
+             CAST(COUNT(*) AS DOUBLE)
+               / (se.sz + st.sz - COUNT(*)) AS jaccard
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.eval_id
+      JOIN sh b ON b.doc_id = c.train_id AND b.shingle = a.shingle
+      JOIN sizes se ON se.doc_id = c.eval_id
+      JOIN sizes st ON st.doc_id = c.train_id
+      GROUP BY c.eval_id, c.train_id, se.sz, st.sz
+    )
+    SELECT eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           MAX(CASE WHEN rk = 1 THEN train_id END) AS best_train_id,
+           MAX(CASE WHEN rk = 1 THEN jaccard END) AS best_jaccard,
+           MAX(CASE WHEN rk = 1 THEN jaccard END) >= {VERIFY_THRESHOLD}
+             AS leaky
+    FROM (
+      SELECT eval_id, train_id, jaccard,
+             ROW_NUMBER() OVER (
+               PARTITION BY eval_id ORDER BY jaccard DESC, train_id
+             ) AS rk
+      FROM verified
+    )
+    GROUP BY eval_id
+    ORDER BY eval_id
+    """,
+    doc="Near-duplicate decontamination (GPT-3/Pile/Dolma recipe): "
+    "MinHash-LSH candidates between the test split and the train split "
+    "(>= 1 shared band — recall-first), exact-Jaccard verification on "
+    "candidates only, one row per contaminated-candidate eval doc with "
+    "its best-matching train doc and a leak verdict at the dedup "
+    "family's verify threshold. Asymmetric at scale: the train band "
+    "index is the persisted big side, eval probes stream through it.",
+)
+def corpus_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _split_col().alias("split")
+    ).filter(F.col("split").isin("train", "test"))
+    sh = docs.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("shingle"),
+    ).localCheckpoint(eager=False)  # consumed by sig, sizes, both verify legs
+    sig = sh.groupBy("doc_id", "split").agg(*_minhash_aggs())
+    bands = sig.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
+                    for i in range(N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "split", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    ev = bands.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("eval_id"), "band", "h"
+    )
+    tr = bands.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "band", "h"
+    )
+    cand = ev.join(tr, ["band", "h"]).select("eval_id", "train_id").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("eval_id"), F.col("shingle").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("tid"), F.col("shingle").alias("shb"))
+    verified = (
+        cand.join(a, "eval_id")
+        .join(b, (F.col("train_id") == F.col("tid")) & (F.col("sha") == F.col("shb")))
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("eval_id"), F.col("sz").alias("se")), "eval_id")
+        .join(sizes.select(F.col("doc_id").alias("train_id"), F.col("sz").alias("st")), "train_id")
+        .select(
+            "eval_id",
+            "train_id",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("se") + F.col("st") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("jaccard"), "train_id")
+    ranked = verified.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.max(F.when(F.col("rk") == 1, F.col("train_id"))).alias(
+                "best_train_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("jaccard"))).alias(
+                "best_jaccard"
+            ),
+            (
+                F.max(F.when(F.col("rk") == 1, F.col("jaccard")))
+                >= VERIFY_THRESHOLD
+            ).alias("leaky"),
+        )
+        .orderBy("eval_id")
     )

@@ -626,3 +626,25 @@ def test_outlier_topk_distances_dominate_corpus(spark):
     assert [r["rank"] for r in rows] == list(range(1, OOD_K + 1))
     for a, b in zip(rows, rows[1:]):
         assert a["dist2"] >= b["dist2"] >= 0.0
+
+
+def test_neardup_decontamination_finds_only_cross_split_pairs(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        corpus_neardup_decontamination,
+        _split_col,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = corpus_neardup_decontamination(spark, SF).collect()
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", _split_col().alias("split"))
+        .collect()
+    }
+    for r in rows:
+        assert splits[r["eval_id"]] == "test"
+        assert splits[r["best_train_id"]] == "train"
+        assert 0.0 <= r["best_jaccard"] <= 1.0
+        assert r["leaky"] == (r["best_jaccard"] >= 0.5)
+        assert r["n_candidates"] >= 1
