@@ -1262,3 +1262,99 @@ def q68_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "q69_group_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(o_orderdate AS DATE)
+             - CAST((CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 7 AS INT)
+             AS order_week_anchor,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4 SQL sugar, same as "
+        "DuckDB's): every non-aggregate select item becomes a grouping "
+        "key, every output column an ordering key — resolved at analysis "
+        "time into the identical hash-agg + sort plan as the explicit "
+        "form, so the sugar costs nothing. The synthesized week anchor "
+        "(date minus day-number mod 7 — pure integer date arithmetic) "
+        "exercises expression-valued keys under ALL resolution.",
+)
+def q69_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               date_sub(CAST(o_orderdate AS DATE),
+                 CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 7
+                      AS INT))
+                 AS order_week_anchor,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "q70_session_variables",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_above
+    FROM orders, thr
+    WHERE o_totalprice > thr.v
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Session variables + EXECUTE IMMEDIATE (Spark 4): DECLARE a typed "
+        "session variable, SET VAR from a scalar subquery (exact decimal "
+        "mean emitted once as a double), then run a dynamically-built SQL "
+        "string that references the variable. The variable is resolved at "
+        "analysis time to a literal, so the executed plan is the plain "
+        "filtered hash-agg — parameterization costs nothing and the "
+        "threshold never round-trips through Python. Oracle inlines the "
+        "same scalar subquery.",
+)
+def q70_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        """
+        SET VAR price_floor = (
+          SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          FROM orders
+        )
+        """
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  COUNT(*) AS n_above,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total_above
+           FROM orders
+           WHERE o_totalprice > price_floor
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority'
+        """
+    )
