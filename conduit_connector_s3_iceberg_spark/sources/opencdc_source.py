@@ -167,3 +167,143 @@ class OpenCDCDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return OpenCDCStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return OpenCDCWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return OpenCDCStreamWriter(self.options, overwrite)
+
+
+# -------------------------------------------------------------- write path --
+#
+# The reference is a DESTINATION connector: records arrive over the plugin
+# wire and are written out (`SparkDestinationStream.java:229-232`). The
+# read half above replays envelope files INTO Spark; this half is the
+# complement — `df.write.format("opencdc")` / `writeStream.format("opencdc")`
+# emits envelope files OTHER OpenCDC consumers (including this module's own
+# reader) can drain. Commit protocol:
+#
+# * each task serializes its partition to a STAGING file (`_staging/…`,
+#   task-unique name) and reports it in its commit message;
+# * the driver-side commit renames staged files to their final
+#   monotonically-increasing names (`cdc-<seq>-<i>.jsonl` — scanning the
+#   directory for the current max sequence), honoring the stream reader's
+#   monotonic-name contract; streaming commits embed the micro-batch id as
+#   the sequence, making a replayed epoch overwrite its own files
+#   (idempotent) instead of appending duplicates;
+# * abort deletes the staged files — a failed job leaves the directory's
+#   visible contents untouched (the same staged-rename discipline as
+#   Spark's file sinks / Iceberg's snapshot commit).
+
+from pyspark.sql.datasource import (  # noqa: E402  (late: keep read path first)
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+def _row_to_envelope(row) -> str:
+    d = {f: getattr(row, f) for f in _FIELDS}
+    if d.get("metadata") is not None:
+        d["metadata"] = dict(d["metadata"])
+    return json.dumps(d, sort_keys=True)
+
+
+def _stage_partition(path: str, iterator) -> _StagedFile:
+    """Task side: write this partition's rows to a task-unique staging file."""
+    import uuid
+
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(staging, f"stage-{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(staged, "w") as fh:
+        for row in iterator:
+            fh.write(_row_to_envelope(row) + "\n")
+            n += 1
+    return _StagedFile(staged=staged, rows=n)
+
+
+def _next_seq(path: str) -> int:
+    """1 + the highest committed sequence number in ``path``."""
+    best = -1
+    for f in os.listdir(path):
+        if f.startswith("cdc-") and f.endswith(".jsonl"):
+            try:
+                best = max(best, int(f.split("-")[1]))
+            except ValueError:
+                continue
+    return best + 1
+
+
+def _publish(path: str, messages, seq: int) -> None:
+    """Driver side: rename staged files into their final monotonic names.
+    Deterministic task order (sorted staged names) keeps replays stable."""
+    staged = sorted(
+        (m.staged for m in messages if m is not None and m.rows > 0)
+    )
+    for i, src in enumerate(staged):
+        os.replace(src, os.path.join(path, f"cdc-{seq:012d}-{i:05d}.jsonl"))
+    _discard(messages)
+
+
+def _discard(messages) -> None:
+    for m in messages or ():
+        if m is not None and os.path.exists(m.staged):
+            try:
+                os.remove(m.staged)
+            except OSError:
+                pass
+
+
+class OpenCDCWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("opencdc sink requires a 'path' option")
+        self.overwrite = overwrite
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        return _stage_partition(self.path, iterator)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in _envelope_files(self.path):
+                os.remove(f)
+        _publish(self.path, messages, _next_seq(self.path))
+
+    def abort(self, messages):
+        _discard(messages)
+
+
+class OpenCDCStreamWriter(DataSourceStreamWriter):
+    """Micro-batch sink: batch N commits as sequence N, so a replayed epoch
+    re-publishes the same file names (overwrite = idempotent) rather than
+    appending a second copy of the batch."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("opencdc sink requires a 'path' option")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        return _stage_partition(self.path, iterator)
+
+    def commit(self, messages, batchId: int):
+        for f in _envelope_files(self.path):
+            base = os.path.basename(f)
+            if base.startswith(f"cdc-{batchId:012d}-"):
+                os.remove(f)  # replayed epoch: replace our own prior output
+        _publish(self.path, messages, batchId)
+
+    def abort(self, messages, batchId: int):
+        _discard(messages)

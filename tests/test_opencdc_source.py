@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from conduit_connector_s3_iceberg_spark.sources.opencdc_source import (
+    ENVELOPE_DDL,
     OpenCDCDataSource,
 )
 
@@ -167,3 +168,92 @@ def test_opencdc_stream_offset_is_filename_not_count(tmp_path):
     # empty source advance: offset sticks, nothing read
     rows3, off3 = rdr.read(off2)
     assert list(rows3) == [] and off3 == off2
+
+
+def _env_rows(n, op="create", start=0):
+    return [
+        {
+            "position": f"p{start + i:04d}",
+            "operation": op,
+            "key": json.dumps({"id": start + i}),
+            "before": None,
+            "after": json.dumps({"id": start + i, "v": f"v{start + i}"}),
+            "metadata": {"src": "test"},
+        }
+        for i in range(n)
+    ]
+
+
+def test_opencdc_batch_write_round_trip_and_append(spark, tmp_path):
+    spark.dataSource.register(OpenCDCDataSource)
+    out = tmp_path / "sink"
+    df = spark.createDataFrame(_env_rows(6), schema=ENVELOPE_DDL)
+    df.write.format("opencdc").option("path", str(out)).mode("append").save()
+    df2 = spark.createDataFrame(_env_rows(3, start=6), schema=ENVELOPE_DDL)
+    df2.write.format("opencdc").option("path", str(out)).mode("append").save()
+
+    files = sorted(p.name for p in out.glob("cdc-*.jsonl"))
+    assert files, "no committed files"
+    # second commit's sequence sorts strictly after the first's
+    seqs = sorted({f.split("-")[1] for f in files})
+    assert len(seqs) == 2 and seqs[0] < seqs[1]
+    # no staging leftovers
+    assert not list((out / "_staging").glob("*"))
+
+    back = spark.read.format("opencdc").option("path", str(out)).load()
+    assert back.count() == 9
+    assert sorted(r["position"] for r in back.collect()) == [
+        f"p{i:04d}" for i in range(9)
+    ]
+
+
+def test_opencdc_batch_overwrite_replaces_contents(spark, tmp_path):
+    spark.dataSource.register(OpenCDCDataSource)
+    out = tmp_path / "sink"
+    spark.createDataFrame(_env_rows(5), schema=ENVELOPE_DDL).write.format(
+        "opencdc"
+    ).option("path", str(out)).mode("append").save()
+    spark.createDataFrame(_env_rows(2, start=100), schema=ENVELOPE_DDL).write.format(
+        "opencdc"
+    ).option("path", str(out)).mode("overwrite").save()
+    back = spark.read.format("opencdc").option("path", str(out)).load()
+    assert sorted(r["position"] for r in back.collect()) == ["p0100", "p0101"]
+
+
+def test_opencdc_stream_write_is_idempotent_per_batch(spark, tmp_path):
+    spark.dataSource.register(OpenCDCDataSource)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a-0001.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in _env_rows(4)) + "\n"
+    )
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        spark.readStream.format("opencdc")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("opencdc")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    back = spark.read.format("opencdc").option("path", str(out)).load()
+    assert back.count() == 4
+
+    # simulate an epoch replay: re-publishing batch 0 must REPLACE batch-0
+    # files, not append a second copy
+    from conduit_connector_s3_iceberg_spark.sources.opencdc_source import (
+        OpenCDCStreamWriter,
+        _stage_partition,
+    )
+    from pyspark.sql import Row
+
+    w = OpenCDCStreamWriter({"path": str(out)}, overwrite=False)
+    rows = [Row(**r) for r in _env_rows(4)]
+    msg = _stage_partition(str(out), iter(rows))
+    w.commit([msg], 0)
+    back2 = spark.read.format("opencdc").option("path", str(out)).load()
+    assert back2.count() == 4
