@@ -760,3 +760,106 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_gap_us"),
         )
     )
+
+
+# ------------------------------------------------ CUSUM change-point scan ---
+#
+# Drift detection the MAD/z-score operators above can't do: a small
+# persistent shift in a daily rate (quiet data poisoning, a partner feed
+# going stale) never trips a per-point outlier test. CUSUM (Page 1954)
+# accumulates deviations from the reference mean and flags when the
+# cumulative drift exceeds a multiple of that mean. The recursion
+# S_d = max(0, S_{d-1} + y_d) is not directly window-expressible, but the
+# classic identity S_d = P_d - min(0, min_{j<=d} P_j) (P = prefix sum of
+# deviations) turns it into two stacked per-series windows — exact, and
+# embarrassingly parallel across series. All arithmetic is scaled BIGINT
+# (one rounded IEEE division makes the reference mean; everything after is
+# integer), so both engines agree bit-for-bit.
+
+CUSUM_SCALE = 1_000_000
+CUSUM_H = 4  # flag when cumulative drift exceeds H reference-days
+
+
+@query(
+    "events_cusum_changepoints",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), ref AS (
+      SELECT event_type,
+             CAST(round({CUSUM_SCALE} * SUM(x) / COUNT(*)) AS BIGINT)
+               AS ref_scaled
+      FROM daily GROUP BY event_type
+    ), dev AS (
+      SELECT d.event_type, d.day, d.x,
+             d.x * {CUSUM_SCALE} - r.ref_scaled AS y,
+             r.ref_scaled
+      FROM daily d JOIN ref r USING (event_type)
+    ), psum AS (
+      SELECT event_type, day, x, ref_scaled,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS p
+      FROM dev
+    ), pre AS (
+      SELECT event_type, day, x, ref_scaled, p,
+             CAST(MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS m
+      FROM psum
+    )
+    SELECT event_type, day, x,
+           p - LEAST(CAST(0 AS BIGINT), m) AS cusum_scaled,
+           (p - LEAST(CAST(0 AS BIGINT), m)) / {CUSUM_SCALE}.0 AS cusum_days,
+           p - LEAST(CAST(0 AS BIGINT), m) > {CUSUM_H} * ref_scaled
+             AS drifted
+    FROM pre
+    ORDER BY event_type, day
+    """,
+    doc="CUSUM change-point scan (Page 1954) over per-type daily event "
+    "counts: cumulative positive drift vs the series' own mean via the "
+    "prefix-sum-minus-running-min identity — two stacked per-series "
+    "windows, exact scaled-BIGINT arithmetic, flag when accumulated "
+    "drift exceeds "
+    f"{CUSUM_H} reference-days. Catches persistent small shifts that "
+    "per-point z-score/MAD outlier tests structurally miss. Series are "
+    "independent window partitions: at 100 TB the day-grain series "
+    "frame is metadata-sized (series x days), built by one "
+    "map-side-combined count.",
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ref = daily.groupBy("event_type").agg(
+        F.round(F.lit(CUSUM_SCALE) * F.sum("x") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("ref_scaled")
+    )
+    dev = daily.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        "ref_scaled",
+        (F.col("x") * CUSUM_SCALE - F.col("ref_scaled")).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = dev.withColumn("p", F.sum("y").over(w).cast("long")).withColumn(
+        "m", F.min("p").over(w).cast("long")
+    )
+    s = F.col("p") - F.least(F.lit(0).cast("long"), F.col("m"))
+    return pre.select(
+        "event_type",
+        "day",
+        "x",
+        s.alias("cusum_scaled"),
+        (s / F.lit(float(CUSUM_SCALE))).alias("cusum_days"),
+        (s > CUSUM_H * F.col("ref_scaled")).alias("drifted"),
+    ).orderBy("event_type", "day")

@@ -648,3 +648,37 @@ def test_neardup_decontamination_finds_only_cross_split_pairs(spark):
         assert 0.0 <= r["best_jaccard"] <= 1.0
         assert r["leaky"] == (r["best_jaccard"] >= 0.5)
         assert r["n_candidates"] >= 1
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        CUSUM_SCALE,
+        events_cusum_changepoints,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = events_cusum_changepoints(spark, SF).collect()
+    assert rows
+    # rebuild the textbook recursion S_d = max(0, S_{d-1} + y_d) per series
+    # and assert the window identity produced the identical values
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        series[r["event_type"]].append(r)
+    ev = load_table(spark, SF, "events")
+    daily = {
+        (r["event_type"], r["day"]): r["x"]
+        for r in ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    }
+    for t, rs in series.items():
+        xs = [daily[(t, r["day"])] for r in rs]
+        ref = round(CUSUM_SCALE * sum(xs) / len(xs))
+        s = 0
+        for r, x in zip(rs, xs):
+            s = max(0, s + x * CUSUM_SCALE - ref)
+            assert r["cusum_scaled"] == s, (t, r["day"])
