@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.tables import load_table
+from .similarity import _SPARK_NORM as _SPARK_NORM_IMPORTED
+from .similarity import _SQL_NORM as _SQL_NORM_IMPORTED
 
 N_BYTE_FEATURES = 4
 
@@ -497,4 +499,98 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("rep_doc_id"),
         )
         .filter(F.col("n_images") >= 2)
+    )
+
+
+# ------------------------------------------------ paired-dataset manifest ---
+#
+# CLIP-style training consumes (caption, image-embedding) PAIRS, and the
+# manifest that defines them is itself a first-class pipeline artifact:
+# which caption pairs with which asset, which pairs survived the quality
+# gates, and how many pairs each source contributes (capped, so one crawl
+# domain can't dominate the contrastive batch distribution). Here the
+# caption side is `documents` and the asset side is `embeddings` keyed by
+# doc_id == vec_id — the standard layout where a sibling table holds the
+# precomputed vision-tower output.
+#
+# Scale shape: one equi-join between the two tables (both shuffled on the
+# shared id — or co-located for free if both are bucketed by id at write
+# time, the warehouse's bucketing seam), narrow per-row gates, and the
+# per-source cap as a hash-ranked window inside each source partition.
+# No data-sized broadcast, no skew (caps bound every source's output).
+
+PAIR_MIN_TOKENS = 3       # caption gates
+PAIR_MAX_TOKENS = 64
+PAIR_SOURCE_CAP = 40      # max pairs per source
+PAIR_SALT = "mmp1:"
+
+
+@query(
+    "mm_pair_manifest",
+    oracle=f"""
+    WITH cap AS (
+      SELECT doc_id, source, lang,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    ), emb AS (
+      SELECT vec_id, {_SQL_NORM_IMPORTED} AS emb_norm FROM embeddings
+    ), gated AS (
+      SELECT c.doc_id, c.source, c.lang, c.n_tokens, e.emb_norm
+      FROM cap c JOIN emb e ON e.vec_id = c.doc_id
+      WHERE c.n_tokens BETWEEN {PAIR_MIN_TOKENS} AND {PAIR_MAX_TOKENS}
+        AND e.emb_norm > 0
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('{PAIR_SALT}' || doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM gated
+    )
+    SELECT doc_id, source, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           emb_norm
+    FROM ranked WHERE rk <= {PAIR_SOURCE_CAP}
+    ORDER BY doc_id
+    """,
+    doc="Paired multimodal training manifest (CLIP shape): captions "
+    "joined to their precomputed embedding rows on doc_id = vec_id, "
+    "token-length and non-degenerate-norm gates, then a deterministic "
+    f"hash-ranked cap of {PAIR_SOURCE_CAP} pairs per source so no crawl "
+    "domain dominates the contrastive batch distribution. One id-grain "
+    "equi-join (bucketable at write time) + narrow gates + per-source "
+    "windows — no broadcast of data, caps bound every partition.",
+)
+def mm_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr("size(split(trim(text), ' '))").alias("n_tokens"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(_SPARK_NORM_IMPORTED).alias("emb_norm"),
+    )
+    gated = docs.join(emb, "doc_id").filter(
+        F.col("n_tokens").between(PAIR_MIN_TOKENS, PAIR_MAX_TOKENS)
+        & (F.col("emb_norm") > 0)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(PAIR_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        gated.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PAIR_SOURCE_CAP)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "emb_norm",
+        )
+        .orderBy("doc_id")
     )

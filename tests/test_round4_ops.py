@@ -682,3 +682,22 @@ def test_cusum_matches_sequential_recursion(spark):
         for r, x in zip(rs, xs):
             s = max(0, s + x * CUSUM_SCALE - ref)
             assert r["cusum_scaled"] == s, (t, r["day"])
+
+
+def test_pair_manifest_gates_and_caps(spark):
+    from conduit_connector_s3_iceberg_spark.operators.multimodal import (
+        PAIR_MAX_TOKENS,
+        PAIR_MIN_TOKENS,
+        PAIR_SOURCE_CAP,
+        mm_pair_manifest,
+    )
+
+    rows = mm_pair_manifest(spark, SF).collect()
+    assert rows
+    from collections import Counter
+
+    per_source = Counter(r["source"] for r in rows)
+    assert all(c <= PAIR_SOURCE_CAP for c in per_source.values())
+    for r in rows:
+        assert PAIR_MIN_TOKENS <= r["n_tokens"] <= PAIR_MAX_TOKENS
+        assert r["emb_norm"] > 0
