@@ -660,13 +660,30 @@ def _kmv_v(hx: F.Column) -> F.Column:
     return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
 
 
-def kmv_sketches(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def kmv_hashes(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The deduped ``(group, hx)`` hash frame both the sketch and any exact
+    count derive from — materialized ONCE (localCheckpoint) because every
+    downstream consumer (k-min ranks, exact counts) would otherwise re-run
+    the corpus scan + distinct shuffle per consumer."""
+    return (
+        df.select(
+            F.col(group_col), F.md5(F.col(value_col).cast("string")).alias("hx")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def kmv_sketches(
+    df: DataFrame, group_col: str, value_col: str, h: DataFrame | None = None
+) -> DataFrame:
     """Per-group KMV sketch rows ``(group, hx, rk)`` with rk <= KMV_K.
     Two-phase k-min: sub-bucket rank then merge rank, so no group's full
-    distinct set ever sorts on a single reducer."""
-    h = df.select(
-        F.col(group_col), F.md5(F.col(value_col).cast("string")).alias("hx")
-    ).distinct()
+    distinct set ever sorts on a single reducer. Pass a precomputed
+    :func:`kmv_hashes` frame to share the distinct shuffle with other
+    consumers."""
+    if h is None:
+        h = kmv_hashes(df, group_col, value_col)
     b = h.withColumn("b", _kmv_v(F.col("hx")) % KMV_P)
     w1 = Window.partitionBy(group_col, "b").orderBy("hx")
     survivors = (
@@ -724,16 +741,14 @@ def kmv_sketches(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 )
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    sk = kmv_sketches(ev, "event_type", "user_id")
+    h = kmv_hashes(ev, "event_type", "user_id")
+    sk = kmv_sketches(ev, "event_type", "user_id", h=h)
     k = sk.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("kmv_size"),
         F.max(F.when(F.col("rk") == KMV_K, F.col("hx"))).alias("kth"),
     )
-    n = (
-        ev.select("event_type", F.md5(F.col("user_id").cast("string")).alias("hx"))
-        .distinct()
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
     )
     est = F.when(
         F.col("kmv_size") < KMV_K, F.col("kmv_size").cast("double")
@@ -825,7 +840,14 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    sk = kmv_sketches(ev, "event_type", "user_id").select("event_type", "hx")
+    # the sketch is T*k rows of metadata and the deduped (type, user) frame
+    # feeds three consumers (exact sizes + both exact-intersection legs) —
+    # materialize each once instead of re-deriving from the corpus per use
+    sk = (
+        kmv_sketches(ev, "event_type", "user_id")
+        .select("event_type", "hx")
+        .localCheckpoint(eager=False)
+    )
     types = sk.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
@@ -865,7 +887,9 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_common"),
         )
     )
-    ut = ev.select("event_type", "user_id").distinct()
+    ut = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
     n = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
     x, y = ut.alias("x"), ut.alias("y")
     ix = (

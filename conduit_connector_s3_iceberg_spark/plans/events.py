@@ -831,9 +831,14 @@ CUSUM_H = 4  # flag when cumulative drift exceeds H reference-days
 )
 def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    # daily is series x days rows (metadata-sized) but feeds both the
+    # reference mean and the deviation frame: materialize it once so the
+    # events scan + count shuffle run once, not per consumer
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
     ref = daily.groupBy("event_type").agg(
         F.round(F.lit(CUSUM_SCALE) * F.sum("x") / F.count(F.lit(1)))
         .cast("long")
