@@ -53,6 +53,10 @@ BENCH_EXT = [
     "text_boilerplate_chunks",
     "sim_truncated_rerank",
     "layout_zorder_stats",
+    # round 4, second wave
+    "corpus_neardup_decontamination",
+    "text_dsir_weights",
+    "sketch_kmv_jaccard",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +
