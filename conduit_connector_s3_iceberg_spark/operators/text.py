@@ -1367,3 +1367,212 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------- filter cascade audit ---
+#
+# Production cleaning (C4, FineWeb, Dolma) is a SEQUENCE of cheap rules,
+# and the artifact reviewers actually read is the attrition funnel: how
+# many documents entered each rule, how many it dropped, how many remain.
+# Publishing that per-rule attrition is what makes a filter auditable —
+# a rule that silently deletes 40% of a source is a bug report, not a
+# cleaning step. Rules here (integer-exact, order as listed): allowed
+# language; token-count band; minimum stopword ratio (gibberish gate);
+# maximum repeated-token ratio (boilerplate gate).
+#
+# Scale shape: rules 1-3 are narrow per-row expressions on the scan; rule
+# 4's mode-token count is one (doc, token) explode + two hash aggs — the
+# only shuffle. The funnel itself folds to ONE aggregate row (4 sums), and
+# the output unstacks that row into 4 rule rows: no second corpus pass per
+# rule, which is exactly what naive "run each filter, count" pipelines get
+# wrong at 100 TB (R passes for R rules).
+
+CASCADE_LANGS = ("en", "de", "fr")
+CASCADE_MIN_TOK = 5
+CASCADE_MAX_TOK = 1000
+# stop_ratio >= 1/50 and max_token_ratio <= 3/10, as integer cross-products
+_CASCADE_RULES = ("lang", "length", "stopwords", "repetition")
+
+
+@query(
+    "text_filter_cascade",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             {_sql_hits(STOPWORDS)} AS stop_hits
+      FROM documents
+    ), modec AS (
+      SELECT doc_id, MAX(c) AS maxc FROM (
+        SELECT doc_id, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+          FROM documents
+        ) GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    ), flags AS (
+      SELECT CASE WHEN b.lang IN ({", ".join(f"'{l}'" for l in CASCADE_LANGS)})
+                  THEN 1 ELSE 0 END AS p1,
+             CASE WHEN b.n_tok BETWEEN {CASCADE_MIN_TOK} AND {CASCADE_MAX_TOK}
+                  THEN 1 ELSE 0 END AS p2,
+             CASE WHEN b.stop_hits * 50 >= b.n_tok THEN 1 ELSE 0 END AS p3,
+             CASE WHEN m.maxc * 10 <= b.n_tok * 3 THEN 1 ELSE 0 END AS p4
+      FROM base b JOIN modec m USING (doc_id)
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p1) AS BIGINT) AS s1,
+             CAST(SUM(p1 * p2) AS BIGINT) AS s2,
+             CAST(SUM(p1 * p2 * p3) AS BIGINT) AS s3,
+             CAST(SUM(p1 * p2 * p3 * p4) AS BIGINT) AS s4
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT 1 AS rule_no, 'lang' AS rule, n AS n_in, n - s1 AS n_dropped,
+             s1 AS n_out FROM agg
+      UNION ALL
+      SELECT 2, 'length', s1, s1 - s2, s2 FROM agg
+      UNION ALL
+      SELECT 3, 'stopwords', s2, s2 - s3, s3 FROM agg
+      UNION ALL
+      SELECT 4, 'repetition', s3, s3 - s4, s4 FROM agg
+    ) ORDER BY rule_no
+    """,
+    doc="Filter-cascade attrition funnel (C4/FineWeb audit artifact): four "
+    "sequential integer-exact rules — allowed language, token-count "
+    "band, minimum stopword ratio, maximum repeated-token ratio — "
+    "evaluated as per-row flags in ONE corpus pass (the only shuffle is "
+    "rule 4's mode-token count), folded to a single aggregate row and "
+    "unstacked into per-rule (entered, dropped, remaining) rows. R "
+    "rules cost one pass, not R passes.",
+)
+def text_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.expr("size(split(trim(text), ' '))")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        _hits(STOPWORDS).alias("stop_hits"),
+    )
+    modec = (
+        docs.select(
+            "doc_id", F.explode(F.expr("split(trim(text), ' ')")).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxc"))
+    )
+    flags = base.join(modec, "doc_id").select(
+        F.when(F.col("lang").isin(*CASCADE_LANGS), 1).otherwise(0).alias("p1"),
+        F.when(
+            F.col("n_tok").between(CASCADE_MIN_TOK, CASCADE_MAX_TOK), 1
+        ).otherwise(0).alias("p2"),
+        F.when(F.col("stop_hits") * 50 >= F.col("n_tok"), 1).otherwise(0).alias("p3"),
+        F.when(F.col("maxc") * 10 <= F.col("n_tok") * 3, 1).otherwise(0).alias("p4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p1").cast("long").alias("s1"),
+        F.sum(F.col("p1") * F.col("p2")).cast("long").alias("s2"),
+        F.sum(F.col("p1") * F.col("p2") * F.col("p3")).cast("long").alias("s3"),
+        F.sum(F.col("p1") * F.col("p2") * F.col("p3") * F.col("p4"))
+        .cast("long")
+        .alias("s4"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             1, 'lang',       n,  n  - s1, s1,
+             2, 'length',     s1, s1 - s2, s2,
+             3, 'stopwords',  s2, s2 - s3, s3,
+             4, 'repetition', s3, s3 - s4, s4
+           ) AS (rule_no, rule, n_in, n_dropped, n_out)"""
+    ).orderBy("rule_no")
+
+
+# ------------------------------------------------------- token entropy ------
+#
+# Shannon entropy of each document's token distribution — the information-
+# density gate: near-zero entropy means one token repeated (progress bars,
+# padding, keyword stuffing), high entropy with low stopword mass means
+# random noise. Uses the identity H = log2(n) - (1/n) * sum c_t*log2(c_t)
+# so only INTEGER counts are ever logged, and evaluates log2 with the same
+# Mitchell bitlength approximation as text_dsir_weights — exact integer
+# ops + one power-of-two division, bit-identical across engines, with
+# per-token weights quantized to BIGINT before any cross-row accumulation.
+# One explode + two hash aggs; no Python, no window.
+
+ENT_WSCALE = 1_000_000
+
+_ENT_W_SPARK = (
+    "cast(round(1000000.0 * ((length(bin(c)) - 1)"
+    " + (c / shiftleft(cast(1 as bigint), length(bin(c)) - 1) - 1.0)))"
+    " as bigint)"
+)
+_ENT_W_SQL = (
+    "CAST(round(1000000.0 * ((length(bin(c)) - 1)"
+    " + (c / (CAST(1 AS BIGINT) << (length(bin(c)) - 1)) - 1.0)))"
+    " AS BIGINT)"
+)
+# mlog2(n) as a double, same association both engines
+_ENT_LOGN_SPARK = (
+    "(length(bin(n)) - 1)"
+    " + (n / shiftleft(cast(1 as bigint), length(bin(n)) - 1) - 1.0)"
+)
+_ENT_LOGN_SQL = (
+    "(length(bin(n)) - 1)"
+    " + (n / (CAST(1 AS BIGINT) << (length(bin(n)) - 1)) - 1.0)"
+)
+
+
+@query(
+    "text_token_entropy",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        FROM documents
+      ) GROUP BY doc_id, t
+    ), perdoc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * {_ENT_W_SQL}) AS BIGINT) AS s
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens, n_types,
+           ({_ENT_LOGN_SQL}) - ((s / n) / {ENT_WSCALE}.0) AS entropy_bits
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+    doc="Per-document Shannon entropy of the token distribution via "
+    "H = log2(n) - (1/n)*sum c*log2(c): only integer counts are logged, "
+    "log2 is Mitchell's bitlength approximation (deterministic IEEE "
+    "sequence, no libm), per-token weights quantized to BIGINT before "
+    "any cross-row sum. The information-density quality gate: ~0 bits "
+    "-> one repeated token; the gibberish direction pairs with the "
+    "stopword gate in text_filter_cascade. One explode + two hash "
+    "aggs.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.expr("split(trim(text), ' ')")).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    perdoc = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.expr(_ENT_W_SPARK)).cast("long").alias("s"),
+    )
+    return perdoc.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        (
+            F.expr(_ENT_LOGN_SPARK)
+            - (F.col("s") / F.col("n")) / F.lit(float(ENT_WSCALE))
+        ).alias("entropy_bits"),
+    ).orderBy("doc_id")

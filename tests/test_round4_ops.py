@@ -701,3 +701,48 @@ def test_pair_manifest_gates_and_caps(spark):
     for r in rows:
         assert PAIR_MIN_TOKENS <= r["n_tokens"] <= PAIR_MAX_TOKENS
         assert r["emb_norm"] > 0
+
+
+def test_filter_cascade_funnel_is_consistent(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        text_filter_cascade,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = sorted(
+        text_filter_cascade(spark, SF).collect(), key=lambda r: r["rule_no"]
+    )
+    total = load_table(spark, SF, "documents").count()
+    assert rows[0]["n_in"] == total
+    for r in rows:
+        assert r["n_in"] - r["n_dropped"] == r["n_out"]
+        assert r["n_dropped"] >= 0
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_out"] == b["n_in"]
+
+
+def test_token_entropy_matches_math_log_within_mitchell_bound(spark):
+    import math
+
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        text_token_entropy,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in text_token_entropy(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").collect()
+    from collections import Counter
+
+    for d in docs[:50]:
+        toks = d["text"].strip().split(" ")
+        c = Counter(toks)
+        n = len(toks)
+        true_h = math.log2(n) - sum(
+            v * math.log2(v) for v in c.values()
+        ) / n
+        r = out[d["doc_id"]]
+        assert r["n_tokens"] == n and r["n_types"] == len(c)
+        # Mitchell underestimates each log2 by <= 0.0861 bits; the error on
+        # H is bounded by 0.0861 * (1 + sum c/n) = ~0.18 bits
+        assert abs(r["entropy_bits"] - true_h) <= 0.18
+        assert r["entropy_bits"] >= -0.09  # ~0 for single-token docs
