@@ -1823,3 +1823,94 @@ def emb_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "vec_id", "cluster", "dist2", F.row_number().over(w).alias("rank")
     )
+
+
+# ----------------------------------------------------- PQ distortion audit --
+#
+# The missing quarter of the PQ family (fit -> encode -> search -> AUDIT):
+# quantization distortion, the per-subspace mean squared error between each
+# vector's subvector and its assigned centroid. This is the number that
+# decides PQ_K/PQ_M upgrades and flags embedding-distribution drift against
+# a trained codebook (rising MSE = retrain signal). Same narrow
+# broadcast-argmin fold as encoding — the winning struct's DISTANCE is kept
+# instead of its cid — then per-row distances are quantized to scaled
+# BIGINT before the per-subspace mean, so the fold order of the shuffle
+# cannot perturb the result (the helpers.py discipline).
+
+PQ_DIST_SCALE = 1_000_000_000.0
+
+
+@query(
+    "emb_pq_distortion",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    cb AS (
+      SELECT m.m,
+             ROW_NUMBER() OVER (PARTITION BY m.m ORDER BY e.vec_id) - 1 AS cid,
+             list_transform(generate_series(1, {PQ_SUBDIM}),
+                            j -> e.emb[m.m * {PQ_SUBDIM} + j]) AS c
+      FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+      WHERE e.vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, cb.m,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+               j -> (e.emb[cb.m * {PQ_SUBDIM} + j] - cb.c[j])
+                  * (e.emb[cb.m * {PQ_SUBDIM} + j] - cb.c[j])),
+               (x, y) -> x + y) AS d2
+      FROM e, cb
+    ),
+    best AS (
+      SELECT vec_id, m,
+             CAST(round({PQ_DIST_SCALE!r} * MIN(d2)) AS BIGINT) AS ds
+      FROM d GROUP BY vec_id, m
+    )
+    SELECT m,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(ds) AS BIGINT) AS sse_scaled,
+           (CAST(SUM(ds) AS BIGINT) / COUNT(*)) / {PQ_DIST_SCALE!r} AS mse
+    FROM best
+    GROUP BY m
+    ORDER BY m
+    """,
+    doc="PQ quantization-distortion audit: per-subspace MSE between each "
+    "vector's subvector and its assigned (nearest) codebook centroid — "
+    "the retrain/upgrade signal for a deployed codebook. Same narrow "
+    "broadcast-argmin fold as encoding, keeping the winning distance; "
+    "per-row distances quantized to scaled BIGINT before the mean, so "
+    "the result is bit-stable under any shuffle order.",
+)
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    cb = _pq_codebook(emb)
+    # per row: array over subspaces of the winning struct; keep .d per m
+    per_m = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform({_PQ_ASSIGNS}, s -> "
+                f"cast(round({PQ_DIST_SCALE!r} * s.d) as bigint))"
+            )
+        ).alias("m", "ds"),
+    )
+    return (
+        per_m.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("ds").cast("long").alias("sse_scaled"),
+        )
+        .select(
+            "m",
+            "n_vecs",
+            "sse_scaled",
+            (
+                (F.col("sse_scaled") / F.col("n_vecs"))
+                / F.lit(PQ_DIST_SCALE)
+            ).alias("mse"),
+        )
+        .orderBy("m")
+    )

@@ -746,3 +746,19 @@ def test_token_entropy_matches_math_log_within_mitchell_bound(spark):
         # H is bounded by 0.0861 * (1 + sum c/n) = ~0.18 bits
         assert abs(r["entropy_bits"] - true_h) <= 0.18
         assert r["entropy_bits"] >= -0.09  # ~0 for single-token docs
+
+
+def test_pq_distortion_rows_and_bounds(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        PQ_M,
+        emb_pq_distortion,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = emb_pq_distortion(spark, SF).collect()
+    n = load_table(spark, SF, "embeddings").count()
+    assert [r["m"] for r in rows] == list(range(PQ_M))
+    for r in rows:
+        assert r["n_vecs"] == n
+        assert r["mse"] >= 0.0
+        assert r["sse_scaled"] >= 0
