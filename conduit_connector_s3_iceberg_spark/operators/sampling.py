@@ -656,3 +656,84 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adj_weight"),
         )
     )
+
+
+# ------------------------------------------------ DSIR importance resample --
+#
+# The second half of DSIR (Xie et al., NeurIPS 2023): having scored every
+# raw document with a target-vs-raw log-likelihood ratio
+# (text.dsir_log_weights), actually DRAW the resample — keep doc i with
+# probability min(1, base * 2^logw_i). Reproducibility demands hash
+# randomness, and cross-engine exactness demands no pow(): both sides are
+# compared in the LOG domain — keep iff log2(u) < log2(base) + logw, where
+# u is the doc's 60-bit md5 fraction, log2(u) = mitchell(v) - 60 (the same
+# bitlength log2 as the weights themselves), and log2(base) is exact
+# because DSIR_BASE_RATE is a power of two. Everything is a deterministic
+# IEEE comparison of identically-derived doubles.
+#
+# Scale: the weight table is the DSIR pipeline's output (explode + two
+# broadcast joins); the draw itself is a pure narrow map over it.
+
+DSIR_BASE_LOG2 = -2  # base keep rate 2^-2 = 25% at logw = 0
+_DSIR_SALT = "dsir1:"
+
+# mitchell log2 of the 60-bit hash value, identical text in both engines
+_U_LOG2_SPARK = (
+    "(length(bin(v)) - 1)"
+    " + (v / shiftleft(cast(1 as bigint), length(bin(v)) - 1) - 1.0) - 60.0"
+)
+_U_LOG2_SQL = (
+    "(length(bin(v)) - 1)"
+    " + (v / (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) - 1.0) - 60.0"
+)
+
+
+from .text import _DSIR_CORE_SQL  # noqa: E402  (shared oracle CTE chain)
+
+_DSIR_RESAMPLE_ORACLE = f"""
+    WITH {_DSIR_CORE_SQL},
+    drawn AS (
+      SELECT doc_id, lang, dsir_logw,
+             CAST(('0x' || substr(md5('{_DSIR_SALT}' || doc_id::VARCHAR),
+                                  1, 15)) AS BIGINT) AS v
+      FROM dsirw
+    )
+    SELECT doc_id, lang, dsir_logw
+    FROM drawn
+    WHERE {_U_LOG2_SQL} < {float(DSIR_BASE_LOG2)!r} + dsir_logw
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "sample_dsir_resample",
+    oracle=_DSIR_RESAMPLE_ORACLE,
+    doc="DSIR importance resampling, the actual draw: keep doc i with "
+    "probability min(1, 2^(-2) * 2^dsir_logw), decided in the log "
+    "domain (Mitchell log2 of the doc's 60-bit md5 fraction vs "
+    "log2(base) + logw) so no pow() ever runs — every comparison is of "
+    "identically-derived doubles in both engines. Target-like docs "
+    "(logw >= 2) are always kept; raw-typical docs keep at ~25%; "
+    "anti-target docs are suppressed exponentially. A pure narrow map "
+    "over the DSIR weight table.",
+)
+def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs)
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_DSIR_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = w.withColumn("v", v).filter(
+        F.expr(_U_LOG2_SPARK)
+        < F.lit(float(DSIR_BASE_LOG2)) + F.col("dsir_logw")
+    )
+    return kept.select("doc_id", "lang", "dsir_logw").orderBy("doc_id")
+

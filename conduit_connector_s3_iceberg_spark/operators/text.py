@@ -1240,10 +1240,7 @@ _BG_TOKS_SPARK = "split(trim(lower(text)), ' ')"
 _BG_TOKS_SQL = "string_split(trim(lower(text)), ' ')"
 
 
-@query(
-    "text_dsir_weights",
-    oracle=f"""
-    WITH toks AS (
+_DSIR_CORE_SQL = f"""toks AS (
       SELECT doc_id, lang, {_BG_TOKS_SQL} AS t FROM documents
     ), bg AS (
       SELECT doc_id, lang,
@@ -1280,14 +1277,22 @@ _BG_TOKS_SQL = "string_split(trim(lower(text)), ' ')"
     ), docb AS (
       SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM bg GROUP BY doc_id, lang, b
-    )
-    SELECT doc_id, lang,
-           CAST(SUM(cnt) AS BIGINT) AS n_feat,
-           ((CAST(SUM(cnt * w) AS BIGINT) / CAST(SUM(cnt) AS BIGINT))
-            / {DSIR_WSCALE}.0) - 20.0 AS dsir_logw
-    FROM docb JOIN wv USING (b)
-    GROUP BY doc_id, lang
-    ORDER BY doc_id
+    ),
+    dsirw AS (
+      SELECT doc_id, lang,
+             CAST(SUM(cnt) AS BIGINT) AS n_feat,
+             ((CAST(SUM(cnt * w) AS BIGINT) / CAST(SUM(cnt) AS BIGINT))
+              / {DSIR_WSCALE}.0) - 20.0 AS dsir_logw
+      FROM docb JOIN wv USING (b)
+      GROUP BY doc_id, lang
+    )"""
+
+
+@query(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CORE_SQL}
+    SELECT doc_id, lang, n_feat, dsir_logw FROM dsirw ORDER BY doc_id
     """,
     doc="DSIR importance weights (hashed-bigram log-likelihood ratio of "
     "target 'en' model vs raw-corpus model, add-1 smoothed) per document. "
@@ -1299,6 +1304,12 @@ _BG_TOKS_SQL = "string_split(trim(lower(text)), ' ')"
 )
 def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs).orderBy("doc_id")
+
+
+def dsir_log_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_feat, dsir_logw) — the library form of
+    text_dsir_weights, reused by the resampler in sampling.py."""
     bg = docs.select(
         "doc_id",
         "lang",
@@ -1365,7 +1376,6 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.lit(20.0)
             ).alias("dsir_logw"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -762,3 +762,29 @@ def test_pq_distortion_rows_and_bounds(spark):
         assert r["n_vecs"] == n
         assert r["mse"] >= 0.0
         assert r["sse_scaled"] >= 0
+
+
+def test_dsir_resample_respects_probability_structure(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        sample_dsir_resample,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        text_dsir_weights,
+    )
+
+    kept = {r["doc_id"] for r in sample_dsir_resample(spark, SF).collect()}
+    weights = text_dsir_weights(spark, SF).collect()
+    assert kept and len(kept) < len(weights)
+    # docs with logw >= 2 have keep probability 1 (2^-2 * 2^logw >= 1):
+    # every one of them must be in the sample
+    always = {r["doc_id"] for r in weights if r["dsir_logw"] >= 2.0}
+    assert always <= kept
+    # the kept set should be tilted toward the target: mean logw of kept
+    # strictly exceeds mean logw of the full population
+    import statistics
+
+    pop = statistics.mean(r["dsir_logw"] for r in weights)
+    got = statistics.mean(
+        r["dsir_logw"] for r in weights if r["doc_id"] in kept
+    )
+    assert got > pop
