@@ -17,7 +17,7 @@ an identical left-fold over doubles in both engines (see ``_COS`` fragments).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import QUERIES, query
@@ -1461,3 +1461,146 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# ------------------------------------------- content-defined chunk dedup ----
+#
+# Fixed-grid chunking (text_boilerplate_chunks' 8-token grid) breaks when a
+# single token is inserted upstream of a duplicate region: every grid cell
+# after the insertion shifts and nothing matches. Content-DEFINED chunking
+# (the rolling-hash cut rule behind rsync/LBFS and FastCDC) cuts where a
+# rolling hash of the last few tokens hits a modulus — boundaries are
+# decided by CONTENT, so they re-synchronize right after any edit and the
+# shared region still dedups. This is the storage-dedup complement to the
+# similarity family: exact repeated REGIONS across the corpus, robust to
+# shifts.
+#
+# Cut rule (identical text in both engines): token value = 60-bit md5
+# fraction; W_g = sum of the last CDC_WIN token values; cut BEFORE position
+# g when W_g % CDC_MOD == 0 (expected chunk length = CDC_MOD tokens).
+# All integer arithmetic — sums of 60-bit values over a 4-token window
+# cannot overflow BIGINT.
+#
+# Scale shape: one posexplode; per-DOC windows (bounded by max doc length,
+# embarrassingly parallel across docs — never a corpus-wide window); chunk
+# content hashes by one groupBy(doc, chunk); the cross-corpus dedup is one
+# hash-agg on the chunk hash. Same inverted-index discipline as the rest
+# of the family.
+
+CDC_WIN = 4    # rolling window tokens
+CDC_MOD = 32   # expected chunk length (tokens)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, g, t[g] AS tok,
+             CAST(('0x' || substr(md5(t[g]), 1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(g)
+    ), rolled AS (
+      SELECT doc_id, g, tok,
+             CAST(SUM(h) OVER (PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN {CDC_WIN - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS w
+      FROM pos
+    ), cut AS (
+      SELECT doc_id, g, tok,
+             CASE WHEN g = 1 OR w % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+      FROM rolled
+    ), chunks AS (
+      SELECT doc_id, g, tok,
+             CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS chunk_id
+      FROM cut
+    ), content AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY g)) AS chash,
+             CAST(COUNT(*) AS BIGINT) AS chunk_len
+      FROM chunks GROUP BY doc_id, chunk_id
+    )
+    SELECT chash,
+           MAX(chunk_len) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM content
+    GROUP BY chash
+    HAVING COUNT(*) >= 2
+    ORDER BY chash
+    """,
+    doc="Content-defined chunk dedup (rsync/FastCDC cut rule on tokens): "
+    "cut where the rolling sum of the last "
+    f"{CDC_WIN} 60-bit token hashes hits 0 mod {CDC_MOD}, hash each "
+    "chunk's content, report chunks occurring >= 2 times corpus-wide. "
+    "Boundaries re-synchronize after any insertion/deletion, so shared "
+    "regions dedup even when fixed-grid chunking is shifted off them. "
+    "Per-doc windows only (bounded by doc length); the corpus-wide step "
+    "is one hash-agg on the chunk hash.",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    content = cdc_chunk_frame(docs)
+    return (
+        content.groupBy("chash")
+        .agg(
+            F.max("chunk_len").cast("long").alias("chunk_len"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy("chash")
+    )
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, chash, chunk_len) under the content-defined cut
+    rule — the library form of dedup_cdc_chunks, shift-robustness
+    unit-tested directly."""
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(trim(text), ' ')")).alias("g0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("g0") + 1).alias("g"),
+        "tok",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w_roll = (
+        Window.partitionBy("doc_id")
+        .orderBy("g")
+        .rowsBetween(-(CDC_WIN - 1), 0)
+    )
+    rolled = pos.withColumn("w", F.sum("h").over(w_roll).cast("long"))
+    cut = rolled.withColumn(
+        "b",
+        F.when((F.col("g") == 1) | (F.col("w") % CDC_MOD == 0), 1).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunks = cut.withColumn(
+        "chunk_id", F.sum("b").over(w_cum).cast("long")
+    )
+    content = (
+        chunks.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(named_struct("
+                        "'g', g, 'tok', tok))), s -> s.tok)"
+                    ),
+                )
+            ).alias("chash"),
+            F.count(F.lit(1)).cast("long").alias("chunk_len"),
+        )
+    )
+    return content.select("doc_id", "chunk_id", "chash", "chunk_len")

@@ -788,3 +788,28 @@ def test_dsir_resample_respects_probability_structure(spark):
         r["dsir_logw"] for r in weights if r["doc_id"] in kept
     )
     assert got > pop
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The content-defined cut rule's whole point: prefixing ONE token must
+    not destroy chunk sharing in a long identical tail (a fixed grid would
+    shift every cell)."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        cdc_chunk_frame,
+        dedup_cdc_chunks,
+    )
+
+    tail = " ".join(f"w{i % 97}x{(i * 7) % 53}" for i in range(400))
+    frame = spark.createDataFrame(
+        [(1, "alpha " + tail), (2, tail)], "doc_id long, text string"
+    )
+    chunks = cdc_chunk_frame(frame).collect()
+    h1 = {r["chash"] for r in chunks if r["doc_id"] == 1}
+    h2 = {r["chash"] for r in chunks if r["doc_id"] == 2}
+    shared = h1 & h2
+    # the tail is hundreds of tokens: most chunks must re-sync and match
+    assert len(shared) >= max(2, len(h2) // 2), (len(shared), len(h2))
+
+    # and the registered query only reports genuinely repeated chunks
+    rows = dedup_cdc_chunks(spark, SF).collect()
+    assert all(r["n_occurrences"] >= 2 for r in rows)
