@@ -868,3 +868,95 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s / F.lit(float(CUSUM_SCALE))).alias("cusum_days"),
         (s > CUSUM_H * F.col("ref_scaled")).alias("drifted"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------- time-weighted aggregation ----
+#
+# Plain AVG(value) answers "average per EVENT"; operations questions are
+# usually "average per unit TIME" — a gauge sampled irregularly (queue
+# depth, price, sensor) must weight each reading by how long it was the
+# current one. TWA = sum(v_i * dt_i) / sum(dt_i) with dt_i the hold time
+# until the user's next reading. The hold interval comes from one lead()
+# per (event_type, user) partition — fine-grained keys, embarrassingly
+# parallel, never a per-type global sort — and the per-type rollup then
+# folds users' exact integer sums. value is quantized to scaled BIGINT
+# once (one rounded IEEE multiply); microsecond deltas are already BIGINT,
+# so the weighted sums accumulate exactly (max |v|*1e6 ~ 1e10 times dt_us
+# ~ 2.6e12 exceeds BIGINT -- so dt is folded in SECONDS, max product
+# ~2.6e16, safely exact).
+
+TWA_VSCALE = 1_000_000
+
+
+@query(
+    "events_time_weighted_value",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             CAST(round({TWA_VSCALE} * value) AS BIGINT) AS vs,
+             LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY event_type, user_id
+               ORDER BY epoch_us(ts), event_id
+             ) AS nxt_us
+      FROM events
+    ), held AS (
+      SELECT event_type, vs,
+             (nxt_us - t_us) // 1000000 AS dt_s
+      FROM seq WHERE nxt_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_s) AS BIGINT) AS held_seconds,
+           CAST(SUM(vs * dt_s) AS BIGINT) AS vw_scaled,
+           (CAST(SUM(vs * dt_s) AS BIGINT) / CAST(SUM(dt_s) AS BIGINT))
+             / {TWA_VSCALE}.0 AS time_weighted_avg
+    FROM held
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Time-weighted average of a sampled gauge: each reading weighted "
+    "by its hold time until the user's next reading (lead over "
+    "(event_type, user) partitions — fine-grained, parallel), folded "
+    "per type as exact scaled-BIGINT sums; zero-length holds drop out "
+    "arithmetically. The per-unit-TIME answer that per-event AVG gets "
+    "wrong whenever sampling is irregular.",
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "t_us", "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        _us("ts").alias("t_us"),
+        F.round(F.lit(TWA_VSCALE) * F.col("value")).cast("long").alias("vs"),
+    ).withColumn("nxt_us", F.lead("t_us").over(w))
+    held = seq.filter(F.col("nxt_us").isNotNull()).select(
+        "event_type",
+        "vs",
+        F.floor((F.col("nxt_us") - F.col("t_us")) / 1_000_000)
+        .cast("long")
+        .alias("dt_s"),
+    )
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dt_s").cast("long").alias("held_seconds"),
+            F.sum(F.col("vs") * F.col("dt_s")).cast("long").alias("vw_scaled"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            "held_seconds",
+            "vw_scaled",
+            (
+                (F.col("vw_scaled") / F.col("held_seconds"))
+                / F.lit(float(TWA_VSCALE))
+            ).alias("time_weighted_avg"),
+        )
+        .orderBy("event_type")
+    )

@@ -813,3 +813,25 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     # and the registered query only reports genuinely repeated chunks
     rows = dedup_cdc_chunks(spark, SF).collect()
     assert all(r["n_occurrences"] >= 2 for r in rows)
+
+
+def test_time_weighted_avg_within_value_range(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_time_weighted_value,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = events_time_weighted_value(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert len(rows) == len(bounds)
+    for r in rows:
+        lo, hi = bounds[r["event_type"]]
+        # a convex time-weighting cannot escape the value range
+        assert lo - 1e-6 <= r["time_weighted_avg"] <= hi + 1e-6
+        assert r["held_seconds"] > 0 and r["n_intervals"] > 0
