@@ -899,3 +899,46 @@ def test_trending_topk_stream_matches_batch(spark, tmp_path, events_df):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_observed_attrition_metrics_match_batch_counts(spark, tmp_path):
+    """df.observe + listener: per-epoch gate counters must sum to exactly
+    the batch-computed pass counts, with zero extra passes over the data
+    (observation rides the epoch's own aggregation)."""
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        QUALITY_THRESHOLD,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+    from conduit_connector_s3_iceberg_spark.streaming.metrics import (
+        AttritionListener,
+        gate_flags,
+        observe_attrition,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    flags = gate_flags(QUALITY_THRESHOLD)
+    expected = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f.cast("long")).alias(g) for g, f in flags.items()],
+    ).collect()[0]
+
+    listener = AttritionListener()
+    spark.streams.addListener(listener)
+    try:
+        src = stream_of(spark, tmp_path, docs, "obs_src")
+        observed = observe_attrition(src, gate_flags(QUALITY_THRESHOLD))
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        totals = listener.wait_for_total("n_rows", expected["n"])
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert totals["n_rows"] == expected["n"]
+    for g in flags:
+        assert totals[f"pass_{g}"] == expected[g], g
