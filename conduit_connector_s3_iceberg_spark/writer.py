@@ -165,14 +165,17 @@ class ParquetWarehouse:
         self._write_data(table, df, version_dir)
         self._commit(table, version_dir)
 
-    def _write_data(self, table: str, df: DataFrame, out_dir: str) -> None:
+    def _write_data(
+        self, table: str, df: DataFrame, out_dir: str, spec: dict | None = None
+    ) -> None:
         """Write one version's data files honoring the table spec:
         hive-layout partition dirs, and the declared write sort order —
         Iceberg's ``write.distribution-mode=range`` + ``WRITE ORDERED BY``:
         range-partition on the sort key (one shuffle), then a local
         per-task sort, so each parquet file covers a narrow, disjoint
         sort-key range and row-group min/max stats actually skip files."""
-        spec = self._spec(table)
+        if spec is None:
+            spec = self._spec(table)
         if spec["sort_by"]:
             n = max(df.rdd.getNumPartitions(), 1)
             df = df.repartitionByRange(n, *spec["sort_by"]).sortWithinPartitions(
@@ -218,6 +221,7 @@ class ParquetWarehouse:
         per append would make ingest O(table) per batch, which is worse
         than the reference's per-record file appends at any real scale."""
         current = self._current_path(table)
+        self._check_layout_matches_spec(table, current)
         version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
         staging = version_dir + ".stage"
         self._write_data(table, df, staging)
@@ -269,6 +273,67 @@ class ParquetWarehouse:
         self._write_version(table, df)
 
     # -- snapshots: history / time travel / rollback ------------------------
+    def _check_layout_matches_spec(self, table: str, version_path: str) -> None:
+        """Guard for rollbacks across a partition evolution: linking files
+        written under a DIFFERENT spec into a new version would mix hive
+        directory depths and break partition discovery. Depth of a file's
+        partition path must equal the current spec's column count."""
+        files = self._data_files(version_path)
+        if not files:
+            return
+        expected = len(self._spec(table)["partition_by"])
+        rel_dir = os.path.dirname(files[0])
+        depth = 0 if not rel_dir else len(rel_dir.split(os.sep))
+        if depth != expected:
+            raise ValueError(
+                f"current snapshot of {table!r} was written under a "
+                f"{depth}-column partition layout but the table spec now "
+                f"has {expected}; run evolve_partition_spec() to rewrite "
+                "the snapshot into the current spec before appending"
+            )
+
+    def evolve_partition_spec(
+        self,
+        table: str,
+        partition_by: list[str],
+        sort_by: list[str] | None = None,
+    ) -> dict:
+        """Change the table's partition spec (Iceberg ``ALTER TABLE ... ADD/
+        DROP PARTITION FIELD``), migrating the current snapshot to the new
+        layout in ONE copy-on-write rewrite.
+
+        Divergence note (same honesty as ``rename_column``): Iceberg proper
+        evolves lazily — old data files keep the old spec, and per-file
+        partition metadata lets scans prune both generations; the usual
+        follow-up for pruning on old data is a ``rewrite_data_files`` pass.
+        This hive-layout analogue cannot mix directory depths inside one
+        snapshot, so it performs that recommended rewrite EAGERLY at
+        evolution time: cost O(table) once, after which every new write and
+        every scan sees a single consistent spec and full directory
+        pruning. History is preserved — pre-evolution snapshots remain
+        time-travel-readable under their old layout; appending after a
+        rollback across the evolution boundary is refused (see
+        ``_check_layout_matches_spec``) instead of corrupting discovery.
+        """
+        old = self._spec(table)
+        new_spec = {
+            "partition_by": partition_by or [],
+            "sort_by": old["sort_by"] if sort_by is None else sort_by,
+        }
+        snapshot = self.read(table)
+        version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
+        staging = version_dir + ".stage"
+        self._write_data(table, snapshot, staging, spec=new_spec)
+        os.makedirs(version_dir)
+        self._move_files(staging, version_dir)
+        self._store_spec(table, new_spec)
+        self._commit(table, version_dir)
+        return {
+            "previous": old,
+            "current": new_spec,
+            "rewritten_files": self.num_data_files(table),
+        }
+
     def history(self, table: str) -> list[str]:
         """Commit-ordered snapshot names still on disk (oldest first).
 

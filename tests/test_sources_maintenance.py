@@ -536,3 +536,63 @@ def test_sync_table_null_keys_are_applied(spark, tmp_path):
         "insert": 0, "update": 0, "delete": 1,
     }
     assert [tuple(r) for r in wh.read("t").collect()] == [(1, "a", 5)]
+
+
+def test_partition_spec_evolution_rewrites_and_prunes(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("day", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    wh.create_table("docs", schema, partition_by=["day"])
+    rows = [
+        (i, f"2024-01-{1 + i % 3:02d}", ["en", "de"][i % 2], f"t{i}")
+        for i in range(24)
+    ]
+    wh.append("docs", spark.createDataFrame(rows, schema))
+    pre_versions = wh.history("docs")
+
+    out = wh.evolve_partition_spec("docs", ["day", "lang"])
+    assert out["previous"]["partition_by"] == ["day"]
+    assert out["current"]["partition_by"] == ["day", "lang"]
+
+    # same rows, and scans prune on BOTH partition columns now
+    assert wh.read("docs").count() == 24
+    plan = (
+        wh.read("docs")
+        .filter("day = '2024-01-02' and lang = 'en'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "day" in pf and "lang" in pf
+
+    # new-spec appends land in the evolved layout and read back
+    wh.append(
+        "docs",
+        spark.createDataFrame([(100, "2024-01-09", "fr", "x")], schema),
+    )
+    assert wh.read("docs").count() == 25
+
+    # pre-evolution snapshots stay time-travel-readable (old layout)
+    assert wh.read("docs", pre_versions[-1]).count() == 24
+
+    # appending after rolling back across the evolution boundary is refused
+    wh.rollback("docs", pre_versions[-1])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="evolve_partition_spec"):
+        wh.append(
+            "docs",
+            spark.createDataFrame([(101, "2024-01-09", "fr", "y")], schema),
+        )
