@@ -146,8 +146,21 @@ class ParquetWarehouse:
             # versions readable and schema evolution metadata-only: columns
             # added after a file was written read as null, dropped columns
             # are simply not projected.
-            return self.spark.read.schema(stored).parquet(path)
-        return self.spark.read.parquet(path)
+            base = self.spark.read.schema(stored).parquet(path)
+        else:
+            base = self.spark.read.parquet(path)
+        return self._apply_deletes(base, path)
+
+    def _apply_deletes(self, base: DataFrame, version_path: str) -> DataFrame:
+        """Merge-on-read: subtract this snapshot's equality-delete files
+        (one broadcastable anti-join on the delete keys — the v2 Iceberg
+        read path; the write stays O(deleted keys) instead of O(table))."""
+        if not self._delete_files(version_path):
+            return base
+        dels = self.spark.read.parquet(
+            os.path.join(version_path, "_deletes")
+        ).distinct()
+        return base.join(F.broadcast(dels), dels.columns, "left_anti")
 
     def _stored_schema(self, table: str) -> T.StructType | None:
         path = os.path.join(self._dir(table), "SCHEMA")
@@ -193,6 +206,8 @@ class ParquetWarehouse:
         out = []
         for root, _dirs, files in os.walk(version_dir):
             rel = os.path.relpath(root, version_dir)
+            if rel == "_deletes" or rel.startswith("_deletes" + os.sep):
+                continue  # MoR delete files are metadata, not data
             for name in files:
                 if name.endswith(".parquet"):
                     out.append(name if rel == "." else os.path.join(rel, name))
@@ -212,6 +227,92 @@ class ParquetWarehouse:
                 os.makedirs(os.path.join(dst, rel_dir), exist_ok=True)
             os.link(os.path.join(src, rel), os.path.join(dst, rel))
 
+    @staticmethod
+    def _delete_files(version_dir: str) -> list[str]:
+        ddir = os.path.join(version_dir, "_deletes")
+        if not os.path.isdir(ddir):
+            return []
+        return sorted(
+            os.path.join(ddir, f)
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
+        )
+
+    def _link_deletes(self, src: str, dst: str) -> None:
+        files = self._delete_files(src)
+        if not files:
+            return
+        ddir = os.path.join(dst, "_deletes")
+        os.makedirs(ddir, exist_ok=True)
+        for f in files:
+            os.link(f, os.path.join(ddir, os.path.basename(f)))
+
+    # -- merge-on-read deletes (Iceberg v2 equality-delete files) -----------
+    def delete_keys_mor(
+        self, table: str, keys: DataFrame, key_cols: list[str]
+    ) -> dict:
+        """DELETE by key as a merge-on-read commit: write the (distinct)
+        keys as an equality-delete file under the new snapshot's
+        ``_deletes/`` and hardlink every data file untouched — commit cost
+        is O(deleted keys), not O(table) (Iceberg v2 equality deletes; the
+        CoW twin is ``overwrite_where_not``). Readers subtract pending
+        deletes with one broadcast anti-join; ``rewrite_deletes`` folds
+        them into data files when read amplification builds up.
+
+        All delete files of a table must share one key-column set (the
+        anti-join key); Iceberg allows per-file key sets, this analogue
+        pins the first one used.
+        """
+        schema_cols = set(self.schema(table).names)
+        missing = [c for c in key_cols if c not in schema_cols]
+        if missing:
+            raise ValueError(f"unknown key columns {missing} for {table!r}")
+        current = self._current_path(table)
+        existing = self._delete_files(current)
+        if existing:
+            prior_cols = self.spark.read.parquet(
+                os.path.join(current, "_deletes")
+            ).columns
+            if sorted(prior_cols) != sorted(key_cols):
+                raise ValueError(
+                    f"table {table!r} already has delete files keyed by "
+                    f"{prior_cols}; all MoR deletes must share one key set"
+                )
+        version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
+        staging = version_dir + ".stage"
+        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(
+            staging
+        )
+        os.makedirs(version_dir)
+        self._link_files(current, version_dir)
+        self._link_deletes(current, version_dir)
+        ddir = os.path.join(version_dir, "_deletes")
+        os.makedirs(ddir, exist_ok=True)
+        n = 0
+        for rel in self._data_files(staging):
+            os.rename(
+                os.path.join(staging, rel),
+                os.path.join(ddir, f"del-{uuid.uuid4().hex}-{n}.parquet"),
+            )
+            n += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        self._commit(table, version_dir)
+        return {
+            "delete_files": len(self._delete_files(version_dir)),
+            "key_cols": list(key_cols),
+        }
+
+    def rewrite_deletes(self, table: str) -> dict:
+        """Materialize pending MoR deletes into the data files (one CoW
+        rewrite — Iceberg's ``rewrite_position_delete_files`` / minor
+        compaction). After this, scans pay zero anti-join overhead."""
+        current = self._current_path(table)
+        pending = len(self._delete_files(current))
+        if not pending:
+            return {"delete_files_applied": 0}
+        self._write_version(table, self.read(table))
+        return {"delete_files_applied": pending}
+
     # -- mutations (CoW) ----------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
         """O(new data) append: write only the new rows as data files; the
@@ -227,6 +328,7 @@ class ParquetWarehouse:
         self._write_data(table, df, staging)
         os.makedirs(version_dir)
         self._link_files(current, version_dir)
+        self._link_deletes(current, version_dir)
         # Spark part filenames embed a per-write UUID → no collisions
         self._move_files(staging, version_dir)
         self._commit(table, version_dir)
@@ -251,6 +353,15 @@ class ParquetWarehouse:
         if not spec["partition_by"]:
             raise ValueError(f"table {table!r} has no partition spec")
         current = self._current_path(table)
+        if self._delete_files(current):
+            # equality deletes apply by KEY, table-wide; replacing a
+            # partition with corrected rows that reuse deleted keys would
+            # wrongly re-delete them (Iceberg orders this with per-file
+            # sequence numbers; this analogue materializes instead)
+            raise ValueError(
+                f"table {table!r} has pending MoR delete files; run "
+                "rewrite_deletes() before overwrite_partitions()"
+            )
         version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
         staging = version_dir + ".stage"
         self._write_data(table, df, staging)

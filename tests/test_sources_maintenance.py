@@ -596,3 +596,82 @@ def test_partition_spec_evolution_rewrites_and_prunes(spark, tmp_path):
             "docs",
             spark.createDataFrame([(101, "2024-01-09", "fr", "y")], schema),
         )
+
+
+def test_mor_equality_deletes_lifecycle(spark, tmp_path):
+    """Iceberg v2 merge-on-read analogue: O(keys) delete commits, reads
+    subtract pending delete files, time travel sees pre-delete rows,
+    rewrite_deletes materializes and clears, appends carry deletes."""
+    from pyspark.sql import types as T
+
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    wh.create_table("t", schema)
+    wh.append("t", spark.createDataFrame([(i, f"v{i}") for i in range(10)], schema))
+    files_before = wh.num_data_files("t")
+    pre = wh.history("t")[-1]
+
+    out = wh.delete_keys_mor(
+        "t", spark.createDataFrame([(2,), (5,), (7,)], "id long"), ["id"]
+    )
+    assert out["delete_files"] == 1
+    # delete commit linked data files, did not rewrite them
+    assert wh.num_data_files("t") == files_before
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [0, 1, 3, 4, 6, 8, 9]
+    # time travel to the pre-delete snapshot still sees all rows
+    assert wh.read("t", pre).count() == 10
+
+    # appends carry pending deletes forward
+    wh.append("t", spark.createDataFrame([(20, "x")], schema))
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [0, 1, 3, 4, 6, 8, 9, 20]
+
+    # a second delete must use the same key set
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one key set"):
+        wh.delete_keys_mor(
+            "t", spark.createDataFrame([("v1",)], "v string"), ["v"]
+        )
+
+    # materialize: rows gone physically, no delete files remain
+    res = wh.rewrite_deletes("t")
+    assert res["delete_files_applied"] >= 1
+    cur = wh._current_path("t")
+    assert wh._delete_files(cur) == []
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [0, 1, 3, 4, 6, 8, 9, 20]
+    assert wh.rewrite_deletes("t") == {"delete_files_applied": 0}
+
+
+def test_mor_deletes_block_partition_overwrite_until_rewritten(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("day", T.StringType())]
+    )
+    wh.create_table("p", schema, partition_by=["day"])
+    wh.append(
+        "p",
+        spark.createDataFrame(
+            [(1, "2024-01-01"), (2, "2024-01-02")], schema
+        ),
+    )
+    wh.delete_keys_mor("p", spark.createDataFrame([(1,)], "id long"), ["id"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rewrite_deletes"):
+        wh.overwrite_partitions(
+            "p", spark.createDataFrame([(9, "2024-01-01")], schema)
+        )
+    wh.rewrite_deletes("p")
+    out = wh.overwrite_partitions(
+        "p", spark.createDataFrame([(9, "2024-01-01")], schema)
+    )
+    assert out["replaced_partitions"] == ["day=2024-01-01"]
+    assert sorted(r["id"] for r in wh.read("p").collect()) == [2, 9]
