@@ -581,10 +581,17 @@ class CdcWriter:
     """Applies OpenCDC records to one target table (the reference's
     ``SparkDestinationStream`` role)."""
 
-    def __init__(self, warehouse: ParquetWarehouse, table: str):
+    def __init__(
+        self, warehouse: ParquetWarehouse, table: str, mor_deletes: bool = False
+    ):
         self.wh = warehouse
         self.table = table
         self.spark = warehouse.spark
+        # mor_deletes: route key deletes through Iceberg-v2-style equality
+        # delete files (O(keys) commit, anti-join on read) instead of the
+        # CoW rewrite — the right trade for delete-heavy CDC feeds, paid
+        # back by periodic rewrite_deletes() compaction
+        self.mor_deletes = mor_deletes
 
     # -- helpers ------------------------------------------------------------
     def _payload_df(self, records: list[Record]) -> DataFrame:
@@ -634,7 +641,25 @@ class CdcWriter:
         self.wh.append(self.table, self._payload_df([record]))
 
     def delete(self, record: Record) -> int:
+        """CoW mode returns rows deleted; MoR mode returns key rows written
+        (equality deletes are declarative — neither Iceberg nor this
+        analogue scans to count matches at commit time)."""
         key_map = key_to_map(record.key)
+        if self.mor_deletes:
+            schema = self.wh.schema(self.table)
+            types = {f.name: f.dataType for f in schema.fields}
+            keys = self.spark.range(1).select(
+                *[
+                    (
+                        F.lit(v).cast(types[k])
+                        if isinstance(v, str) and k in types
+                        else F.lit(v)
+                    ).alias(k)
+                    for k, v in key_map.items()
+                ]
+            )
+            self.wh.delete_keys_mor(self.table, keys, list(key_map))
+            return 1
         return self.wh.overwrite_where_not(self.table, self._key_predicate(key_map))
 
     def update(self, record: Record) -> None:

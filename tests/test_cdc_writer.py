@@ -204,3 +204,38 @@ def test_apply_batch_lww_and_deletes(writer):
     got = rows(writer)
     assert [r.integer_field for r in got] == [123, 125]
     assert got[0].string_field == "v2"  # last write for key 123 won
+
+
+def test_cdc_delete_via_mor_files(spark, tmp_path):
+    """mor_deletes=True routes CDC deletes through equality-delete files:
+    reads hide the row immediately, data files are untouched until
+    rewrite_deletes, and the stringified-struct-key cast still applies."""
+    from conduit_connector_s3_iceberg_spark.writer import (
+        CdcWriter,
+        ParquetWarehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("items", SCHEMA)
+    writer = CdcWriter(wh, "items", mor_deletes=True)
+    writer.insert(Record(b"1", Operation.CREATE, payload_after=PAYLOAD))
+    writer.insert(
+        Record(
+            b"2",
+            Operation.CREATE,
+            payload_after=PAYLOAD.replace(b"123", b"124").replace(
+                b"debug", b"other"
+            ),
+        )
+    )
+    files_before = wh.num_data_files("items")
+
+    n = writer.delete(
+        Record(b"3", Operation.DELETE, key=b'{"integer_field": 123}')
+    )
+    assert n == 1
+    assert wh.num_data_files("items") == files_before  # no rewrite
+    left = [r["integer_field"] for r in wh.read("items").collect()]
+    assert 123 not in left and len(left) == 1
+    wh.rewrite_deletes("items")
+    assert [r["integer_field"] for r in wh.read("items").collect()] == left
