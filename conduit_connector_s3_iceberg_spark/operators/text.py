@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.tables import load_table
+from .dedup import SHINGLES_SPARK, SHINGLES_SQL
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1586,3 +1587,64 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("s") / F.col("n")) / F.lit(float(ENT_WSCALE))
         ).alias("entropy_bits"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------- n-gram novelty -----
+#
+# Corpus-growth monitoring: as ingestion proceeds (doc_id as arrival
+# order), what fraction of each new document's shingles has the corpus
+# never seen before? A collapsing novelty curve means the crawl is
+# saturating (more ingest, little new content) — the signal that decides
+# when to stop crawling a source or rotate seeds. Novelty of doc d =
+# |shingles whose FIRST occurrence is d| / |shingles of d|; first
+# occurrence is one min-aggregation over the inverted index, so the whole
+# curve costs the same as one dedup pass: explode -> min per shingle ->
+# join back -> per-doc ratio. No windows, no per-doc rescans.
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN first_seen f USING (shingle)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    doc="Per-document shingle novelty in arrival (doc_id) order: the "
+    "fraction of a doc's distinct 3-gram shingles whose corpus-wide "
+    "first occurrence is that doc. One explode + one min-agg over the "
+    "inverted index + a join back — the crawl-saturation curve for the "
+    "cost of a single dedup pass.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("sh")).localCheckpoint(
+        eager=False
+    )  # consumed by first-seen agg AND the join back
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel / F.count(F.lit(1)).cast("double")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

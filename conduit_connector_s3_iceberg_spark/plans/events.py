@@ -960,3 +960,129 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------- sequence mining ----------
+
+TRANS_SCALE = 1_000_000_000
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS nxt
+      FROM events
+    ), pairs AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), rowtot AS (
+      SELECT cur, CAST(SUM(n) AS BIGINT) AS row_n FROM pairs GROUP BY cur
+    )
+    SELECT p.cur, p.nxt, p.n,
+           CAST(round({TRANS_SCALE} * p.n / r.row_n) AS BIGINT) AS p_scaled
+    FROM pairs p JOIN rowtot r USING (cur)
+    ORDER BY p.cur, p.nxt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() inside (user) partitions pairs each event with "
+    "its successor (deterministic event_id tiebreak), one hash-agg "
+    "builds the T x T count matrix, and row-normalized probabilities "
+    "are quantized once as round(SCALE*n/row_n) — the lm_bigram_score "
+    "discipline applied to behavioral sequences. The matrix is "
+    "metadata-sized (T^2 rows) however large the event log.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(_us("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rowtot = pairs.groupBy("cur").agg(F.sum("n").cast("long").alias("row_n"))
+    return (
+        pairs.join(F.broadcast(rowtot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(F.lit(TRANS_SCALE) * F.col("n") / F.col("row_n"))
+            .cast("long")
+            .alias("p_scaled"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+@query(
+    "events_time_to_conversion",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id,
+             MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS c_us
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(epoch_us(e.ts) AS BIGINT) >= s.s_us
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT s.user_id,
+             CASE WHEN c.user_id IS NULL THEN NULL
+                  ELSE (c.c_us - s.s_us) // 86400000000 END AS days
+      FROM signup s LEFT JOIN conv c ON c.user_id = s.user_id
+    )
+    SELECT COALESCE(days, -1) AS latency_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lat
+    GROUP BY latency_days
+    ORDER BY latency_days
+    """,
+    doc="Conversion-latency histogram: per signup user, whole days from "
+    "first signup to first subsequent purchase (never-converted bucket "
+    "= -1). Two filtered min-aggregations + one left join on user_id — "
+    "the funnel-latency complement to q41's step-conversion funnel; "
+    "all integer microsecond arithmetic, no windows over the raw log.",
+)
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("s_us"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(_us("ts") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("c_us"))
+    )
+    lat = signup.join(
+        conv.withColumnRenamed("user_id", "uid"),
+        F.col("user_id") == F.col("uid"),
+        "left",
+    ).select(
+        F.when(
+            F.col("uid").isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.floor((F.col("c_us") - F.col("s_us")) / 86_400_000_000).cast("long")
+        ).alias("days")
+    )
+    return (
+        lat.groupBy(
+            F.coalesce("days", F.lit(-1)).cast("long").alias("latency_days")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("latency_days")
+    )

@@ -835,3 +835,54 @@ def test_time_weighted_avg_within_value_range(spark):
         # a convex time-weighting cannot escape the value range
         assert lo - 1e-6 <= r["time_weighted_avg"] <= hi + 1e-6
         assert r["held_seconds"] > 0 and r["n_intervals"] > 0
+
+
+def test_transition_matrix_rows_normalize(spark):
+    from collections import defaultdict
+
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        TRANS_SCALE,
+        events_transition_matrix,
+    )
+
+    rows = events_transition_matrix(spark, SF).collect()
+    assert rows
+    by_cur = defaultdict(list)
+    for r in rows:
+        by_cur[r["cur"]].append(r)
+    for cur, rs in by_cur.items():
+        total = sum(r["p_scaled"] for r in rs)
+        # row-quantized probabilities sum to SCALE within rounding slack
+        assert abs(total - TRANS_SCALE) <= len(rs)
+
+
+def test_time_to_conversion_partitions_signup_users(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_time_to_conversion,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = events_time_to_conversion(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    n_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_signup
+    assert all(r["latency_days"] >= -1 for r in rows)
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        text_ngram_novelty,
+    )
+
+    rows = sorted(
+        text_ngram_novelty(spark, SF).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows[0]["novelty"] == 1.0  # nothing precedes the first doc
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_shingles"]
