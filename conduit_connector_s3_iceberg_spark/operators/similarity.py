@@ -1914,3 +1914,103 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# ------------------------------------------------- embedding drift monitor --
+#
+# Embedding-distribution drift: split the corpus into two cohorts (here
+# vec_id parity as the deterministic stand-in for before/after a model or
+# crawl change) and measure, per label, how far the cohort centroid moved.
+# Rising drift against a frozen reference is the retrain/recalibrate
+# trigger for every consumer of the embedding space (ANN indexes, PQ
+# codebooks, dedup thresholds). Centroids are exact scaled-integer means
+# (the kmeans discipline); the L2 shift folds the two ORDERED centroid
+# arrays with the fixed-sequence zip_with fold, so every emitted double is
+# bit-identical across engines.
+
+@query(
+    "emb_drift_by_label",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(label AS INTEGER) AS label,
+             vec_id % 2 AS half, embedding::DOUBLE[] AS emb
+      FROM embeddings
+    ), comps AS (
+      SELECT label, half, i,
+             CAST(SUM(CAST(round(emb[i] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e, UNNEST(generate_series(1, {DIM})) AS u(i)
+      GROUP BY label, half, i
+    ), cents AS (
+      SELECT label, half,
+             array_agg(CAST(ssum AS DOUBLE) / n / {CENTROID_SCALE} ORDER BY i)
+               AS c,
+             MAX(n) AS n
+      FROM comps GROUP BY label, half
+    )
+    SELECT a.label,
+           a.n AS n_half0, b.n AS n_half1,
+           sqrt(list_reduce(
+             list_transform(generate_series(1, {DIM}),
+               i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])),
+             (x, y) -> x + y)) AS centroid_shift
+    FROM cents a JOIN cents b ON a.label = b.label
+    WHERE a.half = 0 AND b.half = 1
+    ORDER BY a.label
+    """,
+    doc="Per-label embedding drift between two deterministic cohorts "
+    "(vec_id parity): exact scaled-integer cohort centroids, L2 shift "
+    "via the fixed-order zip_with fold over ORDERED centroid arrays — "
+    "every double bit-identical across engines. The retrain trigger "
+    "for ANN indexes / PQ codebooks when the embedding distribution "
+    "moves. One (label, half, dim) hash-agg; output is label-count "
+    "sized.",
+)
+def emb_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("int").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.expr(_SPARK_EMB_D).alias("emb"),
+    )
+    comps = (
+        emb.select(
+            "label", "half", F.posexplode("emb").alias("pos", "x")
+        )
+        .select(
+            "label",
+            "half",
+            "pos",
+            F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+        )
+        .groupBy("label", "half", "pos")
+        .agg(
+            F.sum("xs").cast("long").alias("ssum"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cents = comps.groupBy("label", "half").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(named_struct('pos', pos,"
+            f" 'v', cast(ssum as double) / n / {CENTROID_SCALE}))),"
+            " s -> s.v)"
+        ).alias("c"),
+        F.max("n").cast("long").alias("n"),
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", F.col("c").alias("ca"), F.col("n").alias("n_half0")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", F.col("c").alias("cb"), F.col("n").alias("n_half1")
+    )
+    shift = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        a.join(b, "label")
+        .select("label", "n_half0", "n_half1", shift.alias("centroid_shift"))
+        .orderBy("label")
+    )

@@ -17,7 +17,7 @@ and nothing ever collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, register_views
@@ -1357,4 +1357,64 @@ def q70_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
            ORDER BY o_orderpriority'
         """
+    )
+
+
+@query(
+    "q71_scd2_intervals",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS state_price,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS version_no,
+             LEAD(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS valid_to
+      FROM orders
+    )
+    SELECT o_custkey, version_no, valid_from, valid_to,
+           CAST(state_price AS DOUBLE) AS state_price,
+           valid_to IS NULL AS is_current
+    FROM hist
+    WHERE o_custkey % 10 = 0
+    ORDER BY o_custkey, version_no
+    """,
+    doc="SCD Type-2 dimension build from a changelog: each change event "
+        "becomes a validity interval [valid_from, valid_to) via lead() "
+        "inside the key's partition (deterministic orderkey tiebreak), "
+        "with version numbers and an is_current flag — the warehouse "
+        "dimension-history pattern that point-in-time joins consume. One "
+        "window pass per key partition, no self-join (the naive "
+        "interval build is an O(n^2) self-join per key). Output filtered "
+        "to a deterministic 10% key slice to keep the checked frame "
+        "proportionate.",
+)
+def q71_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    hist = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("state_price"),
+        F.row_number().over(w).alias("version_no"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("valid_to"),
+    )
+    return (
+        hist.filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "version_no",
+            "valid_from",
+            "valid_to",
+            F.col("state_price").cast("double").alias("state_price"),
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "version_no")
     )

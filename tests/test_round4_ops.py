@@ -886,3 +886,36 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark):
     for r in rows:
         assert 0.0 <= r["novelty"] <= 1.0
         assert r["n_novel"] <= r["n_shingles"]
+
+
+def test_scd2_intervals_tile_without_overlap(spark):
+    from collections import defaultdict
+
+    from conduit_connector_s3_iceberg_spark.plans.relational2 import (
+        q71_scd2_intervals,
+    )
+
+    rows = q71_scd2_intervals(spark, SF).collect()
+    assert rows
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["o_custkey"]].append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["version_no"])
+        assert [r["version_no"] for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+        for cur, nxt in zip(rs, rs[1:]):
+            assert cur["valid_to"] == nxt["valid_from"]  # half-open tiling
+            assert not cur["is_current"]
+
+
+def test_emb_drift_is_symmetric_positive(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        emb_drift_by_label,
+    )
+
+    rows = emb_drift_by_label(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["centroid_shift"] >= 0.0
+        assert r["n_half0"] > 0 and r["n_half1"] > 0
