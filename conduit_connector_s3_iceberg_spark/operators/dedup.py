@@ -1604,3 +1604,149 @@ def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
         )
     )
     return content.select("doc_id", "chunk_id", "chash", "chunk_len")
+
+
+# ------------------------------------------- MinHash estimator accuracy -----
+#
+# The audit row for the MinHash family (the same pattern sim_ann_recall
+# plays for ANN and emb_pq_distortion for PQ): for every band-candidate
+# pair, compare the SIGNATURE-implied Jaccard estimate — the fraction of
+# equal minhash components, whose expectation IS the Jaccard — against the
+# exact verified value. The per-pair error distribution is what justifies
+# (or indicts) the N_MINHASH/threshold configuration on a given corpus,
+# and it costs only the candidate set: signatures are already one row per
+# doc, the exact side reuses the capped verification join.
+
+@query(
+    "dedup_minhash_estimate_accuracy",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, {_MH_SQL} FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{_BANDS_SQL}], recursive := true) FROM sig
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), exact AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ), est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({" + ".join(f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}
+                  AS BIGINT) AS mh_matches
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.doc_a
+      JOIN sig y ON y.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST(x.n_common AS BIGINT) AS n_common,
+           CAST(x.n_common AS DOUBLE)
+             / (sa.sz + sb.sz - x.n_common) AS jaccard,
+           e.mh_matches,
+           e.mh_matches / {N_MINHASH}.0 AS mh_est,
+           (e.mh_matches / {N_MINHASH}.0)
+             - (CAST(x.n_common AS DOUBLE) / (sa.sz + sb.sz - x.n_common))
+             AS est_error
+    FROM est e
+    JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """,
+    doc="MinHash estimator-accuracy audit: for every band-candidate pair, "
+    "the signature-implied Jaccard (fraction of equal minhash "
+    f"components, k={N_MINHASH}) next to the exact verified Jaccard and "
+    "their signed error — the evidence for or against the configured "
+    "k/band/threshold on this corpus. Costs only the candidate set; "
+    "signatures are one row per doc and the exact side is the capped "
+    "verification join the family already pays.",
+)
+def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = (
+        _distinct_shingles(docs)
+        .select("doc_id", "shingle", F.xxhash64("shingle").alias("shingle_h"))
+        .localCheckpoint(eager=False)
+    )
+    sig = (
+        sh.groupBy("doc_id").agg(*_minhash_aggs()).localCheckpoint(eager=False)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
+                    for i in range(N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= MIN_SHARED_BANDS)
+        .select("doc_a", "doc_b")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    exact = (
+        cand.alias("c")
+        .join(sh.alias("ia"), F.col("c.doc_a") == F.col("ia.doc_id"))
+        .join(
+            sh.alias("ib"),
+            (F.col("c.doc_b") == F.col("ib.doc_id"))
+            & (F.col("ib.shingle_h") == F.col("ia.shingle_h")),
+        )
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    matches = sum(
+        F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        cand.join(sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a", "doc_b", matches.cast("long").alias("mh_matches")
+        )
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            jac.alias("jaccard"),
+            "mh_matches",
+            (F.col("mh_matches") / F.lit(float(N_MINHASH))).alias("mh_est"),
+            (
+                (F.col("mh_matches") / F.lit(float(N_MINHASH))) - jac
+            ).alias("est_error"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -928,3 +928,85 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "sketch_hist_quantiles_merged",
+    oracle=f"""
+    WITH shard_regs AS (
+      SELECT lang,
+             CAST(least(n_chars // {HIST_BIN_W}, {HIST_BINS - 1}) AS BIGINT)
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), merged AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM shard_regs GROUP BY bin
+    ), cumed AS (
+      SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (
+               ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM merged
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           {_hist_quantile_sql(50)},
+           {_hist_quantile_sql(90)},
+           {_hist_quantile_sql(99)}
+    FROM cumed
+    """,
+    doc="The merge half of the histogram sketch's contract, in the checked "
+    "surface: per-language register frames (stand-ins for per-shard "
+    "sketches persisted by independent jobs) are merged by a plain "
+    "bin-wise SUM and the global p50/p90/p99 read from the merged "
+    "registers — no rescan of the documents beyond the original "
+    "register build. The property that lets a 100-TB corpus maintain "
+    "quantiles incrementally: shards sketch locally, rollups only ever "
+    "touch register frames.",
+)
+def sketch_hist_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.least(
+        (F.col("n_chars") / HIST_BIN_W).cast("long"), F.lit(HIST_BINS - 1)
+    ).cast("long")
+    shard_regs = docs.groupBy("lang", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    merged = shard_regs.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cumed = merged.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+
+    def est(p: int) -> F.Column:
+        return (
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(p) * F.col("n"),
+                    (F.col("bin") + 1) * HIST_BIN_W,
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_est")
+        )
+
+    return cumed.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        est(50),
+        est(90),
+        est(99),
+    )

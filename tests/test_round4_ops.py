@@ -919,3 +919,41 @@ def test_emb_drift_is_symmetric_positive(spark):
     for r in rows:
         assert r["centroid_shift"] >= 0.0
         assert r["n_half0"] > 0 and r["n_half1"] > 0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        N_MINHASH,
+        dedup_minhash_estimate_accuracy,
+    )
+
+    rows = dedup_minhash_estimate_accuracy(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["mh_matches"] <= N_MINHASH
+        assert abs(r["mh_est"] - r["mh_matches"] / N_MINHASH) < 1e-12
+        assert abs(r["est_error"] - (r["mh_est"] - r["jaccard"])) < 1e-12
+    # k=8 is coarse; still, the mean |error| over candidates should be
+    # well under the all-or-nothing worst case
+    mean_abs = sum(abs(r["est_error"]) for r in rows) / len(rows)
+    assert mean_abs < 0.35
+
+
+def test_merged_hist_quantiles_match_direct_global_build(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sketches import (
+        HIST_BIN_W,
+        HIST_BINS,
+        sketch_hist_quantiles_merged,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    [row] = sketch_hist_quantiles_merged(spark, SF).collect()
+    docs = [r["n_chars"] for r in load_table(spark, SF, "documents").collect()]
+    assert row["n_docs"] == len(docs)
+    # recompute the p90 bin edge directly from raw values
+    bins = sorted(min(c // HIST_BIN_W, HIST_BINS - 1) for c in docs)
+    n = len(bins)
+    import math
+
+    k = math.ceil(0.9 * n)
+    assert row["p90_est"] == (bins[k - 1] + 1) * HIST_BIN_W
