@@ -1086,3 +1086,62 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("latency_days")
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ), wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d
+      JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT d.day, dau.dau, wau.wau,
+           dau.dau / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau ON wau.day = d.day
+    ORDER BY d.day
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day. The "
+    "trailing DISTINCT cannot ride a window frame (distinct-over-range "
+    "isn't decomposable), so the 7-day membership is a day-spine range "
+    "join against the deduped (day, user) frame — which is day-grain "
+    "metadata after the one distinct shuffle, so the join input is "
+    "days x active-users, never raw events. The engagement dashboard "
+    "triple every product pipeline ships.",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by spine, dau, and wau legs
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    d, u = days.alias("d"), du.alias("u")
+    wau = (
+        d.join(
+            u,
+            F.col("u.day").between(F.date_sub(F.col("d.day"), 6), F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("long").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -1418,3 +1418,47 @@ def q71_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "version_no")
     )
+
+
+@query(
+    "q72_pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS F_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+             AS F_cnt,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS O_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+             AS O_cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Pivot with MULTIPLE aggregates per pivot value (.pivot().agg(sum, "
+        "count)): Spark expands to one conditional-aggregation column per "
+        "(value x aggregate) pair inside a single hash agg — same plan as "
+        "the hand-written CASE form the oracle states, no per-value scans. "
+        "Explicit pivot values keep the schema static (no driver-side "
+        "distinct pre-query). Decimal accumulation, doubles emitted once.",
+)
+def q72_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_qty").cast("double").alias("F_qty"),
+        F.coalesce(F.col("F_cnt"), F.lit(0)).cast("long").alias("F_cnt"),
+        F.col("O_qty").cast("double").alias("O_qty"),
+        F.coalesce(F.col("O_cnt"), F.lit(0)).cast("long").alias("O_cnt"),
+    ).orderBy("l_returnflag")
