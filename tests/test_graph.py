@@ -84,3 +84,28 @@ def test_triangles_match_bruteforce_closure(spark):
             )
         else:
             assert r["clustering"] == 0.0
+
+
+def test_kcore_reaches_fixpoint_and_degrees_check(spark):
+    from collections import defaultdict
+
+    from conduit_connector_s3_iceberg_spark.operators.graph import (
+        KCORE_K,
+        _cs_edges,
+        graph_kcore_peel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    core = {r["id"]: r["core_degree"] for r in graph_kcore_peel(spark, sf).collect()}
+    edges = [(r["src"], r["dst"]) for r in _cs_edges(spark, sf).collect()]
+    # recompute degrees inside the reported core: every member must hold
+    # >= K neighbors IN the core, and match the reported degree (fixpoint:
+    # one more peel would drop nobody)
+    deg = defaultdict(int)
+    for s, d in edges:
+        if s in core and d in core:
+            deg[s] += 1
+    assert set(deg) == set(core)
+    for n, c in core.items():
+        assert deg[n] == c
+        assert c >= KCORE_K
