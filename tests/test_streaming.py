@@ -942,3 +942,45 @@ def test_observed_attrition_metrics_match_batch_counts(spark, tmp_path):
     assert totals["n_rows"] == expected["n"]
     for g in flags:
         assert totals[f"pass_{g}"] == expected[g], g
+
+
+def test_stream_stream_left_outer_emits_unmatched_at_close(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no conversion inside the
+    horizon must STILL be emitted (null-extended) once the watermark closes
+    its window — the attribution-with-unconverted-rows case the inner join
+    silently drops. A late flush batch advances the watermark so the
+    unmatched row's state can close within the test."""
+    from conduit_connector_s3_iceberg_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    clicks = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "c1"),   # converts
+            (2, "2024-01-01 10:00:00", "c2"),   # never converts
+            (9, "2024-01-02 12:00:00", "cw"),   # watermark pusher
+        ],
+        "user_id long, cts_s string, click_id string",
+    ).select("user_id", F.to_timestamp("cts_s").alias("click_ts"), "click_id")
+    convs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:30:00", "v1"),
+            (9, "2024-01-02 12:00:00", "vw"),   # watermark pusher
+        ],
+        "user_id long, vts_s string, conv_id string",
+    ).select("user_id", F.to_timestamp("vts_s").alias("conv_ts"), "conv_id")
+
+    joined = stream_stream_join(
+        stream_of(spark, tmp_path, clicks, "lo_clicks"),
+        stream_of(spark, tmp_path, convs, "lo_convs"),
+        key="user_id",
+        left_time="click_ts",
+        right_time="conv_ts",
+        within="1 hour",
+        watermark="0 seconds",
+        how="leftOuter",
+    )
+    rows = run_to_memory(joined, tmp_path, "lo_out").collect()
+    got = {(r["click_id"], r["conv_id"]) for r in rows}
+    assert ("c1", "v1") in got
+    assert ("c2", None) in got  # unmatched left row, null-extended
