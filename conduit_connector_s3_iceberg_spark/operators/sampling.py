@@ -737,3 +737,124 @@ def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.select("doc_id", "lang", "dsir_logw").orderBy("doc_id")
 
+
+
+# ------------------------------------------------ Neyman allocation ---------
+#
+# Proportional stratified sampling is optimal only when strata are equally
+# noisy; Neyman (1934) allocation n_h ∝ N_h·σ_h minimizes the estimator
+# variance for a fixed total budget by oversampling heterogeneous strata.
+# Here the measured variable is document length (n_chars) per source.
+#
+# Exactness: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — the moments accumulate in
+# DECIMAL(38,0) (the q40 exact-moment discipline; BIGINT would overflow at
+# corpus scale), ONE sqrt of the exact integer emits the weight, quantized
+# to scaled BIGINT, and the budget split is the same largest-remainder
+# integer apportionment as sample_domain_apportioned. The strata table is
+# dimension-sized; the corpus pays one map-side-combined moment pass.
+
+NEYMAN_N = 200          # total sample budget to allocate
+NEYMAN_WSCALE = 1000    # weight quantization
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(n_chars AS DECIMAL(38,0))
+                      * CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sx2
+      FROM documents GROUP BY source
+    ), wts AS (
+      SELECT source, n,
+             sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) / n AS sigma,
+             CAST(round({NEYMAN_WSCALE}.0
+                        * sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)))
+                  AS BIGINT) AS ws
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(ws) AS BIGINT) AS w,
+             CAST(SUM(n) AS BIGINT) AS t
+      FROM wts
+    ), q0 AS (
+      SELECT source, n, sigma, ws,
+             ({NEYMAN_N} * ws) // w AS base,
+             ({NEYMAN_N} * ws) % w AS rem,
+             ({NEYMAN_N} * n) // t AS prop_base
+      FROM wts, tot
+    ), bonus AS (
+      SELECT source, n, sigma, base, rem, prop_base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q0
+    ), need AS (
+      SELECT {NEYMAN_N} - CAST(SUM(base) AS BIGINT) AS r FROM q0
+    )
+    SELECT source, n, sigma,
+           CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+             AS neyman_quota,
+           CAST(prop_base AS BIGINT) AS proportional_floor
+    FROM bonus, need
+    ORDER BY source
+    """,
+    doc=f"Neyman-optimal stratified allocation of a {NEYMAN_N}-doc budget "
+    "over sources: n_h proportional to N_h*sigma_h (length variance per "
+    "source), moments exact in DECIMAL(38,0), one sqrt per stratum "
+    "quantized to BIGINT, largest-remainder integer split. Oversamples "
+    "heterogeneous sources — the variance-minimizing refinement of the "
+    "proportional quota (floor shown for contrast). Strata table is "
+    "dimension-sized; corpus cost is one moment pass.",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    x = F.col("n_chars").cast("decimal(38,0)")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("sx"),
+        F.sum(x * x).cast("decimal(38,0)").alias("sx2"),
+    )
+    num = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    wts = per.select(
+        "source",
+        "n",
+        (F.sqrt(num) / F.col("n")).alias("sigma"),
+        F.round(F.lit(float(NEYMAN_WSCALE)) * F.sqrt(num))
+        .cast("long")
+        .alias("ws"),
+    )
+    tot = wts.agg(
+        F.sum("ws").cast("long").alias("w"), F.sum("n").cast("long").alias("t")
+    )
+    q0 = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "sigma",
+        F.expr(f"({NEYMAN_N} * ws) div w").cast("long").alias("base"),
+        ((F.lit(NEYMAN_N) * F.col("ws")) % F.col("w")).alias("rem"),
+        F.expr(f"({NEYMAN_N} * n) div t").cast("long").alias("prop_base"),
+    )
+    w_rk = Window.orderBy(F.desc("rem"), "source")
+    bonus = q0.withColumn("rk", F.row_number().over(w_rk))
+    need = q0.agg(
+        (F.lit(NEYMAN_N) - F.sum("base")).cast("long").alias("r")
+    )
+    return (
+        bonus.crossJoin(F.broadcast(need))
+        .select(
+            "source",
+            "n",
+            "sigma",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("neyman_quota"),
+            F.col("prop_base").cast("long").alias("proportional_floor"),
+        )
+        .orderBy("source")
+    )

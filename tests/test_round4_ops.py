@@ -957,3 +957,19 @@ def test_merged_hist_quantiles_match_direct_global_build(spark):
 
     k = math.ceil(0.9 * n)
     assert row["p90_est"] == (bins[k - 1] + 1) * HIST_BIN_W
+
+
+def test_neyman_allocation_sums_to_budget_and_tilts_to_variance(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        NEYMAN_N,
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, SF).collect()
+    assert sum(r["neyman_quota"] for r in rows) == NEYMAN_N
+    # Neyman ranks strata by n*sigma; the stratum with the largest
+    # n*sigma must get at least as many slots as the one with the smallest
+    weighted = sorted(rows, key=lambda r: r["n"] * r["sigma"])
+    assert weighted[-1]["neyman_quota"] >= weighted[0]["neyman_quota"]
+    for r in rows:
+        assert r["sigma"] >= 0.0 and r["neyman_quota"] >= 0
