@@ -284,6 +284,24 @@ BROADCAST_NONEQUI_OK = {
     "emb_pq_codes",
     # one-row codebook + N_QUERIES-row ADC-table broadcasts — bounded
     "emb_pq_adc_topk",
+    # one-row codebook broadcast (M×K×SUBDIM constants) — bounded
+    "emb_pq_distortion",
+    # one-row centroid-array broadcast (K×DIM values) — bounded
+    "emb_outlier_topk",
+    # N_QUERIES-row broadcast with label-disagreement predicate — bounded
+    # (same shape as sim_topk_bruteforce)
+    "sim_hard_negatives",
+    # day-spine (≤ #days rows) range-joined against the deduped day-user
+    # frame — broadcast side bounded by the calendar
+    "events_dau_wau",
+    # two one-row totals broadcasts feeding the integer apportionment
+    "sample_neyman_allocation",
+    # one-row model-totals broadcast into the 1024-bucket weight table
+    "text_dsir_weights",
+    # same bounded DSIR broadcasts feeding the log-domain draw
+    "sample_dsir_resample",
+    # T-row type-pair spine and T×k-row sketch joins — metadata-sized
+    "sketch_kmv_jaccard",
     # D×W register spine / D-row probe-lookup cross joins (constants)
     "events_cms_registers",
     "events_cms_estimate",
