@@ -1110,11 +1110,12 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day. The "
     "trailing DISTINCT cannot ride a window frame (distinct-over-range "
-    "isn't decomposable), so the 7-day membership is a day-spine range "
-    "join against the deduped (day, user) frame — which is day-grain "
-    "metadata after the one distinct shuffle, so the join input is "
-    "days x active-users, never raw events. The engagement dashboard "
-    "triple every product pipeline ships.",
+    "isn't decomposable), so each deduped (day, user) row is EXPLODED "
+    "to the 7 target days it contributes to — fixed fan-out of 7, one "
+    "shuffle on the target day, no range join whose comparison cost "
+    "would grow with the calendar length. Target days outside the "
+    "observed range drop via the semi join against the day spine. The "
+    "engagement dashboard triple every product pipeline ships.",
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1125,14 +1126,13 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    d, u = days.alias("d"), du.alias("u")
+    contrib = du.select(
+        F.explode(F.expr("sequence(0, 6)")).alias("off"), "day", "user_id"
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("day"), "user_id")
     wau = (
-        d.join(
-            u,
-            F.col("u.day").between(F.date_sub(F.col("d.day"), 6), F.col("d.day")),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("u.user_id").cast("long").alias("wau"))
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
     return (
         days.join(dau, "day")

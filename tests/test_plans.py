@@ -291,9 +291,6 @@ BROADCAST_NONEQUI_OK = {
     # N_QUERIES-row broadcast with label-disagreement predicate — bounded
     # (same shape as sim_topk_bruteforce)
     "sim_hard_negatives",
-    # day-spine (≤ #days rows) range-joined against the deduped day-user
-    # frame — broadcast side bounded by the calendar
-    "events_dau_wau",
     # two one-row totals broadcasts feeding the integer apportionment
     "sample_neyman_allocation",
     # one-row model-totals broadcast into the 1024-bucket weight table
