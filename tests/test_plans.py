@@ -375,3 +375,20 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_kmv_family_scans_the_corpus_once(spark):
+    # the deduped hash frame / sketch rows are localCheckpointed and every
+    # consumer (exact counts, both Jaccard legs) reads the materialization
+    # — not a fresh events scan per consumer
+    for name in ("sketch_kmv_distinct", "sketch_kmv_jaccard"):
+        plan = plan_of(spark, name)
+        assert plan.count("Scan parquet") == 0, name  # all reads via checkpoints
+
+
+def test_dau_wau_has_fixed_fanout_no_nested_loop(spark):
+    # trailing-week membership must be the 7-offset explode, never a
+    # range join whose comparison cost grows with the calendar
+    plan = plan_of(spark, "events_dau_wau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
