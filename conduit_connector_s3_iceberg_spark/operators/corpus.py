@@ -1042,3 +1042,66 @@ def corpus_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("eval_id")
     )
+
+
+# -------------------------------------------------- k-anonymity audit -------
+#
+# Release hygiene: when a corpus ships with per-document metadata, any
+# combination of quasi-identifiers whose group is small can single out a
+# contributor (Sweeney 2002). The audit is purely relational: group by the
+# quasi-identifier tuple, count, and report how much of the corpus sits in
+# groups below k — the number a release review reads before publishing
+# metadata columns. One hash-agg at the quasi-identifier grain (bounded:
+# langs x sources x length buckets), then a two-row verdict rollup.
+
+KANON_K = 10
+KANON_LEN_BUCKET = 256  # n_chars bucket width
+
+
+@query(
+    "corpus_k_anonymity",
+    oracle=f"""
+    WITH groups AS (
+      SELECT lang, source,
+             CAST(n_chars // {KANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM documents
+      GROUP BY lang, source, len_bucket
+    )
+    SELECT (group_size < {KANON_K}) AS below_k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(MIN(group_size) AS BIGINT) AS min_group,
+           CAST(MAX(group_size) AS BIGINT) AS max_group
+    FROM groups
+    GROUP BY below_k
+    ORDER BY below_k
+    """,
+    doc=f"k-anonymity audit over the (lang, source, length-bucket) "
+    "quasi-identifier tuple: how many metadata groups — and how many "
+    f"documents — fall below k={KANON_K}, i.e. could single out a "
+    "contributor if the metadata ships. One hash-agg at the "
+    "quasi-identifier grain (dimension-bounded), two-row verdict. The "
+    "release-review number for publishing metadata columns.",
+)
+def corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / KANON_LEN_BUCKET).cast("long").alias(
+            "len_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    return (
+        groups.groupBy(
+            (F.col("group_size") < KANON_K).alias("below_k")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_docs"),
+            F.min("group_size").cast("long").alias("min_group"),
+            F.max("group_size").cast("long").alias("max_group"),
+        )
+        .orderBy("below_k")
+    )

@@ -1750,3 +1750,77 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -------------------------------------------------- soft-dedup weights ------
+#
+# Hard dedup (keep one per cluster) loses the signal that a document was
+# POPULAR; the soft alternative used in practice keeps every copy but
+# down-weights training probability by 1/cluster_size, so each duplicate
+# FAMILY contributes one unit of gradient mass however many copies exist.
+# One broadcast-sized join of cluster labels to a cluster-size count; the
+# weight is quantized once as round(SCALE/size) so downstream samplers
+# (sample_priority_weighted et al.) consume exact integers.
+
+SOFTW_SCALE = 1_000_000
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(root, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    labels AS (
+      SELECT root AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY root
+    ),
+    csizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           CAST(round({SOFTW_SCALE} / s.cluster_size) AS BIGINT)
+             AS weight_scaled,
+           CAST(round({SOFTW_SCALE} / s.cluster_size) AS BIGINT)
+             / {SOFTW_SCALE}.0 AS train_weight
+    FROM labels l JOIN csizes s USING (cluster_id)
+    ORDER BY l.doc_id
+    """,
+    doc="Soft dedup: every document kept, training weight 1/cluster_size "
+    "over the near-dup clusters — each duplicate family contributes one "
+    "unit of sampling mass however many copies exist (the down-weight "
+    "alternative to dropping, which preserves popularity signal). One "
+    "size count + one join over the labeling pass's output; weights "
+    "quantized once to scaled BIGINT for the samplers.",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    labels = min_label_components(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    full = docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    sizes = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    ws = F.round(F.lit(SOFTW_SCALE) / F.col("cluster_size")).cast("long")
+    return (
+        full.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            ws.alias("weight_scaled"),
+            (ws / F.lit(float(SOFTW_SCALE))).alias("train_weight"),
+        )
+        .orderBy("doc_id")
+    )

@@ -973,3 +973,39 @@ def test_neyman_allocation_sums_to_budget_and_tilts_to_variance(spark):
     assert weighted[-1]["neyman_quota"] >= weighted[0]["neyman_quota"]
     for r in rows:
         assert r["sigma"] >= 0.0 and r["neyman_quota"] >= 0
+
+
+def test_soft_weights_conserve_unit_mass_per_cluster(spark):
+    from collections import defaultdict
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        SOFTW_SCALE,
+        dedup_soft_weights,
+    )
+
+    rows = dedup_soft_weights(spark, SF).collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for cid, rs in by_cluster.items():
+        size = rs[0]["cluster_size"]
+        assert len(rs) == size
+        # family mass ~= 1 (integer rounding slack only)
+        total = sum(r["weight_scaled"] for r in rs)
+        assert abs(total - SOFTW_SCALE) <= size
+
+
+def test_k_anonymity_accounts_for_every_doc(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        KANON_K,
+        corpus_k_anonymity,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = {r["below_k"]: r for r in corpus_k_anonymity(spark, SF).collect()}
+    total = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == total
+    if True in rows:
+        assert rows[True]["max_group"] < KANON_K
+    if False in rows:
+        assert rows[False]["min_group"] >= KANON_K
