@@ -115,3 +115,71 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bigram_prob"),
         )
     )
+
+
+# ------------------------------------------------ fluency-bucket profile ----
+#
+# The artifact a perplexity FILTER actually consumes: how much of the
+# corpus (docs and token mass) sits in each fluency band, so the cut
+# threshold is chosen against real mass instead of a guess. Buckets are
+# FIXED-WIDTH per-mille bands of the mean bigram probability, pure
+# integer arithmetic — (1000 * fluency_scaled) div (n_bigrams * LM_SCALE) —
+# NOT an ntile: ntile needs a corpus-wide sort, while fixed thresholds
+# bucket in the same hash-agg that built the scores (the histogram-
+# register discipline).
+
+@query(
+    "lm_score_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(g)
+    ), bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ), pfc AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bgc GROUP BY w1
+    ), model AS (
+      SELECT w1, w2,
+             CAST(round({LM_SCALE} * c2 / c1) AS BIGINT) AS p_scaled
+      FROM bgc JOIN pfc USING (w1)
+    ), docbg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, w1, w2
+    ), scores AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             CAST(SUM(cnt * p_scaled) AS BIGINT) AS fluency_scaled
+      FROM docbg JOIN model USING (w1, w2)
+      GROUP BY doc_id
+    )
+    SELECT CAST((1000 * fluency_scaled) // (n_bigrams * {LM_SCALE})
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS token_mass
+    FROM scores
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Fluency-band corpus profile: documents and token mass per fixed "
+    "per-mille band of the corpus-trained mean bigram probability — the mass "
+    "table a perplexity-filter threshold is chosen against. Buckets by "
+    "pure integer division of already-exact scaled scores (no ntile, "
+    "no corpus-wide sort); the model/scoring plan is lm_bigram_score's.",
+)
+def lm_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = lm_bigram_score(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "fluency_scaled"
+    )
+    bucket = F.expr(f"(1000 * fluency_scaled) div (n_bigrams * {LM_SCALE})").cast(
+        "long"
+    )
+    return (
+        scores.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("token_mass"),
+        )
+        .orderBy("bucket")
+    )

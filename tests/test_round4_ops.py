@@ -1009,3 +1009,16 @@ def test_k_anonymity_accounts_for_every_doc(spark):
         assert rows[True]["max_group"] < KANON_K
     if False in rows:
         assert rows[False]["min_group"] >= KANON_K
+
+
+def test_lm_score_buckets_cover_all_scored_docs(spark):
+    from conduit_connector_s3_iceberg_spark.operators.lm import (
+        lm_bigram_score,
+        lm_score_buckets,
+    )
+
+    buckets = lm_score_buckets(spark, SF).collect()
+    scored = lm_bigram_score(spark, SF).count()
+    assert sum(r["n_docs"] for r in buckets) == scored
+    assert all(r["bucket"] >= 0 for r in buckets)
+    assert len(buckets) >= 2  # the profile is non-degenerate on this corpus
