@@ -97,3 +97,29 @@ def read_binary(
     if max_bytes is not None:
         df = df.filter(df.length <= max_bytes)
     return df
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """ORC scan (columnar sibling of the parquet path — Spark's built-in
+    vectorized ORC reader, same predicate-pushdown / column-pruning
+    machinery). The stored schema, when given, is authoritative like the
+    warehouse's parquet reads: added columns null-fill, dropped columns
+    are not projected. Avro is NOT offered: the spark-avro datasource jar
+    is absent from this environment (probed — see COVERAGE.md)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC write with optional hive partitioning — interop escape hatch for
+    consumers standardized on ORC (Hive/Trino estates)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -675,3 +675,26 @@ def test_mor_deletes_block_partition_overwrite_until_rewritten(spark, tmp_path):
     )
     assert out["replaced_partitions"] == ["day=2024-01-01"]
     assert sorted(r["id"] for r in wh.read("p").collect()) == [2, 9]
+
+
+def test_orc_round_trip_with_pruning(spark, tmp_path):
+    from conduit_connector_s3_iceberg_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by=["lang"])
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    # partition-dir pruning applies to ORC exactly as to parquet
+    plan = (
+        back.filter("lang = 'en'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
