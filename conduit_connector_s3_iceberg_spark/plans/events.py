@@ -1145,3 +1145,117 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------- A/B lift analysis ------
+
+AB_SALT = "ab1:"
+
+
+@query(
+    "events_ab_lift",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5('{AB_SALT}' || user_id::VARCHAR), 1, 15))
+                  AS BIGINT) % 2 AS variant
+      FROM events
+    ), conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 14
+    ), cells AS (
+      SELECT a.variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(c.user_id) AS BIGINT) AS conversions
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN conversions END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN conversions END) AS c1
+      FROM cells
+    )
+    SELECT n0, c0, n1, c1,
+           c0 / CAST(n0 AS DOUBLE) AS rate_control,
+           c1 / CAST(n1 AS DOUBLE) AS rate_treatment,
+           (c1 / CAST(n1 AS DOUBLE)) - (c0 / CAST(n0 AS DOUBLE))
+             AS absolute_lift,
+           ((c1 / CAST(n1 AS DOUBLE)) - (c0 / CAST(n0 AS DOUBLE)))
+             / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)) AS z_score
+    FROM wide
+    """,
+    doc="Two-proportion A/B lift with a pooled z-statistic: users "
+    "deterministically split by salted-md5 parity (reproducible across "
+    "engines and reruns — the experiment-assignment discipline), "
+    "conversion = a heavy purchaser (>= 14 purchase events, a mid-rate "
+    "outcome so the pooled variance is non-degenerate). All counts exact "
+    "integers; the "
+    "rate / lift / z expressions are single fixed-order IEEE chains, "
+    "identical text in both engines. The analysis every event pipeline "
+    "ships next to its funnels.",
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+    ).distinct()
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= 14)
+        .select("user_id")
+        .withColumn("hit", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("hit").cast("long").alias("conversions"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conversions"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conversions"))).alias("c1"),
+    )
+    r0 = F.col("c0") / F.col("n0").cast("double")
+    r1 = F.col("c1") / F.col("n1").cast("double")
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast(
+        "double"
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        r0.alias("rate_control"),
+        r1.alias("rate_treatment"),
+        (r1 - r0).alias("absolute_lift"),
+        (
+            (r1 - r0)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            )
+        ).alias("z_score"),
+    )

@@ -1462,3 +1462,91 @@ def q72_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_qty").cast("double").alias("O_qty"),
         F.coalesce(F.col("O_cnt"), F.lit(0)).cast("long").alias("O_cnt"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q73_basket_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), nb AS (
+      SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets FROM baskets
+    ), item_n AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY item
+    ), pair AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.item < b.item
+      GROUP BY item_a, item_b
+    )
+    SELECT p.item_a, p.item_b, p.n_both, ia.n AS n_a, ib.n AS n_b,
+           p.n_both / CAST(ia.n AS DOUBLE) AS confidence_a_to_b,
+           (p.n_both * nb.n_baskets)
+             / (CAST(ia.n AS DOUBLE) * ib.n) AS lift
+    FROM pair p
+    JOIN item_n ia ON ia.item = p.item_a
+    JOIN item_n ib ON ib.item = p.item_b
+    CROSS JOIN nb
+    WHERE p.n_both >= 20
+    ORDER BY p.item_a, p.item_b
+    """,
+    doc="Market-basket association rules over (order, part-brand) baskets: "
+        "support, confidence and lift per brand pair with a minimum "
+        "support cut. Pair generation is a within-basket self-join — "
+        "fan-out bounded by basket size squared, shuffled on the basket "
+        "key, never all-pairs across baskets; the item and basket totals "
+        "are dimension-sized broadcasts. Lift's single double expression "
+        "is evaluated in the same operand order in both engines.",
+)
+def q73_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)  # pair legs + item totals + basket count
+    )
+    nb = baskets.select("okey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    item_n = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both") / F.col("n_a").cast("double")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                (F.col("n_both") * F.col("n_baskets"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )

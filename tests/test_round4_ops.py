@@ -1022,3 +1022,30 @@ def test_lm_score_buckets_cover_all_scored_docs(spark):
     assert sum(r["n_docs"] for r in buckets) == scored
     assert all(r["bucket"] >= 0 for r in buckets)
     assert len(buckets) >= 2  # the profile is non-degenerate on this corpus
+
+
+def test_basket_lift_internal_consistency(spark):
+    from conduit_connector_s3_iceberg_spark.plans.relational2 import (
+        q73_basket_lift,
+    )
+
+    rows = q73_basket_lift(spark, SF).collect()
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["confidence_a_to_b"] <= 1.0
+        assert r["lift"] > 0.0
+        assert r["item_a"] < r["item_b"]
+
+
+def test_ab_lift_cells_partition_users(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import events_ab_lift
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    [r] = events_ab_lift(spark, SF).collect()
+    users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert r["n0"] + r["n1"] == users
+    assert 0.0 < r["rate_control"] < 1.0
+    assert 0.0 < r["rate_treatment"] < 1.0
+    assert abs(
+        r["absolute_lift"] - (r["rate_treatment"] - r["rate_control"])
+    ) < 1e-12
