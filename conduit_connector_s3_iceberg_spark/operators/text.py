@@ -1648,3 +1648,96 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------ vocabulary growth ---
+#
+# Heaps'-law curve: how the distinct-word vocabulary grows as the corpus is
+# ingested in arrival (doc_id) order — the macro twin of text_ngram_novelty
+# (that one scores DOCUMENTS, this one plots the CORPUS). Flattening growth
+# = the crawl is exhausting its lexical diversity. Reported at bucket grain
+# (VOCAB_GROWTH_BUCKET docs per point): each word contributes to the bucket
+# of its FIRST occurrence (one min-agg over the inverted index), and the
+# running total is a window over the bucket frame — metadata-sized, never a
+# corpus-wide ordered window.
+
+VOCAB_GROWTH_BUCKET = 50
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' ')))
+               AS w
+      FROM documents
+    ), first_seen AS (
+      SELECT w, CAST(MIN(doc_id) // {VOCAB_GROWTH_BUCKET} AS BIGINT) AS bucket
+      FROM words GROUP BY w
+    ), per_bucket AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM first_seen GROUP BY bucket
+    ), toks AS (
+      SELECT CAST(doc_id // {VOCAB_GROWTH_BUCKET} AS BIGINT) AS bucket,
+             CAST(SUM(len(string_split(trim(lower(text)), ' '))) AS BIGINT)
+               AS bucket_tokens
+      FROM documents GROUP BY bucket
+    )
+    SELECT t.bucket, t.bucket_tokens,
+           COALESCE(p.new_types, 0) AS new_types,
+           CAST(SUM(COALESCE(p.new_types, 0)) OVER (
+             ORDER BY t.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_types,
+           CAST(SUM(t.bucket_tokens) OVER (
+             ORDER BY t.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM toks t LEFT JOIN per_bucket p ON p.bucket = t.bucket
+    ORDER BY t.bucket
+    """,
+    doc="Heaps'-law vocabulary growth curve at "
+    f"{VOCAB_GROWTH_BUCKET}-doc bucket grain: new distinct word types "
+    "per ingestion bucket (each word counted at its corpus-wide FIRST "
+    "occurrence — one min-agg over the inverted index) with running "
+    "type and token totals. The running windows ride the bucket frame "
+    "(metadata-sized), never a corpus-wide ordered window. Flattening "
+    "growth = the crawl is lexically saturating.",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr("split(trim(lower(text)), ' ')"))
+        ).alias("w"),
+    )
+    first_seen = words.groupBy("w").agg(
+        F.expr(f"min(doc_id) div {VOCAB_GROWTH_BUCKET}").cast("long").alias("bucket")
+    )
+    per_bucket = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    toks = docs.groupBy(
+        F.expr(f"doc_id div {VOCAB_GROWTH_BUCKET}").cast("long").alias("bucket")
+    ).agg(
+        F.sum(F.expr("size(split(trim(lower(text)), ' '))"))
+        .cast("long")
+        .alias("bucket_tokens")
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        toks.join(per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            "bucket_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .withColumn(
+            "cum_types", F.sum("new_types").over(w_cum).cast("long")
+        )
+        .withColumn(
+            "cum_tokens", F.sum("bucket_tokens").over(w_cum).cast("long")
+        )
+        .orderBy("bucket")
+    )

@@ -1550,3 +1550,66 @@ def q73_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+@query(
+    "q74_higher_order_functions",
+    oracle="""
+    WITH sup_parts AS (
+      SELECT l.l_suppkey AS suppkey,
+             list_sort(list(DISTINCT CAST(l.l_quantity AS BIGINT)))
+               AS quantities
+      FROM lineitem l
+      GROUP BY l.l_suppkey
+    )
+    SELECT suppkey,
+           CAST(len(quantities) AS INTEGER) AS n_distinct_qty,
+           CAST(list_reduce(quantities, (x, y) -> x + y) AS BIGINT)
+             AS qty_sum,
+           CAST(len(list_filter(quantities, q -> q % 2 = 0)) AS INTEGER)
+             AS n_even,
+           CAST(list_reduce(list_transform(quantities, q -> q * q),
+                            (x, y) -> x + y) AS BIGINT) AS qty_sq_sum,
+           len(list_filter(quantities, q -> q > 45)) > 0 AS any_large,
+           len(list_filter(quantities, q -> q >= 10)) = len(quantities)
+             AS all_ge_10
+    FROM sup_parts
+    WHERE suppkey % 7 = 0
+    ORDER BY suppkey
+    """,
+    doc="Higher-order array functions end-to-end: sorted distinct "
+        "quantity arrays per supplier folded with aggregate (reduce), "
+        "transform, filter, exists and forall — all evaluated inside "
+        "whole-stage codegen on the array column, zero UDFs, zero "
+        "explodes after the one collect. Integer-only payloads keep the "
+        "fold cross-engine exact; exists/forall are stated as "
+        "filter-length identities in the oracle (DuckDB's list_* twins).",
+)
+def q74_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col("l_quantity").cast("long"))
+            ).alias("quantities")
+        )
+        .filter(F.col("suppkey") % 7 == 0)
+    )
+    q = "quantities"
+    return sup.select(
+        "suppkey",
+        F.expr(f"size({q})").cast("int").alias("n_distinct_qty"),
+        F.expr(f"aggregate({q}, cast(0 as bigint), (x, y) -> x + y)")
+        .cast("long")
+        .alias("qty_sum"),
+        F.expr(f"size(filter({q}, q -> q % 2 = 0))").cast("int").alias("n_even"),
+        F.expr(
+            f"aggregate(transform({q}, q -> q * q), cast(0 as bigint),"
+            " (x, y) -> x + y)"
+        )
+        .cast("long")
+        .alias("qty_sq_sum"),
+        F.expr(f"exists({q}, q -> q > 45)").alias("any_large"),
+        F.expr(f"forall({q}, q -> q >= 10)").alias("all_ge_10"),
+    ).orderBy("suppkey")
