@@ -1105,3 +1105,71 @@ def corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("below_k")
     )
+
+
+# ------------------------------------------------- source concentration -----
+#
+# One number for "is this corpus dominated by a few sources?": the Gini
+# coefficient of per-source token mass, computed with the rank formula
+# G = sum_i (2i - n - 1) x_(i) / (n sum x) over ascending-sorted sizes —
+# pure integer arithmetic until one final division. The source frame is
+# dimension-sized, so the rank window is metadata-scale; the corpus pays
+# exactly one token-count aggregation. Dataset cards report this next to
+# the domain caps (a post-cap Gini near the pre-cap value means the caps
+# did nothing).
+
+@query(
+    "corpus_source_gini",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS mass
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT mass,
+             CAST(ROW_NUMBER() OVER (ORDER BY mass, source) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(mass) OVER () AS BIGINT) AS total
+      FROM per
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(SUM((2 * i - n - 1) * mass) AS BIGINT) AS gini_num,
+           CAST(SUM((2 * i - n - 1) * mass) AS BIGINT)
+             / (CAST(MAX(n) AS BIGINT) * CAST(MAX(total) AS DOUBLE)) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of per-source token mass (rank formula over the "
+    "ascending-sorted dimension-sized source frame — integer numerator, "
+    "one final division). The concentration number a dataset card "
+    "reports next to its domain caps; 0 = perfectly even, ->1 = one "
+    "source owns the corpus.",
+)
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.expr("size(split(trim(text), ' '))")).cast("long").alias("mass")
+    )
+    w_rank = Window.orderBy("mass", "source")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "mass",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("mass").over(w_all).cast("long").alias("total"),
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("mass")).cast("long")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("total").cast("long").alias("total_tokens"),
+        num.alias("gini_num"),
+        (
+            num
+            / (
+                F.max("n").cast("long")
+                * F.max("total").cast("double")
+            )
+        ).alias("gini"),
+    )

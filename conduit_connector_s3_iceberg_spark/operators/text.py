@@ -1741,3 +1741,109 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------- Zipf-law fit ----
+#
+# The rank-frequency slope of the top vocabulary: natural text sits near
+# Zipf's slope -1 in log-log space; machine-generated spam, template
+# farms, and over-deduped corpora bend it. Fit = ordinary least squares of
+# log2(freq) on log2(rank) over the top ZIPF_V terms — the vocabulary is
+# truncated FIRST by a global top-k (TakeOrderedAndProject: per-partition
+# heads, driver merge of V-row heaps — the bounded path, no vocab-wide
+# window), and both logs are Mitchell bitlength approximations quantized
+# to scaled BIGINT, so the regression sums are exact integers (combined in
+# DECIMAL(38,0) — the cross-products overflow BIGINT) with one final
+# division.
+
+ZIPF_V = 256
+ZIPF_LSCALE = 1_000_000
+
+_ZIPF_MLOG_SQL = (
+    "CAST(round({s}.0 * ((length(bin({v})) - 1)"
+    " + ({v} / (CAST(1 AS BIGINT) << (length(bin({v})) - 1)) - 1.0)))"
+    " AS BIGINT)"
+)
+_ZIPF_MLOG_SPARK = (
+    "cast(round({s}.0D * ((length(bin({v})) - 1)"
+    " + ({v} / shiftleft(cast(1 as bigint), length(bin({v})) - 1) - 1.0)))"
+    " as bigint)"
+)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), top AS (
+      SELECT w, freq FROM wc ORDER BY freq DESC, w LIMIT {ZIPF_V}
+    ), ranked AS (
+      SELECT freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS r
+      FROM top
+    ), logs AS (
+      SELECT {_ZIPF_MLOG_SQL.format(s=ZIPF_LSCALE, v="r")} AS x,
+             {_ZIPF_MLOG_SQL.format(s=ZIPF_LSCALE, v="freq")} AS y
+      FROM ranked
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+      FROM logs
+    )
+    SELECT CAST(n AS BIGINT) AS v_terms,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM sums
+    """,
+    doc=f"Zipf rank-frequency slope over the top {ZIPF_V} vocabulary "
+    "terms: OLS of log2(freq) on log2(rank), logs via the Mitchell "
+    "bitlength approximation quantized to BIGINT, regression sums exact "
+    "(DECIMAL(38,0) cross-products), one final division. Natural text "
+    "sits near -1; template farms and over-dedup bend it. The "
+    "vocabulary truncation is a global top-k (bounded driver merge), "
+    "never a vocab-wide window.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(F.expr("split(trim(lower(text)), ' ')")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = wc.orderBy(F.desc("freq"), "w").limit(ZIPF_V)
+    w_rank = Window.orderBy(F.desc("freq"), "w")
+    ranked = top.select(
+        "freq", F.row_number().over(w_rank).cast("long").alias("r")
+    )
+    logs = ranked.select(
+        F.expr(_ZIPF_MLOG_SPARK.format(s=ZIPF_LSCALE, v="r")).alias("x"),
+        F.expr(_ZIPF_MLOG_SPARK.format(s=ZIPF_LSCALE, v="freq")).alias("y"),
+    )
+    d = "decimal(38,0)"
+    sums = logs.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("x").cast(d).alias("sx"),
+        F.sum("y").cast(d).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("v_terms"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("zipf_slope"),
+    )

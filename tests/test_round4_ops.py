@@ -1049,3 +1049,34 @@ def test_ab_lift_cells_partition_users(spark):
     assert abs(
         r["absolute_lift"] - (r["rate_treatment"] - r["rate_control"])
     ) < 1e-12
+
+
+def test_gini_bounds_and_vocab_growth_monotone(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        corpus_source_gini,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        text_vocab_growth,
+    )
+
+    [g] = corpus_source_gini(spark, SF).collect()
+    assert 0.0 <= g["gini"] < 1.0
+    rows = sorted(text_vocab_growth(spark, SF).collect(), key=lambda r: r["bucket"])
+    assert rows[0]["new_types"] > 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_types"] >= a["cum_types"]
+        assert b["cum_tokens"] > a["cum_tokens"]
+        # novelty decays in aggregate: later buckets add fewer new types
+    assert rows[-1]["new_types"] < rows[0]["new_types"]
+
+
+def test_zipf_slope_is_negative_and_sane(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        ZIPF_V,
+        text_zipf_fit,
+    )
+
+    [r] = text_zipf_fit(spark, SF).collect()
+    # the synthetic fixture's vocabulary can be smaller than ZIPF_V
+    assert 2 <= r["v_terms"] <= ZIPF_V
+    assert -3.0 < r["zipf_slope"] < -0.05
