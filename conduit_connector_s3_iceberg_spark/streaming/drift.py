@@ -1,0 +1,96 @@
+"""Streaming CUSUM drift alarms via ``applyInPandasWithState``.
+
+The batch query ``events_cusum_changepoints`` scans a complete history; a
+monitoring pipeline needs the same statistic maintained ON the stream so a
+persistent rate shift alarms within an epoch of crossing the threshold.
+CUSUM's recursion S_d = max(0, S_{d-1} + x_d·SCALE − ref) is exactly
+per-key state-carrying — the ``applyInPandasWithState`` shape — with ONE
+BIGINT of state per series (plus the day cursor). The reference mean is
+batch-trained (a frozen baseline passed in as a plain dict), which is the
+operationally honest split: the monitored statistic updates online, the
+baseline changes only when retrained.
+
+Exactness: identical integer arithmetic to the batch query, so on a
+bounded input the stream's final per-day alarm rows equal the batch
+query's rows (asserted in tests/test_streaming.py). Rows inside one epoch
+are processed in (day) order per key; state carries across epochs via the
+checkpoint.
+
+Scale: state is one row per SERIES (event types, sensors) — constant per
+key, partitioned across executors; each epoch touches only series present
+in the batch. Arrow-batched per key group, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CUSUM_SCALE = 1_000_000  # must match plans.events.CUSUM_SCALE
+CUSUM_H = 4
+
+DRIFT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.DateType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("cusum_scaled", T.LongType()),
+        T.StructField("drifted", T.BooleanType()),
+    ]
+)
+
+DRIFT_STATE_SCHEMA = T.StructType(
+    [T.StructField("s", T.LongType())]
+)
+
+
+def cusum_drift_stream(
+    daily: DataFrame, ref_scaled: dict[str, int]
+) -> DataFrame:
+    """daily(event_type, day, x) stream → per-day CUSUM rows with drift
+    alarms, state = one BIGINT per series. ``ref_scaled`` maps series →
+    round(SCALE * mean daily count) from the frozen training window."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout in tests
+            state.remove()
+            return
+        s = state.get[0] if state.exists else 0
+        ref = int(ref_scaled.get(event_type, 0))
+        out_day, out_x, out_s, out_flag = [], [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("day").iterrows():
+                x = int(row["x"])
+                s = max(0, s + x * CUSUM_SCALE - ref)
+                out_day.append(row["day"])
+                out_x.append(x)
+                out_s.append(s)
+                out_flag.append(s > CUSUM_H * ref)
+        state.update((s,))
+        yield pd.DataFrame(
+            {
+                "event_type": event_type,
+                "day": out_day,
+                "x": out_x,
+                "cusum_scaled": out_s,
+                "drifted": out_flag,
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=DRIFT_OUTPUT_SCHEMA,
+            stateStructType=DRIFT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -984,3 +984,82 @@ def test_stream_stream_left_outer_emits_unmatched_at_close(spark, tmp_path):
     got = {(r["click_id"], r["conv_id"]) for r in rows}
     assert ("c1", "v1") in got
     assert ("c2", None) in got  # unmatched left row, null-extended
+
+
+def test_cusum_stream_matches_batch_across_epochs(spark, tmp_path):
+    """Streaming CUSUM with a frozen batch-trained reference: after
+    draining the daily series in TWO epochs (state carried through the
+    checkpoint), the emitted per-day rows must equal the batch query's —
+    same integer recursion, same alarms."""
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_cusum_changepoints,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+    from conduit_connector_s3_iceberg_spark.streaming.drift import (
+        CUSUM_SCALE,
+        cusum_drift_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    refs = {
+        r["event_type"]: round(
+            CUSUM_SCALE * r["s"] / r["d"]
+        )
+        for r in daily.groupBy("event_type")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    # true restart test: epoch 0 runs to completion and the query stops;
+    # epoch 1's file arrives; a NEW query on the SAME checkpoint resumes
+    # and must continue each series' recursion from checkpointed state.
+    # A file sink (unlike memory) supports checkpoint recovery.
+    import glob
+    import shutil
+
+    def add_epoch_file(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        [part] = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(part, str(src_dir / f"{name}.parquet"))
+
+    cut = sorted({r["day"] for r in daily.select("day").distinct().collect()})[19]
+    src_dir = tmp_path / "cusum_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "cusum_out")
+    ckpt = str(tmp_path / "ckpt_cusum")
+
+    def run_epoch():
+        q = (
+            cusum_drift_stream(
+                spark.readStream.schema(daily.schema).parquet(str(src_dir)),
+                refs,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    add_epoch_file(daily.filter(F.col("day") <= F.lit(cut)), "e0")
+    run_epoch()
+    add_epoch_file(daily.filter(F.col("day") > F.lit(cut)), "e1")
+    run_epoch()
+    got = {
+        (r["event_type"], r["day"]): (r["cusum_scaled"], r["drifted"])
+        for r in spark.read.schema(
+            "event_type string, day date, x long, cusum_scaled long,"
+            " drifted boolean"
+        ).parquet(out_dir).collect()
+    }
+    batch = {
+        (r["event_type"], r["day"]): (r["cusum_scaled"], r["drifted"])
+        for r in events_cusum_changepoints(spark, sf).collect()
+    }
+    assert got == batch
