@@ -299,6 +299,8 @@ BROADCAST_NONEQUI_OK = {
     "sample_dsir_resample",
     # T-row type-pair spine and T×k-row sketch joins — metadata-sized
     "sketch_kmv_jaccard",
+    # one-row basket-count broadcast into the rule table — bounded
+    "q73_basket_lift",
     # D×W register spine / D-row probe-lookup cross joins (constants)
     "events_cms_registers",
     "events_cms_estimate",
