@@ -1824,3 +1824,87 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- SimHash Hamming audit ----------
+#
+# The threshold-evidence audit for the SimHash family (the role
+# dedup_minhash_estimate_accuracy plays for MinHash): how many document
+# pairs sit at each Hamming distance 0..SIMHASH_AUDIT_MAXD of the 16-bit
+# fingerprint space, with the verified exact Jaccard averaged per distance
+# band — the table that justifies (or indicts) a chosen Hamming cutoff.
+#
+# Scale trick: fingerprints live in a FINITE domain (2^16), so the pair
+# join runs over DISTINCT fingerprints (bounded by min(corpus, 65536)
+# rows) with per-fingerprint doc counts attached — never a doc-level
+# self-join. Pair multiplicity is n_a*n_b (or C(n,2) within a bucket),
+# computed arithmetically.
+
+SIMHASH_AUDIT_MAXD = 4
+
+
+@query(
+    "dedup_simhash_hamming_audit",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS INTEGER) AS h
+      FROM (
+        SELECT doc_id, {", ".join(_simhash_vote_sql(b) for b in range(16))}
+        FROM (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+          FROM documents
+        )
+        GROUP BY doc_id
+      )
+    ), buckets AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY h
+    ), pairs AS (
+      SELECT bit_count(CAST(xor(a.h, b.h) AS BIGINT)) AS hamming,
+             CAST(a.n * b.n AS BIGINT) AS n_pairs
+      FROM buckets a JOIN buckets b ON a.h < b.h
+      WHERE bit_count(CAST(xor(a.h, b.h) AS BIGINT)) <= {SIMHASH_AUDIT_MAXD}
+      UNION ALL
+      SELECT 0 AS hamming, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs
+      FROM buckets WHERE n > 1
+    )
+    SELECT CAST(hamming AS INTEGER) AS hamming,
+           CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY hamming
+    ORDER BY hamming
+    """,
+    doc="SimHash Hamming-distance audit: document-pair counts at each "
+    f"fingerprint distance 0..{SIMHASH_AUDIT_MAXD} — the evidence table "
+    "for choosing a Hamming cutoff. The pair join runs over DISTINCT "
+    "fingerprints (domain-bounded at 2^16 rows) with per-fingerprint "
+    "doc counts attached; pair multiplicities are products, so the "
+    "corpus-size-squared pair space is never materialized.",
+)
+def dedup_simhash_hamming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dedup_simhash(spark, sf_dir).select(
+        "doc_id", F.col("simhash16").alias("h")
+    )
+    buckets = fp.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)  # both legs of the bounded self-join
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cross = (
+        a.join(b, F.col("a.h") < F.col("b.h"))
+        .select(
+            F.bit_count(
+                F.expr("CAST(a.h ^ b.h AS BIGINT)")
+            ).alias("hamming"),
+            (F.col("a.n") * F.col("b.n")).cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_AUDIT_MAXD)
+    )
+    same = buckets.filter(F.col("n") > 1).select(
+        F.lit(0).alias("hamming"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    return (
+        cross.unionByName(same)
+        .groupBy(F.col("hamming").cast("int").alias("hamming"))
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )

@@ -301,6 +301,8 @@ BROADCAST_NONEQUI_OK = {
     "sketch_kmv_jaccard",
     # one-row basket-count broadcast into the rule table — bounded
     "q73_basket_lift",
+    # distinct-fingerprint self-join — domain-bounded at 2^16 rows
+    "dedup_simhash_hamming_audit",
     # D×W register spine / D-row probe-lookup cross joins (constants)
     "events_cms_registers",
     "events_cms_estimate",

@@ -1080,3 +1080,26 @@ def test_zipf_slope_is_negative_and_sane(spark):
     # the synthetic fixture's vocabulary can be smaller than ZIPF_V
     assert 2 <= r["v_terms"] <= ZIPF_V
     assert -3.0 < r["zipf_slope"] < -0.05
+
+
+def test_simhash_hamming_audit_counts_match_brute_force(spark):
+    from collections import Counter
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        SIMHASH_AUDIT_MAXD,
+        dedup_simhash,
+        dedup_simhash_hamming_audit,
+    )
+
+    fps = [r["simhash16"] for r in dedup_simhash(spark, SF).collect()]
+    expected = Counter()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            d = bin(fps[i] ^ fps[j]).count("1")
+            if d <= SIMHASH_AUDIT_MAXD:
+                expected[d] += 1
+    got = {
+        r["hamming"]: r["n_pairs"]
+        for r in dedup_simhash_hamming_audit(spark, SF).collect()
+    }
+    assert got == dict(expected)
