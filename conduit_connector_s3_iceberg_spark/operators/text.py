@@ -1328,11 +1328,22 @@ def dsir_log_weights(docs: DataFrame) -> DataFrame:
             % DSIR_B
         ).alias("b"),
     )
-    raw = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    # one explode -> one (doc, lang, bucket) pre-aggregation, materialized
+    # once: BOTH model register tables and the scoring input derive from it
+    # by re-aggregation, so the corpus pays a single explode+hash pass
+    # instead of one per consumer (at sf0.1 the wall time is stage
+    # overhead either way; at corpus scale the explode pass dominates and
+    # running it once is the difference that matters)
+    docb = (
+        bg.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    raw = docb.groupBy("b").agg(F.sum("cnt").cast("long").alias("n_raw"))
     tgt = (
-        bg.filter(F.col("lang") == "en")
+        docb.filter(F.col("lang") == "en")
         .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_tgt"))
+        .agg(F.sum("cnt").cast("long").alias("n_tgt"))
     )
     bk = raw.join(tgt, "b", "left").select(
         "b",
@@ -1357,9 +1368,6 @@ def dsir_log_weights(docs: DataFrame) -> DataFrame:
     wv = wr.select(
         "b",
         F.round(F.lit(float(DSIR_WSCALE)) * mlog).cast("long").alias("w"),
-    )
-    docb = bg.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
     )
     return (
         docb.join(F.broadcast(wv), "b")
