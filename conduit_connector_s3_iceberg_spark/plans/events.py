@@ -1259,3 +1259,66 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_score"),
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), dow_ref AS (
+      SELECT event_type, dayofweek(day) AS dow,
+             CAST(round({CUSUM_SCALE} * SUM(x) / COUNT(*)) AS BIGINT)
+               AS dow_mean_scaled
+      FROM daily GROUP BY event_type, dayofweek(day)
+    )
+    SELECT d.event_type, d.day, d.x,
+           CAST(r.dow_mean_scaled AS BIGINT) AS dow_mean_scaled,
+           d.x * {CUSUM_SCALE} - r.dow_mean_scaled AS resid_scaled,
+           abs(d.x * {CUSUM_SCALE} - r.dow_mean_scaled)
+             > r.dow_mean_scaled // 2 AS anomalous
+    FROM daily d
+    JOIN dow_ref r
+      ON r.event_type = d.event_type AND r.dow = dayofweek(d.day)
+    ORDER BY d.event_type, d.day
+    """,
+    doc="Weekday-seasonal anomaly adjustment: each day's count compared to "
+    "its series' SAME-WEEKDAY mean (exact scaled-integer reference per "
+    "(type, dow) cell — 7 registers per series), flagged when the "
+    "residual exceeds half the seasonal mean. Removes the weekly cycle "
+    "that makes a raw z-score flag every weekend; the reference frame "
+    "is series x 7 rows of metadata, built by one map-side-combined "
+    "count.",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # reference build + residual join
+    )
+    dow_ref = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dow")
+    ).agg(
+        F.round(F.lit(CUSUM_SCALE) * F.sum("x") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("dow_mean_scaled")
+    )
+    resid = F.col("x") * CUSUM_SCALE - F.col("dow_mean_scaled")
+    return (
+        daily.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(dow_ref), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "x",
+            "dow_mean_scaled",
+            resid.alias("resid_scaled"),
+            (
+                F.abs(resid) > F.expr(f"dow_mean_scaled div 2")
+            ).alias("anomalous"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1103,3 +1103,25 @@ def test_simhash_hamming_audit_counts_match_brute_force(spark):
         for r in dedup_simhash_hamming_audit(spark, SF).collect()
     }
     assert got == dict(expected)
+
+
+def test_seasonal_anomaly_reference_is_weekday_exact(spark):
+    from collections import defaultdict
+
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        CUSUM_SCALE,
+        events_seasonal_anomaly,
+    )
+
+    rows = events_seasonal_anomaly(spark, SF).collect()
+    assert rows
+    # recompute each (type, weekday) mean from the emitted days and check
+    # the scaled reference matches
+    cells = defaultdict(list)
+    for r in rows:
+        cells[(r["event_type"], r["day"].weekday())].append(r)
+    for (_t, _d), rs in cells.items():
+        ref = round(CUSUM_SCALE * sum(r["x"] for r in rs) / len(rs))
+        for r in rs:
+            assert r["dow_mean_scaled"] == ref
+            assert r["resid_scaled"] == r["x"] * CUSUM_SCALE - ref
