@@ -1613,3 +1613,67 @@ def q74_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"exists({q}, q -> q > 45)").alias("any_large"),
         F.expr(f"forall({q}, q -> q >= 10)").alias("all_ge_10"),
     ).orderBy("suppkey")
+
+
+@query(
+    "q75_map_functions",
+    oracle="""
+    WITH per AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(month(CAST(l_shipdate AS DATE)) AS INTEGER) AS m,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem
+      GROUP BY suppkey, m
+    )
+    SELECT suppkey,
+           CAST(COUNT(*) AS INTEGER) AS n_months,
+           CAST(MAX(CASE WHEN m = 1 THEN q END) AS BIGINT) AS jan_qty,
+           CAST(SUM(CASE WHEN q >= 500 THEN q ELSE 0 END) AS BIGINT)
+             AS heavy_month_qty,
+           CAST(MAX(q) AS BIGINT) AS peak_month_qty
+    FROM per
+    WHERE suppkey % 11 = 0
+    GROUP BY suppkey
+    ORDER BY suppkey
+    """,
+    doc="Map-typed column surface end-to-end: per-supplier month→quantity "
+        "maps built with map_from_entries over sorted entry structs, then "
+        "interrogated with map_filter + map_values + aggregate, "
+        "element_at, and cardinality — all JVM map expressions, no "
+        "explode after the one collect. The oracle states the same "
+        "semantics relationally (conditional aggregation), proving the "
+        "map pipeline computes what the flat form computes. Scalar "
+        "outputs only: map columns themselves stay engine-internal.",
+)
+def q75_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.month(F.col("l_shipdate").cast("date")).cast("int").alias("m"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+        .filter(F.col("suppkey") % 11 == 0)
+    )
+    sup = per.groupBy("suppkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("m", "q")))
+        ).alias("by_month")
+    )
+    return sup.select(
+        "suppkey",
+        F.expr("cardinality(by_month)").cast("int").alias("n_months"),
+        F.expr("element_at(by_month, 1)").cast("long").alias("jan_qty"),
+        F.expr(
+            "aggregate(map_values(map_filter(by_month, (k, v) -> v >= 500)),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        .cast("long")
+        .alias("heavy_month_qty"),
+        F.expr(
+            "aggregate(map_values(by_month), cast(0 as bigint),"
+            " (acc, x) -> greatest(acc, x))"
+        )
+        .cast("long")
+        .alias("peak_month_qty"),
+    ).orderBy("suppkey")
