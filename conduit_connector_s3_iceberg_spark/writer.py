@@ -134,6 +134,7 @@ class ParquetWarehouse:
         else:
             if isinstance(version, int):
                 version = self.history(table)[version]
+            version = self.tags(table).get(version, version)
             path = os.path.join(self._dir(table), version)
             if not os.path.isdir(path):
                 raise ValueError(
@@ -471,6 +472,51 @@ class ParquetWarehouse:
         self._commit(table, path)
         return version
 
+    # -- named refs (Iceberg tags: immutable snapshot names) ---------------
+    def _tags_path(self, table: str) -> str:
+        return os.path.join(self._dir(table), "TAGS")
+
+    def tags(self, table: str) -> dict[str, str]:
+        path = self._tags_path(table)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
+
+    def create_tag(
+        self, table: str, name: str, version: int | str | None = None
+    ) -> str:
+        """Pin a snapshot under an immutable name (Iceberg ``ALTER TABLE
+        ... CREATE TAG``): ``read(table, name)`` resolves it forever and
+        ``expire_snapshots`` will not drop a tagged snapshot — the
+        audit/compliance handle ('the corpus release we trained v3 on').
+        Defaults to tagging the CURRENT snapshot."""
+        if version is None:
+            target = os.path.basename(self._current_path(table))
+        elif isinstance(version, int):
+            target = self.history(table)[version]
+        else:
+            target = version
+        if not os.path.isdir(os.path.join(self._dir(table), target)):
+            raise ValueError(f"unknown snapshot {target!r} of {table!r}")
+        tags = self.tags(table)
+        if name in tags:
+            raise ValueError(f"tag {name!r} already exists on {table!r}")
+        tags[name] = target
+        tmp = self._tags_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(tags, fh)
+        os.replace(tmp, self._tags_path(table))
+        return target
+
+    def drop_tag(self, table: str, name: str) -> None:
+        tags = self.tags(table)
+        tags.pop(name, None)
+        tmp = self._tags_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(tags, fh)
+        os.replace(tmp, self._tags_path(table))
+
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Drop all but the newest ``keep_last`` snapshots (never the
         current one). Data files shared via hardlinks survive as long as
@@ -480,7 +526,7 @@ class ParquetWarehouse:
         keep_last = max(keep_last, 1)
         hist = self.history(table)
         current = os.path.basename(self._current_path(table))
-        keep = set(hist[-keep_last:]) | {current}
+        keep = set(hist[-keep_last:]) | {current} | set(self.tags(table).values())
         removed = [n for n in hist if n not in keep]
         for name in removed:
             shutil.rmtree(os.path.join(self._dir(table), name), ignore_errors=True)

@@ -698,3 +698,33 @@ def test_orc_round_trip_with_pruning(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    wh.create_table("t", schema)
+    wh.append("t", spark.createDataFrame([(1,)], schema))
+    wh.create_tag("t", "release-v1")
+    wh.append("t", spark.createDataFrame([(2,)], schema))
+    wh.append("t", spark.createDataFrame([(3,)], schema))
+
+    # tag resolves to the pinned snapshot regardless of later commits
+    assert sorted(r["id"] for r in wh.read("t", "release-v1").collect()) == [1]
+    # expiry keeps the tagged snapshot alive alongside the current one
+    out = wh.expire_snapshots("t", keep_last=1)
+    assert out["expired"] >= 1
+    assert sorted(r["id"] for r in wh.read("t", "release-v1").collect()) == [1]
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [1, 2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        wh.create_tag("t", "release-v1")
+    wh.drop_tag("t", "release-v1")
+    with _pytest.raises(ValueError):
+        wh.read("t", "release-v1")
