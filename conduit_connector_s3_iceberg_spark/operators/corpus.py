@@ -1173,3 +1173,100 @@ def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gini"),
     )
+
+
+# ---------------------------------------- combined sampling-weight manifest -
+#
+# The artifact the epoch sampler actually consumes: ONE log-domain weight
+# per document combining the dedup family's popularity correction
+# (soft-dedup 1/cluster_size) with DSIR's target-domain tilt. Combining in
+# log2 space needs no pow(): log2(soft) comes from the Mitchell bitlength
+# fold of the already-quantized integer weight (minus the same fold of the
+# scale constant, so soft=1 maps to 0), and dsir_logw is already a log2.
+# The draw rule downstream is sample_dsir_resample's: keep iff
+# log2(u_hash) < log2(base) + combined_log2.
+
+_MLOG2_WS = (
+    "((length(bin({v})) - 1)"
+    " + ({v} / shiftleft(cast(1 as bigint), length(bin({v})) - 1) - 1.0))"
+)
+_MLOG2_WS_SQL = (
+    "((length(bin({v})) - 1)"
+    " + ({v} / (CAST(1 AS BIGINT) << (length(bin({v})) - 1)) - 1.0))"
+)
+
+
+def _pipeline_weighted_oracle() -> str:
+    from .dedup import _PAIRS_SQL, SOFTW_SCALE
+    from .text import _DSIR_CORE_SQL
+
+    soft_sql = f"CAST(round({SOFTW_SCALE} / s.cluster_size) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(root, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    labels AS (
+      SELECT root AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY root
+    ),
+    csizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    ),
+    {_DSIR_CORE_SQL},
+    soft AS (
+      SELECT l.doc_id, s.cluster_size, {soft_sql} AS soft_scaled
+      FROM labels l JOIN csizes s USING (cluster_id)
+    )
+    SELECT d.doc_id, soft.cluster_size, soft.soft_scaled, d.dsir_logw,
+           ({_MLOG2_WS_SQL.format(v="soft.soft_scaled")}
+            - {_MLOG2_WS_SQL.format(v=SOFTW_SCALE)}) + d.dsir_logw
+             AS combined_log2
+    FROM dsirw d JOIN soft ON soft.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "pipeline_weighted_manifest",
+    oracle=_pipeline_weighted_oracle(),
+    doc="The sampler-facing weight manifest: per document, the soft-dedup "
+    "popularity correction (1/cluster_size over near-dup clusters) and "
+    "the DSIR target tilt combined into ONE log2-domain weight — "
+    "Mitchell folds of quantized integers plus the already-log dsir "
+    "score, no pow() anywhere. Downstream draw = compare against the "
+    "hash fraction's log2 (sample_dsir_resample's rule). Composition "
+    "cost: the two families' passes plus one doc-grain join.",
+)
+def pipeline_weighted_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import SOFTW_SCALE, dedup_soft_weights
+    from .text import dsir_log_weights
+
+    soft = dedup_soft_weights(spark, sf_dir).select(
+        "doc_id", "cluster_size", F.col("weight_scaled").alias("soft_scaled")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dsir = dsir_log_weights(docs).select("doc_id", "dsir_logw")
+    combined = (
+        F.expr(_MLOG2_WS.format(v="soft_scaled"))
+        - F.expr(_MLOG2_WS.format(v=str(SOFTW_SCALE)))
+    ) + F.col("dsir_logw")
+    return (
+        dsir.join(soft, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_size",
+            "soft_scaled",
+            "dsir_logw",
+            combined.alias("combined_log2"),
+        )
+        .orderBy("doc_id")
+    )
+

@@ -1125,3 +1125,23 @@ def test_seasonal_anomaly_reference_is_weekday_exact(spark):
         for r in rs:
             assert r["dow_mean_scaled"] == ref
             assert r["resid_scaled"] == r["x"] * CUSUM_SCALE - ref
+
+
+def test_weighted_manifest_composes_both_signals(spark):
+    import math
+
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        pipeline_weighted_manifest,
+    )
+
+    rows = pipeline_weighted_manifest(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # singleton clusters contribute ~0 from the soft term: combined is
+        # then the DSIR tilt alone (within Mitchell quantization slack)
+        if r["cluster_size"] == 1:
+            assert abs(r["combined_log2"] - r["dsir_logw"]) < 1e-9
+        else:
+            # duplicates are down-weighted by ~log2(cluster_size)
+            expected = r["dsir_logw"] - math.log2(r["cluster_size"])
+            assert abs(r["combined_log2"] - expected) < 0.2
