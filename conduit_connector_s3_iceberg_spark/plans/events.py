@@ -1322,3 +1322,84 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ------------------------------------------------- bot-regularity signal ----
+
+BOT_CV2_SCALE = 1_000_000
+BOT_CV2_MAX = 100_000  # flag cv^2 < 0.1: inter-event gaps too regular
+
+
+@query(
+    "events_bot_regularity",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS nxt_us
+      FROM events
+    ), gaps AS (
+      SELECT user_id, (nxt_us - t_us) // 1000000 AS g
+      FROM seq WHERE nxt_us IS NOT NULL
+    ), stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg,
+             CAST(SUM(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sg2
+      FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           CAST(round({BOT_CV2_SCALE}
+             * CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+             / CAST(sg * sg AS DOUBLE)) AS BIGINT) AS cv2_scaled,
+           CAST(round({BOT_CV2_SCALE}
+             * CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+             / CAST(sg * sg AS DOUBLE)) AS BIGINT) < {BOT_CV2_MAX}
+             AS too_regular
+    FROM stats
+    WHERE n_gaps >= 10 AND sg > 0
+    ORDER BY user_id
+    """,
+    doc="Bot/automation regularity signal: squared coefficient of "
+    "variation of each user's inter-event gaps — humans are bursty "
+    "(cv^2 ~ 1 for Poisson, higher with bursts), schedulers are "
+    "metronomic (cv^2 -> 0). Gaps from one lead() per user partition; "
+    "moments exact in DECIMAL(38,0) (the q40 discipline); cv^2 = "
+    "n*Sg2/Sg^2 - 1 quantized once. Flag = cv^2 < 0.1. The behavioral "
+    "cousin of the content-side repetition gates.",
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", _us("ts").alias("t_us")
+    ).withColumn("nxt_us", F.lead("t_us").over(w))
+    g = F.floor((F.col("nxt_us") - F.col("t_us")) / 1_000_000).cast(
+        "decimal(38,0)"
+    )
+    gaps = seq.filter(F.col("nxt_us").isNotNull()).select("user_id", g.alias("g"))
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("decimal(38,0)").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("decimal(38,0)").alias("sg2"),
+    )
+    cv2 = F.round(
+        F.lit(BOT_CV2_SCALE)
+        * (F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")).cast(
+            "double"
+        )
+        / (F.col("sg") * F.col("sg")).cast("double")
+    ).cast("long")
+    return (
+        stats.filter((F.col("n_gaps") >= 10) & (F.col("sg") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            cv2.alias("cv2_scaled"),
+            (cv2 < BOT_CV2_MAX).alias("too_regular"),
+        )
+        .orderBy("user_id")
+    )

@@ -1145,3 +1145,15 @@ def test_weighted_manifest_composes_both_signals(spark):
             # duplicates are down-weighted by ~log2(cluster_size)
             expected = r["dsir_logw"] - math.log2(r["cluster_size"])
             assert abs(r["combined_log2"] - expected) < 0.2
+
+
+def test_bot_regularity_flags_synthetic_metronome(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_bot_regularity,
+    )
+
+    rows = events_bot_regularity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["cv2_scaled"] >= 0
+        assert r["too_regular"] == (r["cv2_scaled"] < 100_000)
