@@ -32,6 +32,12 @@ GATED_QUERIES = [
     # round 4: the truncated-dim candidate stage routes through the same
     # gated two-phase merge
     "sim_truncated_rerank",
+    # round 4 second wave: the asymmetric MinHash probe and the DSIR
+    # model build run their shared-frame materializations at forced
+    # width (checkpointed indexes consumed by multiple joins)
+    "corpus_neardup_decontamination",
+    "text_dsir_weights",
+    "sketch_kmv_distinct",
 ]
 
 
