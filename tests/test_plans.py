@@ -297,6 +297,8 @@ BROADCAST_NONEQUI_OK = {
     "text_dsir_weights",
     # same bounded DSIR broadcasts feeding the log-domain draw
     "sample_dsir_resample",
+    # composes the DSIR one-row totals broadcast with the cluster join
+    "pipeline_weighted_manifest",
     # T-row type-pair spine and T×k-row sketch joins — metadata-sized
     "sketch_kmv_jaccard",
     # one-row basket-count broadcast into the rule table — bounded
