@@ -1908,3 +1908,127 @@ def dedup_simhash_hamming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+# ----------------------------------------------- template extraction --------
+#
+# The actionable artifact after chunk-level dedup: WHICH text is the
+# boilerplate? Per source, the most-repeated content-defined chunk (from
+# the same cut rule as dedup_cdc_chunks) with its occurrence share — the
+# literal template string an operator reviews and adds to the strip list.
+# Chunk occurrences per (source, chash) is one hash-agg over the chunk
+# frame; top-1 per source is a window over the per-source candidate
+# counts. The chunk text itself rides along via min(text) over the chunk's
+# identical instances (same hash => same token string).
+
+@query(
+    "dedup_source_templates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.source, string_split(trim(d.text), ' ') AS t
+      FROM documents d
+    ), pos AS (
+      SELECT doc_id, source, g, t[g] AS tok,
+             CAST(('0x' || substr(md5(t[g]), 1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(g)
+    ), rolled AS (
+      SELECT doc_id, source, g, tok,
+             CAST(SUM(h) OVER (PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN {CDC_WIN - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS w
+      FROM pos
+    ), cut AS (
+      SELECT doc_id, source, g, tok,
+             CASE WHEN g = 1 OR w % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+      FROM rolled
+    ), chunks AS (
+      SELECT doc_id, source, g, tok,
+             CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS chunk_id
+      FROM cut
+    ), content AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY g)) AS chash,
+             string_agg(tok, ' ' ORDER BY g) AS chunk_text
+      FROM chunks GROUP BY doc_id, source, chunk_id
+    ), per_source AS (
+      SELECT source, chash,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             MIN(chunk_text) AS template
+      FROM content GROUP BY source, chash
+    )
+    SELECT source, template, n_occ FROM (
+      SELECT source, template, n_occ,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_occ DESC, chash
+             ) AS rk
+      FROM per_source
+    ) WHERE rk = 1 AND n_occ >= 2
+    ORDER BY source
+    """,
+    doc="Per-source template extraction: the most-repeated content-defined "
+    "chunk (dedup_cdc_chunks' cut rule) per source with its occurrence "
+    "count — the literal boilerplate string an operator reviews before "
+    "adding it to the strip list. One chunk pass + a (source, chash) "
+    "hash-agg + a top-1 window over per-source candidates.",
+)
+def dedup_source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    # same cut rule as cdc_chunk_frame, with source + chunk TEXT carried
+    # through the grouping (chash equality implies identical chunk text)
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.expr("split(trim(text), ' ')")).alias("g0", "tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("g0") + 1).alias("g"),
+        "tok",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w_roll = (
+        Window.partitionBy("doc_id").orderBy("g").rowsBetween(-(CDC_WIN - 1), 0)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunks = (
+        pos.withColumn("w", F.sum("h").over(w_roll).cast("long"))
+        .withColumn(
+            "b",
+            F.when(
+                (F.col("g") == 1) | (F.col("w") % CDC_MOD == 0), 1
+            ).otherwise(0),
+        )
+        .withColumn("chunk_id", F.sum("b").over(w_cum).cast("long"))
+    )
+    content = chunks.groupBy("doc_id", "source", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'g', g, 'tok', tok))), s -> s.tok)"
+            ),
+        ).alias("chunk_text")
+    ).select(
+        "source",
+        F.md5("chunk_text").alias("chash"),
+        "chunk_text",
+    )
+    per_source = content.groupBy("source", "chash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min("chunk_text").alias("template"),
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("n_occ"), "chash")
+    return (
+        per_source.withColumn("rk", F.row_number().over(w_top))
+        .filter((F.col("rk") == 1) & (F.col("n_occ") >= 2))
+        .select("source", "template", "n_occ")
+        .orderBy("source")
+    )

@@ -2014,3 +2014,109 @@ def emb_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_half0", "n_half1", shift.alias("centroid_shift"))
         .orderBy("label")
     )
+
+
+# ------------------------------------------------- cluster-purity audit -----
+#
+# The clustering-quality number for the k-means family (the role recall@k
+# plays for ANN): per cluster, the share of members whose label agrees
+# with the cluster's majority label. Assignment is the same broadcast-
+# argmin map as emb_kmeans_assign (seed centroids, round-0 assignment —
+# the audit shape is identical for trained centroids); purity is two hash
+# aggs and a per-cluster top-1 window over the (cluster, label) count
+# frame, which is K x L rows of metadata.
+
+@query(
+    "emb_cluster_purity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(label AS INTEGER) AS label,
+             embedding::DOUBLE[] AS emb
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < {KMEANS_K}),
+    d0 AS (
+      SELECT e.vec_id, e.label, c0.cid, {_KM_SQL_D2.format(c='c0.c')} AS dist2
+      FROM e, c0
+    ),
+    a0 AS (
+      SELECT vec_id, label, cid AS cluster FROM (
+        SELECT vec_id, label, cid, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid)
+                 AS rk
+        FROM d0
+      ) WHERE rk = 1
+    ),
+    cl AS (
+      SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a0 GROUP BY cluster, label
+    ),
+    top AS (
+      SELECT cluster, label AS majority_label, n AS n_majority FROM (
+        SELECT cluster, label, n,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cluster ORDER BY n DESC, label
+               ) AS rk
+        FROM cl
+      ) WHERE rk = 1
+    ),
+    tot AS (
+      SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_members FROM cl
+      GROUP BY cluster
+    )
+    SELECT t.cluster, t.n_members,
+           CAST(p.majority_label AS INTEGER) AS majority_label,
+           p.n_majority,
+           p.n_majority / CAST(t.n_members AS DOUBLE) AS purity
+    FROM tot t JOIN top p USING (cluster)
+    ORDER BY t.cluster
+    """,
+    doc="K-means cluster-purity audit vs the label column: per cluster, "
+    "member count, majority label (deterministic tie-break) and purity "
+    "share — the clustering-quality number that justifies K or flags "
+    "drifting seeds, costing one broadcast-argmin assignment pass plus "
+    "metadata-sized (cluster, label) aggregation.",
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.expr(_SPARK_EMB_D).alias("emb"),
+    )
+    cents0 = emb.filter(F.col("vec_id") < KMEANS_K).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("c"))
+            )
+        ).alias("cents")
+    )
+    a0 = emb.crossJoin(F.broadcast(cents0)).select(
+        "label", F.expr(_KM_ASSIGN).alias("cluster")
+    )
+    cl = a0.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")
+    top = (
+        cl.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    tot = cl.groupBy("cluster").agg(F.sum("n").cast("long").alias("n_members"))
+    return (
+        tot.join(top, "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            F.col("majority_label").cast("int").alias("majority_label"),
+            "n_majority",
+            (F.col("n_majority") / F.col("n_members").cast("double")).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cluster")
+    )

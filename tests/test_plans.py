@@ -288,6 +288,8 @@ BROADCAST_NONEQUI_OK = {
     "emb_pq_distortion",
     # one-row centroid-array broadcast (K×DIM values) — bounded
     "emb_outlier_topk",
+    # same one-row centroid-array broadcast feeding the purity audit
+    "emb_cluster_purity",
     # N_QUERIES-row broadcast with label-disagreement predicate — bounded
     # (same shape as sim_topk_bruteforce)
     "sim_hard_negatives",

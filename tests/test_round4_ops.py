@@ -1157,3 +1157,24 @@ def test_bot_regularity_flags_synthetic_metronome(spark):
     for r in rows:
         assert r["cv2_scaled"] >= 0
         assert r["too_regular"] == (r["cv2_scaled"] < 100_000)
+
+
+def test_cluster_purity_and_source_templates(spark):
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        dedup_source_templates,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        emb_cluster_purity,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    purity = emb_cluster_purity(spark, SF).collect()
+    n = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_members"] for r in purity) == n
+    for r in purity:
+        assert 0.0 < r["purity"] <= 1.0
+        assert r["n_majority"] <= r["n_members"]
+
+    for r in dedup_source_templates(spark, SF).collect():
+        assert r["n_occ"] >= 2
+        assert r["template"]
