@@ -1177,22 +1177,31 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     probe = sh.filter(F.col("doc_id") % PROBE_MOD != 0)
-    # one broadcast left join PER HASH SLOT (K narrow joins, no explode, no
-    # intermediate (doc, shingle) aggregation): a shingle hits iff every
-    # slot found its bit — the probe row count never grows past the
-    # shingle grain and the only shuffle left is the final doc-id agg
-    matched = probe
-    for j in range(BLOOM_K):
-        bj = F.broadcast(
-            bits.select(F.col("p").alias(f"p{j}"), F.lit(1).alias(f"m{j}"))
+    # The filter IS the artifact: materialize the BLOOM_M-bit mask on the
+    # driver (constant 512 bytes — the same constant-size-state exception
+    # as the CMS fetch in sketches.py) and probe it as a pure codegen
+    # expression: zero joins on the probe path, the only remaining shuffle
+    # is the final doc-id aggregation. This is exactly how a production
+    # bloom filter ships to executors — as a broadcast constant, not a
+    # join side.
+    words = [0] * (BLOOM_M // 64)
+    for (pos,) in bits.collect():
+        words[pos >> 6] |= 1 << (pos & 63)
+    # two's-complement into Spark's signed longs
+    mask = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+          for w in words]
+    )
+    def slot_hit(j: int) -> F.Column:
+        pj = f"({_bloom_pos_spark(j)})"
+        return F.expr(
+            f"(shiftright(element_at(bloom_mask,"
+            f" cast(shiftright({pj}, 6) as int) + 1),"
+            f" cast({pj} % 64 as int)) & 1) = 1"
         )
-        matched = matched.withColumn(f"p{j}", F.expr(_bloom_pos_spark(j))).join(
-            bj, f"p{j}", "left"
-        )
-    matched = matched.select(
+    matched = probe.withColumn("bloom_mask", mask).select(
         "doc_id",
-        (sum(F.col(f"m{j}").isNotNull().cast("int") for j in range(BLOOM_K))
-         == BLOOM_K).alias("hit"),
+        (slot_hit(0) & slot_hit(1) & slot_hit(2)).alias("hit"),
     )
     return (
         matched.groupBy("doc_id")
