@@ -207,6 +207,7 @@ from pyspark.sql.datasource import (  # noqa: E402  (late: keep read path first)
 class _StagedFile(WriterCommitMessage):
     staged: str
     rows: int
+    part: int  # input partition index: publish order == record order
 
 
 def _row_to_envelope(row) -> str:
@@ -220,6 +221,8 @@ def _stage_partition(path: str, iterator) -> _StagedFile:
     """Task side: write this partition's rows to a task-unique staging file."""
     import uuid
 
+    from pyspark import TaskContext
+
     staging = os.path.join(path, "_staging")
     os.makedirs(staging, exist_ok=True)
     staged = os.path.join(staging, f"stage-{uuid.uuid4().hex}.jsonl")
@@ -228,7 +231,9 @@ def _stage_partition(path: str, iterator) -> _StagedFile:
         for row in iterator:
             fh.write(_row_to_envelope(row) + "\n")
             n += 1
-    return _StagedFile(staged=staged, rows=n)
+    ctx = TaskContext.get()
+    part = ctx.partitionId() if ctx is not None else 0
+    return _StagedFile(staged=staged, rows=n, part=part)
 
 
 def _next_seq(path: str) -> int:
@@ -244,12 +249,16 @@ def _next_seq(path: str) -> int:
 
 
 def _publish(path: str, messages, seq: int) -> None:
-    """Driver side: rename staged files into their final monotonic names.
-    Deterministic task order (sorted staged names) keeps replays stable."""
+    """Driver side: rename staged files into their final monotonic names,
+    in INPUT PARTITION order — the reader consumes files sorted by name,
+    so publish order must equal record order or a consumer replaying one
+    commit would see intra-commit CDC operations scrambled (caught by the
+    sink→source→apply loop test: an update staged into a lower-sorting
+    uuid than its insert would lose the LWW collapse)."""
     staged = sorted(
-        (m.staged for m in messages if m is not None and m.rows > 0)
+        ((m.part, m.staged) for m in messages if m is not None and m.rows > 0)
     )
-    for i, src in enumerate(staged):
+    for i, (_part, src) in enumerate(staged):
         os.replace(src, os.path.join(path, f"cdc-{seq:012d}-{i:05d}.jsonl"))
     _discard(messages)
 
