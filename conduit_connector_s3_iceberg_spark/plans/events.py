@@ -1403,3 +1403,61 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_cumulative_reach",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id
+    ), new_per_day AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    )
+    SELECT d.day,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+             ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_reach,
+           d.dau
+    FROM dau d LEFT JOIN new_per_day n ON n.day = d.day
+    ORDER BY d.day
+    """,
+    doc="Cumulative unique reach per day — the construct engines refuse as "
+    "COUNT(DISTINCT) OVER, done the scalable way: each user reduced to "
+    "a FIRST-SEEN day (one min-agg), new-user counts per day, running "
+    "sum over the day-grain frame (metadata-sized window). Distinct "
+    "state never accumulates in the window — the window only ever sees "
+    "one row per day.",
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # firsts + dau legs
+    )
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(new_per_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+            "dau",
+        )
+        .withColumn(
+            "cumulative_reach", F.sum("new_users").over(w).cast("long")
+        )
+        .select("day", "new_users", "cumulative_reach", "dau")
+        .orderBy("day")
+    )

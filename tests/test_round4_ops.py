@@ -1178,3 +1178,23 @@ def test_cluster_purity_and_source_templates(spark):
     for r in dedup_source_templates(spark, SF).collect():
         assert r["n_occ"] >= 2
         assert r["template"]
+
+
+def test_cumulative_reach_is_monotone_and_bounded(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_cumulative_reach,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = sorted(
+        events_cumulative_reach(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    total_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1]["cumulative_reach"] == total_users
+    prev = 0
+    for r in rows:
+        assert r["cumulative_reach"] == prev + r["new_users"]
+        assert r["dau"] <= r["cumulative_reach"]
+        prev = r["cumulative_reach"]
