@@ -2032,3 +2032,130 @@ def dedup_source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "template", "n_occ")
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_chunk_savings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, g, t[g] AS tok,
+             CAST(('0x' || substr(md5(t[g]), 1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(g)
+    ), rolled AS (
+      SELECT doc_id, g, tok,
+             CAST(SUM(h) OVER (PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN {CDC_WIN - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS w
+      FROM pos
+    ), cut AS (
+      SELECT doc_id, g, tok,
+             CASE WHEN g = 1 OR w % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+      FROM rolled
+    ), chunks AS (
+      SELECT doc_id, g, tok,
+             CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS chunk_id
+      FROM cut
+    ), content AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY g)) AS chash,
+             CAST(length(string_agg(tok, ' ' ORDER BY g)) AS BIGINT)
+               AS chunk_bytes
+      FROM chunks GROUP BY doc_id, chunk_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_instances,
+           CAST(COUNT(DISTINCT chash) AS BIGINT) AS n_unique_chunks,
+           CAST(SUM(chunk_bytes) AS BIGINT) AS logical_bytes,
+           CAST(SUM(CASE WHEN rk = 1 THEN chunk_bytes ELSE 0 END) AS BIGINT)
+             AS stored_bytes,
+           1.0 - (CAST(SUM(CASE WHEN rk = 1 THEN chunk_bytes ELSE 0 END)
+                       AS BIGINT)
+                  / CAST(SUM(chunk_bytes) AS DOUBLE)) AS savings_ratio
+    FROM (
+      SELECT chash, chunk_bytes,
+             ROW_NUMBER() OVER (
+               PARTITION BY chash ORDER BY doc_id, chunk_id
+             ) AS rk
+      FROM content
+    )
+    """,
+    doc="Storage-savings report for content-defined chunk dedup: logical "
+    "bytes (every chunk instance) vs stored bytes (one copy per distinct "
+    "chunk hash) and the dedup ratio — the number that justifies running "
+    "chunk-level dedup on a corpus at all (rsync/backup-system "
+    "accounting). Same chunk pass as dedup_cdc_chunks; the ratio folds "
+    "from one rank-per-hash window over the chunk frame.",
+)
+def dedup_chunk_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    content = cdc_chunk_text_frame(docs)
+    w = Window.partitionBy("chash").orderBy("doc_id", "chunk_id")
+    ranked = content.withColumn("rk", F.row_number().over(w))
+    stored = F.sum(F.when(F.col("rk") == 1, F.col("chunk_bytes")).otherwise(0))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunk_instances"),
+        F.countDistinct("chash").cast("long").alias("n_unique_chunks"),
+        F.sum("chunk_bytes").cast("long").alias("logical_bytes"),
+        stored.cast("long").alias("stored_bytes"),
+        (
+            F.lit(1.0)
+            - stored.cast("long") / F.sum("chunk_bytes").cast("double")
+        ).alias("savings_ratio"),
+    )
+
+
+def cdc_chunk_text_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, chash, chunk_bytes) — the byte-accounting twin of
+    :func:`cdc_chunk_frame` (carries the chunk text length)."""
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(trim(text), ' ')")).alias("g0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("g0") + 1).alias("g"),
+        "tok",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w_roll = (
+        Window.partitionBy("doc_id").orderBy("g").rowsBetween(-(CDC_WIN - 1), 0)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunks = (
+        pos.withColumn("w", F.sum("h").over(w_roll).cast("long"))
+        .withColumn(
+            "b",
+            F.when(
+                (F.col("g") == 1) | (F.col("w") % CDC_MOD == 0), 1
+            ).otherwise(0),
+        )
+        .withColumn("chunk_id", F.sum("b").over(w_cum).cast("long"))
+    )
+    return chunks.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(named_struct("
+                    "'g', g, 'tok', tok))), s -> s.tok)"
+                ),
+            )
+        ).alias("chash"),
+        F.length(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(named_struct("
+                    "'g', g, 'tok', tok))), s -> s.tok)"
+                ),
+            )
+        ).cast("long").alias("chunk_bytes"),
+    )

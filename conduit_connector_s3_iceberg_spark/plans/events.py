@@ -1461,3 +1461,46 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "new_users", "cumulative_reach", "dau")
         .orderBy("day")
     )
+
+
+@query(
+    "events_path_to_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER w AS prev1,
+             LAG(event_type, 2) OVER w AS prev2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT prev2, prev1, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq
+    WHERE event_type = 'purchase' AND prev1 IS NOT NULL
+      AND prev2 IS NOT NULL
+    GROUP BY prev2, prev1
+    ORDER BY prev2, prev1
+    """,
+    doc="Path-to-purchase mining: the two events immediately preceding "
+    "each purchase (lag-2 window per user, deterministic event_id "
+    "tiebreak), counted per ordered pattern — the sequence-level "
+    "complement of the first-order transition matrix, and the input to "
+    "'which funnels actually convert'. Output is T^2 rows of metadata.",
+)
+def events_path_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(_us("ts"), "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("prev1").isNotNull()
+            & F.col("prev2").isNotNull()
+        )
+        .groupBy("prev2", "prev1")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy("prev2", "prev1")
+    )

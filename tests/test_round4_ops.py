@@ -1198,3 +1198,24 @@ def test_cumulative_reach_is_monotone_and_bounded(spark):
         assert r["cumulative_reach"] == prev + r["new_users"]
         assert r["dau"] <= r["cumulative_reach"]
         prev = r["cumulative_reach"]
+
+
+def test_chunk_savings_accounting(spark):
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        dedup_chunk_savings,
+    )
+
+    [r] = dedup_chunk_savings(spark, SF).collect()
+    assert r["n_unique_chunks"] <= r["n_chunk_instances"]
+    assert r["stored_bytes"] <= r["logical_bytes"]
+    assert 0.0 <= r["savings_ratio"] < 1.0
+
+
+def test_path_to_purchase_counts_match_transition_mass(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_path_to_purchase,
+    )
+
+    rows = events_path_to_purchase(spark, SF).collect()
+    assert rows
+    assert all(r["n_paths"] > 0 for r in rows)
