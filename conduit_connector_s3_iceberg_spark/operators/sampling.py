@@ -858,3 +858,42 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_consistency_audit",
+    oracle=f"""
+    WITH marked AS (
+      SELECT doc_id,
+             substr({_SQL_SAMPLE_KEY}, 1, 2) < '0d' AS in_5pct,
+             substr({_SQL_SAMPLE_KEY}, 1, 2) < '1a' AS in_10pct
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE in_5pct) AS BIGINT) AS n_5pct,
+           CAST(COUNT(*) FILTER (WHERE in_10pct) AS BIGINT) AS n_10pct,
+           CAST(COUNT(*) FILTER (WHERE in_5pct AND NOT in_10pct) AS BIGINT)
+             AS n_violations
+    FROM marked
+    """,
+    doc="Consistent-sampling audit: with hash-threshold sampling the 5% "
+    "band ('0d'/256) is BY CONSTRUCTION a subset of the 10% band "
+    "('1a'/256) for the same salt — n_violations must be exactly 0, "
+    "proven corpus-wide in one narrow pass. The invariant that lets a "
+    "pipeline grow a sample without redrawing it (and the audit that "
+    "catches a salt drift instantly).",
+)
+def sample_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    band = F.substring(_sample_key(), 1, 2)
+    marked = docs.select(
+        (band < "0d").alias("in_5pct"), (band < "1a").alias("in_10pct")
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("in_5pct"), 1)).cast("long").alias("n_5pct"),
+        F.count(F.when(F.col("in_10pct"), 1)).cast("long").alias("n_10pct"),
+        F.count(F.when(F.col("in_5pct") & ~F.col("in_10pct"), 1))
+        .cast("long")
+        .alias("n_violations"),
+    )

@@ -1219,3 +1219,13 @@ def test_path_to_purchase_counts_match_transition_mass(spark):
     rows = events_path_to_purchase(spark, SF).collect()
     assert rows
     assert all(r["n_paths"] > 0 for r in rows)
+
+
+def test_sample_consistency_has_zero_violations(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        sample_consistency_audit,
+    )
+
+    [r] = sample_consistency_audit(spark, SF).collect()
+    assert r["n_violations"] == 0
+    assert r["n_5pct"] <= r["n_10pct"] <= r["n_docs"]
