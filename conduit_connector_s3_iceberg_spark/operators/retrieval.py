@@ -1,0 +1,259 @@
+"""Retrieval-quality operators: BM25 term scoring and rank fusion
+(north-star layer).
+
+Training-data pipelines run retrieval twice: once to FIND data (query an
+index of the corpus for relevant documents) and once to JUDGE data (score
+documents against reference queries for quality/relevance filtering). This
+module adds the two classic building blocks as oracle-checked queries:
+
+* ``text_bm25_top_terms`` — Okapi BM25 term saliency per document (the
+  lexical scoring function behind Lucene/Elasticsearch and most hybrid
+  retrieval stacks), here used corpus-internally to surface each
+  document's most characteristic terms.
+* ``sim_rrf_fusion`` — reciprocal-rank fusion (Cormack et al., SIGIR'09)
+  of two independent embedding rankings (cosine and euclidean), the
+  standard way hybrid search merges lexical + vector result lists without
+  score calibration.
+
+Determinism: the suite's discipline (``plans/helpers.py``) is that floats
+never ACCUMULATE across rows and transcendentals never enter the path.
+BM25 here is a pure per-row expression tree over exact integer inputs
+(tf, dl, df, N, T): every +,-,*,/ is a correctly-rounded IEEE op, so
+Spark and DuckDB produce bit-identical doubles. The idf is the odds form
+``(N - df + 0.5) / (df + 0.5)`` WITHOUT the usual log wrap — log is
+transcendental (not guaranteed bit-identical across libm builds) and
+monotone, so rankings are unchanged; the docstring-visible score is the
+documented odds-idf BM25 variant. RRF is ``1/(K+r1) + 1/(K+r2)`` — two
+exact divisions and one add in fixed order, again bit-stable.
+
+Scale: BM25's frames are all pre-aggregated — (doc, term, tf) after one
+explode+hash-agg, df per term from the same frame, corpus totals as a
+1-row broadcast. The per-doc top-terms window partitions on doc_id
+(high-cardinality → balanced). RRF reuses the gated two-phase top-k from
+:mod:`.similarity` for both input rankings, so the per-query merge input
+stays bounded by k × partitions at any corpus size; the fusion join is
+top-k × top-k per query — constant work.
+
+Reference scope note: the reference connector (s3-iceberg destination,
+``SparkDestinationStream.java``) has no retrieval surface; this extends
+the north-star LLM-pipeline layer alongside :mod:`.text` and
+:mod:`.similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+from .similarity import (
+    N_QUERIES,
+    _SPARK_EMB_D,
+    _SPARK_NORM,
+    _SQL_NORM,
+    _spark_dot,
+    _sql_dot,
+    _two_phase_topk,
+)
+
+# BM25 shape parameters (Robertson et al.; Lucene defaults).
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_B = "CAST(0.75 AS DOUBLE)"
+BM25_TOP = 5          # characteristic terms kept per document
+
+RRF_K = 60            # Cormack et al.'s constant
+RRF_LIST = 20         # depth of each input ranking
+RRF_TOP = 10          # fused results kept per query
+
+# token array (lowercased, space-split) — identical in both engines
+_TOKS_SPARK = "split(trim(lower(text)), ' ')"
+_TOKS_SQL = "string_split(trim(lower(text)), ' ')"
+
+
+@query(
+    "text_bm25_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+    ), tf AS (
+      SELECT doc_id, t[g] AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(g)
+      GROUP BY doc_id, t[g]
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)))
+             * ((CAST(tf AS DOUBLE) * ({BM25_K1} + CAST(1 AS DOUBLE)))
+                / (CAST(tf AS DOUBLE)
+                   + {BM25_K1} * (CAST(1 AS DOUBLE) - {BM25_B}
+                      + {BM25_B} * (CAST(dl AS DOUBLE)
+                         / (CAST(total_len AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE)))))) AS bm25
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, term, rnk, bm25 FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY bm25 DESC, term
+      ) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= {BM25_TOP}
+    """,
+    doc="Okapi BM25 term saliency (odds-form idf, no log — monotone "
+        "transform, documented variant) — the top characteristic terms "
+        "per document. All inputs (tf, dl, df, N, total tokens) are exact "
+        "integers; the score is one per-row IEEE expression tree with no "
+        "float accumulation, so both engines agree bit-for-bit. Frames "
+        "are pre-aggregated (doc,term,tf) + a term-keyed df join + a "
+        "1-row corpus-stats broadcast; the top-terms window partitions "
+        "on high-cardinality doc_id.",
+)
+def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("t")
+    )
+    dl = docs.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    bm25 = (
+        "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        f" * ((CAST(tf AS DOUBLE) * ({BM25_K1} + CAST(1 AS DOUBLE)))"
+        f" / (CAST(tf AS DOUBLE) + {BM25_K1} * (CAST(1 AS DOUBLE) - {BM25_B}"
+        f" + {BM25_B} * (CAST(dl AS DOUBLE)"
+        " / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(bm25).alias("bm25"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BM25_TOP)
+        .select("doc_id", "term", "rnk", "bm25")
+    )
+
+
+@query(
+    "sim_rrf_fusion",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine,
+             (q.qnrm * q.qnrm) + (e.nrm * e.nrm)
+               - (CAST(2 AS DOUBLE) * {_sql_dot('q.qemb', 'e.emb')}) AS dist2
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ), r_cos AS (
+      SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS INTEGER) AS rank_cos
+      FROM scored QUALIFY rank_cos <= {RRF_LIST}
+    ), r_l2 AS (
+      SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dist2 ASC, vec_id
+      ) AS INTEGER) AS rank_l2
+      FROM scored QUALIFY rank_l2 <= {RRF_LIST}
+    ), fused AS (
+      SELECT coalesce(c.query_id, l.query_id) AS query_id,
+             coalesce(c.vec_id, l.vec_id) AS vec_id,
+             c.rank_cos, l.rank_l2,
+             coalesce(CAST(1 AS DOUBLE)
+                      / (CAST({RRF_K} AS DOUBLE) + CAST(c.rank_cos AS DOUBLE)),
+                      CAST(0 AS DOUBLE))
+             + coalesce(CAST(1 AS DOUBLE)
+                        / (CAST({RRF_K} AS DOUBLE) + CAST(l.rank_l2 AS DOUBLE)),
+                        CAST(0 AS DOUBLE)) AS rrf
+      FROM r_cos c
+      FULL OUTER JOIN r_l2 l
+        ON c.query_id = l.query_id AND c.vec_id = l.vec_id
+    )
+    SELECT query_id, vec_id, rank_cos, rank_l2, rrf, fused_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, vec_id
+      ) AS INTEGER) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {RRF_TOP}
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two "
+        "independent rankings of the same query set — cosine similarity "
+        "and euclidean distance — rrf = 1/(60+r_cos) + 1/(60+r_l2) over "
+        "the two top-20 lists, absent list contributing 0. The hybrid- "
+        "search merge that needs no score calibration. Each input ranking "
+        "rides the gated two-phase top-k (bounded merge input at any "
+        "width); the fusion join is top-k × top-k per query — constant. "
+        "rrf is two exact IEEE divisions + one add in fixed order: "
+        "bit-stable across engines.",
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = _spark_dot("qemb", "emb")
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        (F.expr(dot) / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+        (
+            (F.col("qnrm") * F.col("qnrm"))
+            + (F.col("nrm") * F.col("nrm"))
+            - (F.lit(2.0) * F.expr(dot))
+        ).alias("dist2"),
+    )
+    r_cos = _two_phase_topk(scored, RRF_LIST, base=emb, score_col="cosine").select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank_cos")
+    )
+    r_l2 = _two_phase_topk(
+        scored, RRF_LIST, base=emb, score_col="dist2", ascending=True
+    ).select("query_id", "vec_id", F.col("rank").cast("int").alias("rank_l2"))
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_cos").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_l2").cast("double")),
+        F.lit(0.0),
+    )
+    fused = r_cos.join(r_l2, ["query_id", "vec_id"], "full_outer").withColumn(
+        "rrf", rrf
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("vec_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select("query_id", "vec_id", "rank_cos", "rank_l2", "rrf", "fused_rank")
+    )

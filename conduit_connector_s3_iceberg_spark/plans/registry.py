@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         layout,
         lm,
         multimodal,
+        retrieval,
         sampling,
         similarity,
         sketches,

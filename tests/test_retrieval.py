@@ -1,0 +1,117 @@
+"""Property tests for the retrieval operators (BM25 term saliency, RRF
+fusion): the defining invariants the oracle's value-hash alone doesn't
+state, on the sf0.001 fixture."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from conduit_connector_s3_iceberg_spark.operators.retrieval import (
+    BM25_TOP,
+    RRF_K,
+    RRF_LIST,
+    RRF_TOP,
+    sim_rrf_fusion,
+    text_bm25_top_terms,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bm25_matches_hand_computed_score(spark):
+    """Recompute BM25 for one (doc, term) from raw counts in Python — the
+    operator's per-row expression tree must reproduce it (same IEEE ops)."""
+    out = text_bm25_top_terms(spark, SF)
+    row = out.orderBy("doc_id", "rnk").first()
+    doc_id, term, got = row["doc_id"], row["term"], row["bm25"]
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.expr("split(trim(lower(text)), ' ')").alias("t"))
+    )
+    toks = docs.select("doc_id", F.explode("t").alias("term"))
+    tf = (
+        toks.filter((F.col("doc_id") == doc_id) & (F.col("term") == term))
+        .count()
+    )
+    dl = docs.filter(F.col("doc_id") == doc_id).select(F.size("t")).first()[0]
+    df = (
+        toks.filter(F.col("term") == term)
+        .select("doc_id").distinct().count()
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("t")).alias("tot")
+    ).first()
+    n_docs, total_len = stats["n"], stats["tot"]
+
+    idf = (float(n_docs) - float(df) + 0.5) / (float(df) + 0.5)
+    tf_part = (float(tf) * (1.2 + 1.0)) / (
+        float(tf)
+        + 1.2 * (1.0 - 0.75 + 0.75 * (float(dl) / (float(total_len) / float(n_docs))))
+    )
+    assert math.isclose(got, idf * tf_part, rel_tol=1e-12)
+
+
+def test_bm25_ranks_are_contiguous_and_capped(spark):
+    out = text_bm25_top_terms(spark, SF)
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(F.max("rnk").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert per_doc, "no documents scored"
+    for r in per_doc:
+        assert r["mx"] == r["n"] <= BM25_TOP
+
+
+def test_rrf_score_is_the_reciprocal_rank_formula(spark):
+    out = sim_rrf_fusion(spark, SF).collect()
+    assert out, "no fused results"
+    for r in out:
+        want = 0.0
+        if r["rank_cos"] is not None:
+            assert 1 <= r["rank_cos"] <= RRF_LIST
+            want += 1.0 / (float(RRF_K) + float(r["rank_cos"]))
+        if r["rank_l2"] is not None:
+            assert 1 <= r["rank_l2"] <= RRF_LIST
+            want += 1.0 / (float(RRF_K) + float(r["rank_l2"]))
+        assert r["rank_cos"] is not None or r["rank_l2"] is not None
+        assert math.isclose(r["rrf"], want, rel_tol=1e-12)
+        assert r["vec_id"] != r["query_id"]
+
+
+def test_rrf_fused_ranks_contiguous_per_query(spark):
+    out = sim_rrf_fusion(spark, SF)
+    per_q = (
+        out.groupBy("query_id")
+        .agg(
+            F.max("fused_rank").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("fused_rank").alias("mn"),
+        )
+        .collect()
+    )
+    assert per_q
+    for r in per_q:
+        assert r["mn"] == 1 and r["mx"] == r["n"] <= RRF_TOP
+
+
+def test_rrf_double_listed_item_beats_single_listed(spark):
+    """Any item present in BOTH top lists at rank <= L/3 must outscore any
+    item present in only one list — the fusion property RRF exists for."""
+    rows = sim_rrf_fusion(spark, SF).collect()
+    both = [
+        r["rrf"]
+        for r in rows
+        if r["rank_cos"] is not None
+        and r["rank_l2"] is not None
+        and r["rank_cos"] <= RRF_LIST // 3
+        and r["rank_l2"] <= RRF_LIST // 3
+    ]
+    single = [
+        r["rrf"] for r in rows if r["rank_cos"] is None or r["rank_l2"] is None
+    ]
+    if both and single:
+        assert min(both) > max(single)
