@@ -149,3 +149,95 @@ def cdc_apply_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change"),
         )
     )
+
+
+@query(
+    "cdc_net_effect",
+    oracle=f"""
+    WITH base_keys AS (
+      SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{CUTOVER}'
+    ), ops AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+      FROM events WHERE ts >= TIMESTAMP '{CUTOVER}'
+    ), last_op AS (
+      SELECT user_id, op, value, ts, n_ops, n_deletes
+      FROM ops WHERE rn = 1
+    )
+    SELECT o.user_id,
+           CASE WHEN o.op = 'delete' AND b.user_id IS NOT NULL THEN 'delete'
+                WHEN o.op = 'delete' THEN 'none'
+                WHEN b.user_id IS NOT NULL THEN 'update'
+                ELSE 'insert' END AS net_op,
+           CASE WHEN o.op = 'delete' THEN NULL ELSE o.value END AS final_value,
+           o.ts AS last_ts,
+           o.n_ops,
+           o.n_ops - o.n_deletes AS n_upserts,
+           o.n_deletes
+    FROM last_op o LEFT JOIN base_keys b ON o.user_id = b.user_id
+    """,
+    doc="Net-effect compaction of a CDC op-log (Iceberg changelog "
+        "'net_changes' semantics): per key, the whole ops window collapses "
+        "to ONE net operation against the pre-window snapshot — "
+        "insert+…+delete inside the window cancels to 'none', "
+        "delete-of-existing stays 'delete', upsert maps to insert/update "
+        "by prior existence. Downstream MERGE applies |keys| rows instead "
+        "of |log| rows. One window over key-partitioned ops + one "
+        "key-equi join against the distinct base-key set.",
+)
+def cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cut = F.lit(CUTOVER).cast("timestamp")
+    base_keys = (
+        ev.filter(F.col("ts") < cut).select("user_id").distinct().alias("b")
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("user_id")
+    wo = wk.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last_op = (
+        ev.filter(F.col("ts") >= cut)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wk).cast("bigint"))
+        .withColumn(
+            "n_deletes",
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+            .over(wk)
+            .cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .alias("o")
+    )
+    return last_op.join(
+        base_keys, F.col("o.user_id") == F.col("b.user_id"), "left"
+    ).select(
+        F.col("o.user_id").alias("user_id"),
+        F.when(
+            (F.col("op") == "delete") & F.col("b.user_id").isNotNull(), "delete"
+        )
+        .when(F.col("op") == "delete", "none")
+        .when(F.col("b.user_id").isNotNull(), "update")
+        .otherwise("insert")
+        .alias("net_op"),
+        F.when(F.col("op") == "delete", F.lit(None)).otherwise(F.col("value"))
+        .alias("final_value"),
+        F.col("ts").alias("last_ts"),
+        "n_ops",
+        (F.col("n_ops") - F.col("n_deletes")).alias("n_upserts"),
+        "n_deletes",
+    )

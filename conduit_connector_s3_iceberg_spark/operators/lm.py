@@ -183,3 +183,226 @@ def lm_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------ stupid-backoff trigram ----
+#
+# Brants et al. 2007 ("Large Language Models in Machine Translation"):
+# S(w3|w1,w2) = f(w1w2w3)/f(w1w2) if seen, else 0.4 * f(w2w3)/f(w2),
+# else 0.4^2 * f(w3)/T — the non-normalized backoff score that scales to
+# web-sized models because it needs only raw counts, no discounting.
+# Trained on the EVEN-doc_id half of the corpus and scoring the ODD half
+# (held-out split), so the backoff branches actually fire: a self-trained
+# model would hit the trigram table on every lookup.
+#
+# Determinism: each branch is quantized ONCE — round(CONST * c / c'),
+# integer product then a single IEEE division and round, identical across
+# engines (0.4·SCALE and 0.16·SCALE are integer constants) — and every
+# cross-row accumulation after that is BIGINT (the lm_bigram_score
+# discipline).
+
+BO_TRI = LM_SCALE            # scale for the trigram branch
+BO_BI = (2 * LM_SCALE) // 5  # 0.4  * scale — exact integers
+BO_UNI = (4 * LM_SCALE) // 25  # 0.16 * scale
+
+
+@query(
+    "lm_stupid_backoff",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), train_tri AS (
+      SELECT t[g] AS w1, t[g + 1] AS w2, t[g + 2] AS w3
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(g)
+      WHERE doc_id % 2 = 0
+    ), train_bi AS (
+      SELECT t[g] AS w1, t[g + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(g)
+      WHERE doc_id % 2 = 0
+    ), train_uni AS (
+      SELECT t[g] AS w1
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(g)
+      WHERE doc_id % 2 = 0
+    ), c3 AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+      FROM train_tri GROUP BY w1, w2, w3
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM train_bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM train_uni GROUP BY w1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t_tokens FROM train_uni
+    ), doctri AS (
+      SELECT doc_id, t[g] AS w1, t[g + 1] AS w2, t[g + 2] AS w3,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(g)
+      WHERE doc_id % 2 = 1
+      GROUP BY doc_id, t[g], t[g + 1], t[g + 2]
+    ), scored AS (
+      SELECT d.doc_id, d.cnt,
+             CASE
+               WHEN c3.c123 IS NOT NULL
+                 THEN CAST(round({BO_TRI} * c3.c123 / cb.c12) AS BIGINT)
+               WHEN bi.cb23 IS NOT NULL
+                 THEN CAST(round({BO_BI} * bi.cb23 / cu.c1) AS BIGINT)
+               WHEN u3.c1 IS NOT NULL
+                 THEN CAST(round({BO_UNI} * u3.c1 / t_tokens) AS BIGINT)
+               ELSE CAST(0 AS BIGINT)
+             END AS s_scaled,
+             CASE WHEN c3.c123 IS NOT NULL THEN 'tri'
+                  WHEN bi.cb23 IS NOT NULL THEN 'bi'
+                  WHEN u3.c1 IS NOT NULL THEN 'uni'
+                  ELSE 'oov' END AS level
+      FROM doctri d
+      LEFT JOIN c3 ON d.w1 = c3.w1 AND d.w2 = c3.w2 AND d.w3 = c3.w3
+      LEFT JOIN c2 cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
+      LEFT JOIN (SELECT w1 AS bw2, w2 AS bw3,
+                        CAST(COUNT(*) AS BIGINT) AS cb23
+                 FROM train_bi GROUP BY w1, w2) bi
+        ON d.w2 = bi.bw2 AND d.w3 = bi.bw3
+      LEFT JOIN c1 cu ON d.w2 = cu.w1
+      LEFT JOIN c1 u3 ON d.w3 = u3.w1
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+           CAST(SUM(cnt * s_scaled) AS BIGINT) AS score_scaled,
+           CAST(CAST(SUM(cnt * s_scaled) AS BIGINT) AS DOUBLE)
+             / (CAST(SUM(cnt) AS BIGINT) * {LM_SCALE}.0) AS mean_score,
+           CAST(SUM(CASE WHEN level = 'bi' THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_backoff_bi,
+           CAST(SUM(CASE WHEN level = 'uni' THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_backoff_uni,
+           CAST(SUM(CASE WHEN level = 'oov' THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM scored
+    GROUP BY doc_id
+    """,
+    doc="Stupid-backoff trigram scoring (Brants et al. 2007): the held-out "
+        "half of the corpus scored against counts from the training half — "
+        "S = f3/f2, backing off to 0.4·f2/f1, 0.16·f1/T, 0 for OOV, with "
+        "per-level audit counts. Each branch quantized once "
+        "(round(CONST·c/c'), integer product + one IEEE division), BIGINT "
+        "sums after — bit-stable under any shuffle. All lookup tables are "
+        "pre-aggregated count frames joined on their n-gram keys; the doc "
+        "side is pre-aggregated (doc, trigram, cnt) so joins move distinct "
+        "trigrams, not token positions.",
+)
+def lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("t")
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+
+    tri_expr = (
+        "transform(slice(t, 1, greatest(size(t) - 2, 0)), "
+        "(x, i) -> struct(x AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
+    )
+    bi_expr = (
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+    )
+
+    train_tri = train.select(F.explode(F.expr(tri_expr)).alias("g")).select(
+        "g.w1", "g.w2", "g.w3"
+    )
+    train_bi = train.select(F.explode(F.expr(bi_expr)).alias("g")).select(
+        "g.w1", "g.w2"
+    )
+    train_uni = train.select(F.explode("t").alias("w1"))
+
+    c3 = train_tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c123")
+    )
+    c2 = train_bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    bi23 = train_bi.groupBy(
+        F.col("w1").alias("bw2"), F.col("w2").alias("bw3")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cb23"))
+    c1 = train_uni.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    tot = train_uni.agg(F.count(F.lit(1)).cast("bigint").alias("t_tokens"))
+
+    doctri = (
+        score.select("doc_id", F.explode(F.expr(tri_expr)).alias("g"))
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .alias("d")
+    )
+    joined = (
+        doctri.join(
+            c3.alias("c3"),
+            (F.col("d.w1") == F.col("c3.w1"))
+            & (F.col("d.w2") == F.col("c3.w2"))
+            & (F.col("d.w3") == F.col("c3.w3")),
+            "left",
+        )
+        .join(
+            c2.alias("cb"),
+            (F.col("d.w1") == F.col("cb.w1")) & (F.col("d.w2") == F.col("cb.w2")),
+            "left",
+        )
+        .join(
+            bi23,
+            (F.col("d.w2") == F.col("bw2")) & (F.col("d.w3") == F.col("bw3")),
+            "left",
+        )
+        .join(
+            c1.alias("cu"), F.col("d.w2") == F.col("cu.w1"), "left"
+        )
+        .join(
+            c1.alias("u3"), F.col("d.w3") == F.col("u3.w1"), "left"
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    s_scaled = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.round(F.lit(BO_TRI) * F.col("c123") / F.col("c12")).cast("bigint"),
+        )
+        .when(
+            F.col("cb23").isNotNull(),
+            F.round(F.lit(BO_BI) * F.col("cb23") / F.col("cu.c1")).cast("bigint"),
+        )
+        .when(
+            F.col("u3.c1").isNotNull(),
+            F.round(F.lit(BO_UNI) * F.col("u3.c1") / F.col("t_tokens")).cast(
+                "bigint"
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    level = (
+        F.when(F.col("c123").isNotNull(), "tri")
+        .when(F.col("cb23").isNotNull(), "bi")
+        .when(F.col("u3.c1").isNotNull(), "uni")
+        .otherwise("oov")
+    )
+    scored = joined.select(
+        F.col("d.doc_id").alias("doc_id"),
+        F.col("d.cnt").alias("cnt"),
+        s_scaled.alias("s_scaled"),
+        level.alias("level"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_trigrams"),
+        F.sum(F.col("cnt") * F.col("s_scaled")).cast("bigint").alias("score_scaled"),
+        (
+            F.sum(F.col("cnt") * F.col("s_scaled")).cast("double")
+            / (F.sum("cnt") * F.lit(float(LM_SCALE)))
+        ).alias("mean_score"),
+        F.sum(F.when(F.col("level") == "bi", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_backoff_bi"),
+        F.sum(F.when(F.col("level") == "uni", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_backoff_uni"),
+        F.sum(F.when(F.col("level") == "oov", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
