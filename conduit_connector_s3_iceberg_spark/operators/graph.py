@@ -366,3 +366,95 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("deg").alias("core_degree"))
         .orderBy("id")
     )
+
+
+# --------------------------------------------------- link prediction --------
+#
+# Jaccard link prediction on the customer–part bipartite graph: two
+# customers who buy many of the same parts are likely to buy each other's
+# remaining parts (Liben-Nowell & Kleinberg, CIKM'03 — the
+# common-neighbors family; the co-purchase graph, not customer–supplier,
+# which in TPC-H is dense enough that every supplier is a hub). Pure
+# integers (shared-count, degrees) + ONE final division per emitted pair,
+# so bit-stable across engines.
+#
+# The skew channel is hub parts: a part bought by q customers generates
+# q^2 candidate pairs. Parts with degree > LINK_DEG_CAP are excluded from
+# BOTH pair generation and the degree table (consistent graph) — hubs
+# carry almost no signal for Jaccard anyway, since they inflate the union
+# as much as the intersection. Mirrored in the oracle.
+
+LINK_DEG_CAP = 64
+LINK_TOP = 100
+
+
+@query(
+    "graph_link_jaccard",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), keep AS (
+      SELECT s FROM cp GROUP BY s HAVING COUNT(*) <= {LINK_DEG_CAP}
+    ), g AS (
+      SELECT c, cp.s FROM cp JOIN keep ON cp.s = keep.s
+    ), deg AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS deg FROM g GROUP BY c
+    ), pairs AS (
+      SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM g a JOIN g b ON a.s = b.s AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT c1, c2, cn, d1.deg AS deg1, d2.deg AS deg2,
+           CAST(cn AS DOUBLE) / (d1.deg + d2.deg - cn) AS jaccard
+    FROM pairs JOIN deg d1 ON c1 = d1.c JOIN deg d2 ON c2 = d2.c
+    ORDER BY jaccard DESC, c1, c2
+    LIMIT {LINK_TOP}
+    """,
+    doc="Jaccard link prediction over the customer–part co-purchase graph "
+        "(common-neighbors family, Liben-Nowell & Kleinberg CIKM'03): "
+        "candidate customer pairs generated ONLY through shared parts "
+        "(never all-pairs), hub parts above LINK_DEG_CAP excluded from "
+        "graph and degrees alike (q^2 fan-out bound, hubs are "
+        "Jaccard-noise), top pairs by score via TakeOrderedAndProject. "
+        "Integer intersection/degree counts + one final IEEE division.",
+)
+def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
+        .distinct()
+    )
+    keep = cp.groupBy("s").agg(F.count(F.lit(1)).alias("sdeg")).filter(
+        F.col("sdeg") <= LINK_DEG_CAP
+    ).select("s")
+    g = cp.join(keep, "s").localCheckpoint(eager=False)  # consumed 3×
+    deg = g.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("c1"), F.col("b.c").alias("c2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    d1 = deg.select(F.col("c").alias("c1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("c").alias("c2"), F.col("deg").alias("deg2"))
+    return (
+        pairs.join(d1, "c1")
+        .join(d2, "c2")
+        .select(
+            "c1",
+            "c2",
+            "cn",
+            "deg1",
+            "deg2",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "c1", "c2")
+        .limit(LINK_TOP)
+    )

@@ -1864,3 +1864,84 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("zipf_slope"),
     )
+
+
+# ----------------------------------------------- cross-source calibration --
+#
+# Raw quality scores are not comparable across sources: a web-crawl source
+# and a curated source have different score distributions, so one global
+# threshold over-prunes the noisy source and under-prunes the clean one.
+# The standard fix is within-source quantile normalization — rank each
+# document INSIDE its source and gate on the source-relative quantile
+# (each source keeps its own top decile). The emitted quantile is
+# (rank-1)/(n-1): one exact IEEE division from integer inputs, ranks are
+# row_number with doc_id tie-break — fully deterministic, unlike
+# percent_rank under score ties.
+
+
+@query(
+    "text_quality_calibration",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             0.3*ttr + 0.3*stop_ratio + 0.2*(1 - digit_ratio)
+               + 0.2*least(avg_token_len/10, 1.0) AS quality
+      FROM (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                 / len(string_split(trim(text), ' ')) AS ttr,
+               CAST({{SQL_HITS}} AS DOUBLE)
+                 / len(string_split(trim(text), ' ')) AS stop_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / length(text) AS digit_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(trim(text), ' ')) AS avg_token_len
+        FROM documents
+      )
+    ), r AS (
+      SELECT doc_id, source, quality,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS INTEGER) AS src_rank,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM q
+    )
+    SELECT doc_id, source, quality, src_rank,
+           CASE WHEN n_src > 1
+                THEN CAST(src_rank - 1 AS DOUBLE) / (n_src - 1)
+                ELSE CAST(0 AS DOUBLE) END AS pct_in_source,
+           (src_rank * 10 <= n_src) AS top_decile
+    FROM r
+    """.replace("{SQL_HITS}", _sql_hits(STOPWORDS)),
+    doc="Within-source quality calibration (quantile normalization): each "
+        "document ranked inside its source by the heuristic quality score, "
+        "emitting the source-relative quantile (rank-1)/(n-1) and a "
+        "top-decile gate — the cross-source-fair filter threshold (a "
+        "global cutoff over-prunes noisy sources). One window partitioned "
+        "by source; at 100 TB source cardinality is modest but balanced — "
+        "heavy sources split fine because row_number needs only a sort "
+        "within each source partition, and AQE handles stragglers. "
+        "Deterministic: row_number with doc_id tie-break (not percent_rank "
+        "under ties); one final IEEE division.",
+)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q = docs.select("doc_id", "source", quality_col().alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    wn = Window.partitionBy("source")
+    r = q.withColumn("src_rank", F.row_number().over(w).cast("int")).withColumn(
+        "n_src", F.count(F.lit(1)).over(wn).cast("bigint")
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "quality",
+        "src_rank",
+        F.when(
+            F.col("n_src") > 1,
+            (F.col("src_rank") - 1).cast("double") / (F.col("n_src") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_in_source"),
+        (F.col("src_rank") * 10 <= F.col("n_src")).alias("top_decile"),
+    )

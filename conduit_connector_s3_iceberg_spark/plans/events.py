@@ -1504,3 +1504,109 @@ def events_path_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
         .orderBy("prev2", "prev1")
     )
+
+
+# ------------------------------------------------ multi-touch attribution --
+#
+# Which channel (event type) gets credit for a purchase? The three standard
+# models side by side: first-touch (1 credit to the earliest touch in the
+# lookback window), last-touch (1 to the latest), linear (1/n to each).
+# Linear credit is the float-accumulation trap: summing 1/n per row is
+# order-dependent. The suite's quantize-then-sum discipline applies —
+# per-touch credit is round(SCALE/n_touches), an exact integer identical
+# in both engines, and every accumulation after that is BIGINT.
+
+ATTR_SCALE = 1_000_000_000
+ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT p.conv_id, e.event_type AS channel, e.ts, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                ORDER BY e.ts, e.event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn_last,
+             CAST(COUNT(*) OVER (PARTITION BY p.conv_id) AS BIGINT) AS n_touches
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts < p.conv_ts
+       AND e.ts >= p.conv_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           CAST(SUM(CAST(round({ATTR_SCALE} / n_touches) AS BIGINT)) AS BIGINT)
+             AS linear_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints
+    FROM touches
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    doc="Multi-touch purchase attribution over a 7-day lookback: "
+        "first-touch / last-touch / linear credit per channel in one pass. "
+        "Touch fan-out is bounded by the lookback window per (user, "
+        "purchase); the join is user-equi + time-range (partitioned on "
+        "user_id, the natural key). Linear credit quantized per conversion "
+        "(round(SCALE/n) — exact integer both engines) then BIGINT-summed: "
+        "no float accumulation.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("conv_ts"))
+            & (
+                F.col("ts")
+                >= F.col("conv_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+            ),
+        )
+        .select(
+            "conv_id", F.col("event_type").alias("channel"), "ts", "event_id"
+        )
+    )
+    w_first = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_n = Window.partitionBy("conv_id")
+    scored = (
+        touches.withColumn("rn_first", F.row_number().over(w_first))
+        .withColumn("rn_last", F.row_number().over(w_last))
+        .withColumn("n_touches", F.count(F.lit(1)).over(w_n).cast("bigint"))
+    )
+    return (
+        scored.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch"),
+            F.sum(
+                F.round(F.lit(ATTR_SCALE) / F.col("n_touches")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("linear_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+        )
+        .orderBy("channel")
+    )

@@ -1,0 +1,93 @@
+"""Invariant tests for the round-4 third-wave operators: link-prediction
+Jaccard, multi-touch attribution, within-source quality calibration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conduit_connector_s3_iceberg_spark.operators.graph import (
+    LINK_TOP,
+    graph_link_jaccard,
+)
+from conduit_connector_s3_iceberg_spark.operators.text import (
+    text_quality_calibration,
+)
+from conduit_connector_s3_iceberg_spark.plans.events import (
+    ATTR_SCALE,
+    events_attribution,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_link_jaccard_bounds_and_ordering(spark):
+    rows = graph_link_jaccard(spark, SF).collect()
+    assert 0 < len(rows) <= LINK_TOP
+    prev = None
+    for r in rows:
+        assert r["c1"] < r["c2"]
+        assert 1 <= r["cn"] <= min(r["deg1"], r["deg2"])
+        assert 0.0 < r["jaccard"] <= 1.0
+        expected = r["cn"] / (r["deg1"] + r["deg2"] - r["cn"])
+        assert r["jaccard"] == expected
+        if prev is not None:
+            assert r["jaccard"] <= prev
+        prev = r["jaccard"]
+
+
+def test_attribution_credit_conservation(spark):
+    """Each conversion hands out exactly one first-touch, one last-touch,
+    and ~SCALE of linear credit — so the per-channel totals must sum to
+    the number of attributed conversions (and its scaled equivalent,
+    within n_convs/2 of rounding slack)."""
+    rows = events_attribution(spark, SF).collect()
+    assert rows
+    n_first = sum(r["first_touch"] for r in rows)
+    n_last = sum(r["last_touch"] for r in rows)
+    linear = sum(r["linear_scaled"] for r in rows)
+    assert n_first == n_last > 0
+    # linear credit sums to n_convs * SCALE up to per-touch rounding (each
+    # conversion's n rounded credits differ from SCALE by < n/2 ulp-units)
+    assert abs(linear - n_first * ATTR_SCALE) < n_first * ATTR_SCALE * 0.001
+    for r in rows:
+        assert r["first_touch"] <= r["n_touchpoints"]
+        assert r["last_touch"] <= r["n_touchpoints"]
+
+
+def test_calibration_each_source_keeps_its_own_top_decile(spark):
+    out = text_quality_calibration(spark, SF)
+    per_src = (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("top_decile"), 1).otherwise(0)).alias("kept"),
+            F.max("src_rank").alias("max_rank"),
+            F.min("pct_in_source").alias("mn"),
+            F.max("pct_in_source").alias("mx"),
+        )
+        .collect()
+    )
+    assert len(per_src) > 1, "fixture must have multiple sources"
+    for r in per_src:
+        assert r["kept"] == r["n"] // 10  # exactly the top decile, per source
+        assert r["max_rank"] == r["n"]
+        assert r["mn"] == 0.0 and r["mx"] == 1.0
+
+
+def test_calibration_gate_differs_from_global_gate(spark):
+    """The operator's reason to exist: the within-source top decile is NOT
+    the same doc set as the global top decile whenever sources differ in
+    score distribution."""
+    out = text_quality_calibration(spark, SF).select(
+        "doc_id", "quality", "top_decile"
+    )
+    n = out.count()
+    global_top = {
+        r["doc_id"]
+        for r in out.orderBy(F.col("quality").desc(), "doc_id")
+        .limit(n // 10)
+        .collect()
+    }
+    per_source = {r["doc_id"] for r in out.filter("top_decile").collect()}
+    assert len(per_source) > 0
+    assert per_source != global_top
