@@ -57,6 +57,10 @@ BENCH_EXT = [
     "corpus_neardup_decontamination",
     "text_dsir_weights",
     "sketch_kmv_jaccard",
+    # round 4, third wave
+    "text_bm25_top_terms",
+    "lm_stupid_backoff",
+    "graph_link_jaccard",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -1270,3 +1270,111 @@ def pipeline_weighted_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+
+
+# ------------------------------------------------ length-bucketed batching --
+#
+# The OTHER packing policy: models fine-tuned on per-example sequences
+# (not concat-and-cut pretraining) pad every batch to its longest member,
+# so batch assembly by length bucket is what controls padding waste.
+# This op is the accounting that justifies the policy: per power-of-2
+# length bucket, the docs/token mass, the padded token cost, the waste
+# vs the naive pad-everything-to-global-max policy, and the batch count
+# under a fixed per-batch token budget. Pure integer arithmetic + one
+# final efficiency division per bucket.
+
+BATCH_TOKENS = 4096     # padded token budget per assembled batch
+_BUCKET_CAPS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def _bucket_case(col: str) -> str:
+    """Smallest power-of-2 cap >= n (chained integer CASE — no log2)."""
+    whens = " ".join(
+        f"WHEN {col} <= {c} THEN {c}" for c in _BUCKET_CAPS[:-1]
+    )
+    return f"CASE {whens} ELSE {_BUCKET_CAPS[-1]} END"
+
+
+@query(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), g AS (
+      SELECT CAST(MAX(n_tokens) AS BIGINT) AS global_max FROM t
+    ), b AS (
+      SELECT CAST({_bucket_case('n_tokens')} AS BIGINT) AS bucket_cap,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS bucket_max
+      FROM t GROUP BY bucket_cap
+    )
+    SELECT bucket_cap, bucket_max, n_docs, total_tokens,
+           n_docs * bucket_max AS padded_tokens,
+           n_docs * bucket_max - total_tokens AS waste_bucketed,
+           n_docs * global_max - total_tokens AS waste_naive,
+           CAST(total_tokens AS DOUBLE) / (n_docs * bucket_max) AS efficiency,
+           CAST(ceil(CAST(n_docs AS DOUBLE)
+                     / ({BATCH_TOKENS} // bucket_cap)) AS BIGINT) AS n_batches
+    FROM b CROSS JOIN g
+    ORDER BY bucket_cap
+    """,
+    doc="Length-bucketed batch planning for padded (per-example) training: "
+        "docs grouped into power-of-2 length buckets; per bucket the token "
+        "mass, padded cost (padding to the bucket's longest member, as a "
+        "batch assembler would), waste vs the naive pad-to-global-max "
+        "policy, "
+        "padding efficiency, and batch count under a fixed "
+        f"{BATCH_TOKENS}-token padded budget. One hash agg on a constant "
+        "bucket key + a 1-row global-max broadcast — no sort, no window. "
+        "Integer accounting; one IEEE division per emitted bucket.",
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split(F.trim(F.col("text")), " "))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    g = t.agg(F.max("n_tokens").cast("bigint").alias("global_max"))
+    b = (
+        t.select(
+            F.expr(_bucket_case("n_tokens")).cast("bigint").alias("bucket_cap"),
+            "n_tokens",
+        )
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").cast("bigint").alias("bucket_max"),
+        )
+    )
+    return (
+        b.crossJoin(F.broadcast(g))
+        .select(
+            "bucket_cap",
+            "bucket_max",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket_max")).alias("padded_tokens"),
+            (F.col("n_docs") * F.col("bucket_max") - F.col("total_tokens")).alias(
+                "waste_bucketed"
+            ),
+            (F.col("n_docs") * F.col("global_max") - F.col("total_tokens")).alias(
+                "waste_naive"
+            ),
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_max"))
+            ).alias("efficiency"),
+            F.ceil(
+                F.col("n_docs").cast("double")
+                / F.expr(f"{BATCH_TOKENS} div bucket_cap")
+            )
+            .cast("bigint")
+            .alias("n_batches"),
+        )
+        .orderBy("bucket_cap")
+    )

@@ -293,7 +293,10 @@ def lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOKS_SPARK).alias("t")
     )
-    train = docs.filter(F.col("doc_id") % 2 == 0)
+    # tokenized train split is consumed 3× (tri/bi/uni explodes): materialize
+    # once so the split+filter front end runs once, not per consumer (the
+    # shared-index discipline from dedup.py; scratch table on a cluster)
+    train = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=False)
     score = docs.filter(F.col("doc_id") % 2 == 1)
 
     tri_expr = (
@@ -319,13 +322,18 @@ def lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = train_bi.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12")
     )
-    bi23 = train_bi.groupBy(
-        F.col("w1").alias("bw2"), F.col("w2").alias("bw3")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cb23"))
+    # the (w2,w3)-keyed bigram table is the SAME counts as c2, renamed —
+    # no second corpus-wide aggregation
+    bi23 = c2.select(
+        F.col("w1").alias("bw2"),
+        F.col("w2").alias("bw3"),
+        F.col("c12").alias("cb23"),
+    )
     c1 = train_uni.groupBy("w1").agg(
         F.count(F.lit(1)).cast("bigint").alias("c1")
     )
-    tot = train_uni.agg(F.count(F.lit(1)).cast("bigint").alias("t_tokens"))
+    # token total = sum of the vocab-sized unigram table, not a 4th corpus pass
+    tot = c1.agg(F.sum("c1").cast("bigint").alias("t_tokens"))
 
     doctri = (
         score.select("doc_id", F.explode(F.expr(tri_expr)).alias("g"))

@@ -91,3 +91,25 @@ def test_calibration_gate_differs_from_global_gate(spark):
     per_source = {r["doc_id"] for r in out.filter("top_decile").collect()}
     assert len(per_source) > 0
     assert per_source != global_top
+
+
+def test_length_bucket_accounting_is_exact(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        BATCH_TOKENS,
+        pack_length_buckets,
+    )
+
+    rows = pack_length_buckets(spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # partition of the corpus
+    prev_cap = 0
+    for r in rows:
+        assert r["bucket_cap"] > prev_cap
+        prev_cap = r["bucket_cap"]
+        assert r["waste_bucketed"] == r["padded_tokens"] - r["total_tokens"]
+        assert 0 <= r["waste_bucketed"] <= r["waste_naive"]
+        assert 0.0 < r["efficiency"] <= 1.0
+        cap_per_batch = BATCH_TOKENS // r["bucket_cap"]
+        assert r["n_batches"] == -(-r["n_docs"] // cap_per_batch)
