@@ -430,21 +430,27 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = cp.groupBy("s").agg(F.count(F.lit(1)).alias("sdeg")).filter(
         F.col("sdeg") <= LINK_DEG_CAP
     ).select("s")
-    g = cp.join(keep, "s").localCheckpoint(eager=False)  # consumed 3×
+    g = cp.join(keep, "s")
     deg = g.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    a = g.alias("a")
-    b = g.alias("b")
+    # attach each customer's degree to the edge list BEFORE pair generation
+    # (one customer-keyed shuffle of the edge list) so the q^2-sized pairs
+    # frame never joins anything afterwards — degrees ride through the
+    # pair aggregation as a constant-per-group max(). Neither deg nor the
+    # pair frame is broadcastable at 100 TB; this shape needs neither.
+    gd = g.join(deg, "c").localCheckpoint(eager=False)  # consumed by both sides
+    a = gd.alias("a")
+    b = gd.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")))
         .groupBy(F.col("a.c").alias("c1"), F.col("b.c").alias("c2"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.max(F.col("a.deg")).alias("deg1"),
+            F.max(F.col("b.deg")).alias("deg2"),
+        )
     )
-    d1 = deg.select(F.col("c").alias("c1"), F.col("deg").alias("deg1"))
-    d2 = deg.select(F.col("c").alias("c2"), F.col("deg").alias("deg2"))
     return (
-        pairs.join(d1, "c1")
-        .join(d2, "c2")
-        .select(
+        pairs.select(
             "c1",
             "c2",
             "cn",

@@ -124,12 +124,18 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOKS_SPARK).alias("t")
     )
-    dl = docs.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    # dl feeds both the stats fold and the per-doc join; tf feeds both the
+    # df table and the scoring frame — materialize each once so the
+    # tokenize/explode front end doesn't re-run per consumer (the
+    # shared-index discipline from dedup.py; scratch tables on a cluster)
+    dl = docs.select(
+        "doc_id", F.size("t").cast("bigint").alias("dl")
+    ).localCheckpoint(eager=False)
     tf = (
         docs.select("doc_id", F.explode("t").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -225,6 +231,9 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     dot = _spark_dot("qemb", "emb")
+    # both rankers consume the scored frame: materialize the broadcast-join
+    # scoring pass once (bounded at N_QUERIES × corpus rows, partition-local
+    # spill) instead of re-running the dot products per ranking
     scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
@@ -234,7 +243,7 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("nrm") * F.col("nrm"))
             - (F.lit(2.0) * F.expr(dot))
         ).alias("dist2"),
-    )
+    ).localCheckpoint(eager=False)
     r_cos = _two_phase_topk(scored, RRF_LIST, base=emb, score_col="cosine").select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank_cos")
     )
