@@ -266,3 +266,196 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= RRF_TOP)
         .select("query_id", "vec_id", "rank_cos", "rank_l2", "rrf", "fused_rank")
     )
+
+
+# ----------------------------------------------------------- MMR rerank ----
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): re-rank a
+# relevance top-C so each pick balances relevance against similarity to
+# what's already picked — the standard result-diversification pass after
+# any retrieval stage (and, in data pipelines, the "pick K diverse
+# exemplars per cluster" primitive). Greedy selection is inherently
+# sequential in K but embarrassingly parallel across queries, so the
+# idiomatic Spark shape is: bounded candidate generation distributed
+# (gated two-phase top-k), pairwise sims distributed (C^2 per query), and
+# the K-step greedy as an Arrow-batched applyInPandas over each query's
+# constant-size (<= C^2-row) group — never a driver loop, never a
+# corpus-size collect.
+#
+# Determinism: all inputs (relevance, pairwise sims) are the engine's
+# bit-exact cosines; the greedy score is 0.7*rel - 0.3*max(sim), a fixed
+# three-op IEEE tree evaluated identically by numpy float64 and DuckDB
+# doubles; ties break by vec_id. The oracle unrolls the K greedy steps as
+# generated SQL CTEs — same argmax, same tie-break.
+
+MMR_CAND = 20     # relevance candidates per query (C)
+MMR_K = 10        # diversified picks per query (K)
+_MMR_LAM = 0.7    # relevance weight; (1 - lam) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    lam = "CAST(0.7 AS DOUBLE)"
+    mu = "CAST(0.3 AS DOUBLE)"
+    steps = []
+    # step 1: pure relevance argmax (empty selected set -> penalty term 0)
+    steps.append(f"""
+    sel1 AS MATERIALIZED (
+      SELECT query_id, vec_id, cosine, {lam} * cosine - {mu} * CAST(0 AS DOUBLE)
+               AS mmr_score, 1 AS mmr_rank
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY {lam} * cosine - {mu} * CAST(0 AS DOUBLE) DESC, vec_id
+        ) AS rn FROM cand
+      ) WHERE rn = 1
+    ), acc1 AS MATERIALIZED (SELECT * FROM sel1)""")
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        steps.append(f"""
+    scored{t} AS MATERIALIZED (
+      SELECT c.query_id, c.vec_id, c.cosine,
+             {lam} * c.cosine - {mu} * (
+               SELECT MAX(p.sim) FROM psim p
+               JOIN acc{p} s
+                 ON s.query_id = p.query_id AND s.vec_id = p.b_vec
+               WHERE p.query_id = c.query_id AND p.a_vec = c.vec_id
+             ) AS mmr_score
+      FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM acc{p} s
+        WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id
+      )
+    ), sel{t} AS MATERIALIZED (
+      SELECT query_id, vec_id, cosine, mmr_score, {t} AS mmr_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY mmr_score DESC, vec_id
+        ) AS rn FROM scored{t}
+      ) WHERE rn = 1
+    ), acc{t} AS MATERIALIZED (SELECT query_id, vec_id, cosine, mmr_score, mmr_rank
+                  FROM acc{p}
+                  UNION ALL SELECT * FROM sel{t})""")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+      WHERE vec_id < {N_QUERIES}
+    ), cand AS MATERIALIZED (
+      SELECT query_id, vec_id, cosine FROM (
+        SELECT q.query_id, e.vec_id,
+               {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm)
+                            DESC, e.vec_id
+               ) AS rank
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rank <= {MMR_CAND}
+    ), psim AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS a_vec, b.vec_id AS b_vec,
+             {_sql_dot('ea.emb', 'eb.emb')} / (ea.nrm * eb.nrm) AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+    ),{','.join(steps)}
+    SELECT query_id, vec_id, cosine AS relevance, mmr_score,
+           CAST(mmr_rank AS INTEGER) AS mmr_rank
+    FROM acc{MMR_K}
+    """
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diversification (Carbonell & "
+        "Goldstein, SIGIR'98): greedy top-10 from the cosine top-20, each "
+        "step scoring 0.7*relevance - 0.3*max-similarity-to-selected. "
+        "Candidate generation and pairwise sims are distributed and "
+        "bounded (C, C^2 per query); the K-step greedy runs per query "
+        "inside one Arrow-batched applyInPandas over a constant-size "
+        "group — parallel across queries, no driver loop. Scores are a "
+        "fixed 3-op IEEE tree over bit-exact cosines (numpy float64 == "
+        "DuckDB double); the oracle unrolls the same greedy as K "
+        "generated CTE steps with the same vec_id tie-break.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    cand = _two_phase_topk(scored, MMR_CAND, base=emb).drop("rank")
+    # enrich the (constant-size) candidate set with its vectors: broadcast
+    # the candidates INTO the corpus scan — one narrow pass, no shuffle
+    cand_emb = emb.join(
+        F.broadcast(cand), "vec_id"
+    ).select("query_id", "vec_id", "cosine", "emb", "nrm")
+    a = cand_emb.alias("a")
+    b = cand_emb.alias("b")
+    psim = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("a_vec"),
+            F.col("a.cosine").alias("relevance"),
+            F.col("b.vec_id").alias("b_vec"),
+            (
+                F.expr(_spark_dot("a.emb", "b.emb"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("sim"),
+        )
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        qid = pdf["query_id"].iloc[0]
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.a_vec] = r.relevance
+            sim[(r.a_vec, r.b_vec)] = r.sim
+        selected: list[int] = []
+        rows = []
+        remaining = sorted(rel)
+        for rank in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            best_vec = None
+            best_score = None
+            for c in remaining:  # ascending vec_id -> strict > keeps ties low
+                penalty = max(sim[(c, s)] for s in selected) if selected else 0.0
+                score = 0.7 * rel[c] - 0.3 * penalty
+                if best_score is None or score > best_score:
+                    best_vec, best_score = c, score
+            selected.append(best_vec)
+            remaining.remove(best_vec)
+            rows.append((qid, best_vec, rel[best_vec], best_score, rank))
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "vec_id", "relevance", "mmr_score", "mmr_rank"],
+        )
+
+    return psim.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, vec_id long, relevance double, "
+        "mmr_score double, mmr_rank int",
+    )

@@ -115,3 +115,42 @@ def test_rrf_double_listed_item_beats_single_listed(spark):
     ]
     if both and single:
         assert min(both) > max(single)
+
+
+def test_mmr_diversifies_and_scores_consistently(spark):
+    from conduit_connector_s3_iceberg_spark.operators.retrieval import (
+        MMR_K,
+        sim_mmr_rerank,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        sim_topk_bruteforce,
+    )
+
+    mmr = sim_mmr_rerank(spark, SF).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q
+    rel = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in sim_topk_bruteforce(spark, SF).collect()
+    }
+    diverged = False
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["mmr_rank"])
+        assert [r["mmr_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) == MMR_K
+        # pick 1 is pure relevance: must equal the brute-force rank-1 hit
+        assert rows[0]["vec_id"] == rel[(qid, 1)]
+        assert rows[0]["mmr_score"] == 0.7 * rows[0]["relevance"]
+        # later picks carry a similarity term bounded by |cosine| <= 1, so
+        # the score sits within 0.3 of pure relevance (negative cosines
+        # make the "penalty" a bonus — both directions are legal)
+        for r in rows[1:]:
+            assert abs(r["mmr_score"] - 0.7 * r["relevance"]) <= 0.3 + 1e-12
+        mmr_order = [r["vec_id"] for r in rows]
+        rel_order = [rel[(qid, k)] for k in range(1, MMR_K + 1)]
+        if mmr_order != rel_order:
+            diverged = True
+    # diversification must actually change at least one query's ordering
+    assert diverged
