@@ -1610,3 +1610,117 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ------------------------------------------------ time-windowed funnel -----
+#
+# q41's funnel orders stages by first-ever timestamps — fine for lifetime
+# conversion, wrong for campaign analysis where a click must happen within
+# an hour of the view that caused it. This is the bounded-hop variant:
+# purchase counts only if the user's LAST click before it is within
+# FUNNEL_HOP_S seconds, and that click counts only if the last view
+# before IT is within the same hop. One sorted window pass per user
+# (running conditional max / last over rows-preceding frames) — no
+# self-joins, no per-stage scans; the 1-row summary folds in one agg.
+
+FUNNEL_HOP_S = 3600
+
+
+@query(
+    "events_windowed_funnel",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), lc AS (
+      SELECT p.user_id, p.ts,
+             (SELECT MAX(c.ts) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts < p.ts) AS click_ts
+      FROM p
+    ), chain AS (
+      SELECT user_id, ts, click_ts,
+             click_ts IS NOT NULL
+               AND epoch(ts) - epoch(click_ts) <= {FUNNEL_HOP_S} AS click_ok,
+             click_ts IS NOT NULL AND EXISTS (
+               SELECT 1 FROM events v
+               WHERE v.user_id = lc.user_id AND v.event_type = 'view'
+                 AND v.ts < lc.click_ts
+                 AND epoch(lc.click_ts) - epoch(v.ts) <= {FUNNEL_HOP_S}
+             ) AS view_ok
+      FROM lc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN click_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click_within_hop,
+           CAST(SUM(CASE WHEN click_ok AND view_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full_chain,
+           CAST(SUM(CASE WHEN click_ok AND view_ok THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS chain_rate
+    FROM chain
+    """,
+    doc="Time-windowed strict funnel: a purchase converts only through its "
+        "LAST preceding click within 1 h, which itself must follow a view "
+        "within 1 h — the campaign-attribution variant of q41's lifetime "
+        "funnel. Spark side is one sorted window pass per user (running "
+        "conditional max for the view→click hop, running last-ignorenulls "
+        "struct for the click→purchase hop) — no self-joins; the oracle "
+        "states the same chain with correlated subqueries. Counts are "
+        "integers; one final IEEE division.",
+)
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # per event: last view ts strictly before it (running conditional max)
+    with_lv = ev.withColumn(
+        "lv_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_prev),
+    )
+    # per click: did a view precede it within the hop?
+    click_state = F.when(
+        F.col("event_type") == "click",
+        F.struct(
+            F.col("ts").alias("c_ts"),
+            (
+                F.col("lv_ts").isNotNull()
+                & (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("lv_ts").cast("timestamp"))
+                    <= FUNNEL_HOP_S * 1_000_000
+                )
+            ).alias("c_view_ok"),
+        ),
+    )
+    with_click = with_lv.withColumn(
+        "last_click", F.last(click_state, ignorenulls=True).over(w_prev)
+    )
+    purchases = with_click.filter(F.col("event_type") == "purchase").select(
+        F.col("last_click.c_ts").alias("click_ts"),
+        F.col("last_click.c_view_ok").alias("view_ok"),
+        "ts",
+    )
+    click_ok = F.col("click_ts").isNotNull() & (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        <= FUNNEL_HOP_S * 1_000_000
+    )
+    flagged = purchases.select(
+        click_ok.alias("click_ok"),
+        (click_ok & F.coalesce(F.col("view_ok"), F.lit(False))).alias("full_ok"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.when(F.col("click_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click_within_hop"),
+        F.sum(F.when(F.col("full_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_full_chain"),
+        (
+            F.sum(F.when(F.col("full_ok"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("chain_rate"),
+    )

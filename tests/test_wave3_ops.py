@@ -113,3 +113,17 @@ def test_length_bucket_accounting_is_exact(spark):
         assert 0.0 < r["efficiency"] <= 1.0
         cap_per_batch = BATCH_TOKENS // r["bucket_cap"]
         assert r["n_batches"] == -(-r["n_docs"] // cap_per_batch)
+
+
+def test_windowed_funnel_narrows_the_lifetime_funnel(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_windowed_funnel,
+    )
+
+    r = events_windowed_funnel(spark, SF).first()
+    assert r["n_purchases"] > 0
+    assert 0 <= r["n_full_chain"] <= r["n_click_within_hop"] <= r["n_purchases"]
+    assert r["chain_rate"] == r["n_full_chain"] / r["n_purchases"]
+    # the 1h hop must actually bind on the fixture (otherwise the op is
+    # indistinguishable from an unbounded funnel)
+    assert r["n_click_within_hop"] < r["n_purchases"]
