@@ -38,6 +38,11 @@ GATED_QUERIES = [
     "corpus_neardup_decontamination",
     "text_dsir_weights",
     "sketch_kmv_distinct",
+    # round 4 third wave: RRF runs BOTH rankings through the gated
+    # two-phase merge off one materialized scoring pass; BM25 exercises
+    # the shared dl/tf materializations at forced width
+    "sim_rrf_fusion",
+    "text_bm25_top_terms",
 ]
 
 
