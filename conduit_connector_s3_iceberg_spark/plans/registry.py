@@ -63,6 +63,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         sketches,
         text,
+        timeseries,
     )
 
     return QUERIES

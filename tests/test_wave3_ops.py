@@ -127,3 +127,38 @@ def test_windowed_funnel_narrows_the_lifetime_funnel(spark):
     # the 1h hop must actually bind on the fixture (otherwise the op is
     # indistinguishable from an unbounded funnel)
     assert r["n_click_within_hop"] < r["n_purchases"]
+
+
+def test_holt_smoothing_matches_python_recursion(spark):
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        TS_SCALE,
+        events_holt_smoothing,
+    )
+
+    out = {r["event_type"]: r for r in events_holt_smoothing(spark, SF).collect()}
+    assert out
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", F2.col("ts").cast("date").alias("day"))
+    )
+    d0, d1 = ev.agg(F2.min("day"), F2.max("day")).first()
+    n = (d1 - d0).days + 1
+    counts = {
+        (r["event_type"], (r["day"] - d0).days): r["count"]
+        for r in ev.groupBy("event_type", "day").count().collect()
+    }
+    for et, row in out.items():
+        xs = [counts.get((et, t), 0) * TS_SCALE for t in range(n)]
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            l_new = math.trunc((x + 3 * (l + b)) / 4)
+            b = math.trunc(((l_new - l) + 3 * b) / 4)
+            l = l_new
+        assert row["n_days"] == n
+        assert row["level_scaled"] == l
+        assert row["trend_scaled"] == b
+        assert row["forecast_2"] == (l + 2 * b) / TS_SCALE
