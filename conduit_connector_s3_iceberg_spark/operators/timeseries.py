@@ -177,3 +177,136 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend_scaled bigint, level double, trend double, "
         "forecast_1 double, forecast_2 double, forecast_3 double",
     )
+
+
+# ------------------------------------------------ Markov power iteration ---
+#
+# The stationary behavior of the user journey: quantize the row-stochastic
+# transition matrix over event types once (round(S*c/rowtotal) — the
+# lm/graph discipline), then run K synchronous power-iteration steps
+# r' = r·P entirely in scaled BIGINT — sum_u r(u)*p(u,v) div S. The state
+# space is the event-type vocabulary (bounded), so every frame after the
+# transition count is metadata-sized; the only corpus-scale work is the
+# one lag-window pass that counts transitions. Deterministic: integer
+# sums are associative; the quantization drift (row sums a few ulp-units
+# off S) is identical in both engines. Emitted as the K-step iterate, not
+# a fixpoint claim.
+
+MK_SCALE = 1_000_000_000
+MK_ITERS = 8
+
+
+def _mk_oracle() -> str:
+    steps = []
+    for k in range(1, MK_ITERS + 1):
+        p = k - 1
+        steps.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT m.dst AS state,
+             CAST(SUM(r.mass * m.p_scaled) // {MK_SCALE} AS BIGINT) AS mass
+      FROM r{p} r JOIN model m ON m.src = r.state
+      GROUP BY m.dst
+    )""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), c AS (
+      SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ), rt AS (
+      SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY src
+    ), model AS MATERIALIZED (
+      SELECT c.src, c.dst,
+             CAST(round({MK_SCALE} * c.n / rt.total) AS BIGINT) AS p_scaled
+      FROM c JOIN rt USING (src)
+    ), states AS (
+      SELECT src AS state FROM rt
+    ), r0 AS (
+      SELECT state,
+             CAST({MK_SCALE} // (SELECT COUNT(*) FROM states) AS BIGINT)
+               AS mass
+      FROM states
+    ),{','.join(steps)}
+    SELECT f.state, f.mass AS stationary_scaled,
+           CAST(f.mass AS DOUBLE) / {MK_SCALE} AS stationary,
+           CAST(e.n_events AS BIGINT) AS n_events,
+           CAST(e.n_events AS DOUBLE)
+             / (SELECT COUNT(*) FROM events) AS empirical_share
+    FROM r{MK_ITERS} f
+    JOIN (SELECT event_type, COUNT(*) AS n_events FROM events
+          GROUP BY event_type) e
+      ON e.event_type = f.state
+    """
+
+
+@query(
+    "events_markov_stationary",
+    oracle=_mk_oracle(),
+    doc=f"Markov power iteration over the user-journey transition chain: "
+        f"the row-stochastic event-type matrix quantized once to scaled "
+        f"BIGINT, then {MK_ITERS} synchronous r' = r·P steps in pure "
+        f"integer arithmetic (sum(r·p) div S) — the {MK_ITERS}-step "
+        f"iterate of the stationary distribution, next to each state's "
+        f"empirical visit share. Corpus-scale work is one lag-window "
+        f"pass; every iteration frame is |event-type-vocabulary| rows.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = seq.groupBy(
+        F.col("prev").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rt = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("total"))
+    model = (
+        c.join(rt, "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.lit(MK_SCALE) * F.col("n") / F.col("total"))
+            .cast("bigint")
+            .alias("p_scaled"),
+        )
+        .localCheckpoint(eager=False)  # consumed every iteration
+    )
+    n_states = rt.select(F.count(F.lit(1)).alias("k"))
+    r = rt.crossJoin(F.broadcast(n_states)).select(
+        F.col("src").alias("state"),
+        F.expr(f"{MK_SCALE} div k").cast("bigint").alias("mass"),
+    )
+    for _ in range(MK_ITERS):
+        r = (
+            r.join(model, r.state == model.src)
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.expr(f"CAST(sum(mass * p_scaled) div {MK_SCALE} AS BIGINT)")
+                .alias("mass")
+            )
+        )
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    grand = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        r.join(totals, r.state == totals.event_type)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "state",
+            F.col("mass").alias("stationary_scaled"),
+            (F.col("mass").cast("double") / F.lit(float(MK_SCALE))).alias(
+                "stationary"
+            ),
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n_total")).alias(
+                "empirical_share"
+            ),
+        )
+    )

@@ -162,3 +162,21 @@ def test_holt_smoothing_matches_python_recursion(spark):
         assert row["level_scaled"] == l
         assert row["trend_scaled"] == b
         assert row["forecast_2"] == (l + 2 * b) / TS_SCALE
+
+
+def test_markov_stationary_conserves_mass(spark):
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        MK_SCALE,
+        events_markov_stationary,
+    )
+
+    rows = events_markov_stationary(spark, SF).collect()
+    assert len(rows) >= 2
+    total = sum(r["stationary_scaled"] for r in rows)
+    # each div-floor loses < 1 unit per (state, iteration): mass stays
+    # within a whisker of the simplex
+    assert MK_SCALE * 0.999 <= total <= MK_SCALE
+    for r in rows:
+        assert r["stationary_scaled"] > 0
+        assert r["stationary"] == r["stationary_scaled"] / MK_SCALE
+        assert 0.0 < r["empirical_share"] < 1.0
