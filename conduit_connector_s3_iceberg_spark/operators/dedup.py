@@ -2159,3 +2159,159 @@ def cdc_chunk_text_frame(docs: DataFrame) -> DataFrame:
             )
         ).cast("long").alias("chunk_bytes"),
     )
+
+
+# ------------------------------------------------- LSH recall audit --------
+#
+# The QA question every LSH deployment must answer: how many TRUE near-dup
+# pairs does the candidate stage miss? Ground truth is the exact-Jaccard
+# pair set over the UNCAPPED shingle index at the verify threshold —
+# affordable as a sampled audit (this is a QA query you run on a slice,
+# not a production stage; the production path stays candidates-only).
+# Expected recall for a true pair at Jaccard j is 1-(1-j)^B adjusted for
+# the >=MIN_SHARED_BANDS rule; the audit measures the realized rate.
+
+
+@query(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), exact AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON c.doc_a = sa.doc_id
+      JOIN sizes sb ON c.doc_b = sb.doc_id
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common)
+            >= {VERIFY_THRESHOLD}
+    ), sig AS (
+      SELECT doc_id, {_MH_SQL} FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{_BANDS_SQL}], recursive := true) FROM sig
+    ), cand AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    ), hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true_candidates
+      FROM exact e JOIN cand c
+        ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+           h.n_true_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) - h.n_true_candidates
+             AS n_missed,
+           CAST(h.n_true_candidates AS DOUBLE)
+             / (SELECT COUNT(*) FROM exact) AS candidate_recall,
+           CAST(h.n_true_candidates AS DOUBLE)
+             / (SELECT COUNT(*) FROM cand) AS candidate_precision
+    FROM hit h
+    """,
+    doc="LSH candidate-stage recall audit: the exact-Jaccard pair set at "
+        f"the verify threshold ({VERIFY_THRESHOLD}) vs the banded "
+        f"candidate set (>= {MIN_SHARED_BANDS} shared bands) — realized "
+        "recall and precision of the stage that decides what the verifier "
+        "ever sees. A sampled-slice QA query (ground truth needs the "
+        "uncapped pair join); the production path remains candidates-only. "
+        "Integer pair counts; two final IEEE divisions.",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = _distinct_shingles(docs).localCheckpoint(
+        eager=False
+    )  # consumed 4x: sizes, both pair legs, signatures
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    exact = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            >= VERIFY_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # consumed 2x: count + hit join
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
+                    for i in range(N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.h") == F.col("bb.h"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .groupBy(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= MIN_SHARED_BANDS)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # consumed 2x: count + hit join
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+    )
+    hit = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_candidates")
+    )
+    return (
+        hit.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_exact_pairs",
+            "n_candidate_pairs",
+            "n_true_candidates",
+            (F.col("n_exact_pairs") - F.col("n_true_candidates")).alias(
+                "n_missed"
+            ),
+            (
+                F.col("n_true_candidates").cast("double")
+                / F.col("n_exact_pairs")
+            ).alias("candidate_recall"),
+            (
+                F.col("n_true_candidates").cast("double")
+                / F.col("n_candidate_pairs")
+            ).alias("candidate_precision"),
+        )
+    )

@@ -1724,3 +1724,58 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("chain_rate"),
     )
+
+
+# ------------------------------------------------ window TVF (batch) -------
+#
+# The window() table-valued grouping Spark shares between batch and
+# Structured Streaming: a SLIDING window (2 h long, 1 h slide) makes each
+# event contribute to exactly two windows — semantics the TVF expands
+# internally (no manual explode). Running it in batch pins down exactly
+# what the streaming rollups in streaming/windows.py compute, and the
+# oracle states the expansion explicitly: each event joins to the two
+# hour-grid starts that cover it.
+
+
+@query(
+    "q76_window_tvf",
+    oracle="""
+    SELECT win_start, win_end, event_type, n_events, n_users
+    FROM (
+      SELECT date_trunc('hour', ts) - INTERVAL (u.g) HOUR AS win_start,
+             date_trunc('hour', ts) - INTERVAL (u.g) HOUR
+               + INTERVAL 2 HOUR AS win_end,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events, UNNEST(range(0, 2)) AS u(g)
+      GROUP BY 1, 2, 3
+    )
+    """,
+    doc="Sliding-window rollup via the window() TVF (2 h length, 1 h "
+        "slide): each event lands in exactly two hour-grid windows — the "
+        "TVF does the expansion Catalyst-side, one hash agg on (window, "
+        "type). The batch twin of the streaming sliding_rollup; the "
+        "oracle writes the two-window expansion explicitly.",
+)
+def q76_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )

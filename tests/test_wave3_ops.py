@@ -180,3 +180,34 @@ def test_markov_stationary_conserves_mass(spark):
         assert r["stationary_scaled"] > 0
         assert r["stationary"] == r["stationary_scaled"] / MK_SCALE
         assert 0.0 < r["empirical_share"] < 1.0
+
+
+def test_window_tvf_each_event_in_two_windows(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import q76_window_tvf
+
+    out = q76_window_tvf(spark, SF)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == 2 * n_events  # 2h window / 1h slide: exactly 2 each
+    widths = out.select(
+        (F.unix_micros(F.col("win_end").cast("timestamp"))
+         - F.unix_micros(F.col("win_start").cast("timestamp"))).alias("w")
+    ).distinct().collect()
+    assert [r["w"] for r in widths] == [2 * 3600 * 1_000_000]
+
+
+def test_lsh_recall_audit_bounds(spark):
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        dedup_lsh_recall_audit,
+    )
+
+    r = dedup_lsh_recall_audit(spark, SF).first()
+    assert r["n_exact_pairs"] > 0, "fixture must contain true near-dups"
+    assert 0 <= r["n_true_candidates"] <= min(
+        r["n_exact_pairs"], r["n_candidate_pairs"]
+    )
+    assert r["n_missed"] == r["n_exact_pairs"] - r["n_true_candidates"]
+    assert r["candidate_recall"] == r["n_true_candidates"] / r["n_exact_pairs"]
+    # 8 bands at j >= 0.5 give expected recall ~1-(1-j)^8 adjusted for the
+    # 2-band rule — anything under half would mean the banding is broken
+    assert r["candidate_recall"] >= 0.5
