@@ -401,9 +401,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _two_phase_topk(scored, MMR_CAND, base=emb).drop("rank")
     # enrich the (constant-size) candidate set with its vectors: broadcast
     # the candidates INTO the corpus scan — one narrow pass, no shuffle
-    cand_emb = emb.join(
-        F.broadcast(cand), "vec_id"
-    ).select("query_id", "vec_id", "cosine", "emb", "nrm")
+    cand_emb = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select("query_id", "vec_id", "cosine", "emb", "nrm")
+        .localCheckpoint(eager=False)  # <= C*Q rows; feeds both psim sides
+    )
     a = cand_emb.alias("a")
     b = cand_emb.alias("b")
     psim = (
