@@ -1677,3 +1677,73 @@ def q75_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("peak_month_qty"),
     ).orderBy("suppkey")
+
+
+# ------------------------------------------------ schema-drift union -------
+#
+# The ingestion-side reality the reference's FAILFAST conformer rejects:
+# two record batches whose producers disagree on column sets. Spark's
+# unionByName(allowMissingColumns=True) aligns by NAME and null-fills the
+# gaps — the schema-drift-tolerant append every long-lived pipeline
+# eventually needs (DuckDB's twin is UNION ALL BY NAME). Here: an "old
+# feed" batch without the channel column and a "new feed" batch without
+# the legacy flag, merged and profiled.
+
+
+@query(
+    "q77_union_by_name",
+    oracle="""
+    SELECT feed, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN channel IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_channel,
+           CAST(SUM(CASE WHEN legacy_flag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_legacy
+    FROM (
+      SELECT 'old' AS feed, event_type, legacy_flag, channel FROM (
+        SELECT event_type, event_id % 2 = 0 AS legacy_flag,
+               CAST(NULL AS VARCHAR) AS channel
+        FROM events WHERE event_id % 3 = 0
+      )
+      UNION ALL BY NAME
+      SELECT 'new' AS feed, event_type,
+             CAST(NULL AS BOOLEAN) AS legacy_flag,
+             CASE WHEN value >= 50 THEN 'web' ELSE 'app' END AS channel
+      FROM events WHERE event_id % 3 = 1
+    )
+    GROUP BY feed, event_type
+    ORDER BY feed, event_type
+    """,
+    doc="Schema-drift-tolerant union: an old feed (legacy_flag, no "
+        "channel) and a new feed (channel, no legacy_flag) merged with "
+        "unionByName(allowMissingColumns=True) — name-aligned, null-"
+        "filled, then profiled per feed. The append shape a connector "
+        "needs once producers evolve independently; DuckDB twin is "
+        "UNION ALL BY NAME. Narrow maps + one hash agg.",
+)
+def q77_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    old_feed = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.lit("old").alias("feed"),
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("legacy_flag"),
+    )
+    new_feed = ev.filter(F.col("event_id") % 3 == 1).select(
+        F.lit("new").alias("feed"),
+        "event_type",
+        F.when(F.col("value") >= 50, "web").otherwise("app").alias("channel"),
+    )
+    merged = old_feed.unionByName(new_feed, allowMissingColumns=True)
+    return (
+        merged.groupBy("feed", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("channel").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_channel"),
+            F.sum(F.when(F.col("legacy_flag").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_legacy"),
+        )
+        .orderBy("feed", "event_type")
+    )
