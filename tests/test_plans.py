@@ -324,6 +324,24 @@ BROADCAST_NONEQUI_OK = {
     "graph_pagerank",
     # one-row codebook broadcast + queries×probes table — bounded
     "sim_ann_ivfpq",
+    # one-row corpus-stats (N, total tokens) broadcast into the tf table
+    "text_bm25_top_terms",
+    # N_QUERIES-row query broadcast, <> self-pair predicate (the
+    # sim_topk_bruteforce shape) feeding both fused rankings / the MMR
+    # candidate stage
+    "sim_rrf_fusion",
+    "sim_mmr_rerank",
+    # one-row train-token-total broadcast into the doc-trigram frame
+    "lm_stupid_backoff",
+    # one-row global-max broadcast into the |buckets|-row accounting
+    "pack_length_buckets",
+    # one-row (d0, d1) date-bounds broadcast seeding the dense day grid
+    "events_holt_smoothing",
+    # one-row state-count broadcast seeding mass = SCALE div k, and a
+    # one-row grand-total broadcast into the |states|-row result
+    "events_markov_stationary",
+    # two one-row pair-count broadcasts folding the audit summary
+    "dedup_lsh_recall_audit",
 }
 
 
