@@ -104,11 +104,19 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
     )
-    bounds = ev.agg(
+    # ONE corpus pass: the (type, day) count frame is series-sized; bounds,
+    # the type list, and the dense grid all derive from it, so events is
+    # never rescanned (scan_count.py: 6 reads -> 1)
+    counts = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
     grid = (
-        ev.select("event_type")
+        counts.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -121,9 +129,6 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.datediff("day", "d0").cast("bigint").alias("t"),
         )
-    )
-    counts = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("x")
     )
     series = grid.join(counts, ["event_type", "day"], "left").select(
         "event_type", "t", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
@@ -262,9 +267,14 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
     ).filter(F.col("prev").isNotNull())
-    c = seq.groupBy(
-        F.col("prev").alias("src"), F.col("event_type").alias("dst")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # ONE corpus pass: the |types|²-row transition-count frame is
+    # materialized and every downstream frame (row totals, model, init
+    # vector) derives from it (scan_count.py: 7 reads -> 2)
+    c = (
+        seq.groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     rt = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("total"))
     model = (
         c.join(rt, "src")
@@ -293,8 +303,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     totals = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")
-    )
-    grand = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    ).localCheckpoint(eager=False)  # |types| rows; feeds grand + result
+    grand = totals.agg(F.sum("n_events").alias("n_total"))
     return (
         r.join(totals, r.state == totals.event_type)
         .crossJoin(F.broadcast(grand))
