@@ -2120,3 +2120,144 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ------------------------------------------------ truncation quality curve -
+#
+# The measurement behind sim_truncated_rerank's TRUNC_DIM choice: for each
+# prefix width w, the recall@k of ranking by the w-dim truncated cosine
+# against the full-dimension ranking (Kusupati et al., NeurIPS 2022 — MRL
+# prefix sub-vectors as cheap embeddings). One scored pass computes every
+# width's dot/norm pair (the prefixes share the scan); the frame melts to
+# (query, width, score) so ONE window partitioned on (query_id, width)
+# ranks all curves; hits join the width-DIM list (trivially recall 1.0 —
+# the built-in sanity row). An audit over the bounded query set, like
+# sim_ann_recall.
+
+CURVE_WIDTHS = [8, 16, 32, 64]
+
+
+def _sql_wdot(a: str, b: str, w: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {w}),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _sql_wnrm(col: str, w: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(list_slice({col}, 1, {w}),"
+        f" x -> x * x), (x, y) -> x + y))"
+    )
+
+
+@query(
+    "sim_truncation_curve",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb FROM e
+      WHERE vec_id < {N_QUERIES}
+    ), melted AS (
+      SELECT q.query_id, e.vec_id, u.w AS width,
+             CASE u.w
+               {' '.join(f"WHEN {w} THEN {_sql_wdot('q.qemb', 'e.emb', w)} / ({_sql_wnrm('q.qemb', w)} * {_sql_wnrm('e.emb', w)})" for w in CURVE_WIDTHS)}
+             END AS tcos
+      FROM q JOIN e ON e.vec_id <> q.query_id,
+           UNNEST([{', '.join(str(w) for w in CURVE_WIDTHS)}]) AS u(w)
+    ), ranked AS MATERIALIZED (
+      SELECT query_id, vec_id, width FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id, width ORDER BY tcos DESC, vec_id
+        ) AS rk FROM melted
+      ) WHERE rk <= {TOP_K}
+    ), full_list AS (
+      SELECT query_id, vec_id FROM ranked WHERE width = {CURVE_WIDTHS[-1]}
+    )
+    SELECT r.width,
+           CAST(COUNT(f.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(f.vec_id) AS DOUBLE)
+             / ({N_QUERIES} * {TOP_K}) AS recall_at_k
+    FROM ranked r
+    LEFT JOIN full_list f
+      ON f.query_id = r.query_id AND f.vec_id = r.vec_id
+    GROUP BY r.width
+    ORDER BY r.width
+    """,
+    doc=f"Matryoshka truncation quality curve: recall@{TOP_K} of each "
+        f"prefix-width ranking ({', '.join(map(str, CURVE_WIDTHS))} dims) "
+        "against the full-dimension top list — the measurement that picks "
+        "the cheapest stage-1 width for sim_truncated_rerank. One scored "
+        "pass computes every width (prefixes share the scan); one window "
+        "over (query, width) ranks all curves; the audit runs on the "
+        "bounded query set (sim_ann_recall's scope).",
+)
+def sim_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+
+    def wdot(w: int) -> str:
+        return (
+            f"aggregate(zip_with(slice(qemb, 1, {w}), slice(emb, 1, {w}),"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    def wnrm(col: str, w: int) -> str:
+        return (
+            f"sqrt(aggregate(slice({col}, 1, {w}), 0.0D,"
+            f" (acc, x) -> acc + x * x))"
+        )
+
+    pairs = ", ".join(
+        f"struct({w} AS width, ({wdot(w)}) / (({wnrm('qemb', w)}) *"
+        f" ({wnrm('emb', w)})) AS tcos)"
+        for w in CURVE_WIDTHS
+    )
+    melted = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.explode(F.expr(f"array({pairs})")).alias("m"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("m.width").alias("width"),
+            F.col("m.tcos").alias("tcos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id", "width").orderBy(
+        F.col("tcos").desc(), F.col("vec_id")
+    )
+    ranked = (
+        melted.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "width")
+        .localCheckpoint(eager=False)  # feeds both the curve and full list
+    )
+    full_list = ranked.filter(F.col("width") == CURVE_WIDTHS[-1]).select(
+        "query_id", F.col("vec_id").alias("f_vec")
+    )
+    return (
+        ranked.join(
+            full_list,
+            (ranked.query_id == full_list.query_id)
+            & (ranked.vec_id == full_list.f_vec),
+            "left",
+        )
+        .groupBy("width")
+        .agg(
+            F.count("f_vec").cast("bigint").alias("n_hits"),
+            (
+                F.count("f_vec").cast("double")
+                / F.lit(float(N_QUERIES * TOP_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("width")
+    )

@@ -211,3 +211,22 @@ def test_lsh_recall_audit_bounds(spark):
     # 8 bands at j >= 0.5 give expected recall ~1-(1-j)^8 adjusted for the
     # 2-band rule — anything under half would mean the banding is broken
     assert r["candidate_recall"] >= 0.5
+
+
+def test_truncation_curve_monotone_with_perfect_top(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        CURVE_WIDTHS,
+        N_QUERIES,
+        TOP_K,
+        sim_truncation_curve,
+    )
+
+    rows = {r["width"]: r for r in sim_truncation_curve(spark, SF).collect()}
+    assert sorted(rows) == CURVE_WIDTHS
+    full = rows[CURVE_WIDTHS[-1]]
+    assert full["n_hits"] == N_QUERIES * TOP_K and full["recall_at_k"] == 1.0
+    for w, r in rows.items():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["recall_at_k"] == r["n_hits"] / (N_QUERIES * TOP_K)
+    # a shorter prefix cannot beat the full ranking it's measured against
+    assert rows[CURVE_WIDTHS[0]]["recall_at_k"] < 1.0
