@@ -2315,3 +2315,117 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_precision"),
         )
     )
+
+
+# --------------------------------------------------- winnowing -------------
+#
+# Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+# SIGMOD'03 — the MOSS algorithm): slide a window of W consecutive
+# k-gram hashes and keep each window's minimum (rightmost on ties). The
+# guarantee: any shared substring of >= W + k - 1 words produces at
+# least one shared SELECTED fingerprint, while storing only ~2/(W+1) of
+# all positions — the principled sparse fingerprint set for plagiarism /
+# exact-substring dedup (the span family here uses fixed strides; this
+# is the coverage-guaranteed alternative).
+#
+# Shape: the window-min is expressed as a W-way bounded fan-out
+# (position p serves windows t = p-W+1..p) + one (doc, t)-keyed
+# row_number — no frame-min over strings, identical semantics in both
+# engines (min hash, rightmost tie). Selected fingerprints then group
+# corpus-wide to surface cross-document repeats.
+
+WINNOW_W = 4    # window of consecutive shingle hashes
+WINNOW_TOP = 100
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH pos AS MATERIALIZED (
+      SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+             md5(array_to_string(list_slice(string_split(trim(text), ' '),
+                                            u.p, u.p + 2), ' ')) AS h,
+             CAST(greatest(len(string_split(trim(text), ' ')) - 2, 1)
+                  AS BIGINT) AS m
+      FROM documents,
+           UNNEST(range(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)
+                           + 1)) AS u(p)
+    ), win AS (
+      SELECT doc_id, p - o.g AS t, p, h
+      FROM pos, UNNEST(range(0, {WINNOW_W})) AS o(g)
+      WHERE p - o.g >= 1 AND p - o.g <= m - {WINNOW_W} + 1
+    ), sel AS (
+      SELECT DISTINCT doc_id, p, h FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id, t ORDER BY h, p DESC
+        ) AS rn FROM win
+      ) WHERE rn = 1
+    )
+    SELECT h AS fingerprint,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM sel
+    GROUP BY h
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, fingerprint
+    LIMIT {WINNOW_TOP}
+    """,
+    doc=f"Winnowing fingerprint selection (Schleimer et al., SIGMOD'03): "
+        f"window of {WINNOW_W} consecutive shingle hashes, keep each "
+        "window's min (rightmost tie) — guarantees any shared run of "
+        f">= {WINNOW_W}+2 words yields a shared selected fingerprint while "
+        "keeping ~2/(W+1) of positions. Window-min as a bounded W-way "
+        "fan-out + (doc, window)-keyed row_number (string frame-min is "
+        "engine-ambiguous; this is not); selected prints then one "
+        "corpus-wide hash agg for cross-document repeats.",
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    m_expr = "greatest(size(split(trim(text), ' ')) - 2, 1)"
+    pos = docs.select(
+        "doc_id",
+        F.expr(f"CAST({m_expr} AS BIGINT)").alias("m"),
+        F.explode(F.expr(f"sequence(1, {m_expr})")).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "m",
+        F.col("p").cast("bigint").alias("p"),
+        F.expr(
+            "md5(concat_ws(' ', slice(split(trim(text), ' '), p, 3)))"
+        ).alias("h"),
+    )
+    win = (
+        pos.select(
+            "doc_id",
+            "p",
+            "h",
+            "m",
+            F.explode(F.expr(f"sequence(0, {WINNOW_W - 1})")).alias("o"),
+        )
+        .withColumn("t", F.col("p") - F.col("o"))
+        .filter(
+            (F.col("t") >= 1) & (F.col("t") <= F.col("m") - WINNOW_W + 1)
+        )
+    )
+    w = Window.partitionBy("doc_id", "t").orderBy(F.col("h"), F.col("p").desc())
+    sel = (
+        win.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "p", "h")
+        .distinct()
+    )
+    return (
+        sel.groupBy(F.col("h").alias("fingerprint"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            "fingerprint",
+        )
+        .limit(WINNOW_TOP)
+    )

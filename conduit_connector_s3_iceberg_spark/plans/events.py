@@ -1779,3 +1779,117 @@ def q76_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# ------------------------------------------------ peak session concurrency -
+#
+# "How many sessions were active at once, and when?" — the interval sweep
+# every capacity planner runs. Sessions are q22's gap-based intervals
+# treated as CLOSED [start, end]; the sweep emits +1/-1 endpoint deltas
+# and takes the running sum, processing starts before ends at the same
+# instant. A naive global ordered cumsum is a single reducer, so the
+# Spark side runs the textbook DISTRIBUTED prefix sum: per-hour delta
+# totals (bounded frame) -> running hour offsets -> within-hour running
+# sums partitioned by hour + offset. The oracle states the same sweep as
+# one global window; per-row running values at tied instants permute
+# within an equal-delta group, but the global max and its earliest
+# timestamp are permutation-invariant, so both engines agree exactly.
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  ) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id,
+             ts
+      FROM ordered
+    ), ivals AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, session_id
+    ), endpoints AS (
+      SELECT s AS ts, 1 AS delta FROM ivals
+      UNION ALL
+      SELECT e AS ts, -1 AS delta FROM ivals
+    ), swept AS (
+      SELECT ts, SUM(delta) OVER (
+               ORDER BY ts, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS active
+      FROM endpoints
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ivals) AS n_sessions,
+           CAST(MAX(active) AS BIGINT) AS max_concurrent,
+           MIN(ts) FILTER (WHERE active = (SELECT MAX(active) FROM swept))
+             AS at_ts
+    FROM swept
+    """,
+    doc="Peak concurrent sessions (closed-interval sweep over q22's "
+        "gap-based sessions; starts before ends at equal instants). Spark "
+        "side is the distributed prefix sum: per-hour endpoint-delta "
+        "totals, running offsets over the bounded hour frame, within-hour "
+        "running sums partitioned by hour — no global single-reducer "
+        "cumsum. Max and earliest-max timestamp are invariant to tie "
+        "permutations, so the one-window oracle matches exactly.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((_us("ts") - _us(prev_ts)) > gap_us), 1
+    ).otherwise(0)
+    ivals = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wrun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .localCheckpoint(eager=False)  # feeds both endpoint legs + count
+    )
+    endpoints = ivals.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        ivals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    ).withColumn("hour", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    # distributed prefix sum: (1) per-hour totals, (2) running offsets over
+    # the bounded hour frame, (3) within-hour running sums + offset
+    hour_tot = endpoints.groupBy("hour").agg(F.sum("delta").alias("hd"))
+    w_hours = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = hour_tot.withColumn(
+        "offset", (F.sum("hd").over(w_hours) - F.col("hd")).cast("long")
+    ).select("hour", "offset")
+    w_in = Window.partitionBy("hour").orderBy(
+        F.col("ts"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = (
+        endpoints.join(F.broadcast(offsets), "hour")
+        .withColumn(
+            "active", (F.sum("delta").over(w_in) + F.col("offset")).cast("long")
+        )
+    )
+    peak = swept.agg(F.max("active").alias("max_concurrent"))
+    n_sessions = ivals.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return (
+        swept.crossJoin(F.broadcast(peak))
+        .filter(F.col("active") == F.col("max_concurrent"))
+        .agg(
+            F.min("ts").alias("at_ts"),
+            F.first("max_concurrent").alias("max_concurrent"),
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select("n_sessions", "max_concurrent", "at_ts")
+    )

@@ -342,6 +342,8 @@ BROADCAST_NONEQUI_OK = {
     "events_markov_stationary",
     # two one-row pair-count broadcasts folding the audit summary
     "dedup_lsh_recall_audit",
+    # one-row peak + one-row session-count broadcasts folding the summary
+    "events_peak_concurrency",
 }
 
 

@@ -230,3 +230,67 @@ def test_truncation_curve_monotone_with_perfect_top(spark):
         assert r["recall_at_k"] == r["n_hits"] / (N_QUERIES * TOP_K)
     # a shorter prefix cannot beat the full ranking it's measured against
     assert rows[CURVE_WIDTHS[0]]["recall_at_k"] < 1.0
+
+
+def test_peak_concurrency_matches_naive_sweep(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_peak_concurrency,
+        q22_sessionization,
+    )
+
+    got = events_peak_concurrency(spark, SF).first()
+    sessions = q22_sessionization(spark, SF).collect()
+    eps = []
+    for s in sessions:
+        eps.append((s["session_start"], 1))
+        eps.append((s["session_end"], -1))
+    eps.sort(key=lambda e: (e[0], -e[1]))  # starts before ends at ties
+    active = best = 0
+    best_ts = None
+    for ts, d in eps:
+        active += d
+        if active > best:
+            best, best_ts = active, ts
+    assert got["n_sessions"] == len(sessions)
+    assert got["max_concurrent"] == best
+    assert got["at_ts"] == best_ts
+
+
+def test_winnowing_selection_matches_python_reference(spark):
+    import hashlib
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        WINNOW_W,
+        dedup_winnowing_fingerprints,
+    )
+
+    out = dedup_winnowing_fingerprints(spark, SF).collect()
+    assert out
+    # independent reference: winnow every doc in python, group, compare top
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    occ = defaultdict(int)
+    for d in docs:
+        toks = d["text"].strip().split(" ")
+        m = max(len(toks) - 2, 1)
+        hs = [
+            hashlib.md5(" ".join(toks[p : p + 3]).encode()).hexdigest()
+            for p in range(m)
+        ]
+        selected = set()
+        for t in range(0, m - WINNOW_W + 1):
+            window = hs[t : t + WINNOW_W]
+            mn = min(window)
+            p_sel = max(i for i, h in enumerate(window, start=t) if h == mn)
+            selected.add((p_sel, hs[p_sel]))
+        for _, h in selected:
+            groups[h].add(d["doc_id"])
+            occ[h] += 1
+    expected = sorted(
+        ((h, len(ds), occ[h]) for h, ds in groups.items() if len(ds) >= 2),
+        key=lambda r: (-r[1], -r[2], r[0]),
+    )[: len(out)]
+    got = [(r["fingerprint"], r["n_docs"], r["n_occurrences"]) for r in out]
+    assert got == expected
