@@ -320,3 +320,278 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------- Markov removal attribution --
+#
+# Data-driven multi-touch attribution (Anderl et al. 2014): model user
+# journeys as an absorbing Markov chain (start -> touch states ->
+# conv/null), compute the conversion probability from start, then for
+# each channel remove its state (transitions into it die to null) and
+# measure how much conversion probability disappears — the channel's
+# removal effect. The principled alternative to events_attribution's
+# positional heuristics.
+#
+# All removal scenarios are computed JOINTLY: the value vector is keyed
+# by (scenario, state) and the K value-iteration steps run once over
+# that one vocabulary-sized frame — no per-channel loop, no unrolling
+# per channel. v(s) = p(s->conv) + sum_t p(s->t) v(t) iterated K times
+# in scaled BIGINT (quantized transition matrix, div-S products), so
+# both engines agree bit-for-bit. Shares divide integer removal masses
+# (never a float sum).
+
+MA_SCALE = 1_000_000_000
+MA_ITERS = 12
+
+
+def _ma_oracle() -> str:
+    steps = []
+    for k in range(1, MA_ITERS + 1):
+        p = k - 1
+        steps.append(f"""
+    v{k} AS MATERIALIZED (
+      SELECT m.scenario, m.src AS state,
+             CAST(m.p_conv + SUM(m.p_scaled * COALESCE(v.val, 0))
+                  // {MA_SCALE} AS BIGINT) AS val
+      FROM smodel m
+      LEFT JOIN v{p} v ON v.scenario = m.scenario AND v.state = m.dst
+      GROUP BY m.scenario, m.src, m.p_conv
+    )""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+      FROM events
+    ), pseq AS (
+      SELECT user_id, MIN(pos) AS p_pos FROM seq
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), path AS (
+      SELECT s.user_id, s.event_type, s.pos,
+             LAG(s.event_type) OVER (
+               PARTITION BY s.user_id ORDER BY s.pos
+             ) AS prev,
+             MAX(s.pos) OVER (PARTITION BY s.user_id) AS last_pos,
+             p.p_pos IS NOT NULL AS converts
+      FROM seq s LEFT JOIN pseq p ON s.user_id = p.user_id
+      WHERE p.p_pos IS NULL OR s.pos < p.p_pos
+    ), trans AS (
+      SELECT COALESCE(prev, 'start') AS src, event_type AS dst FROM path
+      UNION ALL
+      SELECT event_type AS src,
+             CASE WHEN converts THEN 'conv' ELSE 'null' END AS dst
+      FROM path WHERE pos = last_pos
+      UNION ALL
+      SELECT 'start' AS src, 'conv' AS dst
+      FROM pseq WHERE p_pos = 1
+    ), c AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM trans GROUP BY src, dst
+    ), rt AS (
+      SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY src
+    ), model AS (
+      SELECT c.src, c.dst,
+             CAST(round({MA_SCALE} * c.n / rt.total) AS BIGINT) AS p_scaled
+      FROM c JOIN rt USING (src)
+    ), scenarios AS (
+      SELECT DISTINCT src AS removed FROM model WHERE src <> 'start'
+      UNION ALL SELECT '__none__'
+    ), smodel0 AS (
+      SELECT s.removed AS scenario, m.src,
+             CASE WHEN m.dst = s.removed THEN 'null' ELSE m.dst END AS dst,
+             CAST(SUM(m.p_scaled) AS BIGINT) AS p_scaled
+      FROM scenarios s JOIN model m ON m.src <> s.removed
+      GROUP BY 1, 2, 3
+    ), pconv AS (
+      SELECT scenario, src,
+             CAST(SUM(CASE WHEN dst = 'conv' THEN p_scaled ELSE 0 END)
+                  AS BIGINT) AS p_conv
+      FROM smodel0 GROUP BY scenario, src
+    ), smodel AS MATERIALIZED (
+      SELECT s0.scenario, s0.src, s0.dst, s0.p_scaled, pc.p_conv
+      FROM smodel0 s0
+      JOIN pconv pc ON pc.scenario = s0.scenario AND pc.src = s0.src
+    ), v0 AS (
+      SELECT DISTINCT scenario, src AS state, CAST(0 AS BIGINT) AS val
+      FROM smodel
+    ),{','.join(steps)}
+    , base AS (
+      SELECT val AS v_base FROM v{MA_ITERS}
+      WHERE scenario = '__none__' AND state = 'start'
+    ), removals AS (
+      SELECT v.scenario AS channel,
+             b.v_base - v.val AS removal_scaled
+      FROM v{MA_ITERS} v CROSS JOIN base b
+      WHERE v.scenario <> '__none__' AND v.state = 'start'
+    )
+    SELECT channel,
+           removal_scaled,
+           CAST(removal_scaled AS DOUBLE) / (SELECT v_base FROM base)
+             AS removal_effect,
+           CAST(removal_scaled AS DOUBLE)
+             / (SELECT SUM(removal_scaled) FROM removals)
+             AS attribution_share
+    FROM removals
+    ORDER BY channel
+    """
+
+
+@query(
+    "events_markov_attribution",
+    oracle=_ma_oracle(),
+    doc="Markov removal-effect attribution (Anderl et al. 2014): user "
+        "journeys up to first purchase as an absorbing chain; per channel, "
+        "the conversion probability lost when its state is removed "
+        "(transitions into it die to null), and the share of total "
+        "removal mass. All scenarios iterate jointly in ONE "
+        "(scenario, state)-keyed vocabulary-sized frame, K=12 value-"
+        "iteration steps in scaled BIGINT; shares divide integer masses. "
+        "Corpus-scale work is one window pass building transitions.",
+)
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("pos")
+    )
+    pseq = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("p_pos"))
+    )
+    wp = Window.partitionBy("user_id").orderBy("pos")
+    path = (
+        seq.join(pseq, "user_id", "left")
+        .filter(F.col("p_pos").isNull() | (F.col("pos") < F.col("p_pos")))
+        .withColumn("prev", F.lag("event_type").over(wp))
+        .withColumn(
+            "last_pos", F.max("pos").over(Window.partitionBy("user_id"))
+        )
+        .withColumn("converts", F.col("p_pos").isNotNull())
+    )
+    trans = (
+        path.select(
+            F.coalesce(F.col("prev"), F.lit("start")).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .unionAll(
+            path.filter(F.col("pos") == F.col("last_pos")).select(
+                F.col("event_type").alias("src"),
+                F.when(F.col("converts"), "conv").otherwise("null").alias("dst"),
+            )
+        )
+        .unionAll(
+            pseq.filter(F.col("p_pos") == 1).select(
+                F.lit("start").alias("src"), F.lit("conv").alias("dst")
+            )
+        )
+    )
+    c = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)  # vocabulary-sized; feeds rt + model
+    rt = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("total"))
+    model = c.join(rt, "src").select(
+        "src",
+        "dst",
+        F.round(F.lit(MA_SCALE) * F.col("n") / F.col("total"))
+        .cast("bigint")
+        .alias("p_scaled"),
+    )
+    scenarios = (
+        model.filter(F.col("src") != "start")
+        .select(F.col("src").alias("removed"))
+        .distinct()
+        .unionAll(
+            model.sparkSession.createDataFrame(
+                [("__none__",)], "removed string"
+            )
+        )
+    )
+    dst2 = F.when(F.col("dst") == F.col("removed"), "null").otherwise(
+        F.col("dst")
+    )
+    smodel = (
+        scenarios.join(model, F.col("src") != F.col("removed"))
+        .select(
+            F.col("removed").alias("scenario"),
+            "src",
+            dst2.alias("dst"),
+            "p_scaled",
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(
+            F.sum(F.when(F.col("dst") == "conv", F.col("p_scaled")).otherwise(0))
+            .cast("bigint")
+            .alias("p_conv_part"),
+            F.sum(F.col("p_scaled")).cast("bigint").alias("p_all"),
+        )
+        .withColumn(
+            "p_scaled", F.col("p_all")
+        )
+        .drop("p_all")
+    )
+    # per (scenario, src): the conv mass is a property of the src row set
+    pconv = smodel.groupBy("scenario", "src").agg(
+        F.sum("p_conv_part").cast("bigint").alias("p_conv")
+    )
+    sm = smodel.join(pconv, ["scenario", "src"]).localCheckpoint(
+        eager=False
+    )  # consumed every iteration
+    v = sm.select("scenario", F.col("src").alias("state")).distinct().select(
+        "scenario", "state", F.lit(0).cast("bigint").alias("val")
+    )
+    for _ in range(MA_ITERS):
+        v = (
+            sm.alias("m")
+            .join(
+                v.alias("v"),
+                (F.col("v.scenario") == F.col("m.scenario"))
+                & (F.col("v.state") == F.col("m.dst")),
+                "left",
+            )
+            .groupBy(
+                F.col("m.scenario").alias("scenario"),
+                F.col("m.src").alias("state"),
+                F.col("m.p_conv").alias("p_conv"),
+            )
+            .agg(
+                F.expr(
+                    f"CAST(p_conv + sum(p_scaled * coalesce(val, 0))"
+                    f" div {MA_SCALE} AS BIGINT)"
+                ).alias("val")
+            )
+            .select("scenario", "state", "val")
+        )
+    base = v.filter(
+        (F.col("scenario") == "__none__") & (F.col("state") == "start")
+    ).select(F.col("val").alias("v_base"))
+    removals = (
+        v.filter((F.col("scenario") != "__none__") & (F.col("state") == "start"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            (F.col("v_base") - F.col("val")).alias("removal_scaled"),
+            "v_base",
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = removals.agg(
+        F.sum("removal_scaled").cast("bigint").alias("tot_removal")
+    )
+    return (
+        removals.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "removal_scaled",
+            (F.col("removal_scaled").cast("double") / F.col("v_base")).alias(
+                "removal_effect"
+            ),
+            (
+                F.col("removal_scaled").cast("double") / F.col("tot_removal")
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

@@ -344,6 +344,9 @@ BROADCAST_NONEQUI_OK = {
     "dedup_lsh_recall_audit",
     # one-row peak + one-row session-count broadcasts folding the summary
     "events_peak_concurrency",
+    # scenario x model expansion over the vocabulary-sized transition
+    # table (non-equi on the removed channel) + 1-row base/total folds
+    "events_markov_attribution",
 }
 
 

@@ -294,3 +294,21 @@ def test_winnowing_selection_matches_python_reference(spark):
     )[: len(out)]
     got = [(r["fingerprint"], r["n_docs"], r["n_occurrences"]) for r in out]
     assert got == expected
+
+
+def test_markov_attribution_shares_partition_removal_mass(spark):
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        events_markov_attribution,
+    )
+
+    rows = events_markov_attribution(spark, SF).collect()
+    channels = {r["channel"] for r in rows}
+    assert "purchase" not in channels and "start" not in channels
+    assert len(rows) >= 2
+    tot = sum(r["removal_scaled"] for r in rows)
+    assert tot > 0
+    for r in rows:
+        assert 0 <= r["removal_scaled"] <= tot
+        assert 0.0 <= r["removal_effect"] <= 1.0 + 1e-9
+        assert r["attribution_share"] == r["removal_scaled"] / tot
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-9
