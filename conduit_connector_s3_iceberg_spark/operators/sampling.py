@@ -897,3 +897,103 @@ def sample_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_violations"),
     )
+
+
+# ------------------------------------------------ temperature sweep --------
+#
+# The decision table behind sample_mixture_weights' fixed T=0.5: the same
+# mixture at T ∈ {1/4, 1/2, 3/4, 1}, with the effective number of
+# sources (inverse Simpson, 1/Σp²) per temperature — how hard each T
+# flattens the source skew. n^T is composed from sqrt ONLY (x^¼ =
+# sqrt(sqrt x), x^¾ = sqrt(x)·sqrt(sqrt x)): sqrt is correctly rounded
+# by IEEE 754, so the composition is bit-identical across engines where
+# pow() would not be. Normalizers and Σp² fold the dimension-sized source
+# list in source order (the sample_mixture_weights discipline).
+
+MIX_TEMPS = ["0.25", "0.5", "0.75", "1.0"]
+
+
+def _pow_sql(x: str, t: str) -> str:
+    return {
+        "0.25": f"sqrt(sqrt({x}))",
+        "0.5": f"sqrt({x})",
+        "0.75": f"sqrt({x}) * sqrt(sqrt({x}))",
+        "1.0": x,
+    }[t]
+
+
+@query(
+    "mix_temperature_sweep",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), melted AS (
+      SELECT t.t AS temperature, source, n_docs,
+             CASE t.t
+               {' '.join(f"WHEN '{t}' THEN {_pow_sql('CAST(n_docs AS DOUBLE)', t)}" for t in MIX_TEMPS)}
+             END AS w
+      FROM per, UNNEST([{', '.join(repr(t) for t in MIX_TEMPS)}]) AS t(t)
+    ), norms AS (
+      SELECT temperature,
+             list_reduce(list_transform(
+               array_agg(w ORDER BY source), x -> x), (a, b) -> a + b) AS t_w
+      FROM melted GROUP BY temperature
+    ), shared AS (
+      SELECT m.temperature, m.source, m.n_docs, m.w / n.t_w AS share
+      FROM melted m JOIN norms n ON m.temperature = n.temperature
+    ), eff AS (
+      SELECT temperature,
+             1.0 / list_reduce(list_transform(
+               array_agg(share ORDER BY source), x -> x * x),
+               (a, b) -> a + b) AS effective_sources
+      FROM shared GROUP BY temperature
+    )
+    SELECT s.temperature, s.source, s.n_docs, s.share, e.effective_sources
+    FROM shared s JOIN eff e ON s.temperature = e.temperature
+    ORDER BY s.temperature, s.source
+    """,
+    doc="Mixture-temperature sweep: source shares at T = 1/4, 1/2, 3/4, 1 "
+        "plus the effective source count (inverse Simpson) per T — the "
+        "table that justifies a mixing temperature. n^T composed from "
+        "sqrt only (correctly-rounded, engine-identical; pow is not); "
+        "normalizers and Σp² fold the source list in source order. One "
+        "corpus scan; everything after is dimension-sized.",
+)
+def mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    cases = " ".join(
+        f"WHEN '{t}' THEN {_pow_sql('CAST(n_docs AS DOUBLE)', t)}"
+        for t in MIX_TEMPS
+    )
+    melted = per.select(
+        "source",
+        "n_docs",
+        F.explode(F.array(*[F.lit(t) for t in MIX_TEMPS])).alias("temperature"),
+    ).withColumn("w", F.expr(f"CASE temperature {cases} END"))
+    norms = melted.groupBy("temperature").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, w))),"
+            " s -> s.w), 0.0D, (a, b) -> a + b)"
+        ).alias("t_w")
+    )
+    shared = melted.join(norms, "temperature").select(
+        "temperature", "source", "n_docs", (F.col("w") / F.col("t_w")).alias("share")
+    )
+    eff = shared.groupBy("temperature").agg(
+        (
+            F.lit(1.0)
+            / F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(source, share))),"
+                " s -> s.share * s.share), 0.0D, (a, b) -> a + b)"
+            )
+        ).alias("effective_sources")
+    )
+    return (
+        shared.join(eff, "temperature")
+        .select("temperature", "source", "n_docs", "share", "effective_sources")
+        .orderBy("temperature", "source")
+    )

@@ -312,3 +312,26 @@ def test_markov_attribution_shares_partition_removal_mass(spark):
         assert 0.0 <= r["removal_effect"] <= 1.0 + 1e-9
         assert r["attribution_share"] == r["removal_scaled"] / tot
     assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_temperature_sweep_flattens_with_lower_t(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        mix_temperature_sweep,
+    )
+
+    rows = mix_temperature_sweep(spark, SF).collect()
+    eff = {}
+    shares = {}
+    for r in rows:
+        eff[r["temperature"]] = r["effective_sources"]
+        shares.setdefault(r["temperature"], []).append(r["share"])
+    assert set(eff) == {"0.25", "0.5", "0.75", "1.0"}
+    n_sources = len(shares["1.0"])
+    for t, ss in shares.items():
+        assert abs(sum(ss) - 1.0) < 1e-9
+        assert 1.0 <= eff[t] <= n_sources + 1e-9
+    # lower temperature flattens: effective source count is monotone
+    # non-increasing in T (strict unless sources are exactly uniform)
+    assert eff["0.25"] >= eff["0.5"] >= eff["0.75"] >= eff["1.0"]
+    if max(shares["1.0"]) - min(shares["1.0"]) > 1e-12:
+        assert eff["0.25"] > eff["1.0"]
