@@ -31,10 +31,15 @@ STAGES = [
     ("1. health: weekday-adjusted anomalies", "events_seasonal_anomaly"),
     ("1. health: time-weighted gauge average", "events_time_weighted_value"),
     ("2. behavior: transition matrix", "events_transition_matrix"),
+    ("2. behavior: Markov stationary mix", "events_markov_stationary"),
     ("2. behavior: conversion latency", "events_time_to_conversion"),
     ("2. behavior: DAU/WAU stickiness", "events_dau_wau"),
     ("2. behavior: bot regularity flags", "events_bot_regularity"),
     ("3. experiment: A/B lift + z", "events_ab_lift"),
+    ("3. experiment: windowed funnel", "events_windowed_funnel"),
+    ("3. experiment: removal-effect attribution", "events_markov_attribution"),
+    ("4. capacity: Holt level/trend forecast", "events_holt_smoothing"),
+    ("4. capacity: peak concurrent sessions", "events_peak_concurrency"),
     ("4. capacity: KMV cross-type overlap", "sketch_kmv_jaccard"),
     ("4. capacity: HLL distinct rollup", "events_hll_estimate"),
     ("4. capacity: compaction bin plan", "layout_compaction_bins"),
