@@ -235,3 +235,77 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin_id")
     )
+
+
+# ------------------------------------------------ partition-key advisor ----
+#
+# The design question every Iceberg table starts with: which column(s)
+# should the partition spec use? The advisor profiles each candidate key
+# on the dimensions that matter at 100 TB: partition count (too many →
+# small-file problem, too few → no pruning), row skew (max/median — one
+# hot partition straggles every write and scan), and the share of rows
+# in the single hottest partition. Exact integer stats at the candidate
+# grain; the median is the exact middle of the per-partition count list
+# (dimension-sized, folded in sorted order). One corpus scan per
+# candidate — at scale this runs as one multi-grain pass over a sample.
+
+PART_CANDIDATES = ["lang", "source", "lang || '|' || source"]
+_CAND_LABELS = ["lang", "source", "lang,source"]
+
+
+@query(
+    "layout_partition_advisor",
+    oracle=f"""
+    WITH stats AS (
+      {' UNION ALL '.join(
+        f'''SELECT '{label}' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(MAX(n) AS BIGINT) AS rows_max,
+               CAST(median(n) AS DOUBLE) AS rows_median,
+               CAST(SUM(n) AS BIGINT) AS n_rows
+        FROM (SELECT {expr} AS k, COUNT(*) AS n FROM documents GROUP BY 1)'''
+        for label, expr in zip(_CAND_LABELS, PART_CANDIDATES))}
+    )
+    SELECT candidate, n_partitions, rows_max, rows_median,
+           rows_max / rows_median AS skew_ratio,
+           CAST(rows_max AS DOUBLE) / n_rows AS hottest_share
+    FROM stats
+    ORDER BY candidate
+    """,
+    doc="Partition-key advisor: per candidate partition spec (lang, "
+        "source, lang×source), the partition count, the hottest "
+        "partition's rows, the exact median partition size, the "
+        "max/median skew ratio, and the hottest partition's row share — "
+        "the table that picks an Iceberg partition spec before the first "
+        "write. Per-candidate stats are one hash agg each; the median "
+        "folds the dimension-sized partition list.",
+)
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    outs = []
+    for label, expr in zip(_CAND_LABELS, PART_CANDIDATES):
+        per = docs.groupBy(F.expr(expr).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        outs.append(
+            per.agg(
+                F.lit(label).alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+                F.max("n").cast("bigint").alias("rows_max"),
+                F.expr("CAST(median(n) AS DOUBLE)").alias("rows_median"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+            )
+        )
+    stats = outs[0]
+    for o in outs[1:]:
+        stats = stats.unionAll(o)
+    return stats.select(
+        "candidate",
+        "n_partitions",
+        "rows_max",
+        "rows_median",
+        (F.col("rows_max") / F.col("rows_median")).alias("skew_ratio"),
+        (F.col("rows_max").cast("double") / F.col("n_rows")).alias(
+            "hottest_share"
+        ),
+    ).orderBy("candidate")

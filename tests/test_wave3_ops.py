@@ -337,3 +337,20 @@ def test_temperature_sweep_flattens_with_lower_t(spark):
     assert eff["0.25"] >= eff["0.5"] - tol
     assert eff["0.5"] >= eff["0.75"] - tol
     assert eff["0.75"] >= eff["1.0"] - tol
+
+
+def test_partition_advisor_flags_finer_spec_as_more_partitions(spark):
+    from conduit_connector_s3_iceberg_spark.operators.layout import (
+        layout_partition_advisor,
+    )
+
+    rows = {r["candidate"]: r for r in layout_partition_advisor(spark, SF).collect()}
+    assert set(rows) == {"lang", "source", "lang,source"}
+    # the composite spec partitions at least as finely as either column
+    assert rows["lang,source"]["n_partitions"] >= max(
+        rows["lang"]["n_partitions"], rows["source"]["n_partitions"]
+    )
+    for r in rows.values():
+        assert r["rows_max"] >= r["rows_median"] > 0
+        assert r["skew_ratio"] >= 1.0
+        assert 0.0 < r["hottest_share"] <= 1.0
