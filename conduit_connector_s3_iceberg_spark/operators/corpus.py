@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from ..plans.registry import query
 from ..sources.tables import load_table
 from .dedup import (
+    _SIMHASH_FP,
+    _simhash_vote_sql,
     JACCARD_THRESHOLD,
     MAX_SHINGLE_DF,
     N_MINHASH,
@@ -1377,4 +1379,109 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_batches"),
         )
         .orderBy("bucket_cap")
+    )
+
+
+# ------------------------------------------------ group-wise (leak-safe) ---
+#
+# corpus_train_split hashes each DOC independently — correct until the
+# corpus contains (near-)duplicates: two copies of one document then land
+# in different splits and the eval set leaks training text verbatim. The
+# leak-safe form splits by duplicate GROUP: hash the group key (here the
+# 16-bit SimHash fingerprint — boilerplate families share it; any cluster
+# label works at other fuzziness levels), so every member of a group
+# lands in the same split by construction. Emitted per split: doc/group
+# counts plus the leakage audit — docs whose group spans >1 split — which
+# is ZERO by construction here and nonzero for the doc-keyed split on the
+# same groups (the test pins both).
+
+GROUP_SPLIT_SALT = "gsplit_v1"
+GS_TRAIN_HEX = "cc"  # 80% of the 256 two-hex space
+GS_VAL_HEX = "e6"    # next 10%
+
+
+@query(
+    "corpus_groupwise_split",
+    oracle=f"""
+    WITH votes AS (
+      SELECT doc_id, {", ".join(_simhash_vote_sql(b) for b in range(16))}
+      FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents
+      ) GROUP BY doc_id
+    ), grouped AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS INTEGER) AS group_fp FROM votes
+    ), assigned AS (
+      SELECT doc_id, group_fp,
+             CASE WHEN substr(md5('{GROUP_SPLIT_SALT}' || group_fp::VARCHAR),
+                              1, 2) < '{GS_TRAIN_HEX}' THEN 'train'
+                  WHEN substr(md5('{GROUP_SPLIT_SALT}' || group_fp::VARCHAR),
+                              1, 2) < '{GS_VAL_HEX}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM grouped
+    ), spans AS (
+      SELECT group_fp, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+      FROM assigned GROUP BY group_fp
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.group_fp) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky_docs
+    FROM assigned a JOIN spans s ON a.group_fp = s.group_fp
+    GROUP BY a.split
+    ORDER BY a.split
+    """,
+    doc="Group-wise train/val/test split: the split hash is taken over the "
+        "near-dup group key (SimHash fingerprint), not the doc id, so "
+        "every member of a duplicate family lands in one split — the "
+        "leakage guard doc-keyed splits lack. Emits per-split doc/group "
+        "counts and the cross-split-group audit (zero by construction). "
+        "One explode+agg for the fingerprint, one fingerprint-keyed "
+        "shuffle; no corpus-grain joins beyond the group map.",
+)
+def corpus_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _SIMHASH_FP as FP
+    from .dedup import _simhash_vote_sql as vote
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.expr(vote(b).replace(f" AS v{b}", "")).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    grouped = votes.select(
+        "doc_id", F.expr(FP).cast("int").alias("group_fp")
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(GROUP_SPLIT_SALT), F.col("group_fp").cast("string"))
+        ),
+        1,
+        2,
+    )
+    assigned = grouped.withColumn(
+        "split",
+        F.when(h < GS_TRAIN_HEX, "train")
+        .when(h < GS_VAL_HEX, "val")
+        .otherwise("test"),
+    ).localCheckpoint(eager=False)  # feeds spans + the rollup
+    spans = assigned.groupBy("group_fp").agg(
+        F.countDistinct("split").cast("bigint").alias("n_splits")
+    )
+    return (
+        assigned.join(spans, "group_fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("group_fp").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaky_docs"),
+        )
+        .orderBy("split")
     )

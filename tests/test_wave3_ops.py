@@ -354,3 +354,48 @@ def test_partition_advisor_flags_finer_spec_as_more_partitions(spark):
         assert r["rows_max"] >= r["rows_median"] > 0
         assert r["skew_ratio"] >= 1.0
         assert 0.0 < r["hottest_share"] <= 1.0
+
+
+def test_groupwise_split_has_zero_leakage_where_doc_split_leaks(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        GROUP_SPLIT_SALT,
+        corpus_groupwise_split,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.dedup import dedup_simhash
+
+    rows = corpus_groupwise_split(spark, SF).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == spark.read.parquet(
+        f"{SF}/documents.parquet"
+    ).count()
+    for r in rows:
+        assert r["n_leaky_docs"] == 0  # zero by construction
+    # contrast: splitting each DOC independently leaks on the same groups
+    # (the fixture has multi-doc SimHash families) — the reason this
+    # operator exists
+    fp = dedup_simhash(spark, SF)
+    doc_split = fp.select(
+        F.col("simhash16").alias("group_fp"),
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(GROUP_SPLIT_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                2,
+            )
+            < "cc",
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
+    leaky_groups = (
+        doc_split.groupBy("group_fp")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert leaky_groups > 0
