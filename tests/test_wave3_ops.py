@@ -399,3 +399,35 @@ def test_groupwise_split_has_zero_leakage_where_doc_split_leaks(spark):
         .count()
     )
     assert leaky_groups > 0
+
+
+def test_winnowing_guarantees_one_fingerprint_per_window(spark):
+    """The winnowing coverage guarantee (Schleimer et al., Thm 1): every
+    window of W consecutive k-gram positions contains >= 1 selected
+    fingerprint, and the selection density stays well under 1."""
+    import hashlib
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import WINNOW_W
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50).collect()
+    checked = 0
+    for d in docs:
+        toks = d["text"].strip().split(" ")
+        m = max(len(toks) - 2, 1)
+        if m < WINNOW_W:
+            continue
+        hs = [
+            hashlib.md5(" ".join(toks[p : p + 3]).encode()).hexdigest()
+            for p in range(m)
+        ]
+        selected = set()
+        for t in range(0, m - WINNOW_W + 1):
+            window = hs[t : t + WINNOW_W]
+            mn = min(window)
+            p_sel = max(i for i, h in enumerate(window, start=t) if h == mn)
+            selected.add(p_sel)
+        for t in range(0, m - WINNOW_W + 1):
+            assert any(t <= p <= t + WINNOW_W - 1 for p in selected)
+        assert len(selected) < m  # strictly sparser than all positions
+        checked += 1
+    assert checked > 0
