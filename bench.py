@@ -41,6 +41,13 @@ HEADLINE = [
 # same protocol (min-of-RUNS), reported under a separate "ext" key so the
 # frozen headline trend stays comparable round-to-round while these get a
 # recorded trend of their own.
+#
+# FROZEN as of round 4 at these 16 entries (r4 verdict #4): EXT now gets
+# the same 1:1 trend treatment as HEADLINE — do not add or remove names;
+# later additions go to a new list so ext_total stays comparable.
+# Cross-boot caveat (BENCH_NOTES): same-code ext_total has been observed
+# to span 24-31 s across boots; within-boot paired runs are the signal,
+# >2x per-query drift within a boot is a real regression.
 BENCH_EXT = [
     "dedup_jaccard_prefix_filter",
     "dedup_semantic_clusters",

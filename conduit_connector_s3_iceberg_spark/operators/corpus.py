@@ -1319,7 +1319,8 @@ def _bucket_case(col: str) -> str:
            n_docs * global_max - total_tokens AS waste_naive,
            CAST(total_tokens AS DOUBLE) / (n_docs * bucket_max) AS efficiency,
            CAST(ceil(CAST(n_docs AS DOUBLE)
-                     / ({BATCH_TOKENS} // bucket_cap)) AS BIGINT) AS n_batches
+                     / greatest({BATCH_TOKENS} // bucket_cap, 1)) AS BIGINT)
+             AS n_batches
     FROM b CROSS JOIN g
     ORDER BY bucket_cap
     """,
@@ -1371,9 +1372,12 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_tokens").cast("double")
                 / (F.col("n_docs") * F.col("bucket_max"))
             ).alias("efficiency"),
+            # capacity floors at 1 batch-slot: a doc longer than the batch
+            # budget (bucket_cap > BATCH_TOKENS) still occupies one batch,
+            # and without the floor the div yields 0 -> divide-by-zero
             F.ceil(
                 F.col("n_docs").cast("double")
-                / F.expr(f"{BATCH_TOKENS} div bucket_cap")
+                / F.expr(f"greatest({BATCH_TOKENS} div bucket_cap, 1)")
             )
             .cast("bigint")
             .alias("n_batches"),

@@ -142,20 +142,23 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         "O(n²) — exact Jaccard on candidates.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # two-consumer plan: runtime ReuseExchange already bounds recompute, so
-    # skip the materialization barrier the wider Jaccard plans need
-    return ngram_jaccard_pairs(spark, sf_dir, materialize=False)
+    # Materialize the capped index: the unmaterialized plan carried 8 static
+    # parquet scans of the corpus and bet on runtime ReuseExchange, which
+    # failed under contention (driver bench r4: 1.03 -> 7.73 s). The persist
+    # barrier costs ~0.6 s at sf0.1 and makes the corpus-scan count O(1)
+    # regardless of scheduler behavior — the only 100-TB-safe choice.
+    return ngram_jaccard_pairs(spark, sf_dir, materialize=True)
 
 
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, materialize: bool = True
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs from the df-capped inverted index —
-    the shared engine of dedup_ngram_jaccard (materialize=False: its
-    two-consumer plan is served by runtime exchange reuse and stays
-    barrier-free for the frozen bench) and dedup_source_matrix
-    (materialize=True: the pair list feeds further joins, so the index is
-    materialized once instead of re-derived per consumer)."""
+    the shared engine of dedup_ngram_jaccard and dedup_source_matrix.
+    Both now use materialize=True: relying on runtime ReuseExchange to
+    dedup the static plan's repeated corpus scans proved fragile under
+    load (r4 driver bench regression), while the persisted index keeps
+    corpus reads at O(1) per query."""
     docs = _docs(spark, sf_dir)
     # join/shuffle on an 8-byte xxhash64 of the shingle, not the string
     # (halves shuffle bytes; collision risk ~(n²/2⁶⁵) is negligible)
@@ -1134,10 +1137,11 @@ def _capped_index(docs: DataFrame, materialize: bool = True):
     On a long-lived cluster with executor churn, write the index to a
     scratch table instead — same seam, durable blocks.
 
-    ``materialize=False`` is for two-consumer plans (dedup_ngram_jaccard)
-    where runtime ReuseExchange already bounds recompute and the
-    materialization barrier costs more than it saves (measured ~+0.6 s at
-    sf0.1 against zero scan savings after exchange reuse).
+    ``materialize=False`` exists for experiments only: the bet that
+    runtime ReuseExchange dedups the repeated corpus scans failed under
+    scheduler contention (r4 driver bench: dedup_ngram_jaccard
+    1.03 -> 7.73 s), so every production caller passes ``True`` and
+    accepts the ~0.6 s barrier at sf0.1 for O(1) corpus scans.
     """
     sh = _distinct_shingles(docs).select(
         "doc_id", F.xxhash64("shingle").alias("shingle_h")
@@ -2213,10 +2217,14 @@ def cdc_chunk_text_frame(docs: DataFrame) -> DataFrame:
            h.n_true_candidates,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) - h.n_true_candidates
              AS n_missed,
-           CAST(h.n_true_candidates AS DOUBLE)
-             / (SELECT COUNT(*) FROM exact) AS candidate_recall,
-           CAST(h.n_true_candidates AS DOUBLE)
-             / (SELECT COUNT(*) FROM cand) AS candidate_precision
+           CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+                THEN CAST(h.n_true_candidates AS DOUBLE)
+                     / (SELECT COUNT(*) FROM exact)
+                ELSE NULL END AS candidate_recall,
+           CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+                THEN CAST(h.n_true_candidates AS DOUBLE)
+                     / (SELECT COUNT(*) FROM cand)
+                ELSE NULL END AS candidate_precision
     FROM hit h
     """,
     doc="LSH candidate-stage recall audit: the exact-Jaccard pair set at "
@@ -2305,13 +2313,17 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_exact_pairs") - F.col("n_true_candidates")).alias(
                 "n_missed"
             ),
-            (
+            # guard empty slices: Spark NULLs a 0/0 while DuckDB (IEEE)
+            # yields Infinity — make both engines emit NULL explicitly
+            F.when(
+                F.col("n_exact_pairs") > 0,
                 F.col("n_true_candidates").cast("double")
-                / F.col("n_exact_pairs")
+                / F.col("n_exact_pairs"),
             ).alias("candidate_recall"),
-            (
+            F.when(
+                F.col("n_candidate_pairs") > 0,
                 F.col("n_true_candidates").cast("double")
-                / F.col("n_candidate_pairs")
+                / F.col("n_candidate_pairs"),
             ).alias("candidate_precision"),
         )
     )

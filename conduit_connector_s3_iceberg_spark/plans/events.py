@@ -261,8 +261,10 @@ def q41_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+        )
     )
     return counts.select(
         "n_view",
@@ -1668,11 +1670,21 @@ FUNNEL_HOP_S = 3600
         "integers; one final IEEE division.",
 )
 def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    ev = (
+        _ev(spark, sf_dir)
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    # RANGE frame on the microsecond epoch: "preceding" means STRICTLY
+    # earlier ts, matching the oracle's strict inequalities — a rows-frame
+    # on (ts, event_id) would count a same-timestamp click/view as "before"
+    # the purchase and silently diverge from the oracle on tied timestamps.
+    # Deterministic under ties: same-ts clicks share the identical range
+    # frame, hence identical lv_ts and identical state structs.
     w_prev = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     # per event: last view ts strictly before it (running conditional max)
     with_lv = ev.withColumn(

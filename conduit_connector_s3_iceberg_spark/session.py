@@ -189,11 +189,12 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
-    if effective_master.startswith("local"):
-        # single-JVM: shuffle blocks never cross a wire, so compressing them
-        # only burns CPU (measured -18% on the shuffle-heaviest dedup query,
-        # neutral elsewhere). Cluster deployments keep the stock default —
-        # there compression trades CPU for real network/disk bytes.
+    if os.environ.get("SPARK_GRAFT_NO_SHUFFLE_COMPRESS") == "1":
+        # Opt-in only: a single-box A/B once suggested disabling shuffle
+        # compression helps local mode, but a repeat A/B showed the opposite
+        # (compress-ON 1.50 s vs OFF 1.84 s on the shuffle-heaviest dedup
+        # query) and uncompressed shuffles amplify on contended disks.
+        # Stock defaults stay; this flag exists only for explicit experiments.
         builder = builder.config("spark.shuffle.compress", "false").config(
             "spark.shuffle.spill.compress", "false"
         )

@@ -43,6 +43,13 @@ GATED_QUERIES = [
     # the shared dl/tf materializations at forced width
     "sim_rrf_fusion",
     "text_bm25_top_terms",
+    # round 5: the wide Jaccard family — the 20-41-exchange plans whose
+    # materialized capped index is the load-bearing scale decision (r4
+    # verdict item 5); forced width drives the persisted-index path the
+    # way a 100-TB scan would
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment",
+    "dedup_source_matrix",
 ]
 
 
@@ -96,4 +103,42 @@ def test_gated_branch_matches_oracle(wide_scan, name):
     assert sorted(spark_cols) == sorted(oracle_cols)
     assert norm_rows(spark_cols, spark_rows) == norm_rows(
         oracle_cols, oracle_rows
+    )
+
+
+# ------------------------------------------------- corpus-scan budget ------
+#
+# The r4 driver-bench regression (dedup_ngram_jaccard 1.03 -> 7.73 s) was an
+# index-materialization regression: an unmaterialized plan left 8 static
+# parquet scans of `documents` riding on runtime ReuseExchange, which failed
+# under contention. This gate turns that class of regression into a test
+# failure: every Jaccard-family query must read the corpus at most
+# MAX_CORPUS_READS times in its EXECUTED (post-AQE) plan.
+
+MAX_CORPUS_READS = 3
+SF001 = "/root/testdata/sf0.01"
+
+SCAN_BUDGETED = [
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment",
+    "dedup_source_matrix",
+]
+
+
+@pytest.mark.parametrize("name", SCAN_BUDGETED)
+def test_dedup_corpus_scan_budget(spark, name):
+    from tools.scan_count import classify_scans
+
+    q = load_all()[name]
+    df = q.build(spark, SF001)
+    df.collect()  # AQE: the final plan exists only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    c = classify_scans(plan)
+    effective = c["top_scans"] + c["cached_scans"]
+    assert effective <= MAX_CORPUS_READS, (
+        f"{name}: {effective} effective corpus reads "
+        f"(top={c['top_scans']} cached={c['cached_scans']}) — "
+        "did an index materialization regress to lineage?"
     )
