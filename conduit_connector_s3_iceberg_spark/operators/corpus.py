@@ -1489,3 +1489,114 @@ def corpus_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ------------------------------------------------ lang x source chi-square -
+#
+# Composition-independence audit: is language distribution independent of
+# source? A large chi-square / Cramér's V means sources are language-
+# skewed, so source-level sampling decisions silently reshape the language
+# mix — the check run before trusting per-source quotas at 100 TB.
+#
+# Determinism: observed/marginal counts are exact integers; each cell's
+# expected count and contribution is an identical IEEE expression in both
+# engines; contributions are quantized to exact integers (positive →
+# round is half-away-from-zero in both) before the order-independent
+# BIGINT fold; chi2 and Cramér's V are then a fixed scalar IEEE chain.
+
+_CHI2_SCALE = 1_000_000_000
+
+
+@query(
+    "corpus_lang_source_chisq",
+    oracle=f"""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ), rt AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM o GROUP BY lang
+    ), ct AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM o GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+      FROM o
+    ), cells AS (
+      SELECT CAST(COALESCE(o.n, 0) AS DOUBLE) AS obs,
+             CAST(rt.r AS DOUBLE) * ct.c / tot.t AS e
+      FROM rt CROSS JOIN ct CROSS JOIN tot
+      LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+    ), q AS (
+      SELECT CAST(SUM(CAST(round((obs - e) * (obs - e) / e * {_CHI2_SCALE})
+                           AS BIGINT)) AS BIGINT) AS chi2_q
+      FROM cells
+    )
+    SELECT tot.t AS n_docs, tot.nl AS n_langs, tot.ns AS n_sources,
+           CAST((tot.nl - 1) * (tot.ns - 1) AS BIGINT) AS dof,
+           CAST(q.chi2_q AS DOUBLE) / {_CHI2_SCALE} AS chi2,
+           sqrt(CAST(q.chi2_q AS DOUBLE) / {_CHI2_SCALE}
+                / (CAST(tot.t AS DOUBLE)
+                   * least(tot.nl - 1, tot.ns - 1))) AS cramers_v
+    FROM tot CROSS JOIN q
+    """,
+    doc="Chi-square independence test of language x source with Cramér's "
+        "V: full contingency grid (marginal cross join includes zero "
+        "cells, as the test requires), per-cell contributions quantized "
+        "to exact integers before the fold. Everything after the one "
+        "(lang, source) hash agg is marginal-sized — the 'reduce 100 TB "
+        "to one decision row' shape.",
+)
+def corpus_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    o = o.localCheckpoint(eager=False)  # marginal-sized; consumed 4x
+    rt = o.groupBy("lang").agg(F.sum("n").cast("bigint").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = o.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.countDistinct("lang").cast("bigint").alias("nl"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+    )
+    cells = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(tot))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("obs"),
+            (F.col("r").cast("double") * F.col("c") / F.col("t")).alias("e"),
+        )
+    )
+    q = cells.agg(
+        F.sum(
+            F.expr(
+                f"CAST(round((obs - e) * (obs - e) / e * {_CHI2_SCALE})"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("chi2_q")
+    )
+    return (
+        F.broadcast(tot)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("t").alias("n_docs"),
+            F.col("nl").alias("n_langs"),
+            F.col("ns").alias("n_sources"),
+            ((F.col("nl") - 1) * (F.col("ns") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            (F.col("chi2_q").cast("double") / F.lit(_CHI2_SCALE)).alias("chi2"),
+            F.sqrt(
+                F.col("chi2_q").cast("double")
+                / F.lit(_CHI2_SCALE)
+                / (
+                    F.col("t").cast("double")
+                    * F.least(F.col("nl") - 1, F.col("ns") - 1)
+                )
+            ).alias("cramers_v"),
+        )
+    )

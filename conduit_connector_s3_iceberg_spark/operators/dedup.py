@@ -2441,3 +2441,295 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(WINNOW_TOP)
     )
+
+
+# ------------------------------------------------- LSH banding S-curve -----
+#
+# The (b, r) banding parameters of MinHash-LSH define a capture S-curve:
+# with b bands of r rows each, a pair with Jaccard s collides in a given
+# band with probability s^r, so P(>= k shared bands) follows the binomial
+# tail. This pipeline uses b=N_MINHASH, r=1, k=MIN_SHARED_BANDS=2, giving
+#     P(capture) = 1 - (1-s)^b - b*s*(1-s)^(b-1).
+# The audit compares that theoretical curve against the REALIZED capture
+# rate per Jaccard decile over the observed pair population — the query a
+# pipeline owner runs before changing banding parameters at 100 TB, where
+# re-running dedup to find out is a day of cluster time.
+#
+# Determinism: s is one IEEE division; the binomial terms are written as
+# explicit left-associated multiplication chains (no pow(), whose last-ulp
+# behavior differs between engines); per-bucket averaging quantizes each
+# pair's theoretical p to an exact integer (round half-away-from-zero in
+# both engines for positives) before the order-independent BIGINT fold.
+
+_SCURVE_SCALE = 1_000_000_000
+_U7 = "(u*u*u*u*u*u*u)"  # (1-s)^(b-1), b = N_MINHASH = 8
+_SCURVE_P = f"1.0 - ({_U7} * u) - 8.0 * s * {_U7}"
+
+
+@query(
+    "dedup_lsh_scurve",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) AS s
+      FROM common c
+      JOIN sizes sa ON c.doc_a = sa.doc_id
+      JOIN sizes sb ON c.doc_b = sb.doc_id
+    ), sig AS (
+      SELECT doc_id, {_MH_SQL} FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{_BANDS_SQL}], recursive := true) FROM sig
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    ), flagged AS (
+      SELECT p.s, 1.0 - p.s AS u,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS captured
+      FROM pairs p
+      LEFT JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+    )
+    SELECT CAST(floor(s * 10) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(captured) AS BIGINT) AS n_captured,
+           CAST(SUM(captured) AS DOUBLE) / COUNT(*) AS realized_capture,
+           CAST(SUM(CAST(round(({_SCURVE_P}) * {_SCURVE_SCALE}) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / {_SCURVE_SCALE} AS theory_capture
+    FROM flagged
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc=f"LSH banding S-curve audit: realized capture rate of the "
+        f"{N_MINHASH}-band/1-row, >= {MIN_SHARED_BANDS}-shared-bands rule "
+        "per Jaccard decile vs the binomial-tail theory "
+        "1-(1-s)^b-b*s*(1-s)^(b-1) — the parameter-planning query run "
+        "before changing (b, r) at scale. Pair population = pairs sharing "
+        ">= 1 shingle (ground truth needs the uncapped join; a sampled-"
+        "slice QA query, like the recall audit). Products are explicit "
+        "left-assoc chains (no pow); theory averaging quantizes to "
+        "integers before the exact fold.",
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # the shingle frame feeds sizes, both pair-join sides, and the minhash
+    # signatures: materialize once (the r4 lesson — never bet on exchange
+    # reuse for a multi-consumer front end)
+    sh = _distinct_shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    pairs = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("s"),
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
+                    for i in range(N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.h") == F.col("bb.h"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .groupBy(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= MIN_SHARED_BANDS)
+        .select("doc_a", "doc_b", F.lit(1).alias("cap"))
+    )
+    flagged = (
+        pairs.join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            "s",
+            (F.lit(1.0) - F.col("s")).alias("u"),
+            F.coalesce(F.col("cap"), F.lit(0)).alias("captured"),
+        )
+    )
+    return (
+        flagged.groupBy(
+            F.expr("CAST(floor(s * 10) AS INT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("captured").cast("bigint").alias("n_captured"),
+            (
+                F.sum("captured").cast("double") / F.count(F.lit(1))
+            ).alias("realized_capture"),
+            (
+                F.sum(
+                    F.expr(
+                        f"CAST(round(({_SCURVE_P}) * {_SCURVE_SCALE}) AS BIGINT)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(_SCURVE_SCALE)
+            ).alias("theory_capture"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------- dedup savings summary ---
+#
+# "How much does each dedup family actually buy?" — the one-row-per-family
+# manifest a pipeline owner reads before choosing which dedup pass to run
+# at 100 TB. keep-first policy (lowest doc_id survives per group); token
+# accounting is integer-exact; one IEEE division per family row.
+
+
+@query(
+    "dedup_family_savings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             md5(lower(trim(text))) AS efp
+      FROM documents
+    ), sim AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS INTEGER) AS sfp
+      FROM (
+        SELECT doc_id, {", ".join(_simhash_vote_sql(b) for b in range(16))}
+        FROM (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+          FROM documents
+        ) GROUP BY doc_id
+      )
+    ), j AS (
+      SELECT t.doc_id, t.n_tokens, t.efp, s.sfp
+      FROM tok t JOIN sim s ON t.doc_id = s.doc_id
+    ), eg AS (
+      SELECT efp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+             CAST(arg_min(n_tokens, doc_id) AS BIGINT) AS tok_kept
+      FROM j GROUP BY efp
+    ), sg AS (
+      SELECT sfp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+             CAST(arg_min(n_tokens, doc_id) AS BIGINT) AS tok_kept
+      FROM j GROUP BY sfp
+    )
+    SELECT * FROM (
+      SELECT 'exact' AS family,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS docs_removed,
+             CAST(SUM(tok_total) AS BIGINT) AS tokens_total,
+             CAST(SUM(tok_kept) AS BIGINT) AS tokens_kept,
+             CAST(SUM(tok_total) - SUM(tok_kept) AS BIGINT) AS tokens_removed,
+             CAST(SUM(tok_total) - SUM(tok_kept) AS DOUBLE) / SUM(tok_total)
+               AS frac_tokens_removed
+      FROM eg
+      UNION ALL
+      SELECT 'simhash' AS family,
+             CAST(SUM(n_docs) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_docs) - COUNT(*) AS BIGINT),
+             CAST(SUM(tok_total) AS BIGINT),
+             CAST(SUM(tok_kept) AS BIGINT),
+             CAST(SUM(tok_total) - SUM(tok_kept) AS BIGINT),
+             CAST(SUM(tok_total) - SUM(tok_kept) AS DOUBLE) / SUM(tok_total)
+      FROM sg
+    ) ORDER BY family
+    """,
+    doc="Dedup-savings manifest: one row per family (exact content hash; "
+        "16-bit SimHash boilerplate families) with doc/group counts and "
+        "the token mass a keep-first pass would remove — the decision "
+        "query before spending cluster time on a full dedup at scale. "
+        "Two hash aggs + a 2-row union; keep = lowest doc_id via min_by "
+        "(deterministic, doc_id unique); integer token accounting, one "
+        "IEEE division per row.",
+)
+def dedup_family_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("efp"),
+    )
+    votes = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(_simhash_vote_sql(b).replace(f" AS v{b}", "")).alias(f"v{b}")
+                for b in range(16)
+            ]
+        )
+    )
+    sim = votes.select("doc_id", F.expr(_SIMHASH_FP).cast("int").alias("sfp"))
+    j = tok.join(sim, "doc_id").select("doc_id", "n_tokens", "efp", "sfp")
+
+    def fam(frame: DataFrame, key: str, name: str) -> DataFrame:
+        g = frame.groupBy(key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tok_total"),
+            F.expr("min_by(n_tokens, doc_id)").cast("bigint").alias("tok_kept"),
+        )
+        return g.agg(
+            F.lit(name).alias("family"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            (F.sum("n_docs") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("docs_removed"),
+            F.sum("tok_total").cast("bigint").alias("tokens_total"),
+            F.sum("tok_kept").cast("bigint").alias("tokens_kept"),
+            (F.sum("tok_total") - F.sum("tok_kept"))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            (
+                (F.sum("tok_total") - F.sum("tok_kept")).cast("double")
+                / F.sum("tok_total")
+            ).alias("frac_tokens_removed"),
+        )
+
+    return fam(j, "efp", "exact").unionAll(fam(j, "sfp", "simhash")).orderBy("family")

@@ -2261,3 +2261,298 @@ def sim_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+# ------------------------------------------------- centroid-margin audit ---
+#
+# Clustering-confidence audit: for every vector, the gap between its
+# distance to the nearest label centroid and to the runner-up. Small
+# margins mean the label structure is weak (mislabeled data, collapsed
+# embedding space) — the health check before trusting label-blocked
+# near-dup or per-label drift monitoring at scale. Centroids come from the
+# exact integer-scaled sums (order-independent fold, emb_label_centroids);
+# distances are identical left folds; margin averaging quantizes to exact
+# integers before the BIGINT fold (the suite's standard discipline).
+
+_MARGIN_SCALE = 1_000_000_000
+
+
+@query(
+    "emb_centroid_margin",
+    oracle=f"""
+    WITH s AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE})
+                           AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / {CENTROID_SCALE} AS c
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+      GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS clabel, array_agg(c ORDER BY pos) AS carr
+      FROM s GROUP BY label
+    ), e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), d AS (
+      SELECT e.vec_id, e.label, cent.clabel,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (e.emb[i] - cent.carr[i]) * (e.emb[i] - cent.carr[i])),
+               (x, y) -> x + y) AS d2
+      FROM e, cent
+    ), r AS (
+      SELECT vec_id, label, clabel, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d2, clabel
+             ) AS rn
+      FROM d
+    ), m AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN rn = 1 THEN clabel END) AS nearest_label,
+             MAX(CASE WHEN rn = 2 THEN d2 END)
+               - MAX(CASE WHEN rn = 1 THEN d2 END) AS margin
+      FROM r WHERE rn <= 2 GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nearest_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_own_centroid,
+           MIN(margin) AS min_margin,
+           CAST(SUM(CAST(round(margin * {_MARGIN_SCALE}) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / {_MARGIN_SCALE} AS avg_margin
+    FROM m
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Per-label clustering-confidence audit: each vector's margin "
+        "between nearest and second-nearest label centroid (squared L2), "
+        "plus how many land on their own label's centroid. Centroids are "
+        "a 5-row broadcast built from exact integer-scaled sums; the "
+        "vector×centroid join is label-count bounded (never O(n²)); "
+        "margin averages quantize to integers before the exact fold. The "
+        "pre-flight check for label-blocked dedup / drift monitoring.",
+)
+def emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "label", F.posexplode(F.expr(_SPARK_EMB_D)).alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+    )
+    cent = (
+        scaled.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("xs").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(CENTROID_SCALE)
+            ).alias("c")
+        )
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+            ).alias("carr")
+        )
+    )
+    e = emb.select("vec_id", "label", F.expr(_SPARK_EMB_D).alias("emb"))
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(
+            "aggregate(zip_with(emb, carr, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    m = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("clabel"))).alias(
+                "nearest_label"
+            ),
+            (
+                F.max(F.when(F.col("rn") == 2, F.col("d2")))
+                - F.max(F.when(F.col("rn") == 1, F.col("d2")))
+            ).alias("margin"),
+        )
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("nearest_label") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_own_centroid"),
+            F.min("margin").alias("min_margin"),
+            (
+                F.sum(
+                    F.expr(
+                        f"CAST(round(margin * {_MARGIN_SCALE}) AS BIGINT)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(_MARGIN_SCALE)
+            ).alias("avg_margin"),
+        )
+        .orderBy("label")
+    )
+
+
+# ------------------------------------------------- IVF nprobe sweep --------
+#
+# The operational tuning curve for the IVF index: recall@k and candidate
+# cost at nprobe in {1, 2, 4}. At 100 TB this is THE knob — each probe
+# level multiplies the scanned candidate mass — and the owner wants the
+# whole curve from one pass, not three reruns: candidates are generated
+# once at the widest level with their cell rank attached, then each level
+# is a conditional count.
+
+NPROBE_LEVELS = [1, 2, 4]
+
+
+@query(
+    "sim_ivf_nprobe_curve",
+    oracle=f"""
+    WITH lv(nprobe) AS (VALUES (1), (2), (4)),
+    cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), dist AS (
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), ranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d2, cell
+             ) AS INTEGER) AS rk
+      FROM dist
+    ), e AS (
+      SELECT d.vec_id, r.cell
+      FROM d JOIN ranked r ON r.vec_id = d.vec_id AND r.rk = 1
+    ), q AS (
+      SELECT vec_id AS query_id, cell AS probe_cell, rk AS cell_rk
+      FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rk <= {max(NPROBE_LEVELS)}
+    ), cand AS (
+      SELECT q.query_id, e.vec_id, q.cell_rk
+      FROM q JOIN e ON e.cell = q.probe_cell AND e.vec_id <> q.query_id
+    ), exact AS (
+      SELECT query_id, vec_id FROM ({_REGISTRY['sim_topk_bruteforce'].oracle})
+    ), hits AS (
+      SELECT x.query_id, x.vec_id, c.cell_rk
+      FROM exact x
+      LEFT JOIN cand c
+        ON c.query_id = x.query_id AND c.vec_id = x.vec_id
+    )
+    SELECT lv.nprobe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
+            WHERE cell_rk <= lv.nprobe) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
+            WHERE cell_rk <= lv.nprobe) * 1.0 / {N_QUERIES}
+             AS avg_candidates_per_query,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+            WHERE cell_rk IS NOT NULL AND cell_rk <= lv.nprobe) AS n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+            WHERE cell_rk IS NOT NULL AND cell_rk <= lv.nprobe) * 1.0
+             / {N_QUERIES * TOP_K} AS recall_at_k
+    FROM lv
+    ORDER BY nprobe
+    """,
+    doc=f"IVF tuning curve in ONE pass: recall@{TOP_K} and candidate cost "
+        "at nprobe in {1, 2, 4}. Candidates are generated once at the "
+        "widest probe level with their cell rank attached; each level is "
+        "then a conditional count — no re-scan per level. Ground truth is "
+        "the brute-force top-k on the bounded query set. Integer counts; "
+        "one IEEE division per emitted cell.",
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    max_probe = max(NPROBE_LEVELS)
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    with_dists = base.select(
+        "vec_id", F.expr(_DISTS_SPARK).alias("dists")
+    )
+    emb = with_dists.select(
+        "vec_id",
+        F.expr("cast(array_position(dists, array_min(dists)) as int)").alias(
+            "cell"
+        ),
+        F.expr(
+            f"transform(slice(array_sort(dists), 1, {max_probe}),"
+            " d -> cast(array_position(dists, d) as int))"
+        ).alias("probes"),
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("probes").alias("rk0", "probe_cell"),
+        )
+        .select(
+            "query_id", "probe_cell", (F.col("rk0") + 1).alias("cell_rk")
+        )
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "cell_rk")
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    hits = exact.join(
+        cand.withColumnRenamed("query_id", "c_qid").withColumnRenamed(
+            "vec_id", "c_vid"
+        ),
+        (F.col("query_id") == F.col("c_qid"))
+        & (F.col("vec_id") == F.col("c_vid")),
+        "left",
+    ).select("query_id", "vec_id", "cell_rk")
+    lv = spark.createDataFrame(
+        [(p,) for p in NPROBE_LEVELS], "nprobe int"
+    )
+    cand_by_lv = (
+        cand.crossJoin(F.broadcast(lv))
+        .filter(F.col("cell_rk") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    )
+    hits_by_lv = (
+        hits.filter(F.col("cell_rk").isNotNull())
+        .crossJoin(F.broadcast(lv))
+        .filter(F.col("cell_rk") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        lv.join(cand_by_lv, "nprobe", "left")
+        .join(hits_by_lv, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            (
+                F.coalesce(F.col("n_candidates"), F.lit(0)) * F.lit(1.0)
+                / F.lit(N_QUERIES)
+            ).alias("avg_candidates_per_query"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) * F.lit(1.0)
+                / F.lit(N_QUERIES * TOP_K)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )

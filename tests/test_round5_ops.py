@@ -1,0 +1,87 @@
+"""Property tests for the round-5 operators: LSH banding S-curve,
+dedup-savings manifest, centroid-margin audit, IVF nprobe curve, and the
+lang×source chi-square.
+
+Each asserts the operator's defining invariant (what the oracle's
+value-hash alone doesn't state), on the sf0.001 fixture."""
+
+import pytest
+
+from conduit_connector_s3_iceberg_spark.operators.corpus import (
+    corpus_lang_source_chisq,
+)
+from conduit_connector_s3_iceberg_spark.operators.dedup import (
+    dedup_family_savings,
+    dedup_lsh_scurve,
+)
+from conduit_connector_s3_iceberg_spark.operators.similarity import (
+    NPROBE_LEVELS,
+    emb_centroid_margin,
+    sim_ivf_nprobe_curve,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scurve_theory_is_monotone_and_bounded(spark):
+    """The binomial-tail capture probability is strictly increasing in s,
+    so its per-bucket average must be nondecreasing over Jaccard deciles;
+    both curves live in [0, 1]."""
+    rows = dedup_lsh_scurve(spark, SF).orderBy("bucket").collect()
+    assert rows, "pair population empty at sf0.001"
+    prev = -1.0
+    for r in rows:
+        assert 0.0 <= r.theory_capture <= 1.0
+        assert 0.0 <= r.realized_capture <= 1.0
+        assert r.n_captured <= r.n_pairs
+        assert r.theory_capture >= prev
+        prev = r.theory_capture
+
+
+def test_family_savings_simhash_coarsens_exact(spark):
+    """Identical texts share a SimHash, so the SimHash partition is a
+    coarsening of the exact partition: fewer groups, at least as many
+    docs removed; token accounting is internally consistent."""
+    by = {r.family: r for r in dedup_family_savings(spark, SF).collect()}
+    assert set(by) == {"exact", "simhash"}
+    for r in by.values():
+        assert r.tokens_kept + r.tokens_removed == r.tokens_total
+        assert r.n_docs - r.n_groups == r.docs_removed
+        assert 0.0 <= r.frac_tokens_removed < 1.0
+    assert by["simhash"].n_groups <= by["exact"].n_groups
+    assert by["simhash"].docs_removed >= by["exact"].docs_removed
+    # same corpus on both rows
+    assert by["simhash"].n_docs == by["exact"].n_docs
+    assert by["simhash"].tokens_total == by["exact"].tokens_total
+
+
+def test_centroid_margin_invariants(spark):
+    """Margins are runner-up-minus-nearest, hence nonnegative; own-centroid
+    hits are bounded by the label's vector count."""
+    rows = emb_centroid_margin(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.min_margin >= 0.0
+        assert r.avg_margin >= r.min_margin - 1e-9
+        assert 0 <= r.n_own_centroid <= r.n_vecs
+
+
+def test_nprobe_curve_is_monotone(spark):
+    """More probes can only add candidates and hits: both counts and
+    recall are nondecreasing in nprobe; recall stays in [0, 1]."""
+    rows = sim_ivf_nprobe_curve(spark, SF).orderBy("nprobe").collect()
+    assert [r.nprobe for r in rows] == sorted(NPROBE_LEVELS)
+    prev_c = prev_h = -1
+    for r in rows:
+        assert r.n_candidates >= prev_c
+        assert r.n_hits >= prev_h
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits <= r.n_candidates or r.n_candidates == 0
+        prev_c, prev_h = r.n_candidates, r.n_hits
+
+
+def test_chisq_shape_and_bounds(spark):
+    [r] = corpus_lang_source_chisq(spark, SF).collect()
+    assert r.dof == (r.n_langs - 1) * (r.n_sources - 1)
+    assert r.chi2 >= 0.0
+    assert 0.0 <= r.cramers_v <= 1.0 + 1e-12
