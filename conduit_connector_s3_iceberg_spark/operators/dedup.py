@@ -2706,7 +2706,14 @@ def dedup_family_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sim = votes.select("doc_id", F.expr(_SIMHASH_FP).cast("int").alias("sfp"))
-    j = tok.join(sim, "doc_id").select("doc_id", "n_tokens", "efp", "sfp")
+    # the fingerprint frame feeds both family branches of the union:
+    # materialize once so the corpus (and the 16-vote SimHash agg) is not
+    # re-derived per branch (4 scans -> 1 without it)
+    j = (
+        tok.join(sim, "doc_id")
+        .select("doc_id", "n_tokens", "efp", "sfp")
+        .localCheckpoint(eager=False)
+    )
 
     def fam(frame: DataFrame, key: str, name: str) -> DataFrame:
         g = frame.groupBy(key).agg(

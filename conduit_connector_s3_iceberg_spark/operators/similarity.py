@@ -2355,6 +2355,9 @@ def emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("carr")
         )
     )
+    # 5-row centroid table: cut its lineage so the broadcast does not
+    # re-derive the full posexplode aggregation per consumer stage
+    cent = cent.localCheckpoint(eager=False)
     e = emb.select("vec_id", "label", F.expr(_SPARK_EMB_D).alias("emb"))
     d = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -2484,6 +2487,10 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_dists = base.select(
         "vec_id", F.expr(_DISTS_SPARK).alias("dists")
     )
+    # narrow assignment frame (vec_id, cell, probes) consumed by the query
+    # side, the candidate join, AND both per-level aggregations: cut the
+    # lineage once so the 16-centroid distance fold runs a single time
+    # (11 corpus scans -> bounded without it)
     emb = with_dists.select(
         "vec_id",
         F.expr("cast(array_position(dists, array_min(dists)) as int)").alias(
@@ -2493,7 +2500,7 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(slice(array_sort(dists), 1, {max_probe}),"
             " d -> cast(array_position(dists, d) as int))"
         ).alias("probes"),
-    )
+    ).localCheckpoint(eager=False)
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -2504,11 +2511,17 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "probe_cell", (F.col("rk0") + 1).alias("cell_rk")
         )
     )
-    cand = emb.join(
-        F.broadcast(q),
-        (F.col("cell") == F.col("probe_cell"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", "vec_id", "cell_rk")
+    # candidate set (bounded: queries x probed cells) feeds the hit join
+    # and the per-level count — materialize once
+    cand = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "cell_rk")
+        .localCheckpoint(eager=False)
+    )
     exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     hits = exact.join(
         cand.withColumnRenamed("query_id", "c_qid").withColumnRenamed(
