@@ -1600,3 +1600,118 @@ def corpus_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ------------------------------------------------ source originality -------
+#
+# Provenance audit over near-dup families: which source ORIGINATED each
+# family (proxy: lowest doc_id — substitute crawl timestamp in production)
+# and, per source, how much of its corpus is original vs copied, split by
+# whether the original lives in the same source (internal duplication:
+# templates, re-posts) or another one (syndication / scraping). The query
+# that decides per-source trust weights before mixture sampling.
+
+@query(
+    "corpus_source_originality",
+    oracle=f"""
+    WITH fam AS (
+      SELECT doc_id, source, CAST({_SIMHASH_FP} AS INTEGER) AS fp
+      FROM (
+        SELECT doc_id, source,
+               {", ".join(_simhash_vote_sql(b) for b in range(16))}
+        FROM (
+          SELECT doc_id, source,
+                 unnest(string_split(trim(text), ' ')) AS token
+          FROM documents
+        ) GROUP BY doc_id, source
+      )
+    ), origin AS (
+      SELECT fp, MIN(doc_id) AS origin_doc,
+             arg_min(source, doc_id) AS origin_source
+      FROM fam GROUP BY fp
+    ), flagged AS (
+      SELECT f.source,
+             CASE WHEN f.doc_id = o.origin_doc THEN 1 ELSE 0 END AS original,
+             CASE WHEN f.doc_id <> o.origin_doc
+                   AND f.source = o.origin_source THEN 1 ELSE 0
+                  END AS internal_copy,
+             CASE WHEN f.doc_id <> o.origin_doc
+                   AND f.source <> o.origin_source THEN 1 ELSE 0
+                  END AS external_copy
+      FROM fam f JOIN origin o ON f.fp = o.fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(original) AS BIGINT) AS n_original,
+           CAST(SUM(internal_copy) AS BIGINT) AS n_internal_copies,
+           CAST(SUM(external_copy) AS BIGINT) AS n_external_copies,
+           CAST(SUM(original) AS DOUBLE) / COUNT(*) AS originality_rate
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source originality over 16-bit SimHash families: original "
+        "(family's lowest doc_id — swap in crawl time at production), "
+        "internal copies (origin in the same source) and external copies "
+        "(origin elsewhere), plus the originality rate that feeds source "
+        "trust weights. One fingerprint agg + a family-sized origin "
+        "lookup joined back; integer counts, one IEEE division per row.",
+)
+def corpus_source_originality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    votes = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            *[
+                F.expr(_simhash_vote_sql(b).replace(f" AS v{b}", "")).alias(
+                    f"v{b}"
+                )
+                for b in range(16)
+            ]
+        )
+    )
+    fam = votes.select(
+        "doc_id", "source", F.expr(_SIMHASH_FP).cast("int").alias("fp")
+    ).localCheckpoint(eager=False)  # feeds origin agg AND the flag join
+    origin = fam.groupBy("fp").agg(
+        F.min("doc_id").alias("origin_doc"),
+        F.expr("min_by(source, doc_id)").alias("origin_source"),
+    )
+    flagged = fam.join(F.broadcast(origin), "fp").select(
+        "source",
+        F.when(F.col("doc_id") == F.col("origin_doc"), 1)
+        .otherwise(0)
+        .alias("original"),
+        F.when(
+            (F.col("doc_id") != F.col("origin_doc"))
+            & (F.col("source") == F.col("origin_source")),
+            1,
+        )
+        .otherwise(0)
+        .alias("internal_copy"),
+        F.when(
+            (F.col("doc_id") != F.col("origin_doc"))
+            & (F.col("source") != F.col("origin_source")),
+            1,
+        )
+        .otherwise(0)
+        .alias("external_copy"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("original").cast("bigint").alias("n_original"),
+            F.sum("internal_copy").cast("bigint").alias("n_internal_copies"),
+            F.sum("external_copy").cast("bigint").alias("n_external_copies"),
+            (
+                F.sum("original").cast("double") / F.count(F.lit(1))
+            ).alias("originality_rate"),
+        )
+        .orderBy("source")
+    )

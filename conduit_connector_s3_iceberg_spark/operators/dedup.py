@@ -2740,3 +2740,78 @@ def dedup_family_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return fam(j, "efp", "exact").unionAll(fam(j, "sfp", "simhash")).orderBy("family")
+
+
+# ------------------------------------------------ cluster size histogram ---
+#
+# The shape report on duplicate families: how many clusters exist at each
+# power-of-2 size, how much of the corpus sits in them, and the largest
+# family — the number that decides whether near-dup removal is worth a
+# cluster run and whether any single family is pathological (a boilerplate
+# explosion shows up as one giant component). Buckets are an explicit CASE
+# ladder (no log2 floats); all counts integer.
+
+_SIZE_BUCKET_SQL = (
+    "CASE WHEN sz = 1 THEN 1 WHEN sz <= 2 THEN 2 WHEN sz <= 4 THEN 4 "
+    "WHEN sz <= 8 THEN 8 WHEN sz <= 16 THEN 16 WHEN sz <= 32 THEN 32 "
+    "WHEN sz <= 64 THEN 64 ELSE 128 END"
+)
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(root, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    ), labels AS (
+      SELECT root AS doc_id, MIN(node) AS cluster_id
+      FROM reach GROUP BY root
+    ), csize AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT CAST({_SIZE_BUCKET_SQL} AS BIGINT) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(MAX(sz) AS BIGINT) AS largest_cluster
+    FROM csize
+    GROUP BY size_bucket
+    ORDER BY size_bucket
+    """,
+    doc="Duplicate-family size distribution: connected components over the "
+        "near-dup pair graph (same labels as dedup_cluster_labels — the "
+        "recursive-closure oracle), then cluster sizes binned into an "
+        "explicit power-of-2 CASE ladder. The pathology detector: a "
+        "boilerplate explosion shows up as mass in the top bucket. "
+        "Labeling dominates; the histogram adds two marginal-sized aggs.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    labels = min_label_components(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    full = docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    csize = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        csize.groupBy(
+            F.expr(f"CAST({_SIZE_BUCKET_SQL} AS BIGINT)").alias("size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.max("sz").cast("bigint").alias("largest_cluster"),
+        )
+        .orderBy("size_bucket")
+    )

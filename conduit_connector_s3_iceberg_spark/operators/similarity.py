@@ -2569,3 +2569,104 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ------------------------------------------------- IVF shard planning ------
+#
+# Serving-layout planner for the IVF index: assign Voronoi cells to S
+# serving shards so per-shard vector mass balances. Greedy bin packing is
+# sequential; the distributed-friendly heuristic is round-robin by size
+# rank (largest cells spread first) — fully declarative, one window over
+# the CELL-count-sized frame, and within 1 largest-cell of greedy balance.
+# Emits the per-shard load audit the operator reads before rollout.
+
+N_SHARDS = 4
+
+
+@query(
+    "sim_ivf_shard_plan",
+    oracle=f"""
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dist AS (
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), assigned AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell
+      FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        FROM dist
+      ) WHERE rk = 1
+    ), csize AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY cell
+    ), planned AS (
+      SELECT cell, n_vecs,
+             CAST((ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell) - 1)
+                  % {N_SHARDS} AS INTEGER) AS shard
+      FROM csize
+    ), tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS t FROM planned
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_vecs) AS BIGINT) AS n_vecs,
+           CAST(MAX(n_vecs) AS BIGINT) AS largest_cell,
+           CAST(SUM(n_vecs) AS DOUBLE) / (CAST(t AS DOUBLE) / {N_SHARDS})
+             AS load_factor
+    FROM planned CROSS JOIN tot
+    GROUP BY shard, t
+    ORDER BY shard
+    """,
+    doc=f"IVF serving-shard plan: cells assigned to {N_SHARDS} shards "
+        "round-robin by size rank (largest first — the declarative "
+        "balance heuristic, one window over the cell-count-sized frame; "
+        "greedy packing is inherently sequential and buys at most one "
+        "largest-cell of extra balance). Emits per-shard cell/vector "
+        "counts and load factor vs the perfect split — the audit read "
+        "before rolling the index out. Integer counts; one IEEE division "
+        "chain per shard row.",
+)
+def sim_ivf_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    assigned = base.select(
+        "vec_id", F.expr(_DISTS_SPARK).alias("dists")
+    ).select(
+        "vec_id",
+        F.expr("cast(array_position(dists, array_min(dists)) as int)").alias(
+            "cell"
+        ),
+    )
+    csize = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    w = Window.orderBy(F.col("n_vecs").desc(), "cell")
+    planned = csize.select(
+        "cell",
+        "n_vecs",
+        ((F.row_number().over(w) - 1) % N_SHARDS).cast("int").alias("shard"),
+    )
+    tot = planned.agg(F.sum("n_vecs").cast("bigint").alias("t"))
+    return (
+        planned.crossJoin(F.broadcast(tot))
+        .groupBy("shard", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+            F.max("n_vecs").cast("bigint").alias("largest_cell"),
+            (
+                F.sum("n_vecs").cast("double")
+                / (F.col("t").cast("double") / F.lit(N_SHARDS))
+            ).alias("load_factor"),
+        )
+        .drop("t")
+        .orderBy("shard")
+    )

@@ -85,3 +85,55 @@ def test_chisq_shape_and_bounds(spark):
     assert r.dof == (r.n_langs - 1) * (r.n_sources - 1)
     assert r.chi2 >= 0.0
     assert 0.0 <= r.cramers_v <= 1.0 + 1e-12
+
+
+def test_cluster_size_histogram_partitions_corpus(spark):
+    """Histogram buckets partition the corpus: doc counts sum to the
+    corpus size, every largest_cluster fits its bucket, and bucket-1
+    clusters are exactly the singletons."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        dedup_cluster_size_histogram,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = dedup_cluster_size_histogram(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.largest_cluster <= r.size_bucket or r.size_bucket == 128
+        if r.size_bucket == 1:
+            assert r.n_clusters == r.n_docs
+
+
+def test_source_originality_accounting(spark):
+    """original + internal + external = n_docs per source; exactly one
+    original per family corpus-wide."""
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        corpus_source_originality,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.dedup import dedup_simhash
+
+    rows = corpus_source_originality(spark, SF).collect()
+    for r in rows:
+        assert r.n_original + r.n_internal_copies + r.n_external_copies == r.n_docs
+        assert 0.0 < r.originality_rate <= 1.0
+    n_families = dedup_simhash(spark, SF).select("simhash16").distinct().count()
+    assert sum(r.n_original for r in rows) == n_families
+
+
+def test_shard_plan_is_balanced(spark):
+    """Round-robin by size rank: shard vector totals differ by at most the
+    largest single cell, and the load factors average 1 over used shards
+    scaled by coverage."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        sim_ivf_shard_plan,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = sim_ivf_shard_plan(spark, SF).collect()
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    if len(rows) > 1:
+        totals = [r.n_vecs for r in rows]
+        largest = max(r.largest_cell for r in rows)
+        assert max(totals) - min(totals) <= largest
