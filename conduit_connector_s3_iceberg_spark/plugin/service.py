@@ -22,6 +22,13 @@ Error contract (reference taxonomy, message-exact prefixes):
 * ``teardown`` failure → INTERNAL ``Couldn't tear down: <cause>``
   (``DestinationService.java:107-112``)
 
+Lifecycle RPCs (``connector.proto:120-130`` — LifecycleOnCreated /
+OnUpdated / OnDeleted) are intentionally NOT implemented, matching the
+reference: ``DestinationService`` extends the generated base class
+without overriding them, so gRPC answers UNIMPLEMENTED — exactly what
+the NDJSON server's unknown-rpc branch returns here (asserted in
+``tests/test_plugin.py::test_lifecycle_rpcs_unimplemented_like_reference``).
+
 State machine: Configure is "the first function to be called"; Start
 "is called after Configure"; Run opens the record stream; Stop flushes
 and half-closes it; Teardown ends the process (``connector.proto:

@@ -347,6 +347,15 @@ BROADCAST_NONEQUI_OK = {
     # scenario x model expansion over the vocabulary-sized transition
     # table (non-equi on the removed channel) + 1-row base/total folds
     "events_markov_attribution",
+    # round 5 bounded broadcasts:
+    # marginal-sized grid cross joins (|langs| x |sources|) + 1-row total
+    "corpus_lang_source_chisq",
+    # |labels|-row (5) centroid table broadcast against the corpus
+    "emb_centroid_margin",
+    # 3-row probe-level frame + bounded candidate/hit folds
+    "sim_ivf_nprobe_curve",
+    # 1-row vector-total broadcast into the |shards|-row audit
+    "sim_ivf_shard_plan",
 }
 
 

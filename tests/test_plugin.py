@@ -382,3 +382,24 @@ def test_server_rejects_unknown_rpc(service):
         c.close()
     finally:
         server.stop()
+
+
+def test_lifecycle_rpcs_unimplemented_like_reference(service):
+    """The reference never overrides the Lifecycle RPCs, so its gRPC base
+    class answers UNIMPLEMENTED (connector.proto:120-130); the NDJSON
+    transport preserves that contract."""
+    svc, _ = service
+    server = PluginServer(port=0, destination=svc)
+    server.start()
+    try:
+        c = Client(server.port)
+        for rpc in (
+            "lifecycle_on_created",
+            "lifecycle_on_updated",
+            "lifecycle_on_deleted",
+        ):
+            resp = c.call({"rpc": rpc})
+            assert resp["error"]["code"] == "UNIMPLEMENTED"
+        c.close()
+    finally:
+        server.stop()

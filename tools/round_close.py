@@ -1,0 +1,64 @@
+"""Round-close artifact regeneration — run as the LAST step of a round,
+then commit the result so the snapshot commit IS the round's HEAD
+(r4 verdict #3: artifacts must never predate the final code commit).
+
+Regenerates, in order:
+
+1. ``CORRECTNESS_LOCAL_r{N}.json`` — the full oracle sweep at sf0.01
+   (every registered query, driver-shaped per-query verdicts).
+2. ``PLANS.md`` — the physical-plan audit (tools/plan_audit.py).
+
+Usage:
+
+    python tools/round_close.py <round-number>   # e.g. 5
+
+Exits non-zero if any query fails its oracle — a failing round must not
+snapshot. After it succeeds: review `git diff PLANS.md`, update the
+COVERAGE.md snapshot paragraph, and commit everything together as the
+final commit of the round.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    if len(sys.argv) != 2 or not sys.argv[1].isdigit():
+        print(__doc__)
+        return 2
+    rnd = int(sys.argv[1])
+    env = dict(os.environ)
+    env["CORRECTNESS_JSON_OUT"] = os.path.join(
+        REPO, f"CORRECTNESS_LOCAL_r{rnd}.json"
+    )
+    print(f"[round-close] full oracle sweep -> CORRECTNESS_LOCAL_r{rnd}.json")
+    rc = subprocess.call(
+        [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.01"],
+        cwd=REPO,
+        env=env,
+    )
+    if rc != 0:
+        print("[round-close] oracle sweep FAILED — fix before snapshotting")
+        return rc
+    print("[round-close] regenerating PLANS.md")
+    rc = subprocess.call(
+        [sys.executable, "tools/plan_audit.py"], cwd=REPO, env=os.environ
+    )
+    if rc != 0:
+        print("[round-close] plan audit FAILED")
+        return rc
+    print(
+        "[round-close] done. Review `git diff PLANS.md`, refresh the "
+        "COVERAGE.md snapshot paragraph, then commit as the round's final "
+        "commit."
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
