@@ -1905,3 +1905,141 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_sessions))
         .select("n_sessions", "max_concurrent", "at_ts")
     )
+
+
+# ------------------------------------------------ banded interval join -----
+#
+# Interval-overlap joins (find all pairs of overlapping time intervals)
+# have no native Spark physical strategy — a naive inequality self-join
+# plans as a nested loop over the whole table. The scalable pattern is
+# BAND + VERIFY: bucket every interval to the hour-grid cells it spans
+# (fan-out = interval duration in bands), equi-join on the band key —
+# which Catalyst executes as an ordinary hash shuffle join — then verify
+# the exact overlap predicate and dedup pairs that met in several bands.
+# This is the same candidate-generation discipline as the LSH dedup
+# family, applied to time. Demonstrated here on gap-based sessions:
+# which user pairs were concurrently active, and for how long.
+
+
+@query(
+    "q78_interval_overlap_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  ) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id,
+             ts
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    ), ovl AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(epoch_us(least(a.s_end, b.s_end))
+                  - epoch_us(greatest(a.s_start, b.s_start)) AS BIGINT)
+               AS overlap_us
+      FROM sessions a JOIN sessions b
+        ON a.user_id < b.user_id
+       AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    )
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping_sessions,
+           CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
+    FROM ovl
+    GROUP BY user_a, user_b
+    ORDER BY total_overlap_us DESC, n_overlapping_sessions DESC,
+             user_a, user_b
+    LIMIT 20
+    """,
+    doc="Banded interval-overlap join: gap-based sessions bucketed to the "
+        "hour-grid cells they span, candidate pairs from an EQUI-join on "
+        "the band key (an ordinary shuffle join — no nested loop), exact "
+        "overlap verified and multi-band duplicates collapsed before the "
+        "pair aggregation. The oracle states the naive inequality join "
+        "(fine at oracle scale; the banded plan is the 100-TB form). "
+        "Closed intervals — touching endpoints count with 0 duration. "
+        "Integer microsecond accounting throughout.",
+)
+def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((_us("ts") - _us(prev_ts)) > gap_us), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    # band fan-out = session duration in hours; the session frame feeds
+    # both join sides — materialize once
+    banded = sessions.select(
+        "user_id",
+        "session_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', s_start),"
+                " date_trunc('hour', s_end), interval 1 hour)"
+            )
+        ).alias("band"),
+    ).localCheckpoint(eager=False)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    overlaps = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_start") <= F.col("b.s_end"))
+            & (F.col("b.s_start") <= F.col("a.s_end")),
+        )
+        # a pair meeting in k shared bands appears k times; collapse to
+        # one row per session pair before aggregating
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("sid_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("sid_b"),
+        )
+        .agg(
+            F.max(
+                (
+                    _us(F.least(F.col("a.s_end"), F.col("b.s_end")))
+                    - _us(F.greatest(F.col("a.s_start"), F.col("b.s_start")))
+                ).cast("bigint")
+            ).alias("overlap_us")
+        )
+    )
+    return (
+        overlaps.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlapping_sessions"),
+            F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+        )
+        .orderBy(
+            F.col("total_overlap_us").desc(),
+            F.col("n_overlapping_sessions").desc(),
+            "user_a",
+            "user_b",
+        )
+        .limit(20)
+    )

@@ -137,3 +137,26 @@ def test_shard_plan_is_balanced(spark):
         totals = [r.n_vecs for r in rows]
         largest = max(r.largest_cell for r in rows)
         assert max(totals) - min(totals) <= largest
+
+
+def test_interval_overlap_join_plans_as_equi_join(spark):
+    """The banded interval join must execute as a hash/merge EQUI-join on
+    the band key — the whole point of banding is avoiding the nested-loop
+    plan a naive inequality self-join gets."""
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        q78_interval_overlap_join,
+    )
+
+    df = q78_interval_overlap_join(spark, SF)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = je.explainString(mode)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert r.total_overlap_us >= 0
+        assert r.n_overlapping_sessions >= 1
