@@ -70,6 +70,20 @@ BENCH_EXT = [
     "graph_link_jaccard",
 ]
 
+# Round-5 additions, reported under "ext2" — BENCH_EXT is frozen (see
+# above), so new operators start their own trend here.
+BENCH_EXT2 = [
+    "dedup_lsh_scurve",
+    "dedup_family_savings",
+    "dedup_cluster_size_histogram",
+    "emb_centroid_margin",
+    "sim_ivf_nprobe_curve",
+    "sim_ivf_shard_plan",
+    "corpus_lang_source_chisq",
+    "corpus_source_originality",
+    "q78_interval_overlap_join",
+]
+
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +
 # whole-stage codegen compile (worst on the dedup self-joins), and JIT can
 # still taint the second — three runs reliably capture steady state.
@@ -101,6 +115,7 @@ def main() -> None:
 
     times = run_list(HEADLINE)
     ext = run_list(BENCH_EXT)
+    ext2 = run_list(BENCH_EXT2)
 
     total = round(sum(times.values()), 3)
     print(
@@ -112,6 +127,8 @@ def main() -> None:
                 "queries": times,
                 "ext": ext,
                 "ext_total": round(sum(ext.values()), 3),
+                "ext2": ext2,
+                "ext2_total": round(sum(ext2.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1552,6 +1552,14 @@ def corpus_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    return chisq_from_counts(o)
+
+
+def chisq_from_counts(o: DataFrame) -> DataFrame:
+    """Chi-square + Cramér's V over a pre-aggregated ``(lang, source, n)``
+    count frame. Shared by the batch query (counts from one corpus scan)
+    and the streaming monitor (counts IVM-maintained in O(delta) per
+    epoch — ``streaming.corpus.composition_chisq_from_summary``)."""
     o = o.localCheckpoint(eager=False)  # marginal-sized; consumed 4x
     rt = o.groupBy("lang").agg(F.sum("n").cast("bigint").alias("r"))
     ct = o.groupBy("source").agg(F.sum("n").cast("bigint").alias("c"))

@@ -53,3 +53,23 @@ def clean_doc_stream(
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_fp"]
     )
+
+
+def composition_chisq_from_summary(summary: DataFrame) -> DataFrame:
+    """Chi-square composition audit over an IVM-maintained (lang, source)
+    count summary — the 100-TB form of ``corpus_lang_source_chisq``.
+
+    The batch query re-scans the corpus for its contingency counts; a
+    monitoring pipeline instead maintains the counts from the document
+    CDC feed in O(delta) per epoch (``ivm.maintain_summary_stream`` with
+    ``group_cols=["lang", "source"]``) and runs THIS marginal-sized
+    recompute per epoch — the statistic is exact for the net corpus at
+    every epoch boundary, with zero base-table scans. Equality with the
+    batch query over the same feed is asserted in
+    ``tests/test_streaming.py::test_composition_chisq_matches_batch``.
+    """
+    from ..operators.corpus import chisq_from_counts
+
+    return chisq_from_counts(
+        summary.select("lang", "source", F.col("n_rows").cast("bigint").alias("n"))
+    )

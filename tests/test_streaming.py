@@ -1063,3 +1063,91 @@ def test_cusum_stream_matches_batch_across_epochs(spark, tmp_path):
         for r in events_cusum_changepoints(spark, sf).collect()
     }
     assert got == batch
+
+
+def test_composition_chisq_matches_batch(spark, tmp_path):
+    """The chi-square computed over the IVM-maintained (lang, source)
+    summary equals the batch recompute over the base table maintained
+    from the SAME CDC feed — across epochs with an update that moves a
+    doc between languages and a delete (both with before-images)."""
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        chisq_from_counts,
+    )
+    from conduit_connector_s3_iceberg_spark.streaming import (
+        maintain_summary_stream,
+    )
+    from conduit_connector_s3_iceberg_spark.streaming.corpus import (
+        composition_chisq_from_summary,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+    wh.create_table("docs", doc_schema)
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                env("p1", "create", after={"doc_id": 1, "lang": "en", "source": "s0"}),
+                env("p2", "create", after={"doc_id": 2, "lang": "en", "source": "s1"}),
+                env("p3", "create", after={"doc_id": 3, "lang": "de", "source": "s0"}),
+                env("p4", "create", after={"doc_id": 4, "lang": "de", "source": "s1"}),
+                env("p5", "create", after={"doc_id": 5, "lang": "en", "source": "s0"}),
+            ]
+        )
+    )
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                env(
+                    "p6",
+                    "update",
+                    key={"doc_id": 4},
+                    before={"doc_id": 4, "lang": "de", "source": "s1"},
+                    after={"doc_id": 4, "lang": "en", "source": "s1"},
+                ),
+                env(
+                    "p7",
+                    "delete",
+                    key={"doc_id": 5},
+                    before={"doc_id": 5, "lang": "en", "source": "s0"},
+                ),
+                env("p8", "create", after={"doc_id": 6, "lang": "zh", "source": "s1"}),
+            ]
+        )
+    )
+    apply_cdc_stream(
+        read_cdc_stream(spark, str(src)),
+        wh,
+        "docs",
+        ["doc_id"],
+        str(tmp_path / "ckpt_base"),
+    ).awaitTermination(120)
+    maintain_summary_stream(
+        read_cdc_stream(spark, str(src)),
+        wh,
+        "docs_by_ls",
+        doc_schema,
+        ["lang", "source"],
+        [],
+        str(tmp_path / "ckpt_sum"),
+    ).awaitTermination(120)
+
+    stream_row = composition_chisq_from_summary(wh.read("docs_by_ls")).collect()
+    batch_row = chisq_from_counts(
+        wh.read("docs")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ).collect()
+    assert [tuple(r) for r in stream_row] == [tuple(r) for r in batch_row]
+    [r] = stream_row
+    # net corpus: 5 docs (doc 5 deleted, doc 6 added), 3 langs, 2 sources
+    assert (r.n_docs, r.n_langs, r.n_sources) == (5, 3, 2)
