@@ -1945,3 +1945,80 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pct_in_source"),
         (F.col("src_rank") * 10 <= F.col("n_src")).alias("top_decile"),
     )
+
+
+# ------------------------------------------------ n-gram diversity profile -
+#
+# Corpus diversity by n-gram order: distinct/total ratios for n = 1..4 —
+# the "is this corpus repetitive garbage" curve. Natural text keeps the
+# distinct ratio climbing steeply with n (most 4-grams are unique);
+# template-heavy or model-generated corpora flatten early. One exploded
+# frame with the order as a key → one hash agg; all counts integer, one
+# IEEE division per order.
+
+_DIVERSITY_MAX_N = 4
+
+
+def _ngrams_spark(n: int) -> str:
+    return (
+        f"transform(sequence(1, greatest(size(split(trim(text),' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(trim(text),' '), i, {n})))"
+    )
+
+
+def _ngrams_sql(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1,"
+        f" greatest(len(string_split(trim(text),' ')) - {n - 1}, 1)),"
+        f" i -> array_to_string(list_slice(string_split(trim(text),' '),"
+        f" i, i + {n - 1}), ' '))"
+    )
+
+
+@query(
+    "text_ngram_diversity",
+    oracle=f"""
+    WITH g AS (
+      {" UNION ALL ".join(
+          f'''SELECT {n} AS n, unnest({_ngrams_sql(n)}) AS gram
+              FROM documents'''
+          for n in range(1, _DIVERSITY_MAX_N + 1)
+      )}
+    )
+    SELECT n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS distinct_ratio
+    FROM g
+    GROUP BY n
+    ORDER BY n
+    """,
+    doc=f"N-gram diversity profile (n = 1..{_DIVERSITY_MAX_N}): distinct/"
+        "total ratio per order — natural corpora climb steeply with n, "
+        "template-heavy or synthetic ones flatten early. One exploded "
+        "union keyed by order, one hash agg (count-distinct plans as the "
+        "standard Expand); integer counts, one IEEE division per row.",
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        docs.select(
+            F.lit(n).alias("n"),
+            F.explode(F.expr(_ngrams_spark(n))).alias("gram"),
+        )
+        for n in range(1, _DIVERSITY_MAX_N + 1)
+    ]
+    g = parts[0]
+    for p in parts[1:]:
+        g = g.unionAll(p)
+    return (
+        g.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+            F.countDistinct("gram").cast("bigint").alias("distinct_ngrams"),
+            (
+                F.countDistinct("gram").cast("double") / F.count(F.lit(1))
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("n")
+    )

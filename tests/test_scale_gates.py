@@ -123,6 +123,9 @@ SCAN_BUDGETED = [
     "dedup_jaccard_prefix_filter",
     "dedup_containment",
     "dedup_source_matrix",
+    # round-5 multi-consumer front ends, locked at their measured counts
+    "dedup_lsh_scurve",
+    "dedup_cluster_size_histogram",
 ]
 
 
