@@ -25,7 +25,7 @@ this extends the north-star monitoring layer alongside
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -594,4 +594,118 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attribution_share"),
         )
         .orderBy("channel")
+    )
+
+
+# ------------------------------------------------ autocorrelation (ACF) ----
+#
+# Autocorrelation of the daily event-count series at lags 1..7 — the
+# seasonality detector (a weekly cycle puts a spike at lag 7) run before
+# choosing forecast models or anomaly baselines. Determinism: daily
+# counts are integers on a dense date spine (missing days = 0), so every
+# moment (Sx, Sy, Sxx, Syy, Sxy per lag) is an exact BIGINT fold; the
+# Pearson r is then one scalar IEEE chain written identically in both
+# engines. Magnitudes: counts < 1e5, T < 1e4 → n*Sxy < 1e14·1e4 « 2^63.
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ), bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+    ), spine AS (
+      SELECT CAST(u.d AS DATE) AS day,
+             CAST(ROW_NUMBER() OVER (ORDER BY u.d) AS BIGINT) AS t
+      FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)
+    ), series AS (
+      SELECT s.t, COALESCE(d.n, 0) AS x
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ), lags AS (
+      SELECT CAST(l.lag AS BIGINT) AS lag, a.x AS x, b.x AS y
+      FROM UNNEST(generate_series(1, {ACF_MAX_LAG})) AS l(lag)
+      JOIN series a ON TRUE
+      JOIN series b ON b.t = a.t + l.lag
+    ), mom AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM lags GROUP BY lag
+    )
+    SELECT lag, np AS n_pairs,
+           CASE WHEN (np * sxx - sx * sx) > 0 AND (np * syy - sy * sy) > 0
+                THEN CAST(np * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                            * CAST(np * syy - sy * sy AS DOUBLE))
+                ELSE NULL END AS acf
+    FROM mom
+    ORDER BY lag
+    """,
+    doc=f"Autocorrelation of the daily event-count series at lags "
+        f"1..{ACF_MAX_LAG} (dense zero-filled date spine): the weekly-"
+        "seasonality detector. All moments are exact BIGINT folds over "
+        "integer counts — order-independent under any shuffle; Pearson r "
+        "is one scalar IEEE chain per lag, NULL-guarded for degenerate "
+        "(constant) series. Corpus-scale work is one date hash agg; "
+        "everything after is spine-sized.",
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    ).select(
+        "day",
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    series = (
+        spine.join(daily, "day", "left")
+        .select("t", F.coalesce("n", F.lit(0)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # spine-sized; both lag-join sides
+    )
+    lagf = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    lags = (
+        a.crossJoin(F.broadcast(lagf))
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .select("lag", F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    mom = lags.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        mom.select(
+            "lag",
+            F.col("np").alias("n_pairs"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                num.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+            ).alias("acf"),
+        )
+        .orderBy("lag")
     )

@@ -356,6 +356,8 @@ BROADCAST_NONEQUI_OK = {
     "sim_ivf_nprobe_curve",
     # 1-row vector-total broadcast into the |shards|-row audit
     "sim_ivf_shard_plan",
+    # 7-row lag frame broadcast against the date-spine-sized series
+    "events_autocorrelation",
 }
 
 
