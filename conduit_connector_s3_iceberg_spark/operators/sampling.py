@@ -997,3 +997,130 @@ def mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("temperature", "source", "n_docs", "share", "effective_sources")
         .orderBy("temperature", "source")
     )
+
+
+# ------------------------------------------------ Poisson bootstrap CI -----
+#
+# Bootstrap confidence intervals at corpus scale: true multinomial
+# resampling needs a global draw, but the POISSON bootstrap (each row's
+# replicate weight ~ Poisson(1), independent per row) is embarrassingly
+# parallel — one map-side weight per (row, replicate), partial aggs, and
+# a B-group shuffle. The weights come from a deterministic hash uniform:
+# the first 8 md5 hex chars of (replicate:salt:doc_id) compared against
+# the Poisson(1) CDF quantized to the same 16^8 grid AS FIXED-WIDTH HEX
+# STRINGS — so both engines draw bit-identical weights with zero float
+# parsing. The measured statistic (mean n_chars) stays in exact BIGINT
+# folds; each replicate mean is one IEEE division; the CI bounds are
+# exact order statistics over the B replicate means.
+
+BOOT_B = 100
+BOOT_SALT = "boot1"
+# cumulative Poisson(1) CDF scaled to 16^8, as 8-char hex (k = 0..6)
+_POIS_HEX = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71",
+]
+
+
+def _pois_weight_case(h: str) -> str:
+    """Poisson(1) inverse-CDF on an 8-hex-char uniform, as a CASE ladder
+    (weight capped at 7; P(X>7) < 1e-5 — documented truncation)."""
+    whens = " ".join(
+        f"WHEN {h} < '{t}' THEN {k}" for k, t in enumerate(_POIS_HEX)
+    )
+    return f"CASE {whens} ELSE 7 END"
+
+
+@query(
+    "sample_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT CAST(u.r AS BIGINT) AS rep, d.doc_id, d.n_chars,
+             substr(md5(u.r::VARCHAR || ':{BOOT_SALT}:' || d.doc_id::VARCHAR),
+                    1, 8) AS h
+      FROM documents d, UNNEST(generate_series(1, {BOOT_B})) AS u(r)
+    ), weighted AS (
+      SELECT rep, CAST({_pois_weight_case('h')} AS BIGINT) AS w, n_chars
+      FROM reps
+    ), repmeans AS (
+      SELECT rep,
+             CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(w * n_chars) AS BIGINT) AS swx,
+             CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS mean_r
+      FROM weighted GROUP BY rep HAVING SUM(w) > 0
+    ), ranked AS (
+      SELECT mean_r,
+             ROW_NUMBER() OVER (ORDER BY mean_r, rep) AS rk,
+             COUNT(*) OVER () AS nb
+      FROM repmeans
+    ), base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+      FROM documents
+    )
+    SELECT b.n_docs, b.mean_chars,
+           CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           (SELECT mean_r FROM ranked WHERE rk = 3) AS ci_lo,
+           (SELECT mean_r FROM ranked WHERE rk = 98) AS ci_hi
+    FROM base b
+    """,
+    doc=f"Poisson-bootstrap 95% CI for mean document length ({BOOT_B} "
+        "replicates): per-(row, replicate) Poisson(1) weights from a "
+        "hash uniform compared against hex-quantized CDF thresholds — "
+        "bit-identical draws in both engines, no RNG state, no global "
+        "resample. The scalable bootstrap: map-side weights + partial "
+        "aggs, shuffle cardinality = B. Replicate means are exact-BIGINT "
+        "numerators with one IEEE division; CI bounds are exact order "
+        "statistics (ranks 3 and 98).",
+)
+def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr(f"sequence(1, {BOOT_B})")).alias("rep"),
+    ).select(
+        F.col("rep").cast("bigint").alias("rep"),
+        "n_chars",
+        F.expr(
+            f"substring(md5(concat(cast(rep as string), ':{BOOT_SALT}:',"
+            " cast(doc_id as string))), 1, 8)"
+        ).alias("h"),
+    )
+    weighted = reps.select(
+        "rep",
+        F.expr(f"CAST({_pois_weight_case('h')} AS BIGINT)").alias("w"),
+        "n_chars",
+    )
+    repmeans = (
+        weighted.groupBy("rep")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(F.col("w") * F.col("n_chars")).cast("bigint").alias("swx"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "rep", (F.col("swx").cast("double") / F.col("sw")).alias("mean_r")
+        )
+    )
+    ranked = repmeans.select(
+        "mean_r",
+        F.row_number()
+        .over(Window.orderBy("mean_r", "rep"))
+        .alias("rk"),
+    )
+    lo = ranked.filter(F.col("rk") == 3).select(F.col("mean_r").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == 98).select(F.col("mean_r").alias("ci_hi"))
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1))
+        ).alias("mean_chars"),
+    )
+    return (
+        base.select(
+            "n_docs", "mean_chars", F.lit(BOOT_B).cast("bigint").alias("n_replicates")
+        )
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )

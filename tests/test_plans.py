@@ -358,6 +358,8 @@ BROADCAST_NONEQUI_OK = {
     "sim_ivf_shard_plan",
     # 7-row lag frame broadcast against the date-spine-sized series
     "events_autocorrelation",
+    # two 1-row CI-bound broadcasts folded into the 1-row summary
+    "sample_poisson_bootstrap_ci",
 }
 
 

@@ -160,3 +160,21 @@ def test_interval_overlap_join_plans_as_equi_join(spark):
         assert r.user_a < r.user_b
         assert r.total_overlap_us >= 0
         assert r.n_overlapping_sessions >= 1
+
+
+def test_poisson_bootstrap_ci_shape(spark):
+    """CI bounds are ordered, lie within the data range, and bracket a
+    plausible neighborhood of the point estimate; replicate count fixed."""
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        sample_poisson_bootstrap_ci,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    [r] = sample_poisson_bootstrap_ci(spark, SF).collect()
+    stats = load_table(spark, SF, "documents").agg(
+        {"n_chars": "min"}
+    ).collect()[0][0]
+    mx = load_table(spark, SF, "documents").agg({"n_chars": "max"}).collect()[0][0]
+    assert r.n_replicates == 100
+    assert r.ci_lo <= r.ci_hi
+    assert stats <= r.ci_lo and r.ci_hi <= mx
