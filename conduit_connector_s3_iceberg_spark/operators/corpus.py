@@ -1723,3 +1723,83 @@ def corpus_source_originality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ source influence ---------
+#
+# Leave-one-source-out (jackknife) influence on a corpus statistic: how
+# much does each source pull the corpus-mean document length? The
+# data-ablation planning query — sources with outsized |influence| get
+# audited before anything trains on the mix. One (source) hash agg; the
+# leave-one-out means come from the global totals minus each source's
+# totals (no per-source rescan). Integer sums; one IEEE division chain
+# per source row, written identically in both engines.
+
+
+@query(
+    "corpus_source_influence",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sx
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(sx) AS BIGINT) AS sxt
+      FROM s
+    )
+    SELECT source, n AS n_docs,
+           CAST(sx AS DOUBLE) / n AS mean_chars_source,
+           CAST(sxt AS DOUBLE) / nt AS mean_chars_all,
+           CASE WHEN nt - n > 0
+                THEN CAST(sxt - sx AS DOUBLE) / (nt - n)
+                ELSE NULL END AS mean_chars_without,
+           CASE WHEN nt - n > 0
+                THEN CAST(sxt AS DOUBLE) / nt
+                     - CAST(sxt - sx AS DOUBLE) / (nt - n)
+                ELSE NULL END AS influence
+    FROM s CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Leave-one-source-out influence on mean document length: each "
+        "source's pull on the corpus mean, computed from global totals "
+        "minus per-source totals — one hash agg + a 1-row broadcast, no "
+        "per-source rescan (the jackknife at 100 TB). Integer sums; one "
+        "IEEE division chain per row, NULL-guarded for a single-source "
+        "corpus.",
+)
+def corpus_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+    )
+    s = s.localCheckpoint(eager=False)  # feeds the totals AND the per-row join
+    tot = s.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("sx").cast("bigint").alias("sxt"),
+    )
+    rest = F.col("nt") - F.col("n")
+    without = F.when(
+        rest > 0, (F.col("sxt") - F.col("sx")).cast("double") / rest
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            (F.col("sx").cast("double") / F.col("n")).alias(
+                "mean_chars_source"
+            ),
+            (F.col("sxt").cast("double") / F.col("nt")).alias(
+                "mean_chars_all"
+            ),
+            without.alias("mean_chars_without"),
+            F.when(
+                rest > 0,
+                F.col("sxt").cast("double") / F.col("nt")
+                - (F.col("sxt") - F.col("sx")).cast("double") / rest,
+            ).alias("influence"),
+        )
+        .orderBy("source")
+    )

@@ -360,6 +360,8 @@ BROADCAST_NONEQUI_OK = {
     "events_autocorrelation",
     # two 1-row CI-bound broadcasts folded into the 1-row summary
     "sample_poisson_bootstrap_ci",
+    # 1-row global-totals broadcast into the |sources|-row influence table
+    "corpus_source_influence",
 }
 
 
