@@ -403,3 +403,61 @@ def test_lifecycle_rpcs_unimplemented_like_reference(service):
         c.close()
     finally:
         server.stop()
+
+
+def test_collection_router_fans_out_one_stream(spark, tmp_path):
+    """One Run stream, records stamped with opencdc.collection metadata,
+    fan out to per-collection tables; unstamped records fall back to the
+    configured default; unknown collections surface the write-error
+    taxonomy."""
+    from conduit_connector_s3_iceberg_spark.writer import CollectionRouter
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("plugin_t", SCHEMA)
+    wh.create_table("other", SCHEMA)
+    svc = DestinationService(
+        session_factory=lambda cfg: spark,
+        writer_factory=lambda s, cfg: CollectionRouter(wh, cfg.table_name),
+        stop_spark_on_teardown=False,
+    )
+    assert not unary(svc.configure, ConfigureRequest(VALID_CONFIG)).errors
+    assert not unary(svc.start, StartRequest()).errors
+    obs = MemoryObserver()
+    stream = svc.run(obs)
+
+    def payload(name):
+        return (
+            b'{"string_field": "' + name + b'", "integer_field": 1,'
+            b' "float_field": 0.5}'
+        )
+
+    stream.on_next(
+        RunRequest(Record(b"p1", Operation.CREATE, payload_after=payload(b"dflt")))
+    )
+    stream.on_next(
+        RunRequest(
+            Record(
+                b"p2",
+                Operation.CREATE,
+                payload_after=payload(b"routed"),
+                metadata={"opencdc.collection": "other"},
+            )
+        )
+    )
+    assert [v.ack_position for v in obs.values] == [b"p1", b"p2"]
+    assert [r.string_field for r in wh.read("plugin_t").collect()] == ["dflt"]
+    assert [r.string_field for r in wh.read("other").collect()] == ["routed"]
+
+    stream.on_next(
+        RunRequest(
+            Record(
+                b"p3",
+                Operation.CREATE,
+                payload_after=payload(b"lost"),
+                metadata={"opencdc.collection": "nope"},
+            )
+        )
+    )
+    [err] = obs.errors
+    assert str(err).startswith("couldn't write record: ")
+    assert "unknown collection" in str(err)
