@@ -286,3 +286,50 @@ def apply_cdc_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def route_cdc_batch(
+    wh,
+    envelope: DataFrame,
+    tables: dict[str, "list[str] | tuple[str, ...]"],
+    default_table: str,
+) -> dict[str, int]:
+    """Columnar multi-collection routing: apply ONE envelope epoch to many
+    tables, partitioned by the ``opencdc.collection`` metadata key.
+
+    The columnar twin of :class:`..writer.CollectionRouter` (which routes
+    record-at-a-time on the plugin wire path): the epoch's frame is
+    filtered per collection — each filter pushes down to the scan — and
+    each slice runs the standard decode → LWW-collapse → MERGE apply
+    against its own table with its own key fields. Records without the
+    metadata key route to ``default_table``; records naming an
+    unconfigured collection raise (consistent with the router — silent
+    drops would lose data, auto-create hides typos).
+
+    ``tables`` maps table name → key fields. Returns per-table applied
+    row counts (pre-collapse envelope rows, for observability).
+    """
+    coll = F.coalesce(
+        F.col("metadata").getItem("opencdc.collection"), F.lit(default_table)
+    )
+    stamped = envelope.withColumn("__coll", coll)
+    known = set(tables)
+    unknown = (
+        stamped.filter(~F.col("__coll").isin(*known))
+        .select("__coll")
+        .distinct()
+        .collect()
+    )
+    if unknown:
+        names = sorted(r["__coll"] for r in unknown)
+        raise ValueError(f"unknown collection(s) {names}: not configured")
+    applied: dict[str, int] = {}
+    for table, key_fields in tables.items():
+        slice_ = stamped.filter(F.col("__coll") == table).drop("__coll")
+        n = slice_.count()
+        if n == 0:
+            continue
+        decoded = decode_cdc(slice_, wh.schema(table), list(key_fields))
+        apply_cdc_batch(wh, table, decoded, list(key_fields))
+        applied[table] = n
+    return applied

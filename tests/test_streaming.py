@@ -1151,3 +1151,57 @@ def test_composition_chisq_matches_batch(spark, tmp_path):
     [r] = stream_row
     # net corpus: 5 docs (doc 5 deleted, doc 6 added), 3 langs, 2 sources
     assert (r.n_docs, r.n_langs, r.n_sources) == (5, 3, 2)
+
+
+def test_route_cdc_batch_partitions_epoch_by_collection(spark, tmp_path):
+    """Columnar multi-collection routing: one envelope epoch fans out to
+    per-collection tables with per-table LWW apply; unstamped records go
+    to the default; an unconfigured collection raises."""
+    from conduit_connector_s3_iceberg_spark.streaming.cdc import (
+        route_cdc_batch,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+    wh.create_table("items", TABLE_SCHEMA)
+    wh.create_table("things", TABLE_SCHEMA)
+
+    def row(pos, op, after=None, key=None, coll=None):
+        e = env(pos, op, key=key, after=after)
+        if coll is not None:
+            e["metadata"] = {"opencdc.collection": coll}
+        return e
+
+    batch = [
+        row("p1", "create", after={"id": 1, "name": "a", "qty": 5}),
+        row("p2", "create", after={"id": 2, "name": "b", "qty": 6}, coll="things"),
+        # LWW within the routed slice: the update supersedes the insert
+        row(
+            "p3",
+            "update",
+            key={"id": 2},
+            after={"id": 2, "name": "b2", "qty": 7},
+            coll="things",
+        ),
+    ]
+    envelope = spark.createDataFrame(
+        [json.loads(json.dumps(r)) for r in batch],
+        "position string, operation string, key string, before string,"
+        " after string, metadata map<string,string>",
+    )
+    applied = route_cdc_batch(
+        wh, envelope, {"items": ["id"], "things": ["id"]}, "items"
+    )
+    assert applied == {"items": 1, "things": 2}
+    assert [(r.id, r.name) for r in wh.read("items").collect()] == [(1, "a")]
+    assert [(r.id, r.name, r.qty) for r in wh.read("things").collect()] == [
+        (2, "b2", 7)
+    ]
+
+    bad = spark.createDataFrame(
+        [json.loads(json.dumps(row("p9", "create",
+                                   after={"id": 9, "name": "x", "qty": 1},
+                                   coll="nope")))],
+        envelope.schema,
+    )
+    with pytest.raises(ValueError, match="unknown collection"):
+        route_cdc_batch(wh, bad, {"items": ["id"]}, "items")
