@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2669,4 +2671,129 @@ def sim_ivf_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
         .orderBy("shard")
+    )
+
+
+# ------------------------------------------------- cross-encoder rerank ----
+#
+# The production retrieval tail: cheap vector retrieval proposes
+# candidates, a CROSS-ENCODER (a model that reads query and document
+# together) re-scores each (query, candidate) pair, and the final rank
+# blends both signals. Model inference is the one stage Spark cannot
+# express natively — it is an Arrow-batched pandas UDF over the bounded
+# candidate set (NEVER the corpus; at 100 TB the candidate list is
+# k×queries rows while the corpus scan stays JVM-side).
+#
+# The "model" here is the deterministic stand-in this suite uses for all
+# inference stages (cf. operators/multimodal.py): a hash-derived score
+# in [0, 1) — `(first 8 md5 hex of "ce:<qid>:<vid>") / 2^32` — computed
+# in the pandas UDF exactly as a real scorer would be, and restated in
+# closed form by the oracle. Swap `_fake_cross_encoder_scores` for a
+# real model call and nothing else changes: batching, schema, blending,
+# and rank plumbing are production-shaped.
+
+CE_BLEND = 0.1  # weight of the cross-encoder signal in the final score
+
+
+def _fake_cross_encoder_scores(qids, vids):
+    """Deterministic stand-in scorer: md5-derived uniform in [0, 1).
+    Pure per-row integer -> one IEEE division — bit-exact across
+    engines. Replace with a real cross-encoder batch call in prod."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"ce:{q}:{v}".encode()).hexdigest()[:8], 16) / 2**32
+        for q, v in zip(qids, vids)
+    ]
+
+
+@query(
+    "sim_cross_encoder_rerank",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, vec_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id
+        ) AS rk FROM scored
+      ) WHERE rk <= {CAND_K}
+    ), ce AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(('0x' || substr(md5('ce:' || query_id::VARCHAR || ':'
+                                       || vec_id::VARCHAR), 1, 8))::UBIGINT
+                  AS DOUBLE) / 4294967296 AS ce_score
+      FROM cand
+    )
+    SELECT query_id, vec_id, cosine, ce_score,
+           (1 - {CE_BLEND}) * cosine + {CE_BLEND} * ce_score AS blended,
+           rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY (1 - {CE_BLEND}) * cosine + {CE_BLEND} * ce_score DESC,
+                 vec_id
+      ) AS INTEGER) AS rank
+      FROM ce
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=f"Cross-encoder rerank tail: top-{CAND_K} vector candidates per "
+        "query re-scored by an Arrow-batched pandas-UDF 'model' (the "
+        "suite's deterministic hash stand-in — swap one function for a "
+        "real cross-encoder; batching/schema/blending unchanged), final "
+        f"rank on a {1 - CE_BLEND:.1f}/{CE_BLEND:.1f} blend of cosine "
+        "and model score. Inference cost is bounded by candidates × "
+        "queries, never corpus-sized; the oracle restates the hash "
+        "scorer in closed form.",
+)
+def sim_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    cand = _two_phase_topk(scored, CAND_K).drop("rank")
+
+    @pandas_udf("double")
+    def ce_score(qids: pd.Series, vids: pd.Series) -> pd.Series:
+        return pd.Series(
+            _fake_cross_encoder_scores(qids.tolist(), vids.tolist())
+        )
+
+    blended = (F.lit(1 - CE_BLEND) * F.col("cosine")) + (
+        F.lit(CE_BLEND) * F.col("ce_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        blended.desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("ce_score", ce_score("query_id", "vec_id"))
+        .withColumn("blended", blended)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "ce_score", "blended", "rank")
     )
