@@ -2797,3 +2797,120 @@ def sim_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "ce_score", "blended", "rank")
     )
+
+
+# ------------------------------------------------- IVF delta maintenance ---
+#
+# Index maintenance without rebuild: a daily embedding batch assigns to
+# the FROZEN centroids (O(delta) work — the corpus is never re-scanned),
+# and the per-cell report compares the new batch's cell shares against
+# the standing index's. A share shift is the retrain signal: the data
+# moved, the Voronoi partition didn't. Mirrors dedup_incremental_delta
+# for the ANN family. Delta membership is a deterministic slice here
+# (vec_id % 10 == 7 — the 'today's batch' stand-in).
+
+DELTA_VEC_MOD = 10
+DELTA_VEC_REM = 7
+
+
+@query(
+    "sim_ivf_delta_assign",
+    oracle=f"""
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             vec_id % {DELTA_VEC_MOD} = {DELTA_VEC_REM} AS is_new
+      FROM embeddings
+    ), dist AS (
+      SELECT d.vec_id, d.is_new, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), assigned AS (
+      SELECT vec_id, is_new, CAST(cell AS INTEGER) AS cell
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+                  AS rk
+        FROM dist
+      ) WHERE rk = 1
+    ), per_cell AS (
+      SELECT cell,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_existing,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM assigned GROUP BY cell
+    ), tot AS (
+      SELECT CAST(SUM(n_existing) AS BIGINT) AS te,
+             CAST(SUM(n_new) AS BIGINT) AS tn
+      FROM per_cell
+    )
+    SELECT cell, n_existing, n_new,
+           CASE WHEN te > 0 THEN CAST(n_existing AS DOUBLE) / te END
+             AS share_existing,
+           CASE WHEN tn > 0 THEN CAST(n_new AS DOUBLE) / tn END AS share_new,
+           CASE WHEN te > 0 AND tn > 0
+                THEN abs(CAST(n_new AS DOUBLE) / tn
+                         - CAST(n_existing AS DOUBLE) / te) END
+             AS share_drift
+    FROM per_cell CROSS JOIN tot
+    ORDER BY cell
+    """,
+    doc="Incremental IVF maintenance: the delta batch assigns to FROZEN "
+        "centroids in O(delta) — the standing index never re-scans — and "
+        "the per-cell share comparison (new vs existing) is the retrain "
+        "signal (the data moved, the Voronoi partition didn't). ANN twin "
+        "of dedup_incremental_delta. 16-row output, integer counts, one "
+        "IEEE division chain per cell, NULL-guarded empty sides.",
+)
+def sim_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        (F.col("vec_id") % DELTA_VEC_MOD == DELTA_VEC_REM).alias("is_new"),
+    )
+    assigned = base.select(
+        "vec_id",
+        "is_new",
+        F.expr(_DISTS_SPARK).alias("dists"),
+    ).select(
+        "vec_id",
+        "is_new",
+        F.expr("cast(array_position(dists, array_min(dists)) as int)").alias(
+            "cell"
+        ),
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_existing"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    per_cell = per_cell.localCheckpoint(eager=False)  # cell-count-sized; 2 consumers
+    tot = per_cell.agg(
+        F.sum("n_existing").cast("bigint").alias("te"),
+        F.sum("n_new").cast("bigint").alias("tn"),
+    )
+    se = F.when(F.col("te") > 0, F.col("n_existing").cast("double") / F.col("te"))
+    sn = F.when(F.col("tn") > 0, F.col("n_new").cast("double") / F.col("tn"))
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_existing",
+            "n_new",
+            se.alias("share_existing"),
+            sn.alias("share_new"),
+            F.when(
+                (F.col("te") > 0) & (F.col("tn") > 0),
+                F.abs(
+                    F.col("n_new").cast("double") / F.col("tn")
+                    - F.col("n_existing").cast("double") / F.col("te")
+                ),
+            ).alias("share_drift"),
+        )
+        .orderBy("cell")
+    )

@@ -362,6 +362,8 @@ BROADCAST_NONEQUI_OK = {
     "sample_poisson_bootstrap_ci",
     # 1-row global-totals broadcast into the |sources|-row influence table
     "corpus_source_influence",
+    # 1-row index-totals broadcast into the 16-cell maintenance report
+    "sim_ivf_delta_assign",
 }
 
 
