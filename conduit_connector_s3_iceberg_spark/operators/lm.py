@@ -414,3 +414,99 @@ def lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_oov"),
     )
+
+
+# ------------------------------------------------ conditional entropy ------
+#
+# Corpus-level conditional entropy H(W2 | W1) of the bigram model — the
+# predictability scalar: low H means the next token is easy to guess
+# (template-heavy / repetitive corpora), high H means diverse
+# continuations. Complements text_token_entropy (unigram, per-doc) and
+# text_ngram_diversity (distinct ratios) with the conditional view.
+#
+# H(W2|W1) = (1/N) * sum over bigrams c12 * (log2 c1 - log2 c12), with
+# log2 as Mitchell's bit-length approximation over INTEGER counts only
+# (the suite's libm-free log: deterministic IEEE sequence in both
+# engines), each log pre-quantized to 1e6 before the exact BIGINT fold.
+
+
+def _mlog2_q(col: str) -> str:
+    """Quantized Mitchell log2 of an integer column (both engines:
+    identical arithmetic; DuckDB `bin` == Spark `bin` for positives)."""
+    return (
+        f"CAST(round(1000000.0 * ((length(bin({col})) - 1)"
+        f" + ({col} / (CAST(1 AS BIGINT) << (length(bin({col})) - 1)) - 1.0)))"
+        " AS BIGINT)"
+    )
+
+
+def _mlog2_q_spark(col: str) -> str:
+    return (
+        f"cast(round(1000000.0 * ((length(bin({col})) - 1)"
+        f" + ({col} / shiftleft(cast(1 as bigint), length(bin({col})) - 1)"
+        " - 1.0))) as bigint)"
+    )
+
+
+@query(
+    "lm_conditional_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), bg AS (
+      SELECT t[g] AS w1, t[g + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(g)
+    ), bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ), pfc AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bgc GROUP BY w1
+    ), terms AS (
+      SELECT c12, {_mlog2_q('c1')} AS l1, {_mlog2_q('c12')} AS l12
+      FROM bgc JOIN pfc USING (w1)
+    )
+    SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(SUM(c12 * (l1 - l12)) AS BIGINT) AS h_scaled,
+           CAST(CAST(SUM(c12 * (l1 - l12)) AS BIGINT) AS DOUBLE)
+             / SUM(c12) / 1000000.0 AS cond_entropy_bits
+    FROM terms
+    """,
+    doc="Corpus conditional entropy H(next token | current token) over "
+        "the bigram model: the predictability scalar separating diverse "
+        "text (high H) from template/boilerplate corpora (low H). "
+        "Mitchell bit-length log2 over integer counts only (libm-free, "
+        "per the suite's entropy discipline), quantized to 1e6 before "
+        "the exact BIGINT fold; one IEEE division at emission. Two "
+        "vocabulary-sized hash aggs after the bigram explode.",
+)
+def lm_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(slice({_TOKS_SPARK}, 1, size({_TOKS_SPARK}) - 1), "
+                f"(x, i) -> struct(x AS w1, {_TOKS_SPARK}[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    pfc = bgc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    terms = bgc.join(pfc, "w1").select(
+        "c12",
+        F.expr(_mlog2_q_spark("c1")).alias("l1"),
+        F.expr(_mlog2_q_spark("c12")).alias("l12"),
+    )
+    return terms.agg(
+        F.sum("c12").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+        F.sum(F.col("c12") * (F.col("l1") - F.col("l12")))
+        .cast("bigint")
+        .alias("h_scaled"),
+        (
+            F.sum(F.col("c12") * (F.col("l1") - F.col("l12")))
+            .cast("bigint")
+            .cast("double")
+            / F.sum("c12")
+            / F.lit(1000000.0)
+        ).alias("cond_entropy_bits"),
+    )
