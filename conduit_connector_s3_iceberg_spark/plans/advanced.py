@@ -272,3 +272,41 @@ def q35_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F").cast("decimal(38,2)").cast("double").alias("F"),
         F.col("O").cast("decimal(38,2)").cast("double").alias("O"),
     )
+
+
+@query(
+    "q79_grouping_id",
+    oracle="""
+    SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+    doc="CUBE with GROUPING()-derived aggregation-level ids: the SQL:1999 "
+        "surface that disambiguates a real NULL group key from a rollup "
+        "super-aggregate row — gid encodes which columns are aggregated "
+        "away (0 = detail, 3 = grand total). Spark's grouping_id() and "
+        "DuckDB's GROUPING() compose the same bit pattern; stated "
+        "explicitly in both engines. One Expand + hash agg, same plan "
+        "as q29's CUBE.",
+)
+def q79_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, returnflag, linestatus
+        """
+    )
