@@ -1803,3 +1803,97 @@ def corpus_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ dedup mixture shift ------
+#
+# What dedup does to the MIXTURE: sources over-represented by duplicates
+# lose share when a keep-first pass runs, so any mixture weights tuned on
+# the raw corpus are stale the moment dedup lands. This emits, per
+# source, the token share before and after exact dedup (keep = lowest
+# doc_id per content fingerprint, tokens attributed to the surviving
+# doc's source) and the shift — the table that says whether the sampler
+# needs re-tuning. Integer token accounting; one IEEE division chain per
+# row.
+
+
+@query(
+    "corpus_dedup_mixture_shift",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+    ), keep AS (
+      SELECT fp, MIN(doc_id) AS keep_doc FROM tok GROUP BY fp
+    ), flagged AS (
+      SELECT t.source, t.n_tokens,
+             CASE WHEN t.doc_id = k.keep_doc THEN t.n_tokens ELSE 0 END
+               AS kept_tokens
+      FROM tok t JOIN keep k ON t.fp = k.fp
+    ), per_source AS (
+      SELECT source,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+             CAST(SUM(kept_tokens) AS BIGINT) AS tokens_after
+      FROM flagged GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(tokens_before) AS BIGINT) AS tb,
+             CAST(SUM(tokens_after) AS BIGINT) AS ta
+      FROM per_source
+    )
+    SELECT source, tokens_before, tokens_after,
+           CAST(tokens_before AS DOUBLE) / tb AS share_before,
+           CAST(tokens_after AS DOUBLE) / ta AS share_after,
+           CAST(tokens_after AS DOUBLE) / ta
+             - CAST(tokens_before AS DOUBLE) / tb AS share_shift
+    FROM per_source CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Mixture-share shift under exact dedup: per-source token share "
+        "before vs after a keep-first pass (keep = lowest doc_id per "
+        "content fingerprint) — duplicate-inflated sources lose share, "
+        "so mixture weights tuned pre-dedup are stale. One fingerprint "
+        "agg + a source-sized tail with a 1-row totals broadcast; the "
+        "re-tuning trigger for the sampling family.",
+)
+def corpus_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    tok = tok.localCheckpoint(eager=False)  # feeds keep agg AND the flag join
+    keep = tok.groupBy("fp").agg(F.min("doc_id").alias("keep_doc"))
+    flagged = tok.join(keep, "fp").select(
+        "source",
+        "n_tokens",
+        F.when(F.col("doc_id") == F.col("keep_doc"), F.col("n_tokens"))
+        .otherwise(F.lit(0))
+        .alias("kept_tokens"),
+    )
+    per_source = flagged.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+        F.sum("kept_tokens").cast("bigint").alias("tokens_after"),
+    )
+    per_source = per_source.localCheckpoint(eager=False)
+    tot = per_source.agg(
+        F.sum("tokens_before").cast("bigint").alias("tb"),
+        F.sum("tokens_after").cast("bigint").alias("ta"),
+    )
+    sb = F.col("tokens_before").cast("double") / F.col("tb")
+    sa = F.col("tokens_after").cast("double") / F.col("ta")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens_before",
+            "tokens_after",
+            sb.alias("share_before"),
+            sa.alias("share_after"),
+            (sa - sb).alias("share_shift"),
+        )
+        .orderBy("source")
+    )

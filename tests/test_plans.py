@@ -364,6 +364,8 @@ BROADCAST_NONEQUI_OK = {
     "corpus_source_influence",
     # 1-row index-totals broadcast into the 16-cell maintenance report
     "sim_ivf_delta_assign",
+    # 1-row token-totals broadcast into the |sources|-row mixture table
+    "corpus_dedup_mixture_shift",
 }
 
 
