@@ -478,3 +478,97 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "c1", "c2")
         .limit(LINK_TOP)
     )
+
+
+# ------------------------------------------------ degree assortativity -----
+#
+# Degree assortativity (Newman 2002): the Pearson correlation of the
+# degrees at the two ends of every edge. Negative values (hubs connect
+# to leaves) are the healthy shape for a trade/bipartite-projection
+# graph; a shift toward 0/positive flags densifying bot/boilerplate
+# cohorts — the same signal family as triangles, one scalar.
+#
+# Determinism: degree moments are exact BIGINT folds (Sx, Sxx, Sxy stay
+# far below 2^53 at bench scale — magnitudes documented; the 100-TB form
+# runs on the hub-capped edge list like the rest of this module), and r
+# is one fixed IEEE sequence over exact-double inputs, written
+# identically in both engines.
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+    ), deg AS (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ), ed AS (
+      SELECT a.d AS dx, b.d AS dy
+      FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges, sx, sxy,
+           (CAST(sxy AS DOUBLE) / n
+            - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+           / sqrt((CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                  * (CAST(syy AS DOUBLE) / n
+                     - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+             AS assortativity
+    FROM mom
+    """,
+    doc="Degree assortativity (Newman 2002) of the customer-supplier "
+        "trade graph: Pearson correlation of edge-endpoint degrees. "
+        "Hub-to-leaf (disassortative) is the healthy trade shape; drift "
+        "toward positive flags densifying cohorts. Two joins on the "
+        "degree-keyed edge list + exact BIGINT moments (< 2^53 at bench "
+        "scale; the capped edge list is the at-scale form) + one fixed "
+        "IEEE chain. Symmetric edges make sx = sy by construction — "
+        "both emitted sums let the oracle prove it.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+    dega = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    degb = dega.select(F.col("src").alias("dst_id"), F.col("d").alias("dy"))
+    ed = (
+        edges.alias("e")
+        .join(dega.select(F.col("src").alias("src_id"), F.col("d").alias("dx")),
+              F.col("e.src") == F.col("src_id"))
+        .join(degb, F.col("e.dst") == F.col("dst_id"))
+        .select("dx", "dy")
+    )
+    mom = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    return mom.select(
+        F.col("n").alias("n_directed_edges"),
+        "sx",
+        "sxy",
+        (
+            (F.col("sxy").cast("double") / nd - mx * my)
+            / F.sqrt(
+                (F.col("sxx").cast("double") / nd - mx * mx)
+                * (F.col("syy").cast("double") / nd - my * my)
+            )
+        ).alias("assortativity"),
+    )
