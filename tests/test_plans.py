@@ -366,6 +366,8 @@ BROADCAST_NONEQUI_OK = {
     "sim_ivf_delta_assign",
     # 1-row token-totals broadcast into the |sources|-row mixture table
     "corpus_dedup_mixture_shift",
+    # 5-row query-set broadcast against the corpus scan (bruteforce shape)
+    "sim_cross_encoder_rerank",
 }
 
 
