@@ -46,8 +46,12 @@ def main() -> int:
         print("[round-close] oracle sweep FAILED — fix before snapshotting")
         return rc
     print("[round-close] regenerating PLANS.md")
+    # pin the SF: PLANS.md diffs are only reviewable against the same data
+    # regime (broadcast thresholds flip join strategies across SFs)
     rc = subprocess.call(
-        [sys.executable, "tools/plan_audit.py"], cwd=REPO, env=os.environ
+        [sys.executable, "tools/plan_audit.py", "/root/testdata/sf0.01"],
+        cwd=REPO,
+        env=os.environ,
     )
     if rc != 0:
         print("[round-close] plan audit FAILED")
