@@ -1010,3 +1010,195 @@ def sketch_hist_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(90),
         est(99),
     )
+
+
+# ------------------------------------------------ HLL set algebra ----------
+#
+# The reason production pipelines store REGISTERS, not numbers: two
+# sketches union by element-wise max (exact — the union's registers ARE
+# the max-merge, no approximation stacking), and intersections fall out
+# by inclusion-exclusion over estimates. Audience overlap between event
+# types ("how many users both click and view") at 100 TB from two
+# 64-register sketches — the fact table is scanned once per sketch,
+# never joined against itself. Register math identical to
+# events_hll_registers; estimate folds are powers of two in bucket
+# order (IEEE-exact); the small-range branch matches events_hll_estimate.
+
+_HLL_SET_A = "click"
+_HLL_SET_B = "view"
+
+
+def _hll_regs_sql(pred: str) -> str:
+    """Register CTE body for a filtered user set (DuckDB)."""
+    return f"""
+      SELECT s.bucket, COALESCE(mx.register, 0) AS register
+      FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) s
+      LEFT JOIN (
+        SELECT CAST(CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % {HLL_M}
+                    AS INTEGER) AS bucket,
+               MAX(CASE WHEN CAST(('0x' || substr(hx, 3, 15)) AS BIGINT) = 0
+                        THEN 61
+                        ELSE 61 - length(bin(CAST(('0x' || substr(hx, 3, 15))
+                                                  AS BIGINT))) END) AS register
+        FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+              FROM events WHERE {pred})
+        GROUP BY 1
+      ) mx ON mx.bucket = s.bucket
+    """
+
+
+_HLL_EST_SQL = """
+      SELECT CASE WHEN raw_e <= 2.5 * {m} AND n_zero > 0
+                  THEN {m} * ln({m}.0 / n_zero) ELSE raw_e END AS e
+      FROM (
+        SELECT {alpha} * {m} * {m} / list_reduce(
+                 list_transform(array_agg(register ORDER BY bucket),
+                                x -> pow(2.0, -x)), (a, b) -> a + b) AS raw_e,
+               COUNT(*) FILTER (WHERE register = 0) AS n_zero
+        FROM {src}
+      )
+"""
+
+
+@query(
+    "sketch_hll_set_algebra",
+    oracle=f"""
+    WITH ra AS ({_hll_regs_sql(f"event_type = '{_HLL_SET_A}'")}),
+    rb AS ({_hll_regs_sql(f"event_type = '{_HLL_SET_B}'")}),
+    ru AS (
+      SELECT ra.bucket, greatest(ra.register, rb.register) AS register
+      FROM ra JOIN rb ON ra.bucket = rb.bucket
+    ),
+    ea AS ({_HLL_EST_SQL.format(m=HLL_M, alpha=HLL_ALPHA, src="ra")}),
+    eb AS ({_HLL_EST_SQL.format(m=HLL_M, alpha=HLL_ALPHA, src="rb")}),
+    eu AS ({_HLL_EST_SQL.format(m=HLL_M, alpha=HLL_ALPHA, src="ru")}),
+    truth AS (
+      SELECT
+        (SELECT COUNT(DISTINCT user_id) FROM events
+         WHERE event_type = '{_HLL_SET_A}') AS true_a,
+        (SELECT COUNT(DISTINCT user_id) FROM events
+         WHERE event_type = '{_HLL_SET_B}') AS true_b,
+        (SELECT COUNT(DISTINCT user_id) FROM events
+         WHERE event_type IN ('{_HLL_SET_A}', '{_HLL_SET_B}')) AS true_union
+    )
+    SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+           ea.e + eb.e - eu.e AS est_intersection,
+           CAST(true_a AS BIGINT) AS true_a,
+           CAST(true_b AS BIGINT) AS true_b,
+           CAST(true_union AS BIGINT) AS true_union,
+           CAST(true_a + true_b - true_union AS BIGINT) AS true_intersection,
+           eu.e / true_union - 1.0 AS union_rel_error
+    FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN truth
+    """,
+    doc=f"HLL set algebra over per-event-type user sketches "
+        f"('{_HLL_SET_A}' vs '{_HLL_SET_B}'): union = element-wise "
+        "register max (EXACT sketch composition — why registers, not "
+        "numbers, get stored), intersection = inclusion-exclusion over "
+        "the three estimates, audited against true distinct counts. Two "
+        "filtered register builds + 64-row merges; the fact table never "
+        "self-joins. Estimate folds are bucket-ordered powers of two; "
+        "the small-range branch matches events_hll_estimate.",
+)
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def regs_for(pred):
+        sub = ev.filter(pred)
+        hx = F.md5(F.col("user_id").cast("string"))
+        bucket = (
+            F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % HLL_M
+        ).cast("int")
+        v = F.conv(F.substring(hx, 3, 15), 16, 10).cast("long")
+        rho = F.when(v == 0, F.lit(61)).otherwise(
+            F.lit(61) - F.length(F.bin(v))
+        )
+        mx = (
+            sub.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("register"))
+        )
+        spine = spark.range(0, HLL_M).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+        return spine.join(mx, "bucket", "left").select(
+            "bucket",
+            F.coalesce("register", F.lit(0)).cast("int").alias("register"),
+        )
+
+    def estimate(regs, alias):
+        folded = regs.agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(bucket, register))), s -> pow(2.0D, -s.register)),"
+                " 0.0D, (a, b) -> a + b)"
+            ).alias("inv_sum"),
+            F.count(F.when(F.col("register") == 0, 1)).alias("n_zero"),
+        )
+        raw_e = (
+            F.lit(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M) / F.col("inv_sum")
+        )
+        e = F.when(
+            (raw_e <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0),
+            F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+        ).otherwise(raw_e)
+        return folded.select(e.alias(alias))
+
+    ra = regs_for(F.col("event_type") == _HLL_SET_A).localCheckpoint(
+        eager=False
+    )
+    rb = regs_for(F.col("event_type") == _HLL_SET_B).localCheckpoint(
+        eager=False
+    )
+    ru = (
+        ra.alias("a")
+        .join(rb.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.greatest(F.col("a.register"), F.col("b.register")).alias(
+                "register"
+            ),
+        )
+    )
+    truth = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == _HLL_SET_A, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("true_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == _HLL_SET_B, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("true_b"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin(_HLL_SET_A, _HLL_SET_B),
+                F.col("user_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("true_union"),
+    )
+    return (
+        estimate(ra, "est_a")
+        .crossJoin(F.broadcast(estimate(rb, "est_b")))
+        .crossJoin(F.broadcast(estimate(ru, "est_union")))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "true_a",
+            "true_b",
+            "true_union",
+            (F.col("true_a") + F.col("true_b") - F.col("true_union"))
+            .cast("bigint")
+            .alias("true_intersection"),
+            (F.col("est_union") / F.col("true_union") - F.lit(1.0)).alias(
+                "union_rel_error"
+            ),
+        )
+    )

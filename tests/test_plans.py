@@ -368,6 +368,8 @@ BROADCAST_NONEQUI_OK = {
     "corpus_dedup_mixture_shift",
     # 5-row query-set broadcast against the corpus scan (bruteforce shape)
     "sim_cross_encoder_rerank",
+    # three 1-row estimate broadcasts + 1-row truth fold (64-register domain)
+    "sketch_hll_set_algebra",
 }
 
 
