@@ -709,3 +709,119 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ------------------------------------------------ Kaplan-Meier survival ----
+#
+# User-lifetime survival curve (Kaplan & Meier 1958): S(t) = prod over
+# event times t_i <= t of (1 - d_i / n_i), with users still active on
+# the corpus's final day treated as right-censored (their lifetime is a
+# lower bound — dropping them would bias churn fast). Lifetime = days
+# between a user's first and last event.
+#
+# Shape: the corpus-scale work is one (user) hash agg; everything after
+# runs on the duration-value domain (<= observation window in days).
+# The product is an ORDERED fold over the collected per-time factors
+# (same left-to-right IEEE sequence in both engines — the suite's
+# array-fold discipline); each factor is one division of exact integers.
+# The prefix expansion is a self-join on the tiny duration domain.
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+             CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+      FROM events GROUP BY user_id
+    ), mx AS (
+      SELECT MAX(d1) AS dmax FROM u
+    ), life AS (
+      SELECT CAST(d1 - d0 AS BIGINT) AS t,
+             CASE WHEN d1 = mx.dmax THEN 0 ELSE 1 END AS observed
+      FROM u CROSS JOIN mx
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM life
+    ), ev AS (
+      SELECT t,
+             CAST(SUM(observed) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM life GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             CAST(tot.n_users
+               - COALESCE(SUM(leaving) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+      FROM ev CROSS JOIN tot
+    ), steps AS (
+      SELECT t, d, n_at_risk,
+             1.0 - CAST(d AS DOUBLE) / n_at_risk AS factor
+      FROM risk WHERE d > 0
+    )
+    SELECT s.t, s.d AS n_events, s.n_at_risk,
+           list_reduce(
+             list_transform(array_agg(p.factor ORDER BY p.t), x -> x),
+             (a, b) -> a * b) AS survival
+    FROM steps s JOIN steps p ON p.t <= s.t
+    GROUP BY s.t, s.d, s.n_at_risk
+    ORDER BY s.t
+    """,
+    doc="Kaplan-Meier survival of user lifetime (days first->last event), "
+        "right-censoring users still active on the corpus's last day: "
+        "S(t) as an ORDERED product fold of (1 - d_i/n_i) — identical "
+        "left-to-right IEEE sequence in both engines; factors are single "
+        "divisions of exact integers. One user-keyed hash agg at corpus "
+        "scale; the curve itself lives on the duration domain (prefix "
+        "self-join over <= window-days rows).",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    mx = u.agg(F.max("d1").alias("dmax"))
+    life = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff("d1", "d0").cast("bigint").alias("t"),
+        F.when(F.col("d1") == F.col("dmax"), 0).otherwise(1).alias("observed"),
+    )
+    life = life.localCheckpoint(eager=False)  # user-sized; 2 consumers
+    tot = life.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    evt = life.groupBy("t").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = evt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("leaving").over(w), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    steps = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_at_risk",
+        (F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")).alias(
+            "factor"
+        ),
+    )
+    s = steps.alias("s")
+    p = steps.select(F.col("t").alias("pt"), F.col("factor").alias("pf"))
+    return (
+        s.join(F.broadcast(p), F.col("pt") <= F.col("s.t"))
+        .groupBy(F.col("s.t").alias("t"), F.col("s.d").alias("n_events"),
+                 F.col("s.n_at_risk").alias("n_at_risk"))
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(pt, pf))), x -> x.pf), cast(1.0 as double),"
+                " (a, b) -> a * b)"
+            ).alias("survival")
+        )
+        .orderBy("t")
+    )

@@ -370,6 +370,8 @@ BROADCAST_NONEQUI_OK = {
     "sim_cross_encoder_rerank",
     # three 1-row estimate broadcasts + 1-row truth fold (64-register domain)
     "sketch_hll_set_algebra",
+    # duration-domain prefix self-join + 1-row user-total broadcast
+    "events_survival_km",
 }
 
 
