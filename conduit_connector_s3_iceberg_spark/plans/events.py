@@ -2043,3 +2043,107 @@ def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ------------------------------------------------ rank-sum (Mann-Whitney) --
+#
+# The robust complement to events_ab_lift's difference-in-means: the
+# Mann-Whitney U / Wilcoxon rank-sum test on per-event values between
+# the two hash-assigned variants — outlier-immune, distribution-free.
+# Exactness: mid-ranks are half-integers, so DOUBLED ranks are integers
+# (2*avg_rank = 2*min_rank + tie_size - 1) and every accumulation is an
+# exact BIGINT fold; U and the normal approximation are one final IEEE
+# chain (no tie-variance correction — documented; fine as the monitoring
+# screen it is, the exact test belongs offline).
+
+
+@query(
+    "events_ab_ranksum",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(('0x' || substr(md5('{AB_SALT}' || user_id::VARCHAR), 1, 15))
+                  AS BIGINT) % 2 AS variant,
+             value
+      FROM events
+    ), ranked AS (
+      SELECT variant, value,
+             RANK() OVER (ORDER BY value) AS rmin,
+             CAST(COUNT(*) OVER (PARTITION BY value) AS BIGINT) AS ties
+      FROM vals
+    ), sums AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 2 * rmin + ties - 1 ELSE 0 END)
+             AS BIGINT) AS r2_a,
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM ranked
+    )
+    SELECT na, nb, r2_a,
+           CAST(r2_a AS DOUBLE) / 2 - CAST(na AS DOUBLE) * (na + 1) / 2
+             AS u_a,
+           (CAST(r2_a AS DOUBLE) / 2 - CAST(na AS DOUBLE) * (na + 1) / 2
+            - CAST(na AS DOUBLE) * nb / 2)
+           / sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12) AS z
+    FROM sums
+    """,
+    doc="Mann-Whitney rank-sum A/B test on event values between the two "
+        "hash-assigned variants: mid-ranks kept exact by summing DOUBLED "
+        "ranks (2*min_rank + ties - 1, an integer) in BIGINT, U and the "
+        "normal-approximation z as one final IEEE chain. The "
+        "outlier-immune screen beside events_ab_lift's means; no "
+        "tie-variance correction (documented — the exact test is an "
+        "offline job). One global sort-rank window + one fold.",
+)
+def events_ab_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    vals = ev.select(variant.alias("variant"), "value")
+    w_rank = Window.orderBy("value")
+    w_tie = Window.partitionBy("value")
+    ranked = vals.select(
+        "variant",
+        F.rank().over(w_rank).alias("rmin"),
+        F.count(F.lit(1)).over(w_tie).cast("bigint").alias("ties"),
+    )
+    sums = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("variant") == 0,
+                2 * F.col("rmin") + F.col("ties") - 1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    u_a = (
+        F.col("r2_a").cast("double") / 2
+        - F.col("na").cast("double") * (F.col("na") + 1) / 2
+    )
+    return sums.select(
+        "na",
+        "nb",
+        "r2_a",
+        u_a.alias("u_a"),
+        (
+            (u_a - F.col("na").cast("double") * F.col("nb") / 2)
+            / F.sqrt(
+                F.col("na").cast("double")
+                * F.col("nb")
+                * (F.col("na") + F.col("nb") + 1)
+                / 12
+            )
+        ).alias("z"),
+    )
