@@ -2065,17 +2065,23 @@ def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) % 2 AS variant,
              value
       FROM events
+    ), vc AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(COUNT(*) AS BIGINT) AS ties
+      FROM vals GROUP BY value
     ), ranked AS (
-      SELECT variant, value,
-             RANK() OVER (ORDER BY value) AS rmin,
-             CAST(COUNT(*) OVER (PARTITION BY value) AS BIGINT) AS ties
-      FROM vals
+      SELECT value, ca, ties,
+             CAST(1 + COALESCE(SUM(ties) OVER (
+               ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS rmin
+      FROM vc
     ), sums AS (
       SELECT
-        CAST(SUM(CASE WHEN variant = 0 THEN 2 * rmin + ties - 1 ELSE 0 END)
-             AS BIGINT) AS r2_a,
-        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        CAST(SUM(ca * (2 * rmin + ties - 1)) AS BIGINT) AS r2_a,
+        CAST(SUM(ca) AS BIGINT) AS na,
+        CAST(SUM(ties - ca) AS BIGINT) AS nb
       FROM ranked
     )
     SELECT na, nb, r2_a,
@@ -2092,7 +2098,8 @@ def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "normal-approximation z as one final IEEE chain. The "
         "outlier-immune screen beside events_ab_lift's means; no "
         "tie-variance correction (documented — the exact test is an "
-        "offline job). One global sort-rank window + one fold.",
+        "offline job). ONE corpus hash agg to the bounded 2dp value "
+        "domain; ranks come from running tie-count sums there.",
 )
 def events_ab_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2105,28 +2112,29 @@ def events_ab_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2
     )
     vals = ev.select(variant.alias("variant"), "value")
-    w_rank = Window.orderBy("value")
-    w_tie = Window.partitionBy("value")
-    ranked = vals.select(
-        "variant",
-        F.rank().over(w_rank).alias("rmin"),
-        F.count(F.lit(1)).over(w_tie).cast("bigint").alias("ties"),
-    )
-    sums = ranked.agg(
-        F.sum(
-            F.when(
-                F.col("variant") == 0,
-                2 * F.col("rmin") + F.col("ties") - 1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("r2_a"),
+    # at-scale shape: ONE corpus hash agg to the (value, counts) domain —
+    # the global rank window then runs over the bounded value domain (2dp
+    # content), never over corpus-sized rows
+    vc = vals.groupBy("value").agg(
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
         .cast("bigint")
-        .alias("na"),
-        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .alias("ca"),
+        F.count(F.lit(1)).cast("bigint").alias("ties"),
+    )
+    w_run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.select(
+        "ca",
+        "ties",
+        (1 + F.coalesce(F.sum("ties").over(w_run), F.lit(0)))
         .cast("bigint")
-        .alias("nb"),
+        .alias("rmin"),
+    )
+    sums = ranked.agg(
+        F.sum(F.col("ca") * (2 * F.col("rmin") + F.col("ties") - 1))
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum(F.col("ties") - F.col("ca")).cast("bigint").alias("nb"),
     )
     u_a = (
         F.col("r2_a").cast("double") / 2
