@@ -461,3 +461,50 @@ def test_collection_router_fans_out_one_stream(spark, tmp_path):
     [err] = obs.errors
     assert str(err).startswith("couldn't write record: ")
     assert "unknown collection" in str(err)
+
+
+def test_plugin_process_entry_point(tmp_path):
+    """Launch the plugin exactly as Conduit would (`Application.main`
+    parity): spawn the process, read the go-plugin handshake off stdout,
+    connect to the advertised port, run specify + an unconfigured-start
+    error, then teardown (exit_on_teardown shuts the process down)."""
+    import subprocess
+    import sys
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "conduit_connector_s3_iceberg_spark.plugin", "0"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=str(pathlib_repo_root()),
+    )
+    try:
+        line = proc.stdout.readline().strip()
+        parts = line.split("|")
+        assert parts[0] == "1" and parts[1] == "1" and parts[2] == "tcp"
+        assert parts[4] == "grpc"
+        port = int(parts[3].rsplit(":", 1)[1])
+
+        c = Client(port)
+        resp = c.call({"rpc": "specify"})
+        assert resp["ok"] and resp["name"] == "s3-iceberg-spark"
+        err = c.call({"rpc": "start"})["error"]
+        assert err["description"].startswith("couldn't start connector: ")
+        assert c.call({"rpc": "teardown"}) == {"ok": True}
+        c.close()
+        for _ in range(100):
+            if proc.poll() is not None:
+                break
+            time.sleep(0.1)
+        assert proc.poll() is not None, "process should exit after teardown"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait(timeout=10)
+
+
+def pathlib_repo_root():
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parent.parent
