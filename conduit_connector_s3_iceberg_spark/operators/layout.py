@@ -309,3 +309,137 @@ def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hottest_share"
         ),
     ).orderBy("candidate")
+
+
+# ------------------------------------------------ sort-order advisor -------
+#
+# "Which sort key should the rewrite use?" answered by measurement, not
+# folklore: for every candidate sort key, lay the table out into N_FILES
+# by that key, record each file's min/max envelope for every PROBE
+# column, and compute how many files an equality probe on that column
+# must open on average (1.0 = perfectly clustered, N_FILES = useless).
+# The interesting cells are the off-diagonal ones — a sort key earns its
+# place by co-clustering the columns the workload actually filters on
+# (correlated columns ride along; uncorrelated ones don't).
+#
+# Scale: file assignment uses the register-offset discipline of
+# layout_zorder_stats (domain-sized histogram + per-key rank — no global
+# corpus window); envelopes are 32 rows per candidate; the coverage join
+# is value-domain × N_FILES against a broadcast span table. The oracle
+# states the identical assignment as one global ROW_NUMBER.
+
+_ADVISOR_KEYS = ["o_custkey", "o_orderdate", "o_totalprice"]
+
+
+@query(
+    "layout_sort_advisor",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{sk}' AS sort_key, '{pc}' AS probe_col,
+           CAST({N_FILES} AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(nf) AS DOUBLE) / COUNT(*) AS avg_files_per_value,
+           1.0 - CAST(SUM(nf) AS DOUBLE) / COUNT(*) / {N_FILES}
+             AS skip_rate
+    FROM (
+      SELECT v.val, CAST(COUNT(*) AS BIGINT) AS nf
+      FROM (
+        SELECT DISTINCT {pc} AS val FROM orders
+      ) v JOIN (
+        SELECT file_id, MIN({pc}) AS lo, MAX({pc}) AS hi
+        FROM (
+          SELECT *,
+                 CAST(((ROW_NUMBER() OVER (ORDER BY {sk}, o_orderkey) - 1)
+                       * {N_FILES}) // (SELECT COUNT(*) FROM orders)
+                      AS INTEGER) AS file_id
+          FROM orders
+        ) GROUP BY file_id
+      ) f ON v.val BETWEEN f.lo AND f.hi
+      GROUP BY v.val
+    )
+    """
+        for sk in _ADVISOR_KEYS
+        for pc in _ADVISOR_KEYS
+    )
+    + " ORDER BY sort_key, probe_col",
+    doc=f"Sort-order advisor over the orders table: for each candidate "
+        f"sort key, the average number of the {N_FILES} files an equality "
+        "probe on each column must open (min/max envelope containment) "
+        "and the implied skip rate — the measured decision table for an "
+        "Iceberg rewrite_data_files sort order, where off-diagonal cells "
+        "reveal which columns ride along with which sort. Register-"
+        "offset file assignment (no global corpus window); value-domain "
+        "× files coverage join against broadcast span tables.",
+)
+def layout_sort_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", *_ADVISOR_KEYS
+    )
+    orders = orders.localCheckpoint(eager=False)  # one scan serves all 3 layouts
+
+    def assign(key: str) -> DataFrame:
+        regs = orders.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        w_off = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offs = regs.select(
+            key,
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        w_in = Window.partitionBy(key).orderBy("o_orderkey")
+        return (
+            orders.join(F.broadcast(offs), key)
+            .withColumn("pos", F.col("off") + F.row_number().over(w_in))
+            .select(
+                *_ADVISOR_KEYS,
+                (
+                    ((F.col("pos") - 1) * N_FILES) / F.col("n")
+                )
+                .cast("int")
+                .alias("file_id"),
+            )
+        )
+
+    parts = []
+    for sk in _ADVISOR_KEYS:
+        assigned = assign(sk).localCheckpoint(eager=False)
+        spans = {
+            pc: assigned.groupBy("file_id").agg(
+                F.min(pc).alias("lo"), F.max(pc).alias("hi")
+            )
+            for pc in _ADVISOR_KEYS
+        }
+        for pc in _ADVISOR_KEYS:
+            dv = orders.select(F.col(pc).alias("val")).distinct()
+            cover = (
+                dv.join(
+                    F.broadcast(spans[pc]),
+                    (F.col("val") >= F.col("lo"))
+                    & (F.col("val") <= F.col("hi")),
+                )
+                .groupBy("val")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
+            )
+            parts.append(
+                cover.agg(
+                    F.lit(sk).alias("sort_key"),
+                    F.lit(pc).alias("probe_col"),
+                    F.lit(N_FILES).cast("bigint").alias("n_files"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                    (
+                        F.sum("nf").cast("double") / F.count(F.lit(1))
+                    ).alias("avg_files_per_value"),
+                    (
+                        F.lit(1.0)
+                        - F.sum("nf").cast("double")
+                        / F.count(F.lit(1))
+                        / F.lit(N_FILES)
+                    ).alias("skip_rate"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("sort_key", "probe_col")

@@ -372,6 +372,8 @@ BROADCAST_NONEQUI_OK = {
     "sketch_hll_set_algebra",
     # duration-domain prefix self-join + 1-row user-total broadcast
     "events_survival_km",
+    # 32-row file-span broadcasts probed by value-domain containment
+    "layout_sort_advisor",
 }
 
 
