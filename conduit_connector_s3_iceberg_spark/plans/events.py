@@ -2155,3 +2155,92 @@ def events_ab_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     )
+
+
+# ------------------------------------------------ A/B sample-size plan -----
+#
+# Experiment planning from measured baselines: the users-per-arm needed
+# to detect a relative conversion lift at alpha = 0.05 (two-sided) and
+# 80% power, from the corpus's OWN baseline conversion rate — the table
+# a growth team reads before launching the test events_ab_lift will
+# later analyze. Standard two-proportion formula
+#   n = (z_a * sqrt(2 p(1-p)) + z_b * sqrt(p(1-p) + p'(1-p')))^2 / d^2
+# with the z quantiles as fixed literals (no distribution functions at
+# runtime); the baseline p is one division of exact integers and each
+# row is one scalar IEEE chain, identical in both engines.
+
+_Z_ALPHA = 1.9599639845400545  # Phi^-1(0.975)
+_Z_POWER = 0.8416212335729143  # Phi^-1(0.80)
+_AB_LIFTS = [0.02, 0.05, 0.10]
+
+
+@query(
+    "events_ab_sample_size",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT)
+               AS n_converted
+      FROM events
+    ), p AS (
+      SELECT n_users, n_converted,
+             CAST(n_converted AS DOUBLE) / n_users AS p0
+      FROM base
+    ), lifts(rel_lift) AS (VALUES ({"), (".join(str(x) for x in _AB_LIFTS)}))
+    SELECT CAST(rel_lift AS DOUBLE) AS rel_lift, n_users, n_converted, p0,
+           least(p0 * (1 + rel_lift), 0.9999) AS p1,
+           CAST(ceil(
+             ((({_Z_ALPHA}) * sqrt(2 * p0 * (1 - p0))
+               + ({_Z_POWER}) * sqrt(p0 * (1 - p0)
+                 + least(p0 * (1 + rel_lift), 0.9999)
+                   * (1 - least(p0 * (1 + rel_lift), 0.9999))))
+              * (({_Z_ALPHA}) * sqrt(2 * p0 * (1 - p0))
+               + ({_Z_POWER}) * sqrt(p0 * (1 - p0)
+                 + least(p0 * (1 + rel_lift), 0.9999)
+                   * (1 - least(p0 * (1 + rel_lift), 0.9999)))))
+             / ((p0 * rel_lift) * (p0 * rel_lift))) AS BIGINT)
+             AS n_per_arm
+    FROM p CROSS JOIN lifts
+    ORDER BY rel_lift
+    """,
+    doc="A/B sample-size planner from the measured baseline conversion: "
+        "users per arm to detect +2/5/10% relative lift at alpha 0.05, "
+        "power 0.80 (two-proportion formula; normal quantiles as fixed "
+        "literals — no runtime distribution functions). One distinct-user "
+        "aggregation; each plan row is a scalar IEEE chain on the exact "
+        "integer baseline. The planning complement to events_ab_lift and "
+        "events_ab_ranksum.",
+)
+def events_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    base = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+    lifts = F.explode(F.array(*[F.lit(x) for x in _AB_LIFTS])).alias(
+        "rel_lift"
+    )
+    p0 = F.col("n_converted").cast("double") / F.col("n_users")
+    # clamp: a relative lift from a high baseline must stay a probability
+    p1 = F.least(p0 * (1 + F.col("rel_lift")), F.lit(0.9999))
+    term = F.lit(_Z_ALPHA) * F.sqrt(2 * p0 * (1 - p0)) + F.lit(
+        _Z_POWER
+    ) * F.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+    d = p0 * F.col("rel_lift")
+    return (
+        base.select("n_users", "n_converted", lifts)
+        .select(
+            "rel_lift",
+            "n_users",
+            "n_converted",
+            p0.alias("p0"),
+            p1.alias("p1"),
+            F.ceil((term * term) / (d * d)).cast("bigint").alias("n_per_arm"),
+        )
+        .orderBy("rel_lift")
+    )
