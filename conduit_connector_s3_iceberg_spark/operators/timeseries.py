@@ -825,3 +825,97 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# ------------------------------------------------ Fano factor (burstiness) -
+#
+# Index of dispersion per event type over the dense daily-count series:
+# Fano = variance / mean. A Poisson-like arrival process sits near 1;
+# bursty types (incidents, bots, campaigns) blow past it, metronomic
+# ones fall below — the one-scalar triage read before the CUSUM /
+# seasonal tooling. Exact integer moments on the zero-filled spine; the
+# ratio is one scalar IEEE chain per type.
+
+
+@query(
+    "events_fano_factor",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ), grid AS (
+      SELECT e.event_type, CAST(u.d AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM events) e
+      CROSS JOIN bounds b,
+      UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS u(d)
+    ), counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, day
+    ), series AS (
+      SELECT g.event_type, COALESCE(c.x, 0) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.event_type = g.event_type AND c.day = g.day
+    ), mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM series GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, sx AS n_events,
+           CAST(sx AS DOUBLE) / n AS mean_daily,
+           (CAST(sxx AS DOUBLE) / n
+            - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+             AS var_daily,
+           (CAST(sxx AS DOUBLE) / n
+            - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+           / (CAST(sx AS DOUBLE) / n) AS fano
+    FROM mom
+    ORDER BY event_type
+    """,
+    doc="Index of dispersion (Fano factor) per event type over the dense "
+        "zero-filled daily series: variance/mean of daily counts — ~1 is "
+        "Poisson-like, >>1 is bursty (incidents, bots, campaigns), <1 is "
+        "metronomic. One date hash agg at corpus scale; exact BIGINT "
+        "moments; one IEEE chain per type. The triage scalar before the "
+        "CUSUM / seasonal / ACF tooling.",
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    counts = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # series-sized; bounds/grid/join reuse
+    )
+    bounds = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    series = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    mom = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    var = F.col("sxx").cast("double") / nd - mean * mean
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sx").alias("n_events"),
+        mean.alias("mean_daily"),
+        var.alias("var_daily"),
+        (var / mean).alias("fano"),
+    ).orderBy("event_type")
