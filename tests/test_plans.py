@@ -374,6 +374,8 @@ BROADCAST_NONEQUI_OK = {
     "events_survival_km",
     # 32-row file-span broadcasts probed by value-domain containment
     "layout_sort_advisor",
+    # 1-row date-bounds broadcast seeding the dense day grid
+    "events_fano_factor",
 }
 
 
