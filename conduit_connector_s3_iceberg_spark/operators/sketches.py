@@ -1202,3 +1202,148 @@ def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ CMS join-size estimate ---
+#
+# The planner application of count-min sketches (Cormode & Muthukrishnan
+# 2005, §4.2): the inner product of two CMS register rows upper-bounds
+# the true inner product of the underlying frequency vectors, and the
+# MIN over the D rows is the join-size estimate — |A join B on key| for
+# multiset semantics — from two constant-size sketches, without touching
+# either table again. Here: how many (click-event, view-event) pairs
+# share a user — the equi-join size a planner wants before choosing a
+# strategy. Everything is integer register arithmetic; the estimate is
+# exact-integer, the audit adds one IEEE ratio.
+
+
+def _cms_rows_sql(pred: str) -> str:
+    return f"""
+      SELECT r.hrow, b.bucket, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+      FROM (SELECT unnest(generate_series(0, {CMS_D - 1})) AS hrow) r
+      CROSS JOIN (SELECT unnest(generate_series(0, {CMS_W - 1})) AS bucket) b
+      LEFT JOIN (
+        SELECT rr.hrow,
+               {_cms_bucket_sql('rr.hrow', 'e.user_id')} AS bucket,
+               COUNT(*) AS cnt
+        FROM (SELECT user_id FROM events WHERE {pred}) e
+        CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS hrow) rr
+        GROUP BY rr.hrow, 2
+      ) h ON h.hrow = r.hrow AND h.bucket = b.bucket
+    """
+
+
+@query(
+    "sketch_cms_join_size",
+    oracle=f"""
+    WITH ca AS ({_cms_rows_sql("event_type = 'click'")}),
+    cb AS ({_cms_rows_sql("event_type = 'view'")}),
+    dots AS (
+      SELECT ca.hrow, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS dot
+      FROM ca JOIN cb ON ca.hrow = cb.hrow AND ca.bucket = cb.bucket
+      GROUP BY ca.hrow
+    ), est AS (
+      SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots
+    ), truth AS (
+      SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS true_join_size
+      FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+            WHERE event_type = 'click' GROUP BY user_id) a
+      JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+            WHERE event_type = 'view' GROUP BY user_id) b
+        ON a.user_id = b.user_id
+    )
+    SELECT est.est_join_size, truth.true_join_size,
+           CAST(est.est_join_size AS DOUBLE) / truth.true_join_size - 1.0
+             AS rel_overestimate
+    FROM est CROSS JOIN truth
+    """,
+    doc="CMS join-size estimation (Cormode & Muthukrishnan §4.2): the "
+        "min-over-rows inner product of two count-min sketches "
+        "upper-bounds the multiset equi-join size — the planner's "
+        "cardinality estimate from two constant-size register tables, "
+        "no table rescan. Audited against the true click x view per-user "
+        "pair count; estimate >= truth ALWAYS (one-sided error, pinned "
+        "in tests). Pure integer register arithmetic; one IEEE audit "
+        "ratio.",
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def regs(pred):
+        sub = ev.filter(pred)
+        pairs = sub.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("hrow"),
+                            _cms_bucket_spark(
+                                F.lit(r), F.col("user_id")
+                            ).alias("bucket"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("p")
+        ).select("p.hrow", "p.bucket")
+        hits = pairs.groupBy("hrow", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        spine = (
+            spark.range(CMS_D)
+            .select(F.col("id").cast("int").alias("hrow"))
+            .crossJoin(
+                spark.range(CMS_W).select(
+                    F.col("id").cast("int").alias("bucket")
+                )
+            )
+        )
+        return spine.join(hits, ["hrow", "bucket"], "left").select(
+            "hrow",
+            "bucket",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+        )
+
+    ca = regs(F.col("event_type") == "click").localCheckpoint(eager=False)
+    cb = regs(F.col("event_type") == "view").localCheckpoint(eager=False)
+    dots = (
+        ca.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.hrow") == F.col("b.hrow"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.hrow"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("bigint").alias("est_join_size"))
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    truth = (
+        a.join(b, "user_id")
+        .agg(
+            F.sum(F.col("na") * F.col("nb"))
+            .cast("bigint")
+            .alias("true_join_size")
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(truth))
+        .select(
+            "est_join_size",
+            "true_join_size",
+            (
+                F.col("est_join_size").cast("double")
+                / F.col("true_join_size")
+                - F.lit(1.0)
+            ).alias("rel_overestimate"),
+        )
+    )

@@ -376,6 +376,8 @@ BROADCAST_NONEQUI_OK = {
     "layout_sort_advisor",
     # 1-row date-bounds broadcast seeding the dense day grid
     "events_fano_factor",
+    # 1-row truth broadcast folded into the 1-row estimate audit
+    "sketch_cms_join_size",
 }
 
 

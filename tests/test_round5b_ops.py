@@ -110,3 +110,15 @@ def test_conditional_entropy_bounded_by_marginal(spark):
     assert r.n_distinct_bigrams <= r.n_bigrams
     # crude vocab bound: distinct bigrams < vocab^2 -> H < 2*log2(vocab+1)
     assert r.cond_entropy_bits < 64
+
+
+def test_cms_join_size_is_one_sided(spark):
+    """The CMS inner-product estimate NEVER undercounts the true join
+    size — the one-sided error guarantee the planner relies on."""
+    from conduit_connector_s3_iceberg_spark.operators.sketches import (
+        sketch_cms_join_size,
+    )
+
+    [r] = sketch_cms_join_size(spark, SF).collect()
+    assert r.est_join_size >= r.true_join_size > 0
+    assert r.rel_overestimate >= 0.0
