@@ -2022,3 +2022,127 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# ------------------------------------------------ Bloom FPR audit ----------
+#
+# The measured false-positive rate of the decontamination Bloom filter:
+# probe the shingles that are provably NOT in the benchmark set (exact
+# anti-join ground truth) and count how many the filter still flags —
+# the number that decides whether BLOOM_M/BLOOM_K need resizing before
+# the filter over-quarantines a 100-TB corpus. Also emits the bits-set
+# load factor and the load^K approximation for comparison (x*x*x, no
+# pow). Integer counts; two IEEE divisions + one product chain.
+
+
+@query(
+    "text_bloom_fpr_audit",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS shingle
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {PROBE_MOD} = 0
+    ), bits AS (
+      SELECT DISTINCT p
+      FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))}])
+          AS p
+        FROM bench
+      )
+    ), clean AS (
+      SELECT DISTINCT s.shingle
+      FROM sh s
+      WHERE s.doc_id % {PROBE_MOD} <> 0
+        AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.shingle = s.shingle)
+    ), probed AS (
+      SELECT shingle,
+             {" AND ".join(
+                f"EXISTS (SELECT 1 FROM bits WHERE p = {_bloom_pos_sql(j)})"
+                for j in range(BLOOM_K))} AS hit
+      FROM clean
+    ), agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+             CAST(COUNT(*) AS BIGINT) AS n_clean,
+             CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_false_pos
+      FROM probed
+    )
+    SELECT n_bits_set, n_clean, n_false_pos,
+           CAST(n_bits_set AS DOUBLE) / {BLOOM_M} AS load_factor,
+           CAST(n_false_pos AS DOUBLE) / n_clean AS measured_fpr,
+           (CAST(n_bits_set AS DOUBLE) / {BLOOM_M})
+             * (CAST(n_bits_set AS DOUBLE) / {BLOOM_M})
+             * (CAST(n_bits_set AS DOUBLE) / {BLOOM_M}) AS approx_fpr
+    FROM agg
+    """,
+    doc=f"Bloom-filter false-positive audit: shingles provably outside "
+        "the benchmark set (exact anti-join ground truth) probed against "
+        f"the {BLOOM_M}-bit/{BLOOM_K}-hash filter — the measured FPR and "
+        "bits-set load factor that decide filter sizing before it "
+        "over-quarantines at scale, beside the load^k approximation "
+        "(explicit product, no pow). The quality gate on "
+        "text_bloom_decontaminate's one-sided-error promise.",
+)
+def text_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_SH_SPARK})")).alias("shingle"),
+    ).localCheckpoint(eager=False)  # bench build + clean probe reuse
+    bench = (
+        sh.filter(F.col("doc_id") % PROBE_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)  # bits build + anti-join reuse
+    )
+    bits = (
+        bench.select(
+            F.explode(
+                F.array(*[F.expr(_bloom_pos_spark(j)) for j in range(BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+    )
+    clean = (
+        sh.filter(F.col("doc_id") % PROBE_MOD != 0)
+        .select("shingle")
+        .distinct()
+        .join(bench, "shingle", "left_anti")
+    )
+    words = [0] * (BLOOM_M // 64)
+    for (pos,) in bits.collect():
+        words[pos >> 6] |= 1 << (pos & 63)
+    n_bits_set = sum(bin(w).count("1") for w in words)
+    mask = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+            for w in words
+        ]
+    )
+
+    def slot_hit(j: int) -> F.Column:
+        pj = f"({_bloom_pos_spark(j)})"
+        return F.expr(
+            f"(shiftright(element_at(bloom_mask,"
+            f" cast(shiftright({pj}, 6) as int) + 1),"
+            f" cast({pj} % 64 as int)) & 1) = 1"
+        )
+
+    hit = slot_hit(0)
+    for j in range(1, BLOOM_K):
+        hit = hit & slot_hit(j)
+    probed = clean.withColumn("bloom_mask", mask).select(hit.alias("hit"))
+    load = F.lit(n_bits_set).cast("double") / F.lit(BLOOM_M)
+    return probed.agg(
+        F.lit(n_bits_set).cast("bigint").alias("n_bits_set"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clean"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        load.alias("load_factor"),
+        (
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("measured_fpr"),
+        (load * load * load).alias("approx_fpr"),
+    )
