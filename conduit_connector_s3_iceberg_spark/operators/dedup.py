@@ -2527,7 +2527,7 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle frame feeds sizes, both pair-join sides, and the minhash
     # signatures: materialize once (the r4 lesson — never bet on exchange
     # reuse for a multi-consumer front end)
-    sh = _distinct_shingles(docs).persist()
+    sh = _distinct_shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2777,6 +2775,13 @@ def sim_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     cand = _two_phase_topk(scored, CAND_K).drop("rank")
+
+    # pandas only needed by this one operator's Arrow UDF; deferred so the
+    # other 30+ similarity queries import without pandas/pyarrow present.
+    # Bound as a module global because pandas_udf resolves the stringified
+    # 'pd.Series' annotations (PEP 563) against module globals.
+    global pd
+    import pandas as pd
 
     @pandas_udf("double")
     def ce_score(qids: pd.Series, vids: pd.Series) -> pd.Series:

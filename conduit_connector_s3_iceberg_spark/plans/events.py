@@ -1925,7 +1925,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q78_interval_overlap_join",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - epoch_us(
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   ) > 1800000000
@@ -1935,7 +1935,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sess AS (
       SELECT user_id,
              SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id,
              ts
@@ -1974,7 +1974,10 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # running sum MUST tie-break on event_id like the lag() ordering: with
+    # tied boundary timestamps, tie order decides which session a row joins,
+    # and the cross-engine bit-exact contract needs a total order (ADVICE r5)
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     gap_us = 30 * 60 * 1_000_000
