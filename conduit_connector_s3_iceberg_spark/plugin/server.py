@@ -33,21 +33,29 @@ Server → client unary responses: ``{"ok": true, ...fields}`` or
 
 from __future__ import annotations
 
+import base64
 import dataclasses
 import json
 import socket
 import socketserver
 import sys
 import threading
+import time
 from typing import Any
 
+from .protojson import (
+    run_response_to_proto_json,
+    specify_response_to_proto_json,
+)
 from .service import (
     ConfigureRequest,
     DestinationService,
     MemoryObserver,
     RunRequest,
+    RunResponse,
     ServiceError,
     SpecifierService,
+    SpecifyResponse,
     StartRequest,
     StopRequest,
     TeardownRequest,
@@ -83,6 +91,21 @@ def handshake_line(port: int) -> str:
 
 
 def _to_wire(value: Any) -> dict[str, Any]:
+    """Encode a service response as its proto-JSON message
+    (``connector.proto:221-324`` via :mod:`.protojson`). Empty responses
+    (Configure/Start/Stop/Teardown) are ``{}`` per protojson."""
+    if isinstance(value, RunResponse):
+        return run_response_to_proto_json(value.ack_position)
+    if isinstance(value, SpecifyResponse):
+        return specify_response_to_proto_json(
+            name=value.name,
+            summary=value.summary,
+            version=value.version,
+            description=value.description,
+            author=value.author,
+            destination_params=value.destination_params,
+            source_params=value.source_params,
+        )
     if dataclasses.is_dataclass(value) and not isinstance(value, type):
         d = dataclasses.asdict(value)
         for k, v in list(d.items()):
@@ -108,7 +131,10 @@ class _LineObserver(MemoryObserver):
 
     def on_next(self, value: Any) -> None:
         super().on_next(value)
-        self._send({"ok": True, **_to_wire(value)})
+        # "ok" is the transport frame discriminator (gRPC signals
+        # data-vs-status out of band; NDJSON needs it in-band); the
+        # "response" subtree is exactly the RPC's proto-JSON message
+        self._send({"ok": True, "response": _to_wire(value)})
 
     def on_error(self, error: Exception) -> None:
         super().on_error(error)
@@ -119,9 +145,8 @@ class _LineObserver(MemoryObserver):
 class _Handler(socketserver.StreamRequestHandler):
     """One connection = one client session against the shared services."""
 
-    def handle(self) -> None:  # noqa: C901 — linear RPC dispatch
+    def handle(self) -> None:
         server: PluginServer = self.server.plugin  # type: ignore[attr-defined]
-        dest, specifier = server.destination, server.specifier
         run_stream = None
         for raw in self.rfile:
             line = raw.strip()
@@ -132,57 +157,83 @@ class _Handler(socketserver.StreamRequestHandler):
             except json.JSONDecodeError as e:
                 self._reply({"error": {"code": "INTERNAL", "description": str(e)}})
                 continue
-            if run_stream is not None:
-                # inside the Run stream: record / end frames only
-                if msg.get("end"):
-                    run_stream.on_completed()
-                    run_stream = None
-                    continue
-                if "record" in msg:
-                    try:
-                        req = RunRequest(record=record_from_wire(msg["record"]))
-                    except Exception as e:
-                        run_stream.on_error(e)
-                        run_stream = None
-                        continue
-                    run_stream.on_next(req)
-                    if run_stream.closed:
-                        run_stream = None
-                    continue
-                self._reply(
-                    {"error": {"code": "INTERNAL",
-                               "description": "expected record or end frame"}}
-                )
-                continue
-            rpc = msg.get("rpc")
-            obs = _LineObserver(self.wfile)
-            if rpc == "specify":
-                specifier.specify(None, obs)
-            elif rpc == "configure":
-                dest.configure(ConfigureRequest(config=msg.get("config") or {}), obs)
-            elif rpc == "start":
-                dest.start(StartRequest(), obs)
-            elif rpc == "run":
+            # a parsed frame is an in-flight RPC until its response is
+            # written — stop()'s grace-bounded drain waits on this window
+            self.server.request_begun()  # type: ignore[attr-defined]
+            try:
+                run_stream, done = self._dispatch(msg, run_stream, server)
+            finally:
+                self.server.request_done()  # type: ignore[attr-defined]
+            if done:
+                return
+
+    def _dispatch(  # noqa: C901 — linear RPC dispatch
+        self, msg: dict[str, Any], run_stream, server: "PluginServer"
+    ):
+        """Process one frame; returns (run_stream, connection_done)."""
+        dest, specifier = server.destination, server.specifier
+        if run_stream is not None:
+            # inside the Run stream: record / end frames only
+            if msg.get("end"):
+                run_stream.on_completed()
+                return None, False
+            if "record" in msg:
                 try:
-                    run_stream = dest.run(_LineObserver(self.wfile))
-                    self._reply({"ok": True, "stream": "open"})
+                    req = RunRequest(record=record_from_wire(msg["record"]))
                 except Exception as e:
-                    code = getattr(e, "code", "INTERNAL")
-                    self._reply(
-                        {"error": {"code": code, "description": str(e)}}
-                    )
-            elif rpc == "stop":
-                dest.stop(StopRequest(), obs)
-            elif rpc == "teardown":
-                dest.teardown(TeardownRequest(), obs)
-                if server.exit_on_teardown:
-                    server.shutdown_async()
-                    return
-            else:
+                    run_stream.on_error(e)
+                    return None, False
+                run_stream.on_next(req)
+                if run_stream.closed:
+                    run_stream = None
+                return run_stream, False
+            self._reply(
+                {"error": {"code": "INTERNAL",
+                           "description": "expected record or end frame"}}
+            )
+            return run_stream, False
+        rpc = msg.get("rpc")
+        # the "request" subtree is the RPC's proto-JSON request message
+        # (connector.proto:221-324); bare top-level fields are the pre-r6
+        # shorthand, still accepted
+        req = msg.get("request") or msg
+        obs = _LineObserver(self.wfile)
+        if rpc == "specify":
+            specifier.specify(None, obs)
+        elif rpc == "configure":
+            dest.configure(ConfigureRequest(config=req.get("config") or {}), obs)
+        elif rpc == "start":
+            dest.start(StartRequest(), obs)
+        elif rpc == "run":
+            try:
+                run_stream = dest.run(_LineObserver(self.wfile))
+                self._reply({"ok": True, "stream": "open"})
+            except Exception as e:
+                code = getattr(e, "code", "INTERNAL")
                 self._reply(
-                    {"error": {"code": "UNIMPLEMENTED",
-                               "description": f"unknown rpc: {rpc!r}"}}
+                    {"error": {"code": code, "description": str(e)}}
                 )
+        elif rpc == "stop":
+            last = req.get("lastPosition")
+            dest.stop(
+                StopRequest(
+                    last_position=(
+                        base64.b64decode(last) if last is not None else None
+                    )
+                ),
+                obs,
+            )
+        elif rpc == "teardown":
+            dest.teardown(TeardownRequest(), obs)
+            if server.exit_on_teardown:
+                server.shutdown_async()
+                return run_stream, True
+        else:
+            self._reply(
+                {"error": {"code": "UNIMPLEMENTED",
+                           "description": f"unknown rpc: {rpc!r}"}}
+            )
+        return run_stream, False
 
     def _reply(self, obj: dict[str, Any]) -> None:
         self.wfile.write((json.dumps(obj) + "\n").encode("utf-8"))
@@ -190,8 +241,42 @@ class _Handler(socketserver.StreamRequestHandler):
 
 
 class _ThreadingTCP(socketserver.ThreadingTCPServer):
+    # daemon threads so a hung handler can never wedge process exit, but
+    # block_on_close=False because stdlib server_close() joins WITHOUT a
+    # timeout — the grace-bounded drain lives in drain_requests() instead
+    # (the reference's 30 s awaitTermination, ``Server.java:72-76``)
     daemon_threads = True
+    block_on_close = False
     allow_reuse_address = True
+
+    def __init__(self, *args: Any, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
+
+    def request_begun(self) -> None:
+        with self._inflight_cv:
+            self._inflight += 1
+
+    def request_done(self) -> None:
+        with self._inflight_cv:
+            self._inflight -= 1
+            self._inflight_cv.notify_all()
+
+    def drain_requests(self, grace_seconds: float) -> bool:
+        """Wait until no RPC frame is mid-dispatch, bounded by
+        ``grace_seconds``. In-flight = a parsed frame whose handler has
+        not finished writing its response — NOT an idle persistent
+        connection (a connected-but-quiet client must not consume the
+        whole grace window). Returns True when fully drained."""
+        deadline = time.monotonic() + grace_seconds
+        with self._inflight_cv:
+            while self._inflight > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._inflight_cv.wait(remaining)
+        return True
 
 
 class PluginServer:
@@ -227,9 +312,15 @@ class PluginServer:
         self._thread.start()
 
     def stop(self, grace_seconds: float = 30.0) -> None:
-        """Orderly shutdown, draining in-flight handlers
-        (``Server.java:72-76``)."""
+        """Orderly shutdown, draining in-flight RPCs (``Server.java:72-76``,
+        the reference's 30 s awaitTermination): stop the accept loop, then
+        wait up to the grace timeout for any frame that is mid-dispatch to
+        finish writing its response BEFORE closing the listener — an
+        in-flight record write completes and acks. Idle persistent
+        connections do not count as in-flight (their daemon handler
+        threads die with the process)."""
         self._tcp.shutdown()
+        self._tcp.drain_requests(grace_seconds)
         self._tcp.server_close()
         if self._thread is not None:
             self._thread.join(timeout=grace_seconds)
@@ -244,18 +335,40 @@ class PluginServer:
 
 def main(argv: list[str] | None = None) -> int:
     """``Application.main`` (``Application.java:29-38``): optional port
-    arg, start, print handshake, block."""
+    arg, start, print handshake, block.
+
+    Handshake gating: the go-plugin line's 5th field names the wire
+    protocol. We advertise ``grpc`` only when the gRPC runtime is
+    actually bound, OR when the caller passes ``--ndjson-handshake``
+    (explicit acknowledgment that the host is a test client speaking the
+    NDJSON transport — byte parity with ``Application.java:36``).
+    Otherwise the token is ``ndjson`` so a real Conduit host fails fast
+    on an unknown protocol instead of dialing gRPC at a non-gRPC port.
+    """
     args = list(sys.argv[1:] if argv is None else argv)
+    ndjson_ack = "--ndjson-handshake" in args
+    args = [a for a in args if not a.startswith("--")]
     port = int(args[0]) if args else 0
     server = PluginServer(port=port, exit_on_teardown=True)
     server.start()
-    if not grpc_available():
+    if grpc_available() or ndjson_ack:
+        line = handshake_line(server.port)
+        if not grpc_available():
+            print(
+                "warning: grpc runtime not importable; serving the NDJSON "
+                "test transport on the advertised port "
+                "(--ndjson-handshake acknowledged)",
+                file=sys.stderr,
+            )
+    else:
+        line = handshake_line(server.port).rsplit("|", 1)[0] + "|ndjson"
         print(
-            "warning: grpc runtime not importable; serving the NDJSON "
-            "test transport on the advertised port",
+            "warning: grpc runtime not importable; advertising the "
+            "'ndjson' transport token (pass --ndjson-handshake to emit "
+            "the reference-parity 'grpc' token for a test host)",
             file=sys.stderr,
         )
-    print(handshake_line(server.port), flush=True)
+    print(line, flush=True)
     server.block_until_shutdown()
     return 0
 

@@ -147,21 +147,35 @@ class Empty:
 
 @dataclass
 class SpecifyResponse:
+    """``Specifier.Specify.Response`` (``connector.proto:302-323``); the
+    reference fills name/summary/version/author
+    (``SpecifierService.java:52-55``)."""
+
     name: str
     summary: str
     version: str
+    description: str = ""
+    author: str = ""
     destination_params: dict[str, dict] = field(default_factory=dict)
     source_params: dict[str, dict] = field(default_factory=dict)
 
 
 def record_from_wire(msg: dict[str, Any]) -> Record:
-    """Decode the JSON-wire form of an OpenCDC record (the NDJSON
-    transport's analogue of ``Destination.Run.Request.record``).
+    """Decode the JSON-wire form of an OpenCDC record
+    (``Destination.Run.Request.record``).
 
-    ``key`` / ``payload.after`` accept ``{"raw": "<utf-8 text>"}`` (raw
-    bytes form) or ``{"struct": {...}}`` (decoded protobuf-Struct form)
-    — the two arms of ``opencdc.proto``'s ``Data`` oneof.
+    The canonical shape is the protobuf-JSON mapping of
+    ``opencdc.v1.Record`` (``opencdc.proto:52-97``): base64 ``position``,
+    ``OPERATION_*`` enum spellings, and the ``Data`` oneof as
+    ``{"rawData": <base64>}`` / ``{"structuredData": {...}}`` — see
+    :mod:`.protojson`. The pre-r6 test shorthand (utf-8 position,
+    lowercase op, ``{"raw": "<utf-8 text>"}`` / ``{"struct": {...}}``
+    arms) is still accepted for convenience.
     """
+    from .protojson import is_proto_json_record, record_from_proto_json
+
+    if is_proto_json_record(msg):
+        return record_from_proto_json(msg)
 
     def data(v: Any) -> bytes | dict | None:
         if v is None:
@@ -360,7 +374,8 @@ class SpecifierService:
 
     NAME = "s3-iceberg-spark"
     SUMMARY = "Writes OpenCDC records to Iceberg tables on S3 via Spark."
-    VERSION = "v0.5.0"
+    VERSION = "v0.6.0"
+    AUTHOR = "s3-iceberg-spark developers"
 
     def specify(self, request: Any, response_observer: StreamObserver) -> None:
         response_observer.on_next(
@@ -368,6 +383,7 @@ class SpecifierService:
                 name=self.NAME,
                 summary=self.SUMMARY,
                 version=self.VERSION,
+                author=self.AUTHOR,
                 destination_params=spec(),
             )
         )

@@ -321,33 +321,47 @@ def test_server_end_to_end(service):
     server = PluginServer(port=0, destination=svc)
     server.start()
     try:
+        import base64 as _b64
+
+        def b64(s: str) -> str:
+            return _b64.b64encode(s.encode()).decode()
+
         c = Client(server.port)
         resp = c.call({"rpc": "specify"})
-        assert resp["ok"] and resp["name"]
+        assert resp["ok"] and resp["response"]["name"]
 
-        assert c.call({"rpc": "configure", "config": VALID_CONFIG}) == {"ok": True}
-        assert c.call({"rpc": "start"}) == {"ok": True}
+        # canonical wire: each "request"/"response" subtree is the RPC's
+        # proto-JSON message (connector.proto:221-324)
+        assert c.call(
+            {"rpc": "configure", "request": {"config": VALID_CONFIG}}
+        ) == {"ok": True, "response": {}}
+        assert c.call({"rpc": "start"}) == {"ok": True, "response": {}}
         assert c.call({"rpc": "run"}) == {"ok": True, "stream": "open"}
 
         c.send(
             {
                 "record": {
-                    "position": "w-1",
-                    "operation": "create",
+                    "position": b64("w-1"),
+                    "operation": "OPERATION_CREATE",
                     "payload": {
                         "after": {
-                            "raw": '{"string_field": "wire", '
-                            '"integer_field": 5, "float_field": 0.5}'
+                            "rawData": b64(
+                                '{"string_field": "wire", '
+                                '"integer_field": 5, "float_field": 0.5}'
+                            )
                         }
                     },
                 }
             }
         )
         ack = c.recv()
-        assert ack["ok"] and ack["ack_position"] == "w-1"
+        assert ack["ok"]
+        # Destination.Run.Response: base64 ackPosition + empty error
+        # (connector.proto:241-248)
+        assert ack["response"] == {"ackPosition": b64("w-1"), "error": ""}
         c.send({"end": True})
 
-        assert c.call({"rpc": "stop"}) == {"ok": True}
+        assert c.call({"rpc": "stop"}) == {"ok": True, "response": {}}
         assert wh.read("plugin_t").count() == 1
 
         # a fresh stream surfaces the write-error taxonomy over the wire
@@ -355,9 +369,9 @@ def test_server_end_to_end(service):
         c.send(
             {
                 "record": {
-                    "position": "w-2",
-                    "operation": "delete",
-                    "key": {"raw": "{}"},
+                    "position": b64("w-2"),
+                    "operation": "OPERATION_DELETE",
+                    "key": {"rawData": b64("{}")},
                 }
             }
         )
@@ -365,7 +379,7 @@ def test_server_end_to_end(service):
         assert err["code"] == "INTERNAL"
         assert err["description"].startswith("couldn't write record: ")
 
-        assert c.call({"rpc": "teardown"}) == {"ok": True}
+        assert c.call({"rpc": "teardown"}) == {"ok": True, "response": {}}
         c.close()
     finally:
         server.stop()
@@ -473,7 +487,13 @@ def test_plugin_process_entry_point(tmp_path):
     import time
 
     proc = subprocess.Popen(
-        [sys.executable, "-m", "conduit_connector_s3_iceberg_spark.plugin", "0"],
+        [
+            sys.executable,
+            "-m",
+            "conduit_connector_s3_iceberg_spark.plugin",
+            "0",
+            "--ndjson-handshake",
+        ],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
@@ -488,10 +508,10 @@ def test_plugin_process_entry_point(tmp_path):
 
         c = Client(port)
         resp = c.call({"rpc": "specify"})
-        assert resp["ok"] and resp["name"] == "s3-iceberg-spark"
+        assert resp["ok"] and resp["response"]["name"] == "s3-iceberg-spark"
         err = c.call({"rpc": "start"})["error"]
         assert err["description"].startswith("couldn't start connector: ")
-        assert c.call({"rpc": "teardown"}) == {"ok": True}
+        assert c.call({"rpc": "teardown"}) == {"ok": True, "response": {}}
         c.close()
         for _ in range(100):
             if proc.poll() is not None:
@@ -502,6 +522,90 @@ def test_plugin_process_entry_point(tmp_path):
         if proc.poll() is None:
             proc.kill()
         proc.wait(timeout=10)
+
+
+def test_plugin_handshake_token_gated_without_ack():
+    """Without --ndjson-handshake (and no grpc runtime), the handshake
+    must NOT claim the grpc transport — a real go-plugin host would dial
+    gRPC at an NDJSON port. The token degrades to 'ndjson' (ADVICE r5)."""
+    import subprocess
+    import sys
+
+    from conduit_connector_s3_iceberg_spark.plugin.server import (
+        grpc_available,
+    )
+
+    if grpc_available():  # pragma: no cover - env-dependent
+        import pytest
+
+        pytest.skip("grpc runtime present; token is legitimately 'grpc'")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "conduit_connector_s3_iceberg_spark.plugin", "0"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=str(pathlib_repo_root()),
+    )
+    try:
+        parts = proc.stdout.readline().strip().split("|")
+        assert parts[:3] == ["1", "1", "tcp"]
+        assert parts[4] == "ndjson"
+        port = int(parts[3].rsplit(":", 1)[1])
+        c = Client(port)
+        assert c.call({"rpc": "teardown"}) == {"ok": True, "response": {}}
+        c.close()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait(timeout=10)
+
+
+def test_plugin_server_stop_drains_inflight_handler():
+    """stop() must join live handler threads up to the grace timeout
+    (the reference's 30 s awaitTermination) — an in-flight call finishes
+    and its response is written before the listener closes (ADVICE r5)."""
+    import threading
+    import time as _time
+
+    from conduit_connector_s3_iceberg_spark.plugin.service import (
+        DestinationService,
+    )
+    from conduit_connector_s3_iceberg_spark.plugin.server import PluginServer
+
+    svc = DestinationService()
+    release = threading.Event()
+    started = threading.Event()
+    orig = svc.teardown
+
+    def slow_teardown(*args, **kwargs):
+        started.set()
+        release.wait(timeout=10)
+        return orig(*args, **kwargs)
+
+    svc.teardown = slow_teardown
+    server = PluginServer(destination=svc)
+    server.start()
+    c = Client(server.port)
+    result = {}
+
+    def call():
+        result["resp"] = c.call({"rpc": "teardown"})
+
+    t = threading.Thread(target=call)
+    t.start()
+    assert started.wait(timeout=5), "handler never started"
+
+    stopper = threading.Thread(target=lambda: server.stop(grace_seconds=10))
+    stopper.start()
+    _time.sleep(0.2)  # let stop() reach the drain join
+    release.set()
+    stopper.join(timeout=10)
+    t.join(timeout=10)
+    c.close()
+    assert not stopper.is_alive(), "stop() did not return"
+    assert result.get("resp") == {"ok": True, "response": {}}, (
+        "in-flight handler response was cut off by stop()"
+    )
 
 
 def pathlib_repo_root():
