@@ -1445,22 +1445,12 @@ GS_VAL_HEX = "e6"    # next 10%
         "shuffle; no corpus-grain joins beyond the group map.",
 )
 def corpus_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _SIMHASH_FP as FP
-    from .dedup import _simhash_vote_sql as vote
+    from .dedup import ensure_dedup_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
-    )
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.expr(vote(b).replace(f" AS v{b}", "")).alias(f"v{b}")
-            for b in range(16)
-        ]
-    )
-    grouped = votes.select(
-        "doc_id", F.expr(FP).cast("int").alias("group_fp")
-    )
+    # consumer of the persisted dedup-metadata maintenance table (see
+    # dedup_labels_table): the group key is read, not recomputed; the
+    # oracle stays the full SimHash recompute
+    grouped = ensure_dedup_table(spark, sf_dir).select("doc_id", "group_fp")
     h = F.substring(
         F.md5(
             F.concat(F.lit(GROUP_SPLIT_SALT), F.col("group_fp").cast("string"))
