@@ -73,3 +73,147 @@ def composition_chisq_from_summary(summary: DataFrame) -> DataFrame:
     return chisq_from_counts(
         summary.select("lang", "source", F.col("n_rows").cast("bigint").alias("n"))
     )
+
+
+# -------------------------------------------------- mixture-shift monitor
+#
+# Streaming twin of ``corpus_dedup_mixture_shift`` (r5 verdict #6): the
+# batch query re-scans the corpus to compare per-source token share before
+# vs after keep-first dedup; the monitor maintains TWO source-grain IVM
+# summaries from the document feed — all arrivals, and admitted-only
+# arrivals (first-seen content fingerprint, the dedup_stream admission
+# policy) — and recomputes the share table per epoch from those summaries
+# alone. Cost per epoch is O(batch) + a |sources|-sized recompute; the
+# standing fingerprint index is probed with the batch's (small) fp set
+# broadcast, never shuffled.
+#
+# Scope: document feeds are append-only (keep-first admission is
+# well-defined for inserts; a delete of a group's keeper would need a
+# rescan to promote the next member — same MIN/MAX caveat as ivm.py).
+# Keeper choice matches the batch query's keep=min(doc_id) whenever doc
+# ids arrive in order (in-batch ties break by doc_id).
+
+
+def apply_mixture_epoch(wh, prefix: str, batch: DataFrame, epoch_id: int) -> None:
+    """One idempotent epoch of the mixture-shift monitor: all rows merge
+    into the ``{prefix}_before`` summary; first-seen-fingerprint rows are
+    admitted against the ``{prefix}_keep`` index and merge into
+    ``{prefix}_after``. Both summaries are (source, n_rows, sum_n_tokens)."""
+    from pyspark.sql import Window
+
+    from ..writer import epoch_already_applied, mark_epoch_applied
+    from .ivm import SIGN_COL, apply_summary_delta
+
+    epoch_table = f"{prefix}__applied_epoch"
+    if batch.isEmpty():
+        return
+    if epoch_already_applied(wh, epoch_table, epoch_id):
+        return
+    tok = batch.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),
+    ).localCheckpoint()  # consumed by both summaries + the admission probe
+    apply_summary_delta(
+        wh,
+        f"{prefix}_before",
+        tok.select(F.lit(1).alias(SIGN_COL), "source", "n_tokens"),
+        ["source"],
+        ["n_tokens"],
+    )
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    firsts = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    keep_table = f"{prefix}_keep"
+    if wh.table_exists(keep_table):
+        batch_fps = firsts.select("content_fp").distinct()
+        matched = (
+            wh.read(keep_table)
+            .join(F.broadcast(batch_fps), "content_fp")
+            .select("content_fp")
+            .distinct()
+        )
+        novel = firsts.join(F.broadcast(matched), "content_fp", "left_anti")
+    else:
+        novel = firsts
+    novel = novel.localCheckpoint()  # consumed twice (summary + index)
+    apply_summary_delta(
+        wh,
+        f"{prefix}_after",
+        novel.select(F.lit(1).alias(SIGN_COL), "source", "n_tokens"),
+        ["source"],
+        ["n_tokens"],
+    )
+    fps = novel.select("content_fp")
+    if not wh.table_exists(keep_table):
+        wh.create_table(keep_table, fps.schema)
+    wh.append(keep_table, fps)
+    mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
+
+
+def mixture_shift_from_state(wh, prefix: str) -> DataFrame:
+    """Per-source share table (same schema as the batch
+    ``corpus_dedup_mixture_shift``) from the maintained summaries alone —
+    a |sources|-sized computation, zero corpus scans."""
+    before = wh.read(f"{prefix}_before").select(
+        "source", F.col("sum_n_tokens").cast("bigint").alias("tokens_before")
+    )
+    after = wh.read(f"{prefix}_after").select(
+        "source", F.col("sum_n_tokens").cast("bigint").alias("tokens_after")
+    )
+    per_source = (
+        before.join(after, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("tokens_before", F.lit(0)).alias("tokens_before"),
+            F.coalesce("tokens_after", F.lit(0)).alias("tokens_after"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per_source.agg(
+        F.sum("tokens_before").cast("bigint").alias("tb"),
+        F.sum("tokens_after").cast("bigint").alias("ta"),
+    )
+    sb = F.col("tokens_before").cast("double") / F.col("tb")
+    sa = F.col("tokens_after").cast("double") / F.col("ta")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens_before",
+            "tokens_after",
+            sb.alias("share_before"),
+            sa.alias("share_after"),
+            (sa - sb).alias("share_shift"),
+        )
+        .orderBy("source")
+    )
+
+
+def maintain_mixture_stream(
+    stream: DataFrame,
+    wh,
+    prefix: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously maintain the mixture-shift monitor from a document
+    stream (columns ``doc_id, source, text``)."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch_id: apply_mixture_epoch(
+                wh, prefix, batch, epoch_id
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
