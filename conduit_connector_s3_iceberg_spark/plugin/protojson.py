@@ -205,24 +205,45 @@ def record_from_proto_json(msg: dict[str, Any]) -> Record:
 
 def is_proto_json_record(msg: dict[str, Any]) -> bool:
     """Discriminate the proto-JSON record shape from the legacy test
-    shape (``{"raw": ...}``/``{"struct": ...}`` arms, lowercase op)."""
+    shape (``{"raw": ...}``/``{"struct": ...}`` arms, lowercase op).
+
+    Proto-JSON is the DEFAULT: canonical protojson marshalers (e.g. a Go
+    host using ``protojson.Marshal``) omit default-valued fields, so a
+    record like ``{"position": "AAFwb3M="}`` — operation
+    ``OPERATION_UNSPECIFIED`` omitted, no ``Data`` arms — must still route
+    here (base64 position), not to the legacy decoder (which would keep
+    the base64 string as literal UTF-8 bytes).  Only an explicit legacy
+    marker (a ``raw``/``struct`` arm or a lowercase op spelling) selects
+    the legacy path.
+    """
     op = msg.get("operation", "")
     if isinstance(op, str) and op.startswith("OPERATION_"):
         return True
+    legacy = False
     for arm in (msg.get("key"), (msg.get("payload") or {}).get("after"),
                 (msg.get("payload") or {}).get("before")):
-        if isinstance(arm, dict) and (
-            "rawData" in arm or "structuredData" in arm
-        ):
-            return True
-    return False
+        if isinstance(arm, dict):
+            if "rawData" in arm or "structuredData" in arm:
+                return True
+            if "raw" in arm or "struct" in arm:
+                legacy = True
+    if legacy:
+        return False
+    if isinstance(op, str) and op and not op.startswith("OPERATION_"):
+        return False  # lowercase legacy spelling ("create", "delete", ...)
+    return True
 
 
 def run_response_to_proto_json(ack_position: bytes, error: str = "") -> dict:
     """``Destination.Run.Response`` (``connector.proto:241-248``): ack
-    position plus an error string, empty on success (proto3 JSON emits
-    defaults for scalar fields the reference reads — we emit both
-    explicitly so the frame is self-describing)."""
+    position plus an error string, empty on success.
+
+    Deliberate deviation from canonical protojson: we ALWAYS emit
+    ``error`` (even when ``""``) so every frame is self-describing on an
+    NDJSON transport with no schema channel.  A canonical marshaler would
+    omit default-valued scalars; any protojson-conformant decoder accepts
+    both spellings, so compatibility is unaffected — only a byte-level
+    diff against ``protojson.Marshal`` output would differ."""
     return {"ackPosition": _b64(ack_position), "error": error}
 
 
@@ -242,6 +263,12 @@ def specify_response_to_proto_json(
     are normalized to the proto-JSON spellings here (``default``,
     ``description``, ``type`` → ``TYPE_*``, ``validations`` →
     ``[{"type": "TYPE_*", "value": ...}]``).
+
+    Deliberate deviation from canonical protojson: default-valued scalars
+    (empty ``description``/``author``, empty ``sourceParams`` map) are
+    emitted rather than omitted, so the NDJSON frame is self-describing.
+    Conformant decoders accept both; only byte-level comparison against a
+    real protojson marshaler differs.
     """
 
     def param(p: dict[str, Any]) -> dict[str, Any]:

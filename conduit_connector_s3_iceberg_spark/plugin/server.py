@@ -36,6 +36,7 @@ from __future__ import annotations
 import base64
 import dataclasses
 import json
+import select
 import socket
 import socketserver
 import sys
@@ -146,26 +147,50 @@ class _Handler(socketserver.StreamRequestHandler):
     """One connection = one client session against the shared services."""
 
     def handle(self) -> None:
+        # Hand-rolled line buffering instead of ``for raw in self.rfile``:
+        # the in-flight counter must be incremented BEFORE the frame's
+        # bytes are consumed from the kernel, otherwise stop()'s drain can
+        # sample _inflight == 0 between readline() returning and
+        # request_begun() running, and the parsed-but-undispatched frame's
+        # response then races process exit (r6 advice, server.py:162).
+        # select() tells us bytes are pending without consuming them; an
+        # idle connection parks in select() holding NO in-flight count, so
+        # a connected-but-quiet client still cannot eat the grace window.
         server: PluginServer = self.server.plugin  # type: ignore[attr-defined]
         run_stream = None
-        for raw in self.rfile:
-            line = raw.strip()
-            if not line:
+        buf = b""
+        conn = self.connection
+        while True:
+            readable, _, _ = select.select([conn], [], [], 0.5)
+            if not readable:
                 continue
-            try:
-                msg = json.loads(line)
-            except json.JSONDecodeError as e:
-                self._reply({"error": {"code": "INTERNAL", "description": str(e)}})
-                continue
-            # a parsed frame is an in-flight RPC until its response is
-            # written — stop()'s grace-bounded drain waits on this window
             self.server.request_begun()  # type: ignore[attr-defined]
             try:
-                run_stream, done = self._dispatch(msg, run_stream, server)
+                try:
+                    chunk = conn.recv(65536)
+                except OSError:
+                    return
+                if not chunk:
+                    return
+                buf += chunk
+                while b"\n" in buf:
+                    raw, buf = buf.split(b"\n", 1)
+                    line = raw.strip()
+                    if not line:
+                        continue
+                    try:
+                        msg = json.loads(line)
+                    except json.JSONDecodeError as e:
+                        self._reply(
+                            {"error": {"code": "INTERNAL",
+                                       "description": str(e)}}
+                        )
+                        continue
+                    run_stream, done = self._dispatch(msg, run_stream, server)
+                    if done:
+                        return
             finally:
                 self.server.request_done()  # type: ignore[attr-defined]
-            if done:
-                return
 
     def _dispatch(  # noqa: C901 — linear RPC dispatch
         self, msg: dict[str, Any], run_stream, server: "PluginServer"

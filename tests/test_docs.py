@@ -27,8 +27,16 @@ NON_QUERY_ALLOWLIST = {
 def test_every_registered_query_is_documented():
     missing = []
     for name in load_all():
-        short = name.split("_")[0]  # e.g. q01_pricing_summary -> q01
-        if name not in COVERAGE and not re.search(rf"\b{short}\b", COVERAGE):
+        # The only sanctioned shorthand is the `q<NN>` prefix of the TPC-H-ish
+        # queries (COVERAGE.md tables cite them as `q01`, `q78`, ...).  Every
+        # other query must appear under its full registered name — a bare
+        # first-token fallback (e.g. "dedup") matched everywhere and let new
+        # queries ship undocumented (r6 verdict, "What's wrong" #2).
+        short = name.split("_")[0]
+        has_short = bool(
+            re.fullmatch(r"q\d+", short) and re.search(rf"\b{short}\b", COVERAGE)
+        )
+        if name not in COVERAGE and not has_short:
             missing.append(name)
     assert not missing, f"queries not mentioned in COVERAGE.md: {missing}"
 

@@ -250,6 +250,28 @@ def test_every_operation_round_trips(op):
     assert record_from_proto_json(record_to_proto_json(r)) == r
 
 
+def test_strict_proto_json_with_omitted_defaults_routes_to_proto_decoder():
+    # Canonical protojson marshalers (protojson.Marshal in a Go host) OMIT
+    # default-valued fields: a record with operation OPERATION_UNSPECIFIED
+    # and no Data arms serializes as just {"position": "<b64>"}. That frame
+    # must still take the proto-JSON path (base64 position), not fall to
+    # the legacy decoder which would keep the base64 text as literal bytes.
+    r = record_from_wire({"position": b64(b"\x00\x01pos")})
+    assert r.position == b"\x00\x01pos"
+    assert r.operation is Operation.UNSPECIFIED
+    # legacy markers still select the legacy path
+    legacy = record_from_wire(
+        {"position": "pos1", "operation": "create",
+         "payload": {"after": {"raw": '{"a": 1}'}}}
+    )
+    assert legacy.position == b"pos1"
+    assert legacy.payload_after == b'{"a": 1}'
+    # a lowercase op alone (no arms) is also legacy
+    low = record_from_wire({"position": "pos2", "operation": "delete"})
+    assert low.position == b"pos2"
+    assert low.operation is Operation.DELETE
+
+
 def test_data_oneof_exclusive():
     assert data_to_proto_json(b"x") == {"rawData": b64(b"x")}
     assert data_to_proto_json({"a": 1}) == {"structuredData": {"a": 1}}
