@@ -1656,26 +1656,20 @@ def chisq_from_counts(o: DataFrame) -> DataFrame:
         "lookup joined back; integer counts, one IEEE division per row.",
 )
 def corpus_source_originality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import ensure_dedup_table
+
     docs = load_table(spark, sf_dir, "documents")
-    votes = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
-        )
-        .groupBy("doc_id", "source")
-        .agg(
-            *[
-                F.expr(_simhash_vote_sql(b).replace(f" AS v{b}", "")).alias(
-                    f"v{b}"
-                )
-                for b in range(16)
-            ]
-        )
+    # consumer of the persisted maintenance table (see dedup_labels_table):
+    # the 16-vote SimHash agg is served from the persisted group_fp column
+    # joined to the 2-column (doc_id, source) projection; the oracle stays
+    # the full SimHash recompute, so the table is re-verified here
+    fam = (
+        ensure_dedup_table(spark, sf_dir)
+        .select("doc_id", F.col("group_fp").cast("int").alias("fp"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "fp")
+        .localCheckpoint(eager=False)  # feeds origin agg AND the flag join
     )
-    fam = votes.select(
-        "doc_id", "source", F.expr(_SIMHASH_FP).cast("int").alias("fp")
-    ).localCheckpoint(eager=False)  # feeds origin agg AND the flag join
     origin = fam.groupBy("fp").agg(
         F.min("doc_id").alias("origin_doc"),
         F.expr("min_by(source, doc_id)").alias("origin_source"),

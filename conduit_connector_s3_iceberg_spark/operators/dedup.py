@@ -754,10 +754,15 @@ def dedup_table_path(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
+    # the key must cover EVERY definition the persisted bytes depend on:
+    # the shingle front end (cluster_id) AND the SimHash vote expressions
+    # (group_fp) — editing either without bumping LABELS_TABLE_VERSION
+    # must still yield a new key, never a stale served table
+    simhash_def = "|".join(_simhash_vote_sql(b) for b in range(16)) + _SIMHASH_FP
     key = hashlib.sha256(
         f"v{LABELS_TABLE_VERSION}:{os.path.abspath(src)}:"
         f"{st.st_mtime_ns}:{st.st_size}:{SHINGLES_SQL}:{JACCARD_THRESHOLD}:"
-        f"{MAX_SHINGLE_DF}".encode()
+        f"{MAX_SHINGLE_DF}:{simhash_def}".encode()
     ).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -2824,22 +2829,15 @@ def dedup_family_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").alias("n_tokens"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("efp"),
     )
-    votes = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
-        )
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.expr(_simhash_vote_sql(b).replace(f" AS v{b}", "")).alias(f"v{b}")
-                for b in range(16)
-            ]
-        )
+    # consumer of the persisted maintenance table (see dedup_labels_table):
+    # the 16-vote SimHash agg — the expensive token-explode half of this
+    # query — is served from the persisted group_fp column; the oracle
+    # stays the full SimHash recompute, so the table is re-verified here
+    sim = ensure_dedup_table(spark, sf_dir).select(
+        "doc_id", F.col("group_fp").alias("sfp")
     )
-    sim = votes.select("doc_id", F.expr(_SIMHASH_FP).cast("int").alias("sfp"))
     # the fingerprint frame feeds both family branches of the union:
-    # materialize once so the corpus (and the 16-vote SimHash agg) is not
-    # re-derived per branch (4 scans -> 1 without it)
+    # materialize once so the corpus scan is not re-derived per branch
     j = (
         tok.join(sim, "doc_id")
         .select("doc_id", "n_tokens", "efp", "sfp")
