@@ -25,8 +25,9 @@ def test_dedup_labels_table_builds_once_then_serves_from_disk(spark):
     assert {"doc_id", "cluster_id", "group_fp"} == set(df1.columns)
     n = df1.count()
     assert n > 0
-    success = os.path.join(path, "_SUCCESS")
+    success = os.path.join(path, "labels_g0", "_SUCCESS")
     assert os.path.exists(success)
+    assert os.path.exists(os.path.join(path, "manifest.json"))
     m1 = os.path.getmtime(success)
 
     df2 = ensure_dedup_table(spark, SF001)
