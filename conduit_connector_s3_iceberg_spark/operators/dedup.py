@@ -794,7 +794,7 @@ def dedup_cluster_labels_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change triggers a full rebuild — correctness first, O(delta) only where
 # the append-only premise provably holds (file sizes+mtimes unchanged).
 
-LABELS_TABLE_VERSION = 2
+LABELS_TABLE_VERSION = 3  # v3: generation-scoped index/df-log layout
 
 
 def dedup_table_path(sf_dir: str) -> str:
@@ -877,6 +877,33 @@ def _pairs_dir(root: str, gen: int) -> str:
     return os.path.join(root, f"pairs_g{gen}")
 
 
+def _index_gen_dir(root: str, gen: int) -> str:
+    import os
+
+    return os.path.join(root, "index", f"gen_{gen}")
+
+
+def _dfreq_gen_dir(root: str, gen: int) -> str:
+    import os
+
+    return os.path.join(root, "dfreq", f"gen_{gen}")
+
+
+def _index_paths(root: str, gen: int) -> list:
+    """The standing index/df-log are APPENDED per maintenance as whole
+    generation directories, and a generation exists only once the
+    manifest names it: readers list gens 0..manifest.gen explicitly, so
+    files written by a crashed half-applied maintenance are invisible
+    until its manifest commit — the retry simply overwrites them. (The
+    parquet-analogue of Iceberg's manifest-list commit; a production
+    compaction job would merge old generations.)"""
+    return [_index_gen_dir(root, g) for g in range(gen + 1)]
+
+
+def _dfreq_paths(root: str, gen: int) -> list:
+    return [_dfreq_gen_dir(root, g) for g in range(gen + 1)]
+
+
 def build_dedup_state(
     spark: SparkSession, docs: DataFrame, root: str, files: dict | None = None
 ) -> DataFrame:
@@ -898,11 +925,11 @@ def build_dedup_state(
     sh = _distinct_shingles(docs).select(
         "doc_id", F.xxhash64("shingle").alias("shingle_h")
     )
-    sh.write.mode("overwrite").parquet(os.path.join(root, "index"))
-    index = spark.read.parquet(os.path.join(root, "index"))
+    sh.write.mode("overwrite").parquet(_index_gen_dir(root, 0))
+    index = spark.read.parquet(_index_gen_dir(root, 0))
     index.groupBy("shingle_h").agg(
         F.count(F.lit(1)).alias("df_inc")
-    ).write.mode("overwrite").parquet(os.path.join(root, "dfreq"))
+    ).write.mode("overwrite").parquet(_dfreq_gen_dir(root, 0))
 
     pairs = jaccard_pairs_for_docs(docs).select("doc_a", "doc_b")
     pairs.write.mode("overwrite").parquet(_pairs_dir(root, 0))
@@ -941,25 +968,30 @@ def maintain_dedup_state(
     candidate-partner set are broadcast (delta ≪ corpus, the premise of
     incremental maintenance); the standing index is scanned in place —
     twice (candidate probe, partner sizes) plus once pre-append for the
-    cap-crossing detector — and is APPENDED to, never rewritten or
-    shuffled. Cluster re-contraction runs only on components incident to
-    added/removed edges; all other labels are carried over verbatim.
-    Old generations are left on disk (a concurrently returned DataFrame
-    may still lazily read them); the judge-facing cold-cache path is
-    'delete the state root'."""
-    import os
+    cap-crossing detector — and is APPENDED to as a new generation
+    directory, never rewritten or shuffled. Cluster re-contraction runs
+    only on components incident to added/removed edges; all other labels
+    are carried over verbatim.
 
+    Crash/replay safety: every file this function writes is scoped to
+    generation ``gen+1``, and readers (including this function on its
+    pre-append passes) list generations from the manifest — so a crash
+    anywhere before the final manifest replace leaves the state exactly
+    at generation ``gen``, and the retry overwrites the orphaned files.
+    Combined with the doc_id replay-drop this makes the function safe to
+    call from an at-least-once foreachBatch with no epoch sidecar. Old
+    generations are left on disk (a concurrently returned DataFrame may
+    still lazily read them); the judge-facing cold-cache path is 'delete
+    the state root'."""
     man = _state_manifest(root)
     if man is None:
         raise ValueError(f"no labels state at {root}; run build_dedup_state")
     gen = man["gen"]
     labels_old = spark.read.parquet(_labels_dir(root, gen))
     pairs_old = spark.read.parquet(_pairs_dir(root, gen))
-    idx_path = os.path.join(root, "index")
-    dfreq_path = os.path.join(root, "dfreq")
 
     # replay-drop, then pin the delta eagerly: everything below must be
-    # computed against the PRE-append standing files
+    # computed against the PRE-append standing generations
     delta = (
         delta_docs.select("doc_id", "text")
         .join(labels_old.select("doc_id"), "doc_id", "left_anti")
@@ -986,7 +1018,7 @@ def maintain_dedup_state(
     # Every base doc containing one has a changed kept-shingle set, so its
     # edges must be recomputed (it can LOSE pairs — clusters can split).
     df_before = (
-        spark.read.parquet(dfreq_path)
+        spark.read.parquet(*_dfreq_paths(root, gen))
         .groupBy("shingle_h")
         .agg(F.sum("df_inc").alias("df"))
     )
@@ -1000,7 +1032,7 @@ def maintain_dedup_state(
         .localCheckpoint()
     )
     affected = (
-        spark.read.parquet(idx_path)
+        spark.read.parquet(*_index_paths(root, gen))
         .join(F.broadcast(crossing), "shingle_h")
         .select("doc_id")
         .distinct()
@@ -1008,13 +1040,14 @@ def maintain_dedup_state(
     )
     touched = affected.union(delta_ids).distinct().localCheckpoint()
 
-    # commit the delta into the standing structures (pure file append)
-    d_sh.write.mode("append").parquet(idx_path)
-    d_df.write.mode("append").parquet(dfreq_path)
+    # stage the delta as generation gen+1 (invisible until the manifest
+    # commit below; a retry after a crash overwrites these dirs)
+    d_sh.write.mode("overwrite").parquet(_index_gen_dir(root, gen + 1))
+    d_df.write.mode("overwrite").parquet(_dfreq_gen_dir(root, gen + 1))
 
-    index_all = spark.read.parquet(idx_path)
+    index_all = spark.read.parquet(*_index_paths(root, gen + 1))
     over_cap = (
-        spark.read.parquet(dfreq_path)
+        spark.read.parquet(*_dfreq_paths(root, gen + 1))
         .groupBy("shingle_h")
         .agg(F.sum("df_inc").alias("df"))
         .filter(F.col("df") > MAX_SHINGLE_DF)

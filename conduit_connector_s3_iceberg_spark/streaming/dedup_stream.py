@@ -253,3 +253,56 @@ def maintain_family_savings_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------ labels-table maintenance
+#
+# Streaming face of the materialized dedup labels table (r6 verdict #6):
+# each micro-batch of appended documents is applied to the persisted
+# labels state via the SAME maintain_dedup_state the batch path uses —
+# near-dup edges from a broadcast probe of the standing shingle index,
+# cap-crossing detection, re-contraction of touched components only.
+# O(batch + affected) per epoch, exact (incremental == full recompute is
+# oracle-proven on the batch twin), and replay-safe twice over with NO
+# epoch sidecar: already-labeled doc_ids are dropped by the state's own
+# anti-join, and a half-applied epoch writes only generation-scoped files
+# that stay invisible until the manifest commit — an at-least-once
+# foreachBatch retry simply overwrites them.
+
+
+def apply_labels_epoch(state_root: str, batch: DataFrame, epoch_id: int) -> None:
+    """One idempotent epoch of labels-state maintenance. Module-level so
+    replay and crash-window semantics are unit-testable."""
+    from ..operators.dedup import maintain_dedup_state
+
+    if batch.isEmpty():
+        return
+    maintain_dedup_state(
+        batch.sparkSession, batch.select("doc_id", "text"), state_root
+    )
+
+
+def maintain_labels_stream(
+    stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously maintain cluster_id / group_fp for an append-only
+    document stream (columns ``doc_id, text``) against the labels state
+    at ``state_root`` (created by ``build_dedup_state``). The state is
+    the queryable per-document dedup-metadata table itself — nothing
+    lives in the Spark state store, so restarts resume from the manifest
+    and the table is shared with every batch consumer."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch_id: apply_labels_epoch(
+                state_root, batch, epoch_id
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

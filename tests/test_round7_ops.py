@@ -217,3 +217,96 @@ def test_unchanged_corpus_serves_without_rebuild(spark, tmp_path, monkeypatch):
     m1 = os.path.getmtime(manifest)
     ensure_dedup_table(spark, stage)
     assert os.path.getmtime(manifest) == m1, "state was rewritten on re-read"
+
+
+# ------------------------------------------------------- streaming twin ----
+
+
+def test_labels_stream_matches_batch_recompute(spark, tmp_path):
+    """maintain_labels_stream over a 2-epoch appended-document feed ends
+    at exactly the labels a full from-scratch build over the whole corpus
+    produces — the streaming face of dedup_labels_maintain, multi-
+    generation reads included."""
+    import pandas as pd
+
+    from conduit_connector_s3_iceberg_spark.streaming.dedup_stream import (
+        maintain_labels_stream,
+    )
+
+    inc_root = str(tmp_path / "state_inc")
+    build_dedup_state(spark, _mk_docs(spark, _base_rows()), inc_root)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = _mk_docs(spark, _delta_rows()).schema
+    chunks = [_delta_rows()[:1], _delta_rows()[1:]]
+    for i, rows in enumerate(chunks):
+        p = feed / f"chunk{i}.parquet"
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            p, index=False
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = maintain_labels_stream(
+        stream, inc_root, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    expected = _labels_set(
+        build_dedup_state(
+            spark,
+            _mk_docs(spark, _base_rows() + _delta_rows()),
+            str(tmp_path / "state_full"),
+        )
+    )
+    # serve through the ordinary read path (manifest generation)
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        _labels_dir,
+        _state_manifest,
+    )
+
+    man = _state_manifest(inc_root)
+    got = _labels_set(spark.read.parquet(_labels_dir(inc_root, man["gen"])))
+    assert got == expected
+    assert man["gen"] == 2  # one generation per epoch
+
+
+def test_half_applied_epoch_is_invisible_and_retry_safe(spark, tmp_path):
+    """Crash-window simulation: a maintenance that wrote its generation
+    files but died before the manifest replace leaves the state at the
+    old generation; the at-least-once retry overwrites the orphans and
+    commits — same final labels as a clean single apply."""
+    import json
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        _labels_dir,
+        _state_manifest,
+    )
+
+    inc_root = str(tmp_path / "state_inc")
+    build_dedup_state(spark, _mk_docs(spark, _base_rows()), inc_root)
+    man_before = _state_manifest(inc_root)
+
+    delta = _mk_docs(spark, _delta_rows())
+    maintain_dedup_state(spark, delta, inc_root)
+    clean = _labels_set(
+        spark.read.parquet(_labels_dir(inc_root, _state_manifest(inc_root)["gen"]))
+    )
+
+    # roll the manifest back: generation-1 files exist on disk, but the
+    # state must read as generation 0 (the crash-before-commit window)
+    with open(os.path.join(inc_root, "manifest.json"), "w") as fh:
+        json.dump(man_before, fh)
+    rolled = _labels_set(maintain_dedup_state(spark, _mk_docs(spark, []), inc_root))
+    assert rolled == _labels_set(
+        spark.read.parquet(_labels_dir(inc_root, 0))
+    ), "uncommitted generation leaked into reads"
+
+    # retry the epoch: overwrites the orphaned generation files, commits
+    retried = _labels_set(maintain_dedup_state(spark, delta, inc_root))
+    assert retried == clean
