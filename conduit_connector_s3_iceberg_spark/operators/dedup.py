@@ -2792,10 +2792,18 @@ def cdc_chunk_text_frame(docs: DataFrame) -> DataFrame:
 # The QA question every LSH deployment must answer: how many TRUE near-dup
 # pairs does the candidate stage miss? Ground truth is the exact-Jaccard
 # pair set over the UNCAPPED shingle index at the verify threshold —
-# affordable as a sampled audit (this is a QA query you run on a slice,
-# not a production stage; the production path stays candidates-only).
+# affordable only as a sampled audit (this is a QA query you run on a
+# slice, not a production stage; the production path stays candidates-
+# only). The slice is DETERMINISTIC — doc_id % AUDIT_MOD == 0, applied
+# identically in the Spark build and the DuckDB oracle — so the audit
+# verifies at every SF: the uncapped ground-truth pair join costs
+# 1/AUDIT_MOD² of the full corpus's, which is what makes the sf0.1 sweep
+# (and a 100-TB audit) affordable. Recall/precision estimates from a
+# uniform slice are unbiased for the corpus-wide rates.
 # Expected recall for a true pair at Jaccard j is 1-(1-j)^B adjusted for
 # the >=MIN_SHARED_BANDS rule; the audit measures the realized rate.
+
+AUDIT_MOD = 3  # audit slice = doc_id % AUDIT_MOD == 0 (~1/3 of the corpus)
 
 
 @query(
@@ -2804,6 +2812,7 @@ def cdc_chunk_text_frame(docs: DataFrame) -> DataFrame:
     WITH sh AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
       FROM documents
+      WHERE doc_id % {AUDIT_MOD} = 0
     ), sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
     ), common AS (
@@ -2853,12 +2862,16 @@ def cdc_chunk_text_frame(docs: DataFrame) -> DataFrame:
         f"the verify threshold ({VERIFY_THRESHOLD}) vs the banded "
         f"candidate set (>= {MIN_SHARED_BANDS} shared bands) — realized "
         "recall and precision of the stage that decides what the verifier "
-        "ever sees. A sampled-slice QA query (ground truth needs the "
-        "uncapped pair join); the production path remains candidates-only. "
-        "Integer pair counts; two final IEEE divisions.",
+        "ever sees. Runs on the deterministic doc_id % "
+        f"{AUDIT_MOD} == 0 slice in BOTH engines (the uncapped ground-"
+        "truth pair join is 1/AUDIT_MOD² of the full corpus's — the cap "
+        "that lets the full registry verify at sf0.1 and the audit run "
+        "at 100 TB); slice estimates are unbiased for the corpus rates. "
+        "The production path remains candidates-only. Integer pair "
+        "counts; two final IEEE divisions.",
 )
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % AUDIT_MOD == 0)
     sh = _distinct_shingles(docs).localCheckpoint(
         eager=False
     )  # consumed 4x: sizes, both pair legs, signatures
