@@ -84,6 +84,17 @@ BENCH_EXT2 = [
     "q78_interval_overlap_join",
 ]
 
+# Round-7 additions, reported under "ext3" — EXT/EXT2 are frozen trend
+# lists, so new operators start their own. dedup_labels_maintain serves
+# through the append-maintenance path (staging is idempotent: after the
+# first build the steady-state number is the manifest-check + serve, the
+# shape consumers actually pay); the recall audit moved to its
+# deterministic 1/3 slice in r7, so its trend restarts here too.
+BENCH_EXT3 = [
+    "dedup_labels_maintain",
+    "dedup_lsh_recall_audit",
+]
+
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +
 # whole-stage codegen compile (worst on the dedup self-joins), and JIT can
 # still taint the second — three runs reliably capture steady state.
@@ -116,6 +127,7 @@ def main() -> None:
     times = run_list(HEADLINE)
     ext = run_list(BENCH_EXT)
     ext2 = run_list(BENCH_EXT2)
+    ext3 = run_list(BENCH_EXT3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -129,6 +141,8 @@ def main() -> None:
                 "ext_total": round(sum(ext.values()), 3),
                 "ext2": ext2,
                 "ext2_total": round(sum(ext2.values()), 3),
+                "ext3": ext3,
+                "ext3_total": round(sum(ext3.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

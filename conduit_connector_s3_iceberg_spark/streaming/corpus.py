@@ -99,10 +99,14 @@ def apply_mixture_epoch(wh, prefix: str, batch: DataFrame, epoch_id: int) -> Non
     into the ``{prefix}_before`` summary; first-seen-fingerprint rows are
     admitted against the ``{prefix}_keep`` index and merge into
     ``{prefix}_after``. Both summaries are (source, n_rows, sum_n_tokens)."""
-    from pyspark.sql import Window
-
     from ..writer import epoch_already_applied, mark_epoch_applied
-    from .ivm import SIGN_COL, apply_summary_delta
+    from .ivm import (
+        SIGN_COL,
+        append_index,
+        apply_summary_delta,
+        keep_first,
+        probe_novel,
+    )
 
     epoch_table = f"{prefix}__applied_epoch"
     if batch.isEmpty():
@@ -124,25 +128,10 @@ def apply_mixture_epoch(wh, prefix: str, batch: DataFrame, epoch_id: int) -> Non
         ["source"],
         ["n_tokens"],
     )
-    w = Window.partitionBy("content_fp").orderBy("doc_id")
-    firsts = (
-        tok.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
     keep_table = f"{prefix}_keep"
-    if wh.table_exists(keep_table):
-        batch_fps = firsts.select("content_fp").distinct()
-        matched = (
-            wh.read(keep_table)
-            .join(F.broadcast(batch_fps), "content_fp")
-            .select("content_fp")
-            .distinct()
-        )
-        novel = firsts.join(F.broadcast(matched), "content_fp", "left_anti")
-    else:
-        novel = firsts
-    novel = novel.localCheckpoint()  # consumed twice (summary + index)
+    novel = probe_novel(
+        wh, keep_table, keep_first(tok, "content_fp"), "content_fp"
+    ).localCheckpoint()  # consumed twice (summary + index)
     apply_summary_delta(
         wh,
         f"{prefix}_after",
@@ -150,10 +139,7 @@ def apply_mixture_epoch(wh, prefix: str, batch: DataFrame, epoch_id: int) -> Non
         ["source"],
         ["n_tokens"],
     )
-    fps = novel.select("content_fp")
-    if not wh.table_exists(keep_table):
-        wh.create_table(keep_table, fps.schema)
-    wh.append(keep_table, fps)
+    append_index(wh, keep_table, novel.select("content_fp"))
     mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
 

@@ -27,7 +27,7 @@ separate commits here, one transaction on Iceberg.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -45,6 +45,7 @@ def apply_dedup_epoch(
     index, append survivors + their fingerprints, advance the epoch
     watermark. Module-level so replay semantics are unit-testable."""
     from ..writer import epoch_already_applied, mark_epoch_applied
+    from .ivm import append_index, keep_first, probe_novel
 
     epoch_table = f"{fp_table}__applied_epoch"
     if batch.isEmpty():
@@ -53,33 +54,12 @@ def apply_dedup_epoch(
         return  # re-delivered epoch — already admitted
 
     fp = batch.withColumn("content_fp", _fingerprint())
-    # in-batch keep-first (deterministic: lowest doc_id wins)
-    w = Window.partitionBy("content_fp").orderBy("doc_id")
-    firsts = (
-        fp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    if wh.table_exists(fp_table):
-        batch_fps = firsts.select("content_fp").distinct()
-        matched = (
-            wh.read(fp_table)
-            .join(F.broadcast(batch_fps), "content_fp")
-            .select("content_fp")
-            .distinct()
-        )
-        novel = firsts.join(F.broadcast(matched), "content_fp", "left_anti")
-    else:
-        novel = firsts
+    firsts = keep_first(fp, "content_fp")
+    novel = probe_novel(wh, fp_table, firsts, "content_fp")
     spark = batch.sparkSession
     novel = novel.localCheckpoint()  # consumed twice (docs + fps)
-    if not wh.table_exists(out_table):
-        wh.create_table(out_table, novel.schema)
-    wh.append(out_table, novel)
-    fps = novel.select("content_fp")
-    if not wh.table_exists(fp_table):
-        wh.create_table(fp_table, fps.schema)
-    wh.append(fp_table, fps)
+    append_index(wh, out_table, novel)
+    append_index(wh, fp_table, novel.select("content_fp"))
     mark_epoch_applied(wh, epoch_table, spark, epoch_id)
 
 
@@ -133,7 +113,13 @@ def apply_family_savings_epoch(
     ``{prefix}_sk`` with their token counts."""
     from ..operators.dedup import _SIMHASH_FP, _simhash_vote_sql
     from ..writer import epoch_already_applied, mark_epoch_applied
-    from .ivm import SIGN_COL, apply_summary_delta
+    from .ivm import (
+        SIGN_COL,
+        append_index,
+        apply_summary_delta,
+        keep_first,
+        probe_novel,
+    )
 
     epoch_table = f"{prefix}__applied_epoch"
     if batch.isEmpty():
@@ -176,26 +162,10 @@ def apply_family_savings_epoch(
             [fp_col],
             ["n_tokens"],
         )
-        w = Window.partitionBy(fp_col).orderBy("doc_id")
-        firsts = (
-            j.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(fp_col, F.col("n_tokens").alias("tok_kept"))
+        firsts = keep_first(j, fp_col).select(
+            fp_col, F.col("n_tokens").alias("tok_kept")
         )
-        if wh.table_exists(keeper):
-            batch_fps = firsts.select(fp_col).distinct()
-            matched = (
-                wh.read(keeper)
-                .join(F.broadcast(batch_fps), fp_col)
-                .select(fp_col)
-                .distinct()
-            )
-            novel = firsts.join(F.broadcast(matched), fp_col, "left_anti")
-        else:
-            novel = firsts
-        if not wh.table_exists(keeper):
-            wh.create_table(keeper, novel.schema)
-        wh.append(keeper, novel)
+        append_index(wh, keeper, probe_novel(wh, keeper, firsts, fp_col))
     mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
 

@@ -166,3 +166,50 @@ def maintain_summary_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------ shared admission probes --
+#
+# The first-seen/probe/append idiom used by every standing-index
+# maintainer (dedup admission, mixture-shift keepers, family-savings
+# keepers — r6 advice: one home for the join discipline, not four
+# copies). The discipline: the STANDING index is big and is never
+# shuffled or broadcast — the batch's key set broadcasts INTO an inner
+# probe join, and the matched set (smaller still) broadcasts BACK into an
+# anti filter. Cost per epoch is O(batch), not O(index).
+
+
+def keep_first(rows: DataFrame, key) -> DataFrame:
+    """In-batch keep-first: one row per ``key``, deterministic keeper =
+    lowest doc_id (matching the batch queries' keep=min rule)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def probe_novel(wh, index_table: str, rows: DataFrame, key) -> DataFrame:
+    """Rows whose ``key`` is NOT already in the standing ``index_table``
+    (all rows when the table does not exist yet)."""
+    if not wh.table_exists(index_table):
+        return rows
+    keys = rows.select(key).distinct()
+    matched = (
+        wh.read(index_table)
+        .join(F.broadcast(keys), key)
+        .select(key)
+        .distinct()
+    )
+    return rows.join(F.broadcast(matched), key, "left_anti")
+
+
+def append_index(wh, index_table: str, rows: DataFrame) -> None:
+    """Create-if-absent + append: register the admitted rows in the
+    standing index."""
+    if not wh.table_exists(index_table):
+        wh.create_table(index_table, rows.schema)
+    wh.append(index_table, rows)
