@@ -2428,13 +2428,11 @@ SOFTW_SCALE = 1_000_000
     "quantized once to scaled BIGINT for the samplers.",
 )
 def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    labels = min_label_components(
-        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    )
-    full = docs.join(labels, docs.doc_id == labels.node, "left").select(
-        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
-    )
+    # consumer of the persisted maintenance table (see dedup_labels_table):
+    # the labeling front end (jaccard pairs + components) is served from
+    # the persisted cluster_id column; the oracle stays the full
+    # recursive-closure recompute, so the table is re-verified here
+    full = ensure_dedup_table(spark, sf_dir).select("doc_id", "cluster_id")
     sizes = full.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
