@@ -889,19 +889,20 @@ def _dfreq_gen_dir(root: str, gen: int) -> str:
     return os.path.join(root, "dfreq", f"gen_{gen}")
 
 
-def _index_paths(root: str, gen: int) -> list:
+def _index_paths(root: str, gen: int, base: int = 0) -> list:
     """The standing index/df-log are APPENDED per maintenance as whole
     generation directories, and a generation exists only once the
-    manifest names it: readers list gens 0..manifest.gen explicitly, so
-    files written by a crashed half-applied maintenance are invisible
-    until its manifest commit — the retry simply overwrites them. (The
-    parquet-analogue of Iceberg's manifest-list commit; a production
-    compaction job would merge old generations.)"""
-    return [_index_gen_dir(root, g) for g in range(gen + 1)]
+    manifest names it: readers list gens base_gen..manifest.gen
+    explicitly, so files written by a crashed half-applied maintenance
+    are invisible until its manifest commit — the retry simply
+    overwrites them. (The parquet-analogue of Iceberg's manifest-list
+    commit; ``compact_dedup_state`` is the job that merges generations
+    and advances base_gen.)"""
+    return [_index_gen_dir(root, g) for g in range(base, gen + 1)]
 
 
-def _dfreq_paths(root: str, gen: int) -> list:
-    return [_dfreq_gen_dir(root, g) for g in range(gen + 1)]
+def _dfreq_paths(root: str, gen: int, base: int = 0) -> list:
+    return [_dfreq_gen_dir(root, g) for g in range(base, gen + 1)]
 
 
 def build_dedup_state(
@@ -945,7 +946,9 @@ def build_dedup_state(
         .join(_simhash_fps(docs), "doc_id")
     )
     full.write.mode("overwrite").parquet(_labels_dir(root, 0))
-    _write_state_manifest(root, {"gen": 0, "files": files or {}})
+    _write_state_manifest(
+        root, {"gen": 0, "base_gen": 0, "files": files or {}}
+    )
     return spark.read.parquet(_labels_dir(root, 0))
 
 
@@ -987,6 +990,7 @@ def maintain_dedup_state(
     if man is None:
         raise ValueError(f"no labels state at {root}; run build_dedup_state")
     gen = man["gen"]
+    base_gen = man.get("base_gen", 0)
     labels_old = spark.read.parquet(_labels_dir(root, gen))
     pairs_old = spark.read.parquet(_pairs_dir(root, gen))
 
@@ -999,7 +1003,9 @@ def maintain_dedup_state(
     )
     if delta.isEmpty():
         if files is not None and files != man.get("files"):
-            _write_state_manifest(root, {"gen": gen, "files": files})
+            _write_state_manifest(
+                root, {"gen": gen, "base_gen": base_gen, "files": files}
+            )
         return labels_old
     delta_ids = delta.select("doc_id").localCheckpoint()
 
@@ -1018,7 +1024,7 @@ def maintain_dedup_state(
     # Every base doc containing one has a changed kept-shingle set, so its
     # edges must be recomputed (it can LOSE pairs — clusters can split).
     df_before = (
-        spark.read.parquet(*_dfreq_paths(root, gen))
+        spark.read.parquet(*_dfreq_paths(root, gen, base_gen))
         .groupBy("shingle_h")
         .agg(F.sum("df_inc").alias("df"))
     )
@@ -1032,7 +1038,7 @@ def maintain_dedup_state(
         .localCheckpoint()
     )
     affected = (
-        spark.read.parquet(*_index_paths(root, gen))
+        spark.read.parquet(*_index_paths(root, gen, base_gen))
         .join(F.broadcast(crossing), "shingle_h")
         .select("doc_id")
         .distinct()
@@ -1045,9 +1051,9 @@ def maintain_dedup_state(
     d_sh.write.mode("overwrite").parquet(_index_gen_dir(root, gen + 1))
     d_df.write.mode("overwrite").parquet(_dfreq_gen_dir(root, gen + 1))
 
-    index_all = spark.read.parquet(*_index_paths(root, gen + 1))
+    index_all = spark.read.parquet(*_index_paths(root, gen + 1, base_gen))
     over_cap = (
-        spark.read.parquet(*_dfreq_paths(root, gen + 1))
+        spark.read.parquet(*_dfreq_paths(root, gen + 1, base_gen))
         .groupBy("shingle_h")
         .agg(F.sum("df_inc").alias("df"))
         .filter(F.col("df") > MAX_SHINGLE_DF)
@@ -1195,9 +1201,58 @@ def maintain_dedup_state(
     labels_new = keep_labels.union(sub_full)
     labels_new.write.mode("overwrite").parquet(_labels_dir(root, gen + 1))
     _write_state_manifest(
-        root, {"gen": gen + 1, "files": files if files is not None else man.get("files", {})}
+        root,
+        {
+            "gen": gen + 1,
+            "base_gen": base_gen,
+            "files": files if files is not None else man.get("files", {}),
+        },
     )
     return spark.read.parquet(_labels_dir(root, gen + 1))
+
+
+def compact_dedup_state(spark: SparkSession, root: str) -> None:
+    """Merge the labels state's index/df-log generations into a single
+    base generation — the scheduled compaction job the append path
+    amortizes against (every maintenance adds one generation directory;
+    readers union them, so periodic compaction keeps the union width
+    O(1), exactly like Iceberg's rewrite_manifests/rewrite_data_files).
+
+    Commit protocol mirrors maintenance: the merged files are staged as
+    generation ``gen+1`` (df-log pre-aggregated to one row per shingle —
+    the sum is associative, so the merged log is equivalent by
+    construction), labels/pairs are carried over byte-identically, and
+    the manifest replace is the single commit point with
+    ``base_gen = gen+1`` recorded so readers union only the compacted
+    generation onward. A crash mid-compaction leaves the state serving
+    the old generations; the retry overwrites the staged files."""
+    man = _state_manifest(root)
+    if man is None:
+        raise ValueError(f"no labels state at {root}; run build_dedup_state")
+    gen = man["gen"]
+    base = man.get("base_gen", 0)
+    if base == gen:
+        return  # single live generation — nothing to merge
+    idx_paths = [_index_gen_dir(root, g) for g in range(base, gen + 1)]
+    df_paths = [_dfreq_gen_dir(root, g) for g in range(base, gen + 1)]
+    spark.read.parquet(*idx_paths).write.mode("overwrite").parquet(
+        _index_gen_dir(root, gen + 1)
+    )
+    spark.read.parquet(*df_paths).groupBy("shingle_h").agg(
+        F.sum("df_inc").alias("df_inc")
+    ).write.mode("overwrite").parquet(_dfreq_gen_dir(root, gen + 1))
+    # labels/pairs are already single-generation; carry them over so every
+    # artifact of generation gen+1 is self-contained
+    spark.read.parquet(_labels_dir(root, gen)).write.mode(
+        "overwrite"
+    ).parquet(_labels_dir(root, gen + 1))
+    spark.read.parquet(_pairs_dir(root, gen)).write.mode("overwrite").parquet(
+        _pairs_dir(root, gen + 1)
+    )
+    _write_state_manifest(
+        root,
+        {"gen": gen + 1, "base_gen": gen + 1, "files": man.get("files", {})},
+    )
 
 
 def ensure_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -310,3 +310,55 @@ def test_half_applied_epoch_is_invisible_and_retry_safe(spark, tmp_path):
     # retry the epoch: overwrites the orphaned generation files, commits
     retried = _labels_set(maintain_dedup_state(spark, delta, inc_root))
     assert retried == clean
+
+
+# --------------------------------------------------------- compaction ------
+
+
+def test_compaction_preserves_state_and_future_maintenance(spark, tmp_path):
+    """compact_dedup_state merges the per-epoch index/df-log generations
+    into one base generation without changing labels, and maintenance
+    AFTER compaction still equals the full recompute (the merged df-log
+    must preserve exact document frequencies — cap-crossing detection
+    depends on them)."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        _labels_dir,
+        _state_manifest,
+        compact_dedup_state,
+    )
+
+    inc_root = str(tmp_path / "state_inc")
+    build_dedup_state(spark, _mk_docs(spark, _base_rows()), inc_root)
+    # epoch 1: the unique delta doc only (no crossing yet)
+    maintain_dedup_state(spark, _mk_docs(spark, _delta_rows()[2:]), inc_root)
+    before = _labels_set(
+        spark.read.parquet(
+            _labels_dir(inc_root, _state_manifest(inc_root)["gen"])
+        )
+    )
+
+    compact_dedup_state(spark, inc_root)
+    man = _state_manifest(inc_root)
+    assert man["base_gen"] == man["gen"] == 2
+    after = _labels_set(spark.read.parquet(_labels_dir(inc_root, man["gen"])))
+    assert after == before, "compaction changed labels"
+    # idempotent no-op when single-generation
+    compact_dedup_state(spark, inc_root)
+    assert _state_manifest(inc_root)["gen"] == 2
+
+    # epoch 2 (post-compaction): the cap-crossing + merge docs — the df
+    # counts must have survived the merge exactly for the split to happen
+    maintain_dedup_state(spark, _mk_docs(spark, _delta_rows()[:2]), inc_root)
+    final = _labels_set(
+        spark.read.parquet(
+            _labels_dir(inc_root, _state_manifest(inc_root)["gen"])
+        )
+    )
+    expected = _labels_set(
+        build_dedup_state(
+            spark,
+            _mk_docs(spark, _base_rows() + _delta_rows()),
+            str(tmp_path / "state_full"),
+        )
+    )
+    assert final == expected
