@@ -1407,6 +1407,80 @@ def dedup_labels_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pairs_cte_prefixed(prefix: str, where: str = "") -> str:
+    """The near-dup pair CTE chain with prefixed names and an optional
+    corpus filter — lets one oracle hold the BASE and FULL pair sets
+    side by side (each with its own df cap, matching build semantics)."""
+    return f"""
+    {prefix}sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents {where}
+    ), {prefix}kept AS (
+      SELECT shingle FROM {prefix}sh
+      GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), {prefix}idx AS (
+      SELECT doc_id, s.shingle FROM {prefix}sh s
+      JOIN {prefix}kept USING (shingle)
+    ), {prefix}sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM {prefix}idx GROUP BY doc_id
+    ), {prefix}rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM {prefix}idx a JOIN {prefix}idx b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), {prefix}pairs AS (
+      SELECT doc_a, doc_b
+      FROM {prefix}rawpairs p
+      JOIN {prefix}sizes sa ON p.doc_a = sa.doc_id
+      JOIN {prefix}sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+            >= {JACCARD_THRESHOLD}
+    )
+    """
+
+
+@query(
+    "dedup_pairs_delta",
+    oracle=f"""
+    WITH {_pairs_cte_prefixed("b", f"WHERE doc_id % {DELTA_MOD} != {DELTA_REM}")},
+    {_pairs_cte_prefixed("f")}
+    SELECT 'added' AS op, doc_a, doc_b FROM (
+      SELECT doc_a, doc_b FROM fpairs
+      EXCEPT SELECT doc_a, doc_b FROM bpairs
+    )
+    UNION ALL
+    SELECT 'removed' AS op, doc_a, doc_b FROM (
+      SELECT doc_a, doc_b FROM bpairs
+      EXCEPT SELECT doc_a, doc_b FROM fpairs
+    )
+    """,
+    doc="Signed near-dup edge delta of the last corpus append — which "
+        "duplicate links the delta CREATED (delta↔base and delta↔delta "
+        "pairs, plus base pairs whose kept-shingle sets changed) and "
+        "which it DISSOLVED (cap-crossing shingles dropping out of base "
+        "documents' kept sets). Served as a diff of the PERSISTED pairs "
+        "generations (pairs_g0 = base build, pairs_gN = after append) — "
+        "zero recompute; the oracle recomputes both pair sets from "
+        "scratch with per-corpus df caps, so the stored generations are "
+        "re-verified on every sweep. The audit a production pipeline "
+        "runs after each ingest wave: 'what did today's crawl duplicate?'",
+)
+def dedup_pairs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dedup_labels_maintain(spark, sf_dir)  # ensure the staged state is built
+    root = dedup_table_path(_maint_demo_stage(sf_dir))
+    man = _state_manifest(root)
+    base_pairs = spark.read.parquet(_pairs_dir(root, 0))
+    cur_pairs = spark.read.parquet(_pairs_dir(root, man["gen"]))
+    return (
+        cur_pairs.exceptAll(base_pairs)
+        .select(F.lit("added").alias("op"), "doc_a", "doc_b")
+        .unionAll(
+            base_pairs.exceptAll(cur_pairs)
+            .select(F.lit("removed").alias("op"), "doc_a", "doc_b")
+        )
+    )
+
+
 # --------------------------------------------------- cluster representatives
 #
 # The step an actual dedup pipeline runs AFTER clustering: keep exactly one
