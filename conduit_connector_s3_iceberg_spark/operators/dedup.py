@@ -1481,6 +1481,78 @@ def dedup_pairs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLOSURE_LABELS_SQL = """
+    {p}edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM {p}pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM {p}pairs
+    ),
+    {p}reach(root, node) AS (
+      SELECT doc_id, doc_id FROM documents {where}
+      UNION
+      SELECT r.root, e.dst FROM {p}reach r JOIN {p}edges e ON r.node = e.src
+    ),
+    {p}labels AS (
+      SELECT root AS doc_id, MIN(node) AS cluster_id
+      FROM {p}reach GROUP BY root
+    )
+"""
+
+
+@query(
+    "dedup_labels_delta_audit",
+    oracle=f"""
+    WITH RECURSIVE {_pairs_cte_prefixed("b", f"WHERE doc_id % {DELTA_MOD} != {DELTA_REM}")},
+    {_CLOSURE_LABELS_SQL.format(p="b", where=f"WHERE doc_id % {DELTA_MOD} != {DELTA_REM}")},
+    {_pairs_cte_prefixed("f")},
+    {_CLOSURE_LABELS_SQL.format(p="f", where="")}
+    SELECT f.doc_id,
+           CASE WHEN b.doc_id IS NULL THEN 'added' ELSE 'relabeled' END AS op,
+           b.cluster_id AS old_cluster,
+           f.cluster_id AS new_cluster
+    FROM flabels f LEFT JOIN blabels b ON f.doc_id = b.doc_id
+    WHERE b.doc_id IS NULL OR b.cluster_id <> f.cluster_id
+    """,
+    doc="Doc-level label-change audit of the last corpus append: which "
+        "documents arrived ('added') and which EXISTING documents changed "
+        "duplicate-cluster membership ('relabeled' — merges pull a "
+        "cluster under a lower min-id root; cap-crossing splits strand "
+        "members as singletons). Served as a diff of the persisted "
+        "labels generations (labels_g0 vs labels_gN), zero recompute; "
+        "the oracle recomputes BOTH label sets from scratch (recursive "
+        "closure over base- and full-corpus pair graphs). With "
+        "dedup_pairs_delta this is the post-ingest change-data-capture "
+        "surface OF the dedup state itself — downstream consumers "
+        "(retraining samplers, leak-safe splits) re-read only the listed "
+        "doc_ids instead of the whole table.",
+)
+def dedup_labels_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dedup_labels_maintain(spark, sf_dir)  # ensure the staged state is built
+    root = dedup_table_path(_maint_demo_stage(sf_dir))
+    man = _state_manifest(root)
+    base = spark.read.parquet(_labels_dir(root, 0)).select(
+        "doc_id", F.col("cluster_id").alias("old_cluster")
+    )
+    cur = spark.read.parquet(_labels_dir(root, man["gen"])).select(
+        "doc_id", F.col("cluster_id").alias("new_cluster")
+    )
+    return (
+        cur.join(base, "doc_id", "left")
+        .filter(
+            F.col("old_cluster").isNull()
+            | (F.col("old_cluster") != F.col("new_cluster"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("old_cluster").isNull(), "added")
+            .otherwise("relabeled")
+            .alias("op"),
+            "old_cluster",
+            "new_cluster",
+        )
+    )
+
+
 # --------------------------------------------------- cluster representatives
 #
 # The step an actual dedup pipeline runs AFTER clustering: keep exactly one
