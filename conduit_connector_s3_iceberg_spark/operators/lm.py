@@ -510,3 +510,132 @@ def lm_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("cond_entropy_bits"),
     )
+
+
+# ------------------------------------------------ CCNet perplexity gate ----
+#
+# Wenzek et al. 2020 (CCNet): split each LANGUAGE's documents into
+# head / middle / tail thirds by LM perplexity and keep the head (or
+# head+middle) for training. The corpus-trained mean-bigram-probability
+# score above is the module's perplexity stand-in (high score = low
+# perplexity), so head = highest-score third PER LANGUAGE.
+#
+# The scalable cut: CCNet's percentile thresholds are NOT computed with
+# ntile over the corpus (a per-language global sort — the anti-pattern at
+# 100 TB). Scores are first bucketed into fixed per-mille bands in the
+# same hash agg that built them (lm_score_buckets' move); the cumulative
+# window that places the 1/3 and 2/3 cuts then runs over the
+# language × ≤1001-row BAND table, and band classes broadcast back onto
+# the corpus. Cuts land on band boundaries — the band straddling a cut
+# goes whole to the earlier class — which is the documented granularity
+# trade for never sorting the corpus. All cut arithmetic is BIGINT
+# (3·cum_start vs n_docs), bit-stable cross-engine.
+
+@query(
+    "lm_perplexity_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(g)
+    ), bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ), pfc AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bgc GROUP BY w1
+    ), model AS (
+      SELECT w1, w2,
+             CAST(round({LM_SCALE} * c2 / c1) AS BIGINT) AS p_scaled
+      FROM bgc JOIN pfc USING (w1)
+    ), docbg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, w1, w2
+    ), scores AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             CAST(SUM(cnt * p_scaled) AS BIGINT) AS fluency_scaled
+      FROM docbg JOIN model USING (w1, w2)
+      GROUP BY doc_id
+    ), scored AS (
+      SELECT s.doc_id, d.lang,
+             CAST((1000 * s.fluency_scaled) // (s.n_bigrams * {LM_SCALE})
+                  AS BIGINT) AS bucket
+      FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+    ), bands AS (
+      SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY lang, bucket
+    ), cum AS (
+      SELECT lang, bucket, n_docs,
+             COALESCE(CAST(SUM(n_docs) OVER (
+               PARTITION BY lang ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cum_start,
+             CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      FROM bands
+    ), classed AS (
+      SELECT lang, bucket,
+             CASE WHEN 3 * cum_start < n_lang THEN 'head'
+                  WHEN 3 * cum_start < 2 * n_lang THEN 'middle'
+                  ELSE 'tail' END AS ppl_band
+      FROM cum
+    )
+    SELECT s.doc_id, s.lang, s.bucket, c.ppl_band
+    FROM scored s JOIN classed c ON s.lang = c.lang AND s.bucket = c.bucket
+    ORDER BY s.doc_id
+    """,
+    doc="CCNet-style per-language perplexity gate (Wenzek et al. 2020): "
+        "head / middle / tail thirds of each language by the corpus-trained "
+        "mean bigram probability (high score = low perplexity). Thresholds "
+        "come from a cumulative window over the language × per-mille BAND "
+        "table (≤1001 rows/language), never an ntile over the corpus — the "
+        "band straddling a cut goes whole to the earlier class, the "
+        "documented granularity trade that avoids a per-language global "
+        "sort. Band classes broadcast back onto the per-doc scores; all "
+        "cut arithmetic is exact BIGINT.",
+)
+def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scores = lm_bigram_score(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "fluency_scaled"
+    )
+    scored = scores.join(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr(f"(1000 * fluency_scaled) div (n_bigrams * {LM_SCALE})")
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    # band table: language × ≤1001 rows — every window below runs on THIS,
+    # not the corpus
+    bands = scored.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w_desc = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lang = Window.partitionBy("lang")
+    cum = bands.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("n_docs").over(w_desc), F.lit(0))
+        .cast("bigint")
+        .alias("cum_start"),
+        F.sum("n_docs").over(w_lang).cast("bigint").alias("n_lang"),
+    )
+    classed = cum.select(
+        "lang",
+        "bucket",
+        F.when(3 * F.col("cum_start") < F.col("n_lang"), "head")
+        .when(3 * F.col("cum_start") < 2 * F.col("n_lang"), "middle")
+        .otherwise("tail")
+        .alias("ppl_band"),
+    )
+    return (
+        scored.join(F.broadcast(classed), ["lang", "bucket"])
+        .select("doc_id", "lang", "bucket", "ppl_band")
+        .orderBy("doc_id")
+    )

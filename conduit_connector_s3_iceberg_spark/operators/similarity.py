@@ -2919,3 +2919,181 @@ def sim_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ------------------------------------------------------------ SemDeDup ----
+#
+# Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication": coarse-quantize the corpus with
+# k-means, then WITHIN each cluster find pairs above a cosine threshold
+# and keep, per duplicate pair, the point FARTHEST from its cluster
+# centroid (the most atypical copy carries the most marginal training
+# signal; the typical copy is redundant with the centroid mass).
+#
+# Deterministic formulation (pairwise-dominance, no sequential greedy):
+# v is REMOVED iff some u in the same cluster has cos(u, v) >= TAU and u
+# is strictly more atypical — dist2(u) > dist2(v), ties broken by
+# u.vec_id < v.vec_id. Both engines compute dist2/cosine with the same
+# fixed-order fold, so the comparison is bit-identical cross-engine.
+#
+# Scale (100 TB): the pair join is CLUSTER-BLOCKED — the paper's own
+# cost model (they run ~sqrt(n) clusters so per-cluster population stays
+# bounded; here K=KMEANS_K at test SF, same plumbing). Assignment is the
+# shuffle-free broadcast-argmin map from emb_kmeans_assign; centroids
+# are one (cluster, dim) hash agg collected into a K×DIM broadcast row;
+# nothing is globally quadratic and no data reaches the driver.
+
+SEMDEDUP_TAU = 0.30
+
+
+@query(
+    "emb_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < {KMEANS_K}),
+    d0 AS (
+      SELECT e.vec_id, c0.cid,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (e.emb[i] - c0.c[i]) * (e.emb[i] - c0.c[i])),
+               (x, y) -> x + y) AS dist2
+      FROM e, c0
+    ),
+    a0 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+        FROM d0
+      ) WHERE rk = 1
+    ),
+    s1 AS (
+      SELECT cluster, i,
+             CAST(SUM(CAST(round(emb[i] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS ssum,
+             COUNT(*) AS n
+      FROM (SELECT a0.cluster, e.emb, unnest(generate_series(1, {DIM})) AS i
+            FROM a0 JOIN e USING (vec_id))
+      GROUP BY cluster, i
+    ),
+    carr AS (
+      SELECT cluster,
+             array_agg(CAST(ssum AS DOUBLE) / n / {CENTROID_SCALE}
+                       ORDER BY i) AS c
+      FROM s1 GROUP BY cluster
+    ),
+    av AS (
+      SELECT a0.vec_id, a0.cluster, e.emb, e.nrm,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (e.emb[i] - carr.c[i]) * (e.emb[i] - carr.c[i])),
+               (x, y) -> x + y) AS dist2
+      FROM a0 JOIN e USING (vec_id) JOIN carr USING (cluster)
+    ),
+    dup_pairs AS (
+      SELECT u.vec_id AS u_id, v.vec_id AS v_id
+      FROM av u JOIN av v
+        ON u.cluster = v.cluster AND u.vec_id <> v.vec_id
+       AND {_sql_dot('u.emb', 'v.emb')} / (u.nrm * v.nrm) >= {SEMDEDUP_TAU}
+       AND (u.dist2 > v.dist2
+            OR (u.dist2 = v.dist2 AND u.vec_id < v.vec_id))
+    ),
+    wit AS (
+      SELECT v_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_witnesses
+      FROM dup_pairs GROUP BY v_id
+    )
+    SELECT av.vec_id, av.cluster,
+           COALESCE(wit.n_witnesses, 0) AS n_witnesses,
+           wit.vec_id IS NULL AS kept
+    FROM av LEFT JOIN wit USING (vec_id)
+    ORDER BY av.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): k-means coarse quantization, then a "
+        "cluster-blocked cosine pair join; of each duplicate pair the copy "
+        "closer to its cluster centroid is removed (the atypical copy is "
+        "kept). Deterministic pairwise-dominance rule — removed iff a "
+        "same-cluster neighbor above TAU is strictly farther from the "
+        "centroid (ties by vec_id) — so no sequential greedy is needed. "
+        "Assignment is the shuffle-free broadcast-argmin map, centroids an "
+        "exact scaled-integer (cluster, dim) hash agg, and the pair join "
+        "never leaves a cluster block (the paper runs ~sqrt(n) clusters to "
+        "bound block size; same plumbing here).",
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    cents0 = emb.filter(F.col("vec_id") < KMEANS_K).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("c"))
+            )
+        ).alias("cents")
+    )
+    a0 = emb.crossJoin(F.broadcast(cents0)).select(
+        "vec_id", "emb", "nrm", F.expr(_KM_ASSIGN).alias("cluster")
+    )
+
+    # exact scaled-integer centroid of each cluster (emb_kmeans_assign's
+    # update step), collected into a K-row broadcast side
+    sums = (
+        a0.select("cluster", F.posexplode("emb").alias("pos", "x"))
+        .select(
+            "cluster",
+            "pos",
+            F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.sum("xs").alias("ssum"), F.count(F.lit(1)).alias("n"))
+    )
+    cents = (
+        sums.select(
+            "cluster",
+            "pos",
+            (F.col("ssum").cast("double") / F.col("n") / CENTROID_SCALE).alias(
+                "c"
+            ),
+        )
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cluster", F.expr("transform(pc, s -> s.c)").alias("c"))
+    )
+    dist2 = F.expr(_km_dist2("emb", "c"))
+    # assigned frame with centroid distance; consumed by BOTH sides of the
+    # pair self-join → materialize the front end once
+    av = (
+        a0.join(F.broadcast(cents), "cluster")
+        .select("vec_id", "cluster", "emb", "nrm", dist2.alias("dist2"))
+        .localCheckpoint(eager=False)
+    )
+
+    u, v = av.alias("u"), av.alias("v")
+    cos = F.expr(_spark_dot("u.emb", "v.emb")) / (F.col("u.nrm") * F.col("v.nrm"))
+    dominates = (F.col("u.dist2") > F.col("v.dist2")) | (
+        (F.col("u.dist2") == F.col("v.dist2"))
+        & (F.col("u.vec_id") < F.col("v.vec_id"))
+    )
+    wit = (
+        u.join(
+            v,
+            (F.col("u.cluster") == F.col("v.cluster"))
+            & (F.col("u.vec_id") != F.col("v.vec_id")),
+        )
+        .filter((cos >= SEMDEDUP_TAU) & dominates)
+        .groupBy(F.col("v.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_witnesses"))
+    )
+    return (
+        av.join(wit, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("n_witnesses"), F.lit(0).cast("bigint")).alias(
+                "n_witnesses"
+            ),
+            F.col("n_witnesses").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
