@@ -3638,3 +3638,166 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+# ---------------------------------------------- exact-substring spans ----
+#
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better" (ExactSubstr): a span of tokens repeated ANYWHERE in the corpus
+# (another document or elsewhere in the same one) is memorization fuel
+# and gets cut. Their suffix-array formulation is inherently sequential;
+# the distributed equivalent is rolling fixed-width windows — every
+# SUB_K-token window is hashed, windows whose hash occurs more than once
+# corpus-wide are "duplicated positions", and per document the
+# overlapping duplicated windows merge into maximal duplicated SPANS
+# (gaps-and-islands over window starts). SUB_K plays the role of the
+# paper's 50-token minimum match length, scaled to this corpus's short
+# documents.
+#
+# Scale (100 TB): the window explode is token-mass-sized (the same cost
+# class as every n-gram op here); the duplicate test is one hash agg on
+# the window digest (map-side combined, uniform keys) and a semi-join of
+# positions against the >1-count digests; island-merging is a per-doc
+# window function — partition = doc_id, bounded by document length,
+# never corpus-wide. No pair join exists anywhere: frequency, not
+# pairing, decides duplication — this op stays linear where the shingle
+# pair joins above are candidate-bounded quadratic.
+
+SUB_K = 6
+_SUB_TOKS_SPARK = "split(trim(lower(text)), ' ')"
+_SUB_TOKS_SQL = "string_split(trim(lower(text)), ' ')"
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SUB_TOKS_SQL} AS t FROM documents
+    ), win AS (
+      SELECT doc_id, g, g + {SUB_K} - 1 AS e,
+             md5(array_to_string(t[g:g + {SUB_K} - 1], ' ')) AS h
+      FROM toks, UNNEST(range(1, len(t) - {SUB_K} + 2)) AS u(g)
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1
+    ), pos AS (
+      SELECT w.doc_id, w.g, w.e FROM win w JOIN dup USING (h)
+    ), isl AS (
+      SELECT doc_id, g, e,
+             CASE WHEN MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) IS NULL OR g > MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) + 1 THEN 1 ELSE 0 END AS new_span
+      FROM pos
+    ), spans AS (
+      SELECT doc_id,
+             SUM(new_span) OVER (
+               PARTITION BY doc_id ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS span_id, g, e
+      FROM isl
+    ), agg AS (
+      SELECT doc_id, span_id,
+             MAX(e) - MIN(g) + 1 AS span_len
+      FROM spans GROUP BY doc_id, span_id
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+             CAST(MAX(span_len) AS BIGINT) AS longest_span
+      FROM agg GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.longest_span, 0) AS longest_span,
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.t)
+             AS dup_fraction
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Exact-substring duplication spans (Lee et al. 2021 ExactSubstr, "
+        f"rolling-window form): every {SUB_K}-token window is hashed, "
+        "windows whose digest repeats corpus-wide mark duplicated "
+        "positions, and overlapping duplicated windows merge into maximal "
+        "per-doc spans via gaps-and-islands. Frequency (one hash agg + "
+        "semi-join), not pairing, decides duplication — linear at 100 TB "
+        "where shingle pair joins are candidate-bounded quadratic; the "
+        "island window partitions by doc_id, bounded by document length.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SUB_TOKS_SPARK).alias("t")
+    )
+    win_expr = (
+        f"transform(slice(t, 1, greatest(size(t) - {SUB_K} + 1, 0)), "
+        f"(x, i) -> named_struct("
+        f"'g', i + 1, "
+        f"'h', md5(concat_ws(' ', slice(t, i + 1, {SUB_K})))))"
+    )
+    win = toks.select(
+        "doc_id", F.explode(F.expr(win_expr)).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.g").alias("g"),
+        (F.col("w.g") + SUB_K - 1).alias("e"),
+        F.col("w.h").alias("h"),
+    )
+    win = win.localCheckpoint(eager=False)  # feeds the digest agg AND the join
+    dup = win.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    )
+    pos = win.join(dup.select("h"), "h").select("doc_id", "g", "e")
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_e = F.max("e").over(w_prev)
+    isl = pos.withColumn(
+        "new_span",
+        F.when(prev_e.isNull() | (F.col("g") > prev_e + 1), 1).otherwise(0),
+    )
+    spans = isl.withColumn("span_id", F.sum("new_span").over(w_cum))
+    agg = spans.groupBy("doc_id", "span_id").agg(
+        (F.max("e") - F.min("g") + 1).alias("span_len")
+    )
+    per_doc = agg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        F.max("span_len").cast("bigint").alias("longest_span"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias(
+                "dup_tokens"
+            ),
+            F.coalesce("longest_span", F.lit(0).cast("bigint")).alias(
+                "longest_span"
+            ),
+            (
+                F.coalesce("dup_tokens", F.lit(0).cast("bigint")).cast(
+                    "double"
+                )
+                / F.col("n_tokens")
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -125,3 +125,67 @@ def test_perplexity_gate_head_is_highest_fluency(spark):
     for lang, d in by_lang.items():
         if d["head"] and d["tail"]:
             assert min(d["head"]) > max(d["tail"]), lang
+
+
+def test_substring_spans_brute_force_equivalence(spark):
+    """Windows recomputed brute-force in Python: per-doc duplicated
+    positions, merged spans, and fractions must match the operator."""
+    from collections import Counter
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        SUB_K,
+        dedup_substring_spans,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    out = {r.doc_id: r for r in dedup_substring_spans(spark, SF001).collect()}
+    docs = {
+        r.doc_id: r.text.strip().lower().split(" ")
+        for r in load_table(spark, SF001, "documents").collect()
+    }
+    assert set(out) == set(docs)
+
+    wins = Counter()
+    per_doc = {}
+    for did, t in docs.items():
+        ws = [
+            (g, tuple(t[g : g + SUB_K]))
+            for g in range(0, max(len(t) - SUB_K + 1, 0))
+        ]
+        per_doc[did] = ws
+        wins.update(w for _, w in ws)
+
+    for did, t in docs.items():
+        dup_pos = sorted(g for g, w in per_doc[did] if wins[w] > 1)
+        spans = []
+        for g in dup_pos:
+            e = g + SUB_K - 1
+            if spans and g <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((g, e))
+        r = out[did]
+        assert r.n_tokens == len(t)
+        assert r.n_dup_spans == len(spans), did
+        assert r.dup_tokens == sum(e - s + 1 for s, e in spans), did
+        assert r.longest_span == max(
+            (e - s + 1 for s, e in spans), default=0
+        ), did
+        assert abs(r.dup_fraction - r.dup_tokens / r.n_tokens) < 1e-12
+
+
+def test_substring_spans_bounds(spark):
+    """Structural bounds: spans are at least SUB_K tokens, never exceed
+    the document, and dup_tokens >= n_dup_spans * SUB_K."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        SUB_K,
+        dedup_substring_spans,
+    )
+
+    for r in dedup_substring_spans(spark, SF001).collect():
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        if r.n_dup_spans:
+            assert r.longest_span >= SUB_K
+            assert r.dup_tokens >= r.n_dup_spans * SUB_K
+        else:
+            assert r.dup_tokens == 0 and r.longest_span == 0
