@@ -93,6 +93,10 @@ BENCH_EXT2 = [
 BENCH_EXT3 = [
     "dedup_labels_maintain",
     "dedup_lsh_recall_audit",
+    # round 7, second wave
+    "emb_semdedup",
+    "lm_perplexity_gate",
+    "dedup_substring_spans",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

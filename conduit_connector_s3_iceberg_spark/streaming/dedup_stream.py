@@ -276,3 +276,124 @@ def maintain_labels_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------ substring-overlap admission ----
+#
+# The streaming face of ``dedup_substring_spans`` (operators/dedup.py):
+# admission gated not on EXACT content identity but on how much of a
+# document's token mass is already in the admitted corpus — the Lee et
+# al. ExactSubstr criterion applied at ingest time. A document is
+# admitted iff the fraction of its SUB_K-token windows whose digest is
+# already in the STANDING window-digest index stays at or below
+# ``max_overlap``; the admitted document's NOVEL digests then extend the
+# index. Same join discipline as ``apply_dedup_epoch``: the standing
+# index is never shuffled or broadcast — the batch's (small) digest set
+# broadcasts into the probe, the matched set broadcasts back. O(batch
+# token mass) per epoch.
+#
+# Granularity contract: the gate sees the index as of the PREVIOUS
+# epoch — two near-overlapping documents arriving in one micro-batch
+# both pass (exact in-batch duplicates are still caught by the keep-first
+# content-fingerprint pass). That is the deterministic, order-free
+# semantics; per-row sequential admission inside a batch would reimpose
+# the suffix-array serialization this operator exists to avoid.
+
+def apply_substring_gate_epoch(
+    wh,
+    idx_table: str,
+    out_table: str,
+    batch: DataFrame,
+    epoch_id: int,
+    max_overlap: float = 0.5,
+) -> None:
+    """One idempotent epoch of substring-overlap gated admission."""
+    from ..operators.dedup import SUB_K, _SUB_TOKS_SPARK
+    from ..writer import epoch_already_applied, mark_epoch_applied
+    from .ivm import append_index, keep_first
+
+    epoch_table = f"{idx_table}__applied_epoch"
+    if batch.isEmpty():
+        return
+    if epoch_already_applied(wh, epoch_table, epoch_id):
+        return
+
+    spark = batch.sparkSession
+    firsts = keep_first(
+        batch.withColumn("content_fp", _fingerprint()), "content_fp"
+    ).drop("content_fp")
+
+    win_expr = (
+        f"transform(slice(t, 1, greatest(size(t) - {SUB_K} + 1, 0)), "
+        f"(x, i) -> md5(concat_ws(' ', slice(t, i + 1, {SUB_K}))))"
+    )
+    wins = (
+        firsts.select("doc_id", F.expr(_SUB_TOKS_SPARK).alias("t"))
+        .select("doc_id", F.explode(F.expr(win_expr)).alias("h"))
+        .localCheckpoint()  # probe + per-doc counts + index delta
+    )
+
+    if wh.table_exists(idx_table):
+        probe = wins.select("h").distinct()
+        matched = (
+            wh.read(idx_table)
+            .join(F.broadcast(probe), "h")
+            .select("h")
+            .distinct()
+            .localCheckpoint()  # overlap count + novel-digest anti both use it
+        )
+    else:
+        matched = spark.createDataFrame([], "h string").localCheckpoint()
+
+    # rejection, not admission, is the joined condition: a document too
+    # short to yield any window has nothing to overlap and passes freely
+    rejected = (
+        wins.join(F.broadcast(matched.withColumn("hit", F.lit(1))), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > F.lit(float(max_overlap)) * F.col("n_win"))
+        .select("doc_id")
+    )
+    admitted = firsts.join(
+        F.broadcast(rejected), "doc_id", "left_anti"
+    ).localCheckpoint()
+
+    novel_digests = (
+        wins.join(F.broadcast(admitted.select("doc_id")), "doc_id")
+        .select("h")
+        .distinct()
+        .join(F.broadcast(matched), "h", "left_anti")
+    )
+    append_index(wh, out_table, admitted)
+    append_index(wh, idx_table, novel_digests)
+    mark_epoch_applied(wh, epoch_table, spark, epoch_id)
+
+
+def maintain_substring_gate_stream(
+    stream: DataFrame,
+    wh,
+    idx_table: str,
+    out_table: str,
+    checkpoint_dir: str,
+    max_overlap: float = 0.5,
+    available_now: bool = True,
+):
+    """Continuously admit documents whose substring overlap with the
+    already-admitted corpus stays at or below ``max_overlap`` (columns:
+    ``doc_id``, ``text``). State = the window-digest table itself —
+    queryable, restart-surviving, shared with the batch operator."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: apply_substring_gate_epoch(
+                wh, idx_table, out_table, b, e, max_overlap
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

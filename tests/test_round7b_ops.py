@@ -189,3 +189,123 @@ def test_substring_spans_bounds(spark):
             assert r.dup_tokens >= r.n_dup_spans * SUB_K
         else:
             assert r.dup_tokens == 0 and r.longest_span == 0
+
+
+def _gate_reference(epochs, k, max_overlap):
+    """Python reference for epoch-granular substring-gated admission:
+    per epoch, exact in-batch keep-first, then every doc judged against
+    the index AS OF the previous epoch; admitted docs' digests extend it."""
+    index: set = set()
+    admitted = []
+    for batch in epochs:
+        seen_fp = set()
+        survivors = []
+        for did, text in sorted(batch):
+            fp = " ".join(text.strip().lower().split())
+            if fp in seen_fp:
+                continue
+            seen_fp.add(fp)
+            survivors.append((did, text))
+        batch_new: set = set()
+        for did, text in survivors:
+            t = text.strip().lower().split(" ")
+            wins = [
+                tuple(t[g : g + k]) for g in range(max(len(t) - k + 1, 0))
+            ]
+            hits = sum(1 for w in wins if w in index)
+            if not wins or hits <= max_overlap * len(wins):
+                admitted.append(did)
+                batch_new.update(wins)
+        index |= batch_new
+    return sorted(admitted)
+
+
+def test_substring_gate_epochs_match_reference(spark, tmp_path):
+    """Three hand-built epochs through apply_substring_gate_epoch: the
+    admitted set equals the Python epoch-sequential reference — novel
+    variants pass, heavy overlaps are rejected, rejected docs never
+    extend the index, short docs pass freely."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import SUB_K
+    from conduit_connector_s3_iceberg_spark.streaming.dedup_stream import (
+        apply_substring_gate_epoch,
+    )
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    base = "a b c d e f g h"
+    epochs = [
+        [(1, base), (2, base), (3, "p q r s t u v w")],
+        [(4, "a b c d e f x y"), (5, base + " z")],
+        [(6, base + " z"), (7, "m n")],
+    ]
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    for e, rows in enumerate(epochs):
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        apply_substring_gate_epoch(wh, "ssx", "ssout", batch, e)
+
+    got = sorted(r.doc_id for r in wh.read("ssout").collect())
+    want = _gate_reference(epochs, SUB_K, 0.5)
+    assert got == want
+    # the reference must actually exercise both branches
+    assert 4 in got and 7 in got and 5 not in got and 6 not in got
+
+
+def test_substring_gate_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering an applied epoch must not re-admit or re-index."""
+    from conduit_connector_s3_iceberg_spark.streaming.dedup_stream import (
+        apply_substring_gate_epoch,
+    )
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    batch = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    apply_substring_gate_epoch(wh, "ssx", "ssout", batch, 0)
+    n_out = wh.read("ssout").count()
+    n_idx = wh.read("ssx").count()
+    apply_substring_gate_epoch(wh, "ssx", "ssout", batch, 0)
+    assert wh.read("ssout").count() == n_out
+    assert wh.read("ssx").count() == n_idx
+
+
+def test_substring_gate_stream_runs_end_to_end(spark, tmp_path):
+    """The writeStream wrapper admits a clean ordered feed: every unique
+    document of the sf0.001 corpus below the overlap cap is admitted and
+    the digest index is queryable afterwards."""
+    import os
+
+    from conduit_connector_s3_iceberg_spark.streaming.dedup_stream import (
+        maintain_substring_gate_stream,
+    )
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    docs = (
+        spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    n = len(docs)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = feed / f"chunk{i}.parquet"
+        docs.iloc[cuts[i] : cuts[i + 1]].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(feed)).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    maintain_substring_gate_stream(
+        stream, wh, "ssx", "ssout", str(tmp_path / "ckpt")
+    ).awaitTermination(180)
+
+    admitted = wh.read("ssout").count()
+    assert 0 < admitted <= n
+    assert wh.read("ssx").count() > 0
