@@ -92,6 +92,11 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # the bigram explode feeds the model build (bgc → pfc → model) AND the
+    # doc-side counts: materialize it once (the shared-index discipline from
+    # lm_stupid_backoff's train split; a scratch table on a cluster) instead
+    # of re-scanning the corpus per consumer
+    bg = bg.localCheckpoint(eager=False)
 
     bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     pfc = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))

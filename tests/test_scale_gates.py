@@ -126,6 +126,12 @@ SCAN_BUDGETED = [
     # round-5 multi-consumer front ends, locked at their measured counts
     "dedup_lsh_scurve",
     "dedup_cluster_size_histogram",
+    # round 7: window explode materialized once (digest agg + position
+    # join), corpus re-read only for the per-doc token counts
+    "dedup_substring_spans",
+    # round 7: the shared bigram explode is checkpointed in
+    # lm_bigram_score — this consumer was 12 corpus reads before that
+    "lm_perplexity_gate",
 ]
 
 
