@@ -605,12 +605,19 @@ def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = lm_bigram_score(spark, sf_dir).select(
         "doc_id", "n_bigrams", "fluency_scaled"
     )
-    scored = scores.join(docs, "doc_id").select(
-        "doc_id",
-        "lang",
-        F.expr(f"(1000 * fluency_scaled) div (n_bigrams * {LM_SCALE})")
-        .cast("bigint")
-        .alias("bucket"),
+    # scored feeds BOTH the band table and the final class join: materialize
+    # the per-doc buckets once (same shared-front-end discipline as the
+    # bigram explode in lm_bigram_score) so the model build doesn't run twice
+    scored = (
+        scores.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"(1000 * fluency_scaled) div (n_bigrams * {LM_SCALE})")
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
     )
     # band table: language × ≤1001 rows — every window below runs on THIS,
     # not the corpus

@@ -3081,7 +3081,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("u.cluster") == F.col("v.cluster"))
             & (F.col("u.vec_id") != F.col("v.vec_id")),
         )
-        .filter((cos >= SEMDEDUP_TAU) & dominates)
+        .filter(dominates & (cos >= SEMDEDUP_TAU))
         .groupBy(F.col("v.vec_id").alias("vec_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_witnesses"))
     )
