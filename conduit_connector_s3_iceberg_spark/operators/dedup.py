@@ -528,6 +528,86 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Arrival-order semantic novelty gate -----------------------------------
+#
+# The batch twin of ``streaming.maintain_semantic_gate_stream``: a vector
+# is ADMITTED iff no EARLIER arrival (vec_id order = ingest order) in the
+# same coarse block is within COSINE_THRESHOLD — "first of its
+# tau-neighborhood". This is the novelty criterion a streaming ingest gate
+# can actually enforce (prior-SEEN, not prior-ADMITTED: the admitted-only
+# criterion is a sequential greedy epsilon-net whose answer for vector v
+# depends recursively on every earlier admission — not order-free, not
+# epoch-parallel). Deterministic and order-free per row, so the streaming
+# twin reproduces it exactly at any epoch slicing of a vec_id-ordered feed.
+# Same label blocking as ``neardup_embedding_cosine`` (the LSH/IVF coarse
+# partition stand-in), so the pair probe never leaves a block.
+
+
+@query(
+    "emb_semantic_gate",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    wit AS (
+      SELECT b.vec_id, CAST(COUNT(*) AS BIGINT) AS n_prior
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(generate_series(1, 64),
+              i -> a.emb[i] * b.emb[i]), (x, y) -> x + y) / (a.nrm * b.nrm)
+            >= {COSINE_THRESHOLD}
+      GROUP BY b.vec_id
+    )
+    SELECT e.vec_id, e.label,
+           COALESCE(wit.n_prior, 0) AS n_prior_neighbors,
+           wit.vec_id IS NULL AS admitted
+    FROM e LEFT JOIN wit USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+    doc="Arrival-order semantic novelty gate: a vector is admitted iff no "
+        "earlier arrival (vec_id = ingest order) in the same coarse block "
+        "has cosine >= COSINE_THRESHOLD with it. Prior-SEEN criterion — "
+        "order-free per row (unlike the sequential prior-ADMITTED greedy), "
+        "so the streaming twin (maintain_semantic_gate_stream) reproduces "
+        "it exactly at any epoch slicing of an ordered feed. Label-blocked "
+        "pair probe, exact cosine via JVM fold; cheap arrival/block "
+        "predicates are join keys, the dot runs only on block-local pairs.",
+)
+def emb_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.expr(_SPARK_DOT.format(a="a.emb", b="b.emb")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    wit = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_THRESHOLD)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_prior"))
+    )
+    return (
+        emb.join(wit, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_prior"), F.lit(0).cast("bigint")).alias(
+                "n_prior_neighbors"
+            ),
+            F.col("n_prior").isNull().alias("admitted"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # The near-dup pair SQL above, reused as the edge set for clustering.
 _PAIRS_SQL = f"""
     sh AS (

@@ -397,3 +397,121 @@ def maintain_substring_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------ semantic novelty admission ----
+#
+# The streaming face of ``emb_semantic_gate`` (operators/dedup.py): a
+# vector is admitted iff no PREVIOUSLY SEEN vector in the same coarse
+# block (label = the LSH/IVF coarse-partition stand-in) is within
+# COSINE_THRESHOLD. "Seen", not "admitted": the prior-admitted criterion
+# is a sequential greedy whose verdict on v depends recursively on every
+# earlier admission — it cannot be evaluated epoch-parallel. Prior-seen
+# is order-free per row, so over a vec_id-ordered feed the admitted set
+# equals the batch query at ANY epoch slicing: earlier epochs are exactly
+# the smaller vec_ids in the standing index, and same-epoch earlier
+# arrivals are covered by an in-batch (small x small) block-local pair
+# join. Index discipline as everywhere in this module: the standing
+# vector index is never shuffled or broadcast — the micro-batch broadcasts
+# into a block-keyed probe join and only matched vec_ids come back.
+# O(batch x block-density) per epoch.
+
+def apply_semantic_gate_epoch(
+    wh,
+    idx_table: str,
+    out_table: str,
+    batch: DataFrame,
+    epoch_id: int,
+    tau: float | None = None,
+) -> None:
+    """One idempotent epoch of semantic-novelty gated admission.
+
+    ``batch`` columns: ``vec_id``, ``label``, ``embedding``
+    (array<float/double>). All batch vectors extend the SEEN index;
+    only novel ones (no seen or earlier-in-batch neighbor >= tau in
+    their block) are admitted to ``out_table``.
+    """
+    from ..operators.dedup import _SPARK_DOT, _SPARK_NORM, COSINE_THRESHOLD
+    from ..writer import epoch_already_applied, mark_epoch_applied
+    from .ivm import append_index
+
+    if tau is None:
+        tau = COSINE_THRESHOLD
+    epoch_table = f"{idx_table}__applied_epoch"
+    if batch.isEmpty():
+        return
+    if epoch_already_applied(wh, epoch_table, epoch_id):
+        return
+
+    spark = batch.sparkSession
+    vecs = batch.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    ).localCheckpoint()  # standing probe + both self-join sides + appends
+
+    def _cos(a: str, b: str) -> F.Column:
+        return F.expr(_SPARK_DOT.format(a=f"{a}.emb", b=f"{b}.emb")) / (
+            F.col(f"{a}.nrm") * F.col(f"{b}.nrm")
+        )
+
+    if wh.table_exists(idx_table):
+        # standing index stays put; the (small) batch broadcasts into a
+        # block-keyed probe, only hit vec_ids come back
+        hit_standing = (
+            wh.read(idx_table)
+            .alias("a")
+            .join(F.broadcast(vecs.alias("b")), "label")
+            .filter(_cos("a", "b") >= tau)
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+        )
+    else:
+        hit_standing = spark.createDataFrame([], "vec_id long")
+
+    hit_in_batch = (
+        vecs.alias("a")
+        .join(
+            vecs.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cos("a", "b") >= tau)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    rejected = hit_standing.unionByName(hit_in_batch).distinct()
+    admitted = vecs.join(F.broadcast(rejected), "vec_id", "left_anti")
+
+    append_index(wh, out_table, admitted)
+    append_index(wh, idx_table, vecs)  # prior-SEEN: rejected rows too
+    mark_epoch_applied(wh, epoch_table, spark, epoch_id)
+
+
+def maintain_semantic_gate_stream(
+    stream: DataFrame,
+    wh,
+    idx_table: str,
+    out_table: str,
+    checkpoint_dir: str,
+    tau: float | None = None,
+    available_now: bool = True,
+):
+    """Continuously admit only semantically novel vectors from ``stream``
+    (columns ``vec_id``, ``label``, ``embedding``): the streaming face of
+    ``emb_semantic_gate``. State = the seen-vector table itself —
+    queryable, restart-surviving, shared with the batch engine; nothing
+    lives in the state store."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: apply_semantic_gate_epoch(
+                wh, idx_table, out_table, b, e, tau
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
