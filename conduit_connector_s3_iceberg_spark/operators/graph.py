@@ -572,3 +572,98 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# ------------------------------------------------ label propagation ---------
+#
+# Community detection one rung above connected components: components
+# (dedup's star contraction) answer "what touches what"; label
+# propagation (Raghavan et al. 2007) answers "what CLUSTERS with what" —
+# dense sub-communities inside one giant component, the practical signal
+# for spotting template farms and coordinated source groups that share a
+# few bridge edges with the rest of the graph.
+#
+# Determinism: classic LPA is order- and tie-sensitive, so this is the
+# SYNCHRONOUS variant with a total tie order — every node simultaneously
+# adopts the most frequent label among its NEIGHBORS, ties broken by the
+# lexicographically smallest label, for a FIXED number of rounds. Integer
+# counts + binary string comparison make every round a pure function of
+# the previous one, so Spark and DuckDB agree bit-for-bit (oscillation is
+# possible in synchronous LPA; with fixed rounds it is deterministic
+# oscillation, which is all an oracle needs).
+#
+# Scale: per round one edges-to-labels hash join + one (node, label) hash
+# aggregate + one argmax — the argmax via min(struct(-count, label)), a
+# second hash aggregate, NOT a per-node window (no sort, no skew channel
+# beyond the degree cap the edge list already carries). Lineage cut per
+# round; label state is one row per node.
+
+LPA_ITERS = 4
+
+_LPA_ITER_SQL = """
+    , l{i} AS (
+      SELECT id, label FROM (
+        SELECT e.dst AS id, r.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM l{prev} r JOIN edges e ON e.src = r.id
+        GROUP BY e.dst, r.label
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) = 1
+    )
+"""
+
+_LPA_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL
+    + ", l0 AS (SELECT id, id AS label FROM sized)"
+    + "".join(
+        _LPA_ITER_SQL.format(i=i, prev=i - 1) for i in range(1, LPA_ITERS + 1)
+    )
+    + f"""
+    , members AS (
+      SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS community_size
+      FROM l{LPA_ITERS} GROUP BY label
+    )
+    SELECT l.id, l.label AS community, m.community_size
+    FROM l{LPA_ITERS} l JOIN members m ON l.label = m.community
+    ORDER BY l.id
+    """
+)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_LPA_ORACLE,
+    doc="Synchronous label propagation (Raghavan et al. 2007), 4 fixed "
+        "rounds over the customer-supplier trade graph: every node adopts "
+        "its neighbors' most frequent label, ties to the smallest label. "
+        "Communities = dense sub-clusters inside components (template "
+        "farms, coordinated source groups). Per round: one edges-labels "
+        "hash join + two hash aggregates — the argmax is "
+        "min(struct(-count, label)), never a per-node sort window; "
+        "lineage cut per round, label state one row per node.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        labels = (
+            counts.groupBy(F.col("nid").alias("id"))
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("w"))
+            .select("id", F.col("w.label").alias("label"))
+            .localCheckpoint(eager=False)  # cut lineage: O(1) plan per round
+        )
+    members = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(members, labels.label == members.community)
+        .select("id", "community", "community_size")
+        .orderBy("id")
+    )

@@ -105,3 +105,28 @@ def test_semantic_gate_stream_runs_end_to_end(spark, tmp_path):
         r.vec_id for r in emb_semantic_gate(spark, SF001).collect() if r.admitted
     )
     assert got == want
+
+
+def test_label_propagation_partitions_nodes(spark):
+    """Every graph node gets exactly one community; sizes are consistent;
+    labels are node ids; at least one community has >1 member (the trade
+    graph is dense enough to cluster) and there is more than one
+    community (LPA must not collapse the graph to a single label in 4
+    rounds)."""
+    from collections import Counter
+
+    from conduit_connector_s3_iceberg_spark.operators.graph import (
+        _cs_edges,
+        graph_label_propagation,
+    )
+
+    rows = graph_label_propagation(spark, SF001).collect()
+    nodes = {r.src for r in _cs_edges(spark, SF001).select("src").collect()}
+    assert {r.id for r in rows} == nodes and len(rows) == len(nodes)
+
+    sizes = Counter(r.community for r in rows)
+    for r in rows:
+        assert r.community_size == sizes[r.community]
+        assert r.community in nodes
+    assert max(sizes.values()) > 1
+    assert len(sizes) > 1
