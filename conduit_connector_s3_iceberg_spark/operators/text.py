@@ -2146,3 +2146,90 @@ def text_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("measured_fpr"),
         (load * load * load).alias("approx_fpr"),
     )
+
+
+# ------------------------------------------------ tokenizer fertility -------
+#
+# Multilingual token budgeting: the same byte of corpus yields very
+# different token counts per language/tokenizer (tokenizer "fertility" —
+# e.g. Rust/Scao et al., BLOOM; Ahia et al. 2023), and a 100-TB mixture
+# plan is priced in TOKENS, not bytes. This aggregates the engine's two
+# token notions (whitespace tokens; the BPE-ish regex tokens of
+# text_token_stats) with char and UTF-8 byte mass to (lang, source)
+# grain — the exact table a mixture planner (mix_domain_weights,
+# sample_token_budget) divides by.
+#
+# Determinism: one hash aggregate of exact BIGINT sums (< 2^53 at any
+# realistic grain — these are per-(lang, source) corpus masses); each
+# emitted ratio is ONE exact-input IEEE division, identical in both
+# engines. Spark octet_length == DuckDB strlen == UTF-8 bytes (verified).
+
+@query(
+    "text_token_fertility",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+             AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+             AS regex_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS DOUBLE)
+             / CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+             AS fertility,
+           CAST(SUM(length(text)) AS DOUBLE)
+             / CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+             AS chars_per_token,
+           CAST(SUM(strlen(text)) AS DOUBLE)
+             / CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))
+                    AS BIGINT)
+             AS bytes_per_regex_token
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="Tokenizer fertility by (lang, source): docs, whitespace-token / "
+        "BPE-ish-regex-token / char / UTF-8-byte corpus masses and the "
+        "ratios a mixture planner prices with (regex tokens per "
+        "whitespace token = fertility; chars and bytes per token). One "
+        "hash aggregate of exact BIGINT sums, one IEEE division per "
+        "ratio; Spark octet_length == DuckDB strlen == UTF-8 bytes.",
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "lang",
+        "source",
+        F.size(_tokens()).cast("bigint").alias("ws"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+"))
+        .cast("bigint")
+        .alias("rx"),
+        F.length("text").cast("bigint").alias("ch"),
+        F.octet_length("text").cast("bigint").alias("by"),
+    )
+    agg = per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("rx").cast("bigint").alias("regex_tokens"),
+        F.sum("ch").cast("bigint").alias("n_chars"),
+        F.sum("by").cast("bigint").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "regex_tokens",
+        "n_chars",
+        "n_bytes",
+        (F.col("regex_tokens").cast("double") / F.col("ws_tokens")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars").cast("double") / F.col("ws_tokens")).alias(
+            "chars_per_token"
+        ),
+        (F.col("n_bytes").cast("double") / F.col("regex_tokens")).alias(
+            "bytes_per_regex_token"
+        ),
+    ).orderBy("lang", "source")
