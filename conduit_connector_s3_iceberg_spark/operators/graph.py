@@ -667,3 +667,135 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "community", "community_size")
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------- SALSA hubs/authorities
+
+SALSA_ITERS = 4
+
+# The stochastic (random-walk) variant of HITS (Lempel & Moran 2000,
+# "SALSA"): on the bipartite customer->supplier trade graph, the authority
+# walk alternates a backward step over in-degrees with a forward step over
+# out-degrees. Unlike HITS' mutual-reinforcement update, every contribution
+# is degree-divided -- `score div degree` -- so total mass stays bounded at
+# the fixed-point scale and NO per-iteration normalization (a global-sum
+# dependence that would force 128-bit intermediates) is needed. That makes
+# the whole fixpoint expressible in the same scaled-BIGINT discipline as
+# graph_pagerank above: integer sums are associative, so Spark's shuffled
+# partial aggregation and DuckDB's sequential scan agree bit-for-bit.
+
+_SALSA_EDGES_SQL = f"""
+    und AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), cd AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS outdeg FROM und GROUP BY c
+    ), sd AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS indeg FROM und GROUP BY s
+    ), h0 AS (
+      SELECT c, outdeg,
+             CAST({PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM cd) AS h
+      FROM cd
+    )
+"""
+
+_SALSA_ITER_SQL = """
+    , a{i} AS (
+      SELECT e.s, sd.indeg, CAST(SUM(h.h // h.outdeg) AS BIGINT) AS a
+      FROM und e JOIN h{prev} h ON e.c = h.c JOIN sd ON e.s = sd.s
+      GROUP BY e.s, sd.indeg
+    ), h{i} AS (
+      SELECT e.c, cd.outdeg, CAST(SUM(a.a // a.indeg) AS BIGINT) AS h
+      FROM und e JOIN a{i} a ON e.s = a.s JOIN cd ON e.c = cd.c
+      GROUP BY e.c, cd.outdeg
+    )
+"""
+
+_SALSA_ORACLE = (
+    "WITH "
+    + _SALSA_EDGES_SQL
+    + "".join(
+        _SALSA_ITER_SQL.format(i=i, prev=i - 1)
+        for i in range(1, SALSA_ITERS + 1)
+    )
+    + f"""
+    SELECT 'c' || c AS id, 'hub' AS side, outdeg AS degree,
+           h AS score_scaled, CAST(h AS DOUBLE) / {PR_SCALE}.0 AS score
+    FROM h{SALSA_ITERS}
+    UNION ALL
+    SELECT 's' || s AS id, 'auth' AS side, indeg AS degree,
+           a AS score_scaled, CAST(a AS DOUBLE) / {PR_SCALE}.0 AS score
+    FROM a{SALSA_ITERS}
+    """
+)
+
+
+@query(
+    "graph_salsa_authority",
+    oracle=_SALSA_ORACLE,
+    doc="SALSA hub/authority scores (Lempel & Moran 2000 -- the random-walk "
+        "HITS) over the bipartite customer->supplier trade graph, 4 fixed "
+        "alternating walk steps. Every contribution is degree-divided "
+        "(`score div degree`), so mass stays bounded at the 10^12 "
+        "fixed-point scale with NO per-iteration normalization -- the whole "
+        "fixpoint runs in scaled-BIGINT arithmetic (graph_pagerank's "
+        "discipline) and is bit-stable under any shuffle order. Per "
+        "iteration: two edges-scores hash joins + two hash aggregates; "
+        "lineage cut per round. Authorities rank suppliers by trade "
+        "endorsement mass; hubs rank customers as endorsers -- the "
+        "source-authority signal a crawl/corpus weighting pipeline feeds "
+        "into sampling.",
+)
+def graph_salsa_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cd = und.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    sd = und.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("indeg"))
+    n_row = cd.agg(F.count(F.lit(1)).alias("n"))
+    hubs = (
+        cd.crossJoin(F.broadcast(n_row))
+        .select("c", "outdeg", F.expr(f"{PR_SCALE} div n").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    auth = None
+    for _ in range(SALSA_ITERS):
+        auth = (
+            und.join(hubs, "c")
+            .select("s", F.expr("h div outdeg").alias("m"))
+            .groupBy("s")
+            .agg(F.sum("m").alias("a"))
+            .join(sd, "s")
+            .select("s", "indeg", "a")
+            .localCheckpoint(eager=False)
+        )
+        hubs = (
+            und.join(auth, "s")
+            .select("c", F.expr("a div indeg").alias("m"))
+            .groupBy("c")
+            .agg(F.sum("m").alias("h"))
+            .join(cd, "c")
+            .select("c", "outdeg", "h")
+            .localCheckpoint(eager=False)
+        )
+    scale = F.lit(float(PR_SCALE))
+    h_side = hubs.select(
+        F.concat(F.lit("c"), F.col("c")).alias("id"),
+        F.lit("hub").alias("side"),
+        F.col("outdeg").alias("degree"),
+        F.col("h").alias("score_scaled"),
+        (F.col("h").cast("double") / scale).alias("score"),
+    )
+    a_side = auth.select(
+        F.concat(F.lit("s"), F.col("s")).alias("id"),
+        F.lit("auth").alias("side"),
+        F.col("indeg").alias("degree"),
+        F.col("a").alias("score_scaled"),
+        (F.col("a").cast("double") / scale).alias("score"),
+    )
+    return h_side.union(a_side)

@@ -651,3 +651,135 @@ def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "bucket", "ppl_band")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- Kneser-Ney smoothing ----
+#
+# The standard smoothing for n-gram filtering models (Kneser & Ney 1995;
+# Chen & Goodman 1999 interpolated form) and what KenLM actually estimates:
+#   P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+#               + D * N1+(w1,.)/c(w1) * N1+(.,w2)/B
+# with discount D = 0.75 and continuation probability N1+(.,w2)/B (B =
+# distinct bigram count). Unlike the MLE bigram model above, rare
+# continuations are scored by how many DISTINCT contexts they follow --
+# "Francisco" is common but only ever follows "San", so its continuation
+# probability is tiny. The discount arithmetic uses D = 3/4 exactly:
+# max(c2 - 3/4, 0)/c1 == max(4*c2 - 3, 0)/(4*c1), all integers.
+#
+# Determinism: two-stage quantization keeps every integer intermediate
+# under 2^53 (exact as a double) at any SF -- p_cont is quantized once per
+# w2 (round(S*N1l/B)), then folded into the per-bigram score
+# (round(3*N1r*p_cont/(4*c1))); each stage is one correctly-rounded IEEE
+# division + round on exact integer inputs, identical across engines.
+# Everything after the model table is BIGINT accumulation.
+
+@query(
+    "lm_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(g)
+    ), bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ), pfc AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1r
+      FROM bgc GROUP BY w1
+    ), sfc AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1l FROM bgc GROUP BY w2
+    ), btot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bgc
+    ), cont AS (
+      SELECT w2, CAST(round({LM_SCALE} * n1l / b) AS BIGINT) AS p_cont
+      FROM sfc, btot
+    ), model AS (
+      SELECT w1, w2,
+             CAST(round(CAST(greatest(4 * c2 - 3, 0) AS BIGINT)
+                        * {LM_SCALE} / (4 * c1)) AS BIGINT)
+             + CAST(round(3 * n1r * p_cont / (4 * c1)) AS BIGINT)
+               AS p_scaled
+      FROM bgc JOIN pfc USING (w1) JOIN cont USING (w2)
+    ), docbg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, w1, w2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cnt * p_scaled) AS BIGINT) AS kn_scaled,
+           CAST(CAST(SUM(cnt * p_scaled) AS BIGINT) AS DOUBLE)
+             / (CAST(SUM(cnt) AS BIGINT) * {LM_SCALE}.0) AS mean_kn_prob
+    FROM docbg JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram scoring (D = 3/4): per-doc mean of "
+        "P_KN(w2|w1) = max(c2 - D,0)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/B -- "
+        "the smoothing KenLM estimates, scoring rare continuations by "
+        "distinct-context mass instead of raw frequency. Discounts are "
+        "exact rationals (max(4c2-3,0)/(4c1)); two-stage scaled-BIGINT "
+        "quantization keeps every intermediate under 2^53, so the score "
+        "is bit-stable under any shuffle order. Model is self-trained, so "
+        "every doc bigram is in-vocabulary (the backoff term covers the "
+        "discount mass, not OOV). Same shared one-materialization bigram "
+        "front end and pre-aggregated doc-side join as lm_bigram_score.",
+)
+def lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice({_TOKS_SPARK}, 1, size({_TOKS_SPARK}) - 1), "
+                f"(x, i) -> struct(x AS w1, {_TOKS_SPARK}[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bg = bg.localCheckpoint(eager=False)  # one corpus explode, three consumers
+
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    bgc = bgc.localCheckpoint(eager=False)  # feeds pfc, sfc, btot, model
+    pfc = bgc.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).cast("bigint").alias("n1r")
+    )
+    sfc = bgc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1l"))
+    btot = bgc.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    cont = sfc.crossJoin(F.broadcast(btot)).select(
+        "w2",
+        F.round(F.lit(LM_SCALE) * F.col("n1l") / F.col("b"))
+        .cast("bigint")
+        .alias("p_cont"),
+    )
+    model = (
+        bgc.join(pfc, "w1")
+        .join(cont, "w2")
+        .select(
+            "w1",
+            "w2",
+            (
+                F.round(
+                    F.expr("cast(greatest(4 * c2 - 3, 0) as bigint)")
+                    * F.lit(LM_SCALE)
+                    / (4 * F.col("c1"))
+                ).cast("bigint")
+                + F.round(
+                    3 * F.col("n1r") * F.col("p_cont") / (4 * F.col("c1"))
+                ).cast("bigint")
+            ).alias("p_scaled"),
+        )
+    )
+    docbg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return (
+        docbg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("p_scaled")).alias("kn_scaled"),
+            (
+                F.sum(F.col("cnt") * F.col("p_scaled")).cast("double")
+                / (F.sum("cnt") * F.lit(float(LM_SCALE)))
+            ).alias("mean_kn_prob"),
+        )
+    )

@@ -919,3 +919,99 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_daily"),
         (var / mean).alias("fano"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------- exponentially decayed counts --
+#
+# Time-decayed popularity ("trending"): each event contributes
+# 0.9^age_days to its type's score, so a burst yesterday outranks a
+# steady trickle last month -- the freshness-weighted heavy-hitter table
+# a crawl scheduler or recency-weighted sampler reads instead of raw
+# counts. The decay curve is materialized as a STATIC integer table
+# (w_0 = SCALE; w_{k+1} = w_k * 9 div 10, truncating), so the weighted
+# sum is exact BIGINT arithmetic: day-grain counts (exact) join a
+# 4096-row broadcast weight table, and `sum(count * weight)` is an
+# associative integer sum -- bit-stable under any shuffle order. The
+# oracle replays the identical truncating recurrence as WITH RECURSIVE.
+# SCALE = 10^9 keeps sum(count*weight) <= total_events * SCALE < 2^53
+# through sf >= 1, so the final double emission is exact-input.
+
+DECAY_SCALE = 1_000_000_000
+DECAY_MAX_AGE = 4096  # static domain; 0.9^k underflows the scale at k~197
+
+
+def _decay_weights():
+    """age -> floor-decayed weight, the exact integer recurrence."""
+    w, out = DECAY_SCALE, []
+    for age in range(DECAY_MAX_AGE):
+        out.append((age, w))
+        w = w * 9 // 10
+    return out
+
+
+@query(
+    "events_decayed_popularity",
+    oracle=f"""
+    WITH RECURSIVE w(age, wt) AS (
+      SELECT CAST(0 AS BIGINT), CAST({DECAY_SCALE} AS BIGINT)
+      UNION ALL
+      SELECT age + 1, wt * 9 // 10 FROM w WHERE age < {DECAY_MAX_AGE} - 1
+    ), ref AS (
+      SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ), daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', CAST(ts AS DATE), d1) AS BIGINT) AS age,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, ref GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(n * wt) AS BIGINT) AS score_scaled
+      FROM daily JOIN w USING (age)
+      GROUP BY event_type
+    )
+    SELECT event_type, n_events, score_scaled,
+           CAST(score_scaled AS DOUBLE) / {DECAY_SCALE}.0 AS decayed_score,
+           CAST(row_number() OVER (ORDER BY score_scaled DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM scored
+    """,
+    doc="Exponentially time-decayed popularity per event type: each event "
+        "contributes 0.9^age_days, computed as day-grain exact counts "
+        "joined to a STATIC 4096-row integer decay table (w_{{k+1}} = "
+        "w_k * 9 div 10 -- the truncating recurrence both engines replay "
+        "identically), so the score is one associative BIGINT sum, "
+        "bit-stable under any partitioning. The weight table is a "
+        "broadcast; the ref day is a 1-row broadcast; the only shuffle is "
+        "the day-grain count agg. Rank ties break on event_type.",
+)
+def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    ref = ev.agg(F.max("d").alias("d1"))
+    daily = (
+        ev.crossJoin(F.broadcast(ref))
+        .select("event_type", F.datediff("d1", "d").cast("bigint").alias("age"))
+        .groupBy("event_type", "age")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    weights = spark.createDataFrame(_decay_weights(), "age bigint, wt bigint")
+    scored = (
+        daily.join(F.broadcast(weights), "age")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum(F.col("n") * F.col("wt")).alias("score_scaled"),
+        )
+    )
+    win = Window.orderBy(F.desc("score_scaled"), "event_type")
+    return scored.select(
+        "event_type",
+        "n_events",
+        "score_scaled",
+        (F.col("score_scaled").cast("double") / F.lit(float(DECAY_SCALE))).alias(
+            "decayed_score"
+        ),
+        F.row_number().over(win).cast("bigint").alias("rnk"),
+    )
