@@ -3097,3 +3097,110 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ----------------------------------------------------- isotropy diagnostic
+#
+# Embedding-space isotropy (Mu & Viswanath 2018 "All-but-the-Top";
+# Ethayarajh 2019): anisotropic spaces -- where random pairs already have
+# high cosine -- break cosine-threshold dedup (SemDeDup) and ANN recall
+# tuning, because the "unrelated" baseline is nowhere near zero. The
+# diagnostic is the corpus mean PAIRWISE cosine, computed WITHOUT pairing:
+# for unit vectors, sum_{i != j} u_i . u_j = ||sum_i u_i||^2 - sum_i ||u_i||^2,
+# so one pass of per-dimension sums replaces the O(n^2) pair join -- the
+# identity that keeps this a single hash-agg at 100 TB.
+#
+# Determinism: components are unit-normalized per row (left-fold norm,
+# identical in both engines), quantized once to ISO_SCALE integers, and
+# every cross-row accumulation after that is BIGINT. |us| <= ISO_SCALE, so
+# per-dim sums are bounded by n*ISO_SCALE and the gram mass by
+# DIM*(n*ISO_SCALE)^2 -- within BIGINT through n ~ 3e5 per label. The final
+# emission divides two exact integers (cast correctly rounded identically
+# when above 2^53).
+
+ISO_SCALE = 10_000
+
+
+@query(
+    "emb_isotropy",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x / {_SQL_NORM} * {ISO_SCALE}) AS BIGINT)) AS us
+      FROM embeddings
+    ), rows_ AS (
+      SELECT vec_id, label, us,
+             CAST(list_reduce(list_transform(us, x -> x * x),
+                              (a, b) -> a + b) AS BIGINT) AS selfdot
+      FROM unit
+    ), dims AS (
+      SELECT label, i AS pos, CAST(SUM(us[i]) AS BIGINT) AS s
+      FROM rows_, generate_series(1, {DIM}) AS t(i)
+      GROUP BY label, pos
+    ), gram AS (
+      SELECT label, CAST(SUM(s * s) AS BIGINT) AS gram_mass
+      FROM dims GROUP BY label
+    ), per AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(selfdot) AS BIGINT) AS self_mass
+      FROM rows_ GROUP BY label
+    )
+    SELECT label, n_vecs, gram_mass, self_mass,
+           CAST(gram_mass - self_mass AS DOUBLE)
+             / (CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
+                * {ISO_SCALE * ISO_SCALE}.0) AS mean_pairwise_cosine
+    FROM per JOIN gram USING (label)
+    """,
+    doc="Per-label embedding isotropy diagnostic: mean pairwise cosine of "
+        "the unit-normalized corpus via the sum-vector identity "
+        "||Σu||² − Σ||u||² — one posexplode + hash agg, NEVER an O(n²) "
+        "pair join, so the plan is corpus-linear at 100 TB. Components "
+        "quantized to ISO_SCALE integers after per-row unit normalization; "
+        "all cross-row accumulation is exact BIGINT. High values flag the "
+        "anisotropic spaces where cosine-threshold dedup (emb_semdedup) "
+        "and ANN recall targets need recalibration.",
+)
+def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us_expr = (
+        f"transform({_SPARK_EMB_D}, "
+        f"x -> cast(round(x / {_SPARK_NORM} * {ISO_SCALE}) as bigint))"
+    )
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(us_expr).alias("us"),
+    ).select(
+        "vec_id",
+        "label",
+        "us",
+        F.expr(
+            "aggregate(us, cast(0 as bigint), (a, x) -> a + x * x)"
+        ).alias("selfdot"),
+    )
+    rows = rows.localCheckpoint(eager=False)  # feeds dims AND per-label aggs
+    dims = (
+        rows.select("label", F.posexplode("us").alias("pos", "u"))
+        .groupBy("label", "pos")
+        .agg(F.sum("u").alias("s"))
+    )
+    gram = dims.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("gram_mass")
+    )
+    per = rows.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("selfdot").alias("self_mass"),
+    )
+    denom = (
+        (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
+        * F.lit(float(ISO_SCALE * ISO_SCALE))
+    )
+    return per.join(gram, "label").select(
+        "label",
+        "n_vecs",
+        "gram_mass",
+        "self_mass",
+        ((F.col("gram_mass") - F.col("self_mass")).cast("double") / denom).alias(
+            "mean_pairwise_cosine"
+        ),
+    )

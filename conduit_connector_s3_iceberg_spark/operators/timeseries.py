@@ -989,16 +989,37 @@ def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("d"), "event_type"
     )
-    ref = ev.agg(F.max("d").alias("d1"))
-    daily = (
-        ev.crossJoin(F.broadcast(ref))
-        .select("event_type", F.datediff("d1", "d").cast("bigint").alias("age"))
-        .groupBy("event_type", "age")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return decayed_scores_from_daily(daily)
+
+
+def decayed_scores_from_daily(daily: DataFrame) -> DataFrame:
+    """Serve decayed-popularity scores from a day-grain count table
+    ``(event_type, d: date, n: bigint)``.
+
+    This is the serve-time half shared by the batch query above and the
+    streaming IVM maintainer (``streaming.ivm.decayed_popularity_from_
+    summary``): the decay depends on TODAY's ages, so the maintained state
+    is the undecayed day-grain table (O(types x days), metadata-sized) and
+    the decay arithmetic reruns here per read — aggregating the day grid,
+    never the corpus. The ref day is a 1-row broadcast over the day-grain
+    frame; the weight table is a static broadcast.
+    """
+    spark = daily.sparkSession
+    ref = daily.agg(F.max("d").alias("d1"))
+    aged = (
+        daily.crossJoin(F.broadcast(ref))
+        .select(
+            "event_type",
+            F.datediff("d1", "d").cast("bigint").alias("age"),
+            "n",
+        )
     )
     weights = spark.createDataFrame(_decay_weights(), "age bigint, wt bigint")
     scored = (
-        daily.join(F.broadcast(weights), "age")
+        aged.join(F.broadcast(weights), "age")
         .groupBy("event_type")
         .agg(
             F.sum("n").alias("n_events"),

@@ -213,3 +213,65 @@ def append_index(wh, index_table: str, rows: DataFrame) -> None:
     if not wh.table_exists(index_table):
         wh.create_table(index_table, rows.schema)
     wh.append(index_table, rows)
+
+
+# ------------------------------------- decayed-popularity maintenance ------
+#
+# Streaming twin of ``operators.timeseries.events_decayed_popularity``.
+# The key design fact: exponential decay re-ages EVERY day bucket whenever
+# "now" advances, so decayed scores are not additively maintainable — but
+# the UNDECAYED day-grain count table is (it's a plain COUNT grouped by
+# (event_type, day), self-maintainable under appends). So the maintained
+# state is that table — O(types x days), metadata-sized regardless of
+# corpus size — and the decay arithmetic reruns at serve time over the day
+# grid via the shared static integer weight table. One epoch = one
+# pre-aggregated additive merge; replay-guarded like every maintainer here.
+
+
+def maintain_decayed_popularity_stream(
+    stream: DataFrame,
+    wh,
+    summary_table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the day-grain event-count table from an append-only event
+    stream (rows with ``ts``, ``event_type``). Serve scores with
+    ``decayed_popularity_from_summary``."""
+    from ..writer import epoch_already_applied, mark_epoch_applied
+
+    epoch_table = f"{summary_table}__applied_epoch"
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if epoch_already_applied(wh, epoch_table, epoch_id):
+            return  # replayed epoch — deltas already merged
+        delta = batch.select(
+            F.lit(1).alias(SIGN_COL),
+            F.to_date("ts").alias("d"),
+            "event_type",
+        )
+        apply_summary_delta(wh, summary_table, delta, ["event_type", "d"], [])
+        mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decayed_popularity_from_summary(wh, summary_table: str) -> DataFrame:
+    """Recompute decayed-popularity scores from the maintained day-grain
+    table — identical output to the batch query over the same fed rows;
+    cost is the day grid, never the corpus."""
+    from ..operators.timeseries import decayed_scores_from_daily
+
+    daily = wh.read(summary_table).select(
+        "event_type", "d", F.col("n_rows").alias("n")
+    )
+    return decayed_scores_from_daily(daily)

@@ -149,3 +149,119 @@ def test_decay_weight_table_is_truncating_geometric():
     for (a0, w0), (a1, w1) in zip(w, w[1:]):
         assert a1 == a0 + 1 and w1 == w0 * 9 // 10
     assert w[300][1] == 0  # fully decayed tail contributes exactly nothing
+
+
+def _event_feed(spark, tmp_path, n_epochs=3):
+    """sf0.001 events split into event_id-ordered parquet chunks."""
+    import os
+
+    ev = (
+        spark.read.parquet(SF001 + "/events.parquet")
+        .select("event_id", "ts", "event_type")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    feed = tmp_path / "evfeed"
+    feed.mkdir()
+    n = len(ev)
+    cuts = [n * i // n_epochs for i in range(n_epochs + 1)]
+    for i in range(n_epochs):
+        p = feed / f"chunk{i}.parquet"
+        # pandas defaults to nanosecond timestamps, which Spark's parquet
+        # reader rejects — coerce to the micros the engine tables use
+        ev.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(feed), spark.read.parquet(str(feed)).schema
+
+
+def test_decayed_popularity_stream_matches_batch(spark, tmp_path):
+    """Day-grain counts maintained from a 3-epoch event feed serve scores
+    bit-identical to the batch query — the decay is serve-time arithmetic
+    over the maintained grid, so streaming==batch exactly."""
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        events_decayed_popularity,
+    )
+    from conduit_connector_s3_iceberg_spark.streaming.ivm import (
+        decayed_popularity_from_summary,
+        maintain_decayed_popularity_stream,
+    )
+    from conduit_connector_s3_iceberg_spark.writer import ParquetWarehouse
+
+    feed, schema = _event_feed(spark, tmp_path)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    maintain_decayed_popularity_stream(
+        stream, wh, "daypop", str(tmp_path / "ckpt")
+    ).awaitTermination(180)
+
+    got = sorted(
+        tuple(r) for r in decayed_popularity_from_summary(wh, "daypop").collect()
+    )
+    want = sorted(
+        tuple(r) for r in events_decayed_popularity(spark, SF001).collect()
+    )
+    assert got == want
+
+
+def test_decayed_popularity_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering an epoch must not double-count its day-grain deltas."""
+    from conduit_connector_s3_iceberg_spark.streaming.ivm import (
+        SIGN_COL,
+        apply_summary_delta,
+    )
+    from conduit_connector_s3_iceberg_spark.writer import (
+        ParquetWarehouse,
+        epoch_already_applied,
+        mark_epoch_applied,
+    )
+    from pyspark.sql import functions as F2
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    batch = spark.read.parquet(SF001 + "/events.parquet").limit(50)
+    delta = batch.select(
+        F2.lit(1).alias(SIGN_COL), F2.to_date("ts").alias("d"), "event_type"
+    )
+    for _ in range(2):  # second delivery of the same epoch must be a no-op
+        if not epoch_already_applied(wh, "pop__applied_epoch", 0):
+            apply_summary_delta(wh, "pop", delta, ["event_type", "d"], [])
+            mark_epoch_applied(wh, "pop__applied_epoch", spark, 0)
+    total = wh.read("pop").agg(F2.sum("n_rows").alias("s")).collect()[0]["s"]
+    assert total == 50
+
+
+def test_isotropy_matches_bruteforce_pairs(spark):
+    """The gram-identity mean pairwise cosine equals the brute-force
+    all-pairs mean of the QUANTIZED unit vectors (same ISO_SCALE grid),
+    per label, to float tolerance."""
+    import itertools
+
+    import numpy as np
+
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        ISO_SCALE,
+        emb_isotropy,
+    )
+
+    emb = spark.read.parquet(SF001 + "/embeddings.parquet").toPandas()
+    by_label = {}
+    for _, row in emb.iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        u = np.array(
+            [round(x / float(np.sqrt((v * v).sum())) * ISO_SCALE) for x in v]
+        )
+        by_label.setdefault(row["label"], []).append(u)
+    got = {r["label"]: r for r in emb_isotropy(spark, SF001).collect()}
+    for label, us in by_label.items():
+        n = len(us)
+        brute = sum(
+            float(np.dot(a, b))
+            for a, b in itertools.combinations(us, 2)
+        ) * 2.0 / (n * (n - 1) * ISO_SCALE * ISO_SCALE)
+        assert got[label]["n_vecs"] == n
+        assert abs(got[label]["mean_pairwise_cosine"] - brute) < 1e-9
