@@ -443,3 +443,137 @@ def layout_sort_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("sort_key", "probe_col")
+
+
+# ------------------------------------------------ pruning-payoff audit -----
+#
+# The number the layout decision is actually made on: given the per-file
+# min/max envelopes a layout produces (exactly what layout_zorder_stats
+# computes, and what Iceberg stores in manifests), how many files does a
+# point predicate OPEN? This audit replays the full point-query workload
+# on each dimension — every distinct user as `user_id = u`, every distinct
+# day as `day = d` — against both layouts' envelopes and reports files
+# touched per query. Z-order should cut user-point scans from "every
+# file" to a small rectangle count while keeping day-point scans cheap;
+# time-linear wins day queries only.
+#
+# Scale: the probe joins a dimension-domain frame (distinct users/days)
+# against the FILE MANIFEST (64 envelope rows here; one row per file at
+# 100 TB — metadata, auto-broadcast), never the data. All counts are
+# exact integers; the two emitted ratios are single exact-input IEEE
+# divisions.
+
+_PRUNE_ENV_SQL = f"""
+    ev AS (
+      SELECT event_id, user_id AS u,
+             CAST(date_diff('day', DATE '{EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS d
+      FROM events
+    ), keyed AS (
+      SELECT *, CAST({_Z_SQL} AS BIGINT) AS zkey FROM ev
+    ), assigned AS (
+      SELECT 'linear' AS layout, u, d,
+             CAST(((ROW_NUMBER() OVER (ORDER BY d, event_id) - 1)
+                   * {N_FILES}) // COUNT(*) OVER () AS BIGINT) AS file_id
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder' AS layout, u, d,
+             CAST(((ROW_NUMBER() OVER (ORDER BY zkey, event_id) - 1)
+                   * {N_FILES}) // COUNT(*) OVER () AS BIGINT) AS file_id
+      FROM keyed
+    ), env AS (
+      SELECT layout, file_id,
+             CAST(MIN(u) AS BIGINT) AS u_min, CAST(MAX(u) AS BIGINT) AS u_max,
+             CAST(MIN(d) AS BIGINT) AS d_min, CAST(MAX(d) AS BIGINT) AS d_max
+      FROM assigned GROUP BY layout, file_id
+    ), counts AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files
+      FROM env GROUP BY layout
+    )
+"""
+
+
+@query(
+    "layout_pruning_audit",
+    oracle=f"""
+    WITH {_PRUNE_ENV_SQL},
+    uq AS (SELECT DISTINCT u FROM ev),
+    dq AS (SELECT DISTINCT d FROM ev),
+    uh AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS file_hits
+      FROM uq JOIN env ON u BETWEEN u_min AND u_max GROUP BY layout
+    ), dh AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS file_hits
+      FROM dq JOIN env ON d BETWEEN d_min AND d_max GROUP BY layout
+    ), nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM uq),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM dq)
+    SELECT layout, 'user_point' AS dim, n_queries, n_files, file_hits,
+           CAST(file_hits AS DOUBLE) / n_queries AS avg_files_per_query,
+           CAST(file_hits AS DOUBLE) / (n_queries * n_files)
+             AS frac_files_scanned
+    FROM uh JOIN counts USING (layout), nu
+    UNION ALL
+    SELECT layout, 'day_point' AS dim, n_queries, n_files, file_hits,
+           CAST(file_hits AS DOUBLE) / n_queries AS avg_files_per_query,
+           CAST(file_hits AS DOUBLE) / (n_queries * n_files)
+             AS frac_files_scanned
+    FROM dh JOIN counts USING (layout), nd
+    """,
+    doc="Data-skipping payoff audit: replay every distinct-user and "
+        "distinct-day point predicate against the per-file (user, day) "
+        "min/max envelopes of the time-linear and Z-order layouts and "
+        "count files each query must open — the manifest-pruning "
+        "simulation that turns layout_zorder_stats' envelopes into the "
+        "number the rewrite decision is made on. Probes join the "
+        "dimension domain against the metadata-sized envelope manifest "
+        "(auto-broadcast), never the data; exact integer hit counts, "
+        "single-division ratios.",
+)
+def layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = (
+        layout_zorder_stats(spark, sf_dir)
+        .select("layout", "file_id", "u_min", "u_max", "d_min", "d_max")
+        .localCheckpoint(eager=False)  # one assignment pass, two probes
+    )
+    counts = env.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.datediff(F.to_date("ts"), F.lit(EPOCH).cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+
+    def probe(qdf: DataFrame, qcol: str, lo: str, hi: str, dim: str) -> DataFrame:
+        n_q = qdf.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+        hits = (
+            qdf.join(
+                env,
+                (F.col(qcol) >= F.col(lo)) & (F.col(qcol) <= F.col(hi)),
+            )
+            .groupBy("layout")
+            .agg(F.count(F.lit(1)).cast("long").alias("file_hits"))
+        )
+        return (
+            hits.join(counts, "layout")
+            .crossJoin(F.broadcast(n_q))
+            .select(
+                "layout",
+                F.lit(dim).alias("dim"),
+                "n_queries",
+                "n_files",
+                "file_hits",
+                (F.col("file_hits").cast("double") / F.col("n_queries")).alias(
+                    "avg_files_per_query"
+                ),
+                (
+                    F.col("file_hits").cast("double")
+                    / (F.col("n_queries") * F.col("n_files"))
+                ).alias("frac_files_scanned"),
+            )
+        )
+
+    uprobe = probe(ev.select("u").distinct(), "u", "u_min", "u_max", "user_point")
+    dprobe = probe(ev.select("d").distinct(), "d", "d_min", "d_max", "day_point")
+    return uprobe.unionByName(dprobe)

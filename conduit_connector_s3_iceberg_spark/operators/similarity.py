@@ -3204,3 +3204,228 @@ def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pairwise_cosine"
         ),
     )
+
+
+# ------------------------------------------------------- filtered ANN -----
+#
+# Metadata-filtered vector search — "nearest neighbors WHERE label = X" —
+# is the production ANN problem (every RAG store filters by tenant/source/
+# licence), and the strategy choice is a real recall/cost trade:
+#   * POST-filter: run the unfiltered index probe, take top-k, then apply
+#     the predicate — cheap, but returns < k (or nothing) when the
+#     predicate is selective, because filtered-out vectors squat the list;
+#   * PRE-filter: push the predicate into the candidate set before
+#     ranking — recall limited only by the index probe itself.
+# This audit runs BOTH against the same IVF index (same deterministic
+# centroids / NPROBE as sim_ann_ivf) and scores each against the exact
+# brute-force top-k restricted to the query's label — per query, the
+# returned-count and recall a store's planner would choose the strategy
+# with. At scale the label would also key the IVF partition layout
+# (per-tenant cells); the probe/rank plumbing is unchanged.
+
+@query(
+    "sim_ann_filtered",
+    oracle=f"""
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), dist AS (
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), ranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM dist
+    ), e AS (
+      SELECT d.vec_id, d.label, d.emb, d.nrm, r.cell
+      FROM d JOIN ranked r ON r.vec_id = d.vec_id AND r.rk = 1
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.label AS qlabel, e.emb AS qemb,
+             e.nrm AS qnrm, p.cell AS probe_cell
+      FROM e JOIN ranked p ON p.vec_id = e.vec_id AND p.rk <= {NPROBE}
+      WHERE e.vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.cell = q.probe_cell AND e.vec_id <> q.query_id
+    ), post AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, label, qlabel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM cand
+      ) WHERE rk <= {TOP_K} AND label = qlabel
+    ), pre AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM cand WHERE label = qlabel
+      ) WHERE rk <= {TOP_K}
+    ), qs AS (
+      SELECT vec_id AS query_id, label AS qlabel, emb AS qemb, nrm AS qnrm
+      FROM d WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM (
+          SELECT qs.query_id, d.vec_id,
+                 {_sql_dot('qs.qemb', 'd.emb')} / (qs.qnrm * d.nrm) AS cosine
+          FROM qs JOIN d ON d.label = qs.qlabel AND d.vec_id <> qs.query_id
+        )
+      ) WHERE rk <= {TOP_K}
+    ), nex AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact GROUP BY query_id
+    ), strat AS (
+      SELECT 'prefilter' AS strategy, * FROM pre
+      UNION ALL
+      SELECT 'postfilter' AS strategy, * FROM post
+    ), ret AS (
+      SELECT strategy, query_id, CAST(COUNT(*) AS BIGINT) AS n_returned
+      FROM strat GROUP BY strategy, query_id
+    ), hits AS (
+      SELECT b.strategy, b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM strat b JOIN exact x
+        ON x.query_id = b.query_id AND x.vec_id = b.vec_id
+      GROUP BY b.strategy, b.query_id
+    )
+    SELECT r.strategy, r.query_id, r.n_returned,
+           COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits, n.n_exact,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / n.n_exact AS recall
+    FROM ret r
+    LEFT JOIN hits h ON h.strategy = r.strategy AND h.query_id = r.query_id
+    JOIN nex n ON n.query_id = r.query_id
+    """,
+    doc="Label-filtered ANN strategy audit: pre-filter (predicate pushed "
+        "into the IVF candidate set before ranking) vs post-filter "
+        "(unfiltered top-k, predicate applied after) on the same "
+        "deterministic IVF index, each scored for returned-count and "
+        "recall against the exact same-label brute-force top-k — the "
+        "per-query table a vector store's planner picks the strategy "
+        "with. Candidate generation stays NPROBE-bounded; the exact "
+        "ground truth is a label-blocked broadcast join over the "
+        f"{N_QUERIES}-query set, never all-pairs.",
+)
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    with_dists = base.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias("nrm"),
+        F.expr(_DISTS_SPARK).alias("dists"),
+    )
+    emb = with_dists.select(
+        "vec_id",
+        "label",
+        "emb",
+        "nrm",
+        F.expr("cast(array_position(dists, array_min(dists)) as int)").alias("cell"),
+        F.expr(
+            f"transform(slice(array_sort(dists), 1, {NPROBE}),"
+            " d -> cast(array_position(dists, d) as int))"
+        ).alias("probes"),
+    ).localCheckpoint(eager=False)  # assignment feeds queries AND candidates
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.explode("probes").alias("probe_cell"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    post = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= TOP_K) & (F.col("label") == F.col("qlabel")))
+        .select("query_id", "vec_id")
+    )
+    pre = (
+        cand.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    exact = (
+        base.select(
+            "vec_id",
+            "label",
+            "emb",
+            F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias(
+                "nrm"
+            ),
+        )
+        .join(
+            F.broadcast(qs),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)  # ground truth feeds nex AND both hit joins
+    )
+    nex = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    both = pre.select(F.lit("prefilter").alias("strategy"), "*").unionByName(
+        post.select(F.lit("postfilter").alias("strategy"), "*")
+    )
+    ret = both.groupBy("strategy", "query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returned")
+    )
+    hits = (
+        both.join(exact, ["query_id", "vec_id"])
+        .groupBy("strategy", "query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        ret.join(hits, ["strategy", "query_id"], "left")
+        .join(nex, "query_id")
+        .select(
+            "strategy",
+            "query_id",
+            "n_returned",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            "n_exact",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )

@@ -265,3 +265,49 @@ def test_isotropy_matches_bruteforce_pairs(spark):
         ) * 2.0 / (n * (n - 1) * ISO_SCALE * ISO_SCALE)
         assert got[label]["n_vecs"] == n
         assert abs(got[label]["mean_pairwise_cosine"] - brute) < 1e-9
+
+
+def test_pruning_audit_zorder_beats_linear_on_user_points(spark):
+    """The audit must show the layout trade: Z-order opens strictly fewer
+    files per user-point query than time-linear (whose files all span the
+    full user range), while linear wins or ties on day points."""
+    from conduit_connector_s3_iceberg_spark.operators.layout import (
+        layout_pruning_audit,
+    )
+
+    rows = {
+        (r["layout"], r["dim"]): r
+        for r in layout_pruning_audit(spark, SF001).collect()
+    }
+    assert rows[("zorder", "user_point")]["avg_files_per_query"] < (
+        rows[("linear", "user_point")]["avg_files_per_query"]
+    )
+    assert rows[("linear", "day_point")]["avg_files_per_query"] <= (
+        rows[("zorder", "day_point")]["avg_files_per_query"]
+    )
+    for r in rows.values():
+        assert 0 < r["frac_files_scanned"] <= 1.0
+        assert r["file_hits"] <= r["n_queries"] * r["n_files"]
+
+
+def test_filtered_ann_prefilter_dominates_postfilter(spark):
+    """Pre-filtering can only help: per query it returns at least as many
+    same-label results and at least the recall of post-filtering (both
+    draw from the same probed candidate pool)."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        TOP_K,
+        sim_ann_filtered,
+    )
+
+    rows = sim_ann_filtered(spark, SF001).collect()
+    by_q = {}
+    for r in rows:
+        assert 0 <= r["recall"] <= 1.0
+        assert r["n_returned"] <= TOP_K
+        assert r["n_hits"] <= min(r["n_returned"], r["n_exact"])
+        by_q.setdefault(r["query_id"], {})[r["strategy"]] = r
+    assert by_q, "no query produced results"
+    for q, s in by_q.items():
+        if "prefilter" in s and "postfilter" in s:
+            assert s["prefilter"]["n_returned"] >= s["postfilter"]["n_returned"]
+            assert s["prefilter"]["recall"] >= s["postfilter"]["recall"]
