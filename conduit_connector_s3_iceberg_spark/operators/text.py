@@ -16,8 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.registry import query
+from ..plans.registry import QUERIES, query
 from ..sources.tables import load_table
+from . import lm as _lm  # noqa: F401  (registers the fluency oracle this module composes)
 from .dedup import SHINGLES_SPARK, SHINGLES_SQL
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -2233,3 +2234,89 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_regex_token"
         ),
     ).orderBy("lang", "source")
+
+
+# ------------------------------------------- score-agreement diagnostic ----
+#
+# Production cleaning pipelines run SEVERAL quality signals (heuristic
+# rules, LM fluency, classifier scores) and must know where they disagree
+# before gating on any one of them: a source whose heuristic quality and
+# LM fluency rank documents in OPPOSITE orders is exactly where a single
+# cut silently biases the corpus. Spearman rank correlation is the
+# standard scale-free agreement measure; computing it per source both
+# bounds the rank windows (partition-parallel, no corpus-global sort) and
+# answers the actionable question ("which sources need a second look").
+#
+# Determinism: both scores are already engineered bit-identical across
+# engines (quality: fixed IEEE op order; fluency: scaled BIGINT), ranks
+# tie-break on doc_id, and rho's Sum(d^2) is an associative integer sum —
+# the emitted rho is two IEEE ops on exact inputs. At extreme per-source
+# cardinality the rank window swaps for the histogram-offset ranking of
+# layout._assign_files; same numbers.
+
+@query(
+    "text_score_correlation",
+    oracle=f"""
+    WITH qual AS (
+      SELECT doc_id, quality FROM ({QUERIES['text_quality_score'].oracle})
+    ), fl AS (
+      SELECT doc_id, fluency_scaled FROM ({QUERIES['lm_bigram_score'].oracle})
+    ), j AS (
+      SELECT d.source, q.doc_id, q.quality, s.fluency_scaled
+      FROM qual q JOIN fl s USING (doc_id) JOIN documents d USING (doc_id)
+    ), r AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS rq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY fluency_scaled, doc_id) AS rf
+      FROM j
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM((rq - rf) * (rq - rf)) AS BIGINT) AS sum_d2,
+           1.0 - 6.0 * CAST(SUM((rq - rf) * (rq - rf)) AS BIGINT)
+             / NULLIF(CAST(COUNT(*) AS BIGINT)
+                      * (CAST(COUNT(*) AS BIGINT)
+                         * CAST(COUNT(*) AS BIGINT) - 1), 0) AS spearman_rho
+    FROM r GROUP BY source
+    """,
+    doc="Per-source Spearman rank correlation between the heuristic "
+        "quality score and the corpus-trained LM fluency score — the "
+        "signal-agreement table a cleaning pipeline reads before gating "
+        "on either signal (rho near 0 or negative flags sources where a "
+        "single cut biases the corpus). Ranks tie-break on doc_id inside "
+        "source-partitioned windows (partition-parallel, no global "
+        "sort); Sum(d^2) is an exact associative BIGINT sum; rho is two "
+        "IEEE ops on exact inputs.",
+)
+def text_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lm import lm_bigram_score
+
+    qual = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    fl = lm_bigram_score(spark, sf_dir).select("doc_id", "fluency_scaled")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = qual.join(fl, "doc_id").join(src, "doc_id")
+    wq = Window.partitionBy("source").orderBy("quality", "doc_id")
+    wf = Window.partitionBy("source").orderBy("fluency_scaled", "doc_id")
+    r = j.select(
+        "source",
+        F.row_number().over(wq).alias("rq"),
+        F.row_number().over(wf).alias("rf"),
+    )
+    d2 = (F.col("rq") - F.col("rf")) * (F.col("rq") - F.col("rf"))
+    n = F.count(F.lit(1)).cast("bigint")
+    return r.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+        (
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.sum(d2).cast("bigint")
+            / F.expr(
+                "nullif(cast(count(1) as bigint)"
+                " * (cast(count(1) as bigint) * cast(count(1) as bigint) - 1),"
+                " 0)"
+            )
+        ).alias("spearman_rho"),
+    )

@@ -35,6 +35,45 @@ TS_SCALE = 1_000_000
 HOLT_HORIZON = 3  # forecast steps emitted
 
 
+def _dense_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (event_type, t, x) day-grid count series — the shared front
+    end of the Holt smoother and its rolling-origin backtest. ONE corpus
+    pass: the (type, day) count frame is series-sized; bounds, the type
+    list, and the dense grid all derive from it, so events is never
+    rescanned (scan_count.py: 6 reads -> 1)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    counts = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+            "d0",
+        )
+        .select(
+            "event_type",
+            "day",
+            F.datediff("day", "d0").cast("bigint").alias("t"),
+        )
+    )
+    return grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "t", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
+    )
+
+
+
 @query(
     "events_holt_smoothing",
     oracle=f"""
@@ -100,39 +139,7 @@ HOLT_HORIZON = 3  # forecast steps emitted
         "is scaled BIGINT, trunc matches across engines.",
 )
 def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
-    )
-    # ONE corpus pass: the (type, day) count frame is series-sized; bounds,
-    # the type list, and the dense grid all derive from it, so events is
-    # never rescanned (scan_count.py: 6 reads -> 1)
-    counts = (
-        ev.groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        .localCheckpoint(eager=False)
-    )
-    bounds = counts.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    grid = (
-        counts.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
-            "d0",
-        )
-        .select(
-            "event_type",
-            "day",
-            F.datediff("day", "d0").cast("bigint").alias("t"),
-        )
-    )
-    series = grid.join(counts, ["event_type", "day"], "left").select(
-        "event_type", "t", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
-    )
+    series = _dense_daily_series(spark, sf_dir)
 
     def holt(pdf):
         import math
@@ -1035,4 +1042,152 @@ def decayed_scores_from_daily(daily: DataFrame) -> DataFrame:
             "decayed_score"
         ),
         F.row_number().over(win).cast("bigint").alias("rnk"),
+    )
+
+
+# ------------------------------------------------ rolling-origin backtest --
+#
+# The evaluation a forecaster is actually judged by: at EVERY day t, take
+# the Holt state the smoother had reached by t, forecast t+1..t+3, and
+# score the error against what actually happened — rolling-origin
+# cross-validation (Tashman 2000), never a single train/test split. The
+# persistence forecast x_t ("tomorrow = today") is the skill baseline: a
+# smoother that can't beat it is not earning its state.
+#
+# Scale/determinism: the recursion already computes the state at every t
+# (the smoother just keeps the last one), so the backtest is the SAME
+# per-series applyInPandas pass, now also folding |l_t + h·b_t − S·x_{t+h}|
+# into exact per-horizon BIGINT error sums. Everything after the day-grain
+# count agg is series-sized. The oracle replays the identical recursion as
+# a recursive CTE and joins states to actuals.
+
+BT_HORIZONS = 3
+
+_SERIES_SQL = f"""
+    bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ), grid AS (
+      SELECT e.event_type, CAST(u.g AS BIGINT) AS t
+      FROM (SELECT DISTINCT event_type FROM events) e
+      CROSS JOIN bounds b,
+      UNNEST(range(0, date_diff('day', b.d0, b.d1) + 1)) AS u(g)
+    ), counts AS (
+      SELECT event_type,
+             CAST(date_diff('day', b.d0, CAST(ts AS DATE)) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events CROSS JOIN bounds b
+      GROUP BY event_type, date_diff('day', b.d0, CAST(ts AS DATE))
+    ), series AS MATERIALIZED (
+      SELECT g.event_type, g.t, COALESCE(c.x, 0) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.event_type = g.event_type AND c.t = g.t
+    )
+"""
+
+
+@query(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH {_SERIES_SQL}, init AS (
+      SELECT s0.event_type, CAST(1 AS BIGINT) AS t,
+             s0.x * {TS_SCALE} AS l, (s1.x - s0.x) * {TS_SCALE} AS b
+      FROM series s0 JOIN series s1
+        ON s0.event_type = s1.event_type AND s0.t = 0 AND s1.t = 1
+    ), state AS (
+      WITH RECURSIVE rec AS (
+        SELECT * FROM init
+        UNION ALL
+        SELECT r.event_type, r.t + 1,
+               CAST(trunc((d.x * {TS_SCALE} + 3 * (r.l + r.b)) / 4.0)
+                    AS BIGINT),
+               CAST(trunc((
+                 (CAST(trunc((d.x * {TS_SCALE} + 3 * (r.l + r.b)) / 4.0)
+                       AS BIGINT) - r.l) + 3 * r.b) / 4.0) AS BIGINT)
+        FROM rec r JOIN series d
+          ON d.event_type = r.event_type AND d.t = r.t + 1
+      )
+      SELECT * FROM rec
+    ), fc AS (
+      SELECT s.event_type, CAST(h.h AS BIGINT) AS horizon,
+             ABS(s.l + h.h * s.b - a.x * {TS_SCALE}) AS err_holt,
+             ABS(o.x * {TS_SCALE} - a.x * {TS_SCALE}) AS err_naive
+      FROM state s
+      CROSS JOIN (VALUES (1), (2), (3)) AS h(h)
+      JOIN series a ON a.event_type = s.event_type AND a.t = s.t + h.h
+      JOIN series o ON o.event_type = s.event_type AND o.t = s.t
+    )
+    SELECT event_type, horizon,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           CAST(SUM(err_holt) AS BIGINT) AS sum_err_holt,
+           CAST(SUM(err_naive) AS BIGINT) AS sum_err_naive,
+           CAST(CAST(SUM(err_holt) AS BIGINT) AS DOUBLE)
+             / (COUNT(*) * {TS_SCALE}.0) AS mae_holt,
+           CAST(CAST(SUM(err_naive) AS BIGINT) AS DOUBLE)
+             / (COUNT(*) * {TS_SCALE}.0) AS mae_naive,
+           CAST(CAST(SUM(err_holt) AS BIGINT) AS DOUBLE)
+             / NULLIF(CAST(SUM(err_naive) AS BIGINT), 0) AS skill
+    FROM fc GROUP BY event_type, horizon
+    """,
+    doc="Rolling-origin forecast backtest (Tashman 2000) of the Holt "
+        "smoother: at every day t, forecast t+1..t+3 from the state the "
+        "recursion had reached by t and score |forecast − actual| against "
+        "the persistence baseline x_t — per (series, horizon) MAE and the "
+        "holt/naive skill ratio (< 1 ⇒ the smoother earns its state). "
+        "Same one-pass day-grain front end and exact scaled-BIGINT "
+        "recursion as events_holt_smoothing; error sums are associative "
+        "integers, the three emitted ratios are single divisions.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _dense_daily_series(spark, sf_dir)
+
+    def backtest(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        xs = [int(v) * TS_SCALE for v in pdf["x"]]
+        et = pdf["event_type"].iloc[0]
+        cols = [
+            "event_type", "horizon", "n_forecasts", "sum_err_holt",
+            "sum_err_naive", "mae_holt", "mae_naive", "skill",
+        ]
+        if len(xs) < 2:
+            return pd.DataFrame([], columns=cols)
+        # replay the recursion, keeping EVERY state (t >= 1)
+        states = {}
+        l = xs[0]
+        b = xs[1] - xs[0]
+        states[1] = (l, b)
+        for t in range(2, len(xs)):
+            l_new = math.trunc((xs[t] + 3 * (l + b)) / 4)
+            b = math.trunc(((l_new - l) + 3 * b) / 4)
+            l = l_new
+            states[t] = (l, b)
+        sums = {h: [0, 0, 0] for h in range(1, BT_HORIZONS + 1)}  # n, holt, naive
+        for t, (lt, bt) in states.items():
+            for h in range(1, BT_HORIZONS + 1):
+                if t + h >= len(xs):
+                    continue
+                actual = xs[t + h]
+                sums[h][0] += 1
+                sums[h][1] += abs(lt + h * bt - actual)
+                sums[h][2] += abs(xs[t] - actual)
+        rows = []
+        for h, (n, sh, sn) in sums.items():
+            if n == 0:
+                continue
+            rows.append((
+                et, h, n, sh, sn,
+                sh / (n * TS_SCALE), sn / (n * TS_SCALE),
+                (sh / sn) if sn != 0 else None,
+            ))
+        return pd.DataFrame(rows, columns=cols)
+
+    return series.groupBy("event_type").applyInPandas(
+        backtest,
+        schema="event_type string, horizon bigint, n_forecasts bigint, "
+        "sum_err_holt bigint, sum_err_naive bigint, mae_holt double, "
+        "mae_naive double, skill double",
     )

@@ -311,3 +311,92 @@ def test_filtered_ann_prefilter_dominates_postfilter(spark):
         if "prefilter" in s and "postfilter" in s:
             assert s["prefilter"]["n_returned"] >= s["postfilter"]["n_returned"]
             assert s["prefilter"]["recall"] >= s["postfilter"]["recall"]
+
+
+def test_forecast_backtest_reconciles_and_covers_horizons(spark):
+    """Every series gets horizons 1..3; forecast counts shrink as the
+    horizon grows; MAE columns reconcile exactly with the integer error
+    sums they were emitted from."""
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        TS_SCALE,
+        events_forecast_backtest,
+    )
+
+    rows = events_forecast_backtest(spark, SF001).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["horizon"]] = r
+        assert r["mae_holt"] == r["sum_err_holt"] / (r["n_forecasts"] * TS_SCALE)
+        assert r["mae_naive"] == r["sum_err_naive"] / (r["n_forecasts"] * TS_SCALE)
+        if r["sum_err_naive"] != 0:
+            assert r["skill"] == r["sum_err_holt"] / r["sum_err_naive"]
+    for et, hs in by_type.items():
+        assert set(hs) == {1, 2, 3}
+        assert hs[1]["n_forecasts"] >= hs[2]["n_forecasts"] >= hs[3]["n_forecasts"]
+
+
+def test_forecast_backtest_agrees_with_holt_final_state(spark):
+    """The backtest's replayed recursion reaches the same terminal state
+    the smoother emits: a 1-step forecast made at the last backtestable
+    origin uses a state on the smoother's exact trajectory (cross-checked
+    by replaying the recursion in pure Python)."""
+    import math
+
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        TS_SCALE,
+        _dense_daily_series,
+        events_holt_smoothing,
+    )
+
+    series = _dense_daily_series(spark, SF001).collect()
+    by_type = {}
+    for r in series:
+        by_type.setdefault(r["event_type"], {})[r["t"]] = r["x"]
+    final = {r["event_type"]: r for r in events_holt_smoothing(spark, SF001).collect()}
+    for et, xs_map in by_type.items():
+        xs = [xs_map[t] * TS_SCALE for t in sorted(xs_map)]
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            l_new = math.trunc((x + 3 * (l + b)) / 4)
+            b = math.trunc(((l_new - l) + 3 * b) / 4)
+            l = l_new
+        assert final[et]["level_scaled"] == l
+        assert final[et]["trend_scaled"] == b
+
+
+def test_score_correlation_bounds_and_bruteforce(spark):
+    """rho stays in [-1, 1] and matches a pandas brute-force Spearman
+    (same doc_id tie-break) per source."""
+    from conduit_connector_s3_iceberg_spark.operators.lm import lm_bigram_score
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        text_quality_score,
+        text_score_correlation,
+    )
+
+    got = {r["source"]: r for r in text_score_correlation(spark, SF001).collect()}
+    q = text_quality_score(spark, SF001).select("doc_id", "quality").toPandas()
+    f = lm_bigram_score(spark, SF001).select("doc_id", "fluency_scaled").toPandas()
+    docs = spark.read.parquet(SF001 + "/documents.parquet").select(
+        "doc_id", "source"
+    ).toPandas()
+    j = q.merge(f, on="doc_id").merge(docs, on="doc_id")
+    for source, grp in j.groupby("source"):
+        rq = {
+            d: i + 1
+            for i, d in enumerate(
+                grp.sort_values(["quality", "doc_id"])["doc_id"]
+            )
+        }
+        rf = {
+            d: i + 1
+            for i, d in enumerate(
+                grp.sort_values(["fluency_scaled", "doc_id"])["doc_id"]
+            )
+        }
+        n = len(grp)
+        sd2 = sum((rq[d] - rf[d]) ** 2 for d in grp["doc_id"])
+        want = 1.0 - 6.0 * sd2 / (n * (n * n - 1)) if n > 1 else None
+        r = got[source]
+        assert r["n_docs"] == n and r["sum_d2"] == sd2
+        assert -1.0 <= r["spearman_rho"] <= 1.0
+        assert abs(r["spearman_rho"] - want) < 1e-12
