@@ -3429,3 +3429,160 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------- int8 serving recall ----
+#
+# The question emb_quantize_int8 exists to answer: can the ANN tier serve
+# from 4x-smaller int8 codes without losing the float ranking? This audit
+# ranks the SAME scan by exact float cosine and by the int8-reconstructed
+# cosine (integer code dot / (scale_q*scale_e) / (nrm_q*nrm_e) — the
+# score an int8 shard actually computes, norms stored alongside codes)
+# and reports per-query overlap@k plus the best exact rank the int8
+# ranking missed. recall@k near 1 clears the shard format for serving;
+# a low top_missed_rank flags queries where quantization flips the head.
+#
+# Scale/determinism: ONE broadcast-query x corpus scan scores both
+# rankings; the two-phase top-k gate (see _two_phase_topk) applies with
+# an either-score survivor criterion, so the per-query merge input stays
+# k x partitions for both rankings without a second corpus pass. The
+# code dot is an exact BIGINT sum; both cosines are fixed-shape IEEE
+# division chains; ranks tie-break on vec_id; overlap counts are
+# integers and recall is one division.
+
+@query(
+    "emb_int8_recall",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS max_abs
+      FROM embeddings
+    ), c AS MATERIALIZED (
+      SELECT vec_id, emb, nrm, {QUANT_LEVELS}.0 / max_abs AS scale,
+             list_transform(emb,
+               x -> CAST(round(x * ({QUANT_LEVELS}.0 / max_abs)) AS INTEGER))
+               AS codes
+      FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm,
+             scale AS qscale, codes AS qcodes
+      FROM c WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_sql_dot('q.qemb', 'c.emb')} / (q.qnrm * c.nrm) AS cosine,
+             CAST(list_reduce(list_transform(generate_series(1, {DIM}),
+                    i -> CAST((q.qcodes)[i] AS BIGINT) * (c.codes)[i]),
+                  (x, y) -> x + y) AS DOUBLE)
+               / (q.qscale * c.scale) / (q.qnrm * c.nrm) AS approx
+      FROM q JOIN c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, vec_id) AS INTEGER) AS rq
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(COUNT(*) FILTER (WHERE rf <= {TOP_K} AND rq <= {TOP_K})
+                AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) FILTER (WHERE rf <= {TOP_K} AND rq <= {TOP_K})
+                AS DOUBLE) / {TOP_K}.0 AS recall,
+           MIN(rf) FILTER (WHERE rf <= {TOP_K} AND rq > {TOP_K})
+             AS top_missed_rank
+    FROM ranked
+    WHERE rf <= {TOP_K} OR rq <= {TOP_K}
+    GROUP BY query_id
+    """,
+    doc="Int8-serving recall audit: the corpus ranked per query by exact "
+        "float cosine AND by the int8-code cosine an int8 shard computes "
+        "(exact BIGINT code dot / scales / norms) in one broadcast-query "
+        "scan; per query, overlap@k of the two top-k sets, recall@k, and "
+        "the best exact rank the int8 ranking missed (NULL = clean head). "
+        "Two-phase top-k gate applies with an either-score survivor "
+        "criterion, so the merge input stays k x partitions for both "
+        "rankings without a second corpus pass.",
+)
+def emb_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+        F.expr(
+            f"transform({_SPARK_EMB_D}, x -> abs(x))"
+        ).alias("abs_emb"),
+    ).select(
+        "vec_id", "emb", "nrm",
+        F.expr("array_max(abs_emb)").alias("max_abs"),
+    ).select(
+        "vec_id", "emb", "nrm",
+        (F.lit(float(QUANT_LEVELS)) / F.col("max_abs")).alias("scale"),
+        F.expr(
+            f"transform(emb, x -> cast(round(x * ({QUANT_LEVELS}.0D / max_abs))"
+            " as int))"
+        ).alias("codes"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("scale").alias("qscale"),
+        F.col("codes").alias("qcodes"),
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+        (
+            F.expr(
+                "cast(aggregate(zip_with(qcodes, codes, (a, b) -> a * b),"
+                " 0L, (acc, v) -> acc + cast(v as bigint)) as double)"
+            )
+            / (F.col("qscale") * F.col("scale"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("approx"),
+    )
+    # dual-criterion two-phase top-k: a row survives phase 1 if it is in
+    # its partition's top-k by EITHER score (every global top-k row for
+    # either ranking necessarily is), so one scan feeds both rankings
+    sc = spark.sparkContext
+    if base.rdd.getNumPartitions() > 2 * sc.defaultParallelism:
+        wf_l = Window.partitionBy("query_id", "part_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        wq_l = Window.partitionBy("query_id", "part_id").orderBy(
+            F.col("approx").desc(), F.col("vec_id")
+        )
+        scored = (
+            scored.withColumn("part_id", F.spark_partition_id())
+            .withColumn("lrf", F.row_number().over(wf_l))
+            .withColumn("lrq", F.row_number().over(wq_l))
+            .filter((F.col("lrf") <= TOP_K) | (F.col("lrq") <= TOP_K))
+            .drop("part_id", "lrf", "lrq")
+        )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id")
+    )
+    ranked = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rq", F.row_number().over(wq))
+        .filter((F.col("rf") <= TOP_K) | (F.col("rq") <= TOP_K))
+    )
+    hit = (F.col("rf") <= TOP_K) & (F.col("rq") <= TOP_K)
+    return ranked.groupBy("query_id").agg(
+        F.count(F.when(hit, 1)).cast("bigint").alias("n_overlap"),
+        (
+            F.count(F.when(hit, 1)).cast("double") / F.lit(float(TOP_K))
+        ).alias("recall"),
+        F.min(
+            F.when((F.col("rf") <= TOP_K) & (F.col("rq") > TOP_K), F.col("rf"))
+        ).alias("top_missed_rank"),
+    )

@@ -400,3 +400,44 @@ def test_score_correlation_bounds_and_bruteforce(spark):
         assert r["n_docs"] == n and r["sum_d2"] == sd2
         assert -1.0 <= r["spearman_rho"] <= 1.0
         assert abs(r["spearman_rho"] - want) < 1e-12
+
+
+def test_int8_recall_matches_pandas_bruteforce(spark):
+    """Overlap@k per query matches a pandas replay of both rankings
+    (same quantizer, same tie-break); recall reconciles with n_overlap;
+    top_missed_rank is NULL iff overlap is full."""
+    import numpy as np
+
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        N_QUERIES,
+        QUANT_LEVELS,
+        TOP_K,
+        emb_int8_recall,
+    )
+
+    got = {r["query_id"]: r for r in emb_int8_recall(spark, SF001).collect()}
+    pdf = spark.read.parquet(SF001 + "/embeddings.parquet").toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    nrm = {v: float(np.sqrt((x * x).sum())) for v, x in vecs.items()}
+    scale = {v: QUANT_LEVELS / np.abs(x).max() for v, x in vecs.items()}
+    codes = {v: np.round(x * scale[v]).astype(np.int64) for v, x in vecs.items()}
+    for qid in range(N_QUERIES):
+        exact, approx = [], []
+        for v, x in vecs.items():
+            if v == qid:
+                continue
+            exact.append((-(float(vecs[qid] @ x) / (nrm[qid] * nrm[v])), v))
+            approx.append((
+                -(float(codes[qid] @ codes[v]) / (scale[qid] * scale[v])
+                  / (nrm[qid] * nrm[v])), v))
+        topf = {v for _, v in sorted(exact)[:TOP_K]}
+        topq = {v for _, v in sorted(approx)[:TOP_K]}
+        r = got[qid]
+        assert r["n_overlap"] == len(topf & topq)
+        assert r["recall"] == r["n_overlap"] / float(TOP_K)
+        missed = {v for v in topf if v not in topq}
+        if missed:
+            ranks = {v: i + 1 for i, (_, v) in enumerate(sorted(exact))}
+            assert r["top_missed_rank"] == min(ranks[v] for v in missed)
+        else:
+            assert r["top_missed_rank"] is None
