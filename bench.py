@@ -97,6 +97,17 @@ BENCH_EXT3 = [
     "emb_semdedup",
     "lm_perplexity_gate",
     "dedup_substring_spans",
+    # round 7, third wave
+    "graph_label_propagation",
+    "lm_kneser_ney",
+    "sim_ann_filtered",
+    "events_forecast_backtest",
+    "emb_int8_recall",
+    # round 7, fourth wave
+    "events_retention_cohorts",
+    "lm_good_turing",
+    "emb_jl_projection_audit",
+    "corpus_repeat_epochs",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -378,6 +378,19 @@ BROADCAST_NONEQUI_OK = {
     "events_fano_factor",
     # 1-row truth broadcast folded into the 1-row estimate audit
     "sketch_cms_join_size",
+    # round 7 third wave bounded broadcasts:
+    # 1-row ref-day broadcast aging the O(types x days) day-grain frame
+    "events_decayed_popularity",
+    # 1-row date-bounds broadcast seeding the dense day grid (Holt shape)
+    "events_forecast_backtest",
+    # 1-row query-count broadcast into the |layouts|-row pruning audit
+    "layout_pruning_audit",
+    # 1-row bigram-type-total broadcast into the continuation table
+    "lm_kneser_ney",
+    # 5-row query-set broadcast against the corpus scan (bruteforce shape)
+    "emb_int8_recall",
+    # 32-row bounded pair sample, broadcast non-equi self-join (496 pairs)
+    "emb_jl_projection_audit",
 }
 
 
