@@ -1881,3 +1881,120 @@ def corpus_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------ data-constrained epoch plan -----
+
+EPOCH_MAX = 6        # never repeat a source more than 6 epochs
+EPOCH_BUDGET_X = 2   # training budget = 2x the unique-token corpus
+
+
+@query(
+    "corpus_repeat_epochs",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), grid AS (
+      SELECT s.source, s.n_tokens, e.epoch,
+             CAST(floor(s.n_tokens / power(2, e.epoch - 1)) AS BIGINT)
+               AS value
+      FROM src s, UNNEST(range(1, {EPOCH_MAX} + 1)) AS e(epoch)
+    ), ranked AS (
+      SELECT *,
+             SUM(n_tokens) OVER (
+               ORDER BY value DESC, source, epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens,
+             CAST({EPOCH_BUDGET_X} * SUM(CASE WHEN epoch = 1 THEN n_tokens
+                                              ELSE 0 END) OVER () AS BIGINT)
+               AS budget
+      FROM grid WHERE value > 0
+    ), taken AS (
+      SELECT * FROM ranked WHERE cum_tokens - n_tokens < budget
+    )
+    SELECT source,
+           MIN(n_tokens) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS epochs,
+           CAST(COUNT(*) * MIN(n_tokens) AS BIGINT) AS tokens_allocated,
+           CAST(SUM(value) AS BIGINT) AS effective_value,
+           CAST(COUNT(*) * MIN(n_tokens) AS DOUBLE) / MIN(budget)
+             AS budget_share
+    FROM taken
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Data-constrained epoch planner (the Muennighoff-style repeat "
+    "allocator): under a training budget of 2x the unique corpus, decide "
+    "how many epochs each source repeats. Epoch e of source s costs "
+    "n_tokens(s) and is worth n_tokens(s) >> (e-1) — a halving "
+    "diminishing-returns schedule for repeated data — and slices are "
+    "taken greedily by marginal value until the budget line; the slice "
+    "that crosses it is kept (budgets cap starts, like pack_sequences "
+    "cuts). Halving is strictly decreasing while positive, so a source's "
+    "epoch e always outranks its epoch e+1 and allocations are "
+    "contiguous — the greedy IS the optimal fractional-knapsack order. "
+    "Scale: one corpus-grain hash shuffle to source token counts; the "
+    "grid is |sources| x 6 rows, so the global ranking window sorts "
+    "metadata, never data. All integer math (floor-div by powers of "
+    "two), engine-identical.",
+)
+def corpus_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    grid = src.select(
+        "source",
+        "n_tokens",
+        F.explode(F.expr(f"sequence(1, {EPOCH_MAX})")).alias("epoch"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.expr("cast(floor(n_tokens / power(2, epoch - 1)) as bigint)").alias(
+            "value"
+        ),
+    )
+    wrank = (
+        Window.partitionBy()
+        .orderBy(F.col("value").desc(), "source", "epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    ranked = (
+        grid.filter(F.col("value") > 0)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wrank))
+        .withColumn(
+            "budget",
+            (
+                F.lit(EPOCH_BUDGET_X)
+                * F.sum(
+                    F.when(F.col("epoch") == 1, F.col("n_tokens")).otherwise(
+                        F.lit(0)
+                    )
+                ).over(wall)
+            ).cast("bigint"),
+        )
+    )
+    taken = ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("budget"))
+    return (
+        taken.groupBy("source")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("epochs"),
+            (F.count(F.lit(1)) * F.min("n_tokens"))
+            .cast("bigint")
+            .alias("tokens_allocated"),
+            F.sum("value").cast("bigint").alias("effective_value"),
+            (
+                (F.count(F.lit(1)) * F.min("n_tokens")).cast("double")
+                / F.min("budget")
+            ).alias("budget_share"),
+        )
+        .orderBy("source")
+    )

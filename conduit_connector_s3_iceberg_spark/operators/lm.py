@@ -28,7 +28,7 @@ no text surface; this is part of the north-star LLM-pipeline extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -782,4 +782,90 @@ def lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sum("cnt") * F.lit(float(LM_SCALE)))
             ).alias("mean_kn_prob"),
         )
+    )
+
+
+@query(
+    "lm_good_turing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), uni AS (
+      SELECT u.w, CAST(COUNT(*) AS BIGINT) AS r
+      FROM toks, UNNEST(t) AS u(w)
+      GROUP BY u.w
+    ), cc AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types FROM uni GROUP BY r
+    ), tot AS (
+      SELECT CAST(SUM(r * n_types) AS BIGINT) AS n_tokens FROM cc
+    )
+    SELECT c.r,
+           c.n_types,
+           CAST(c.r * c.n_types AS BIGINT) AS class_tokens,
+           CAST(round({LM_SCALE} * (c.r + 1) * COALESCE(nx.n_types, 0)
+                      / c.n_types) AS BIGINT) AS r_star_scaled,
+           CAST(round({LM_SCALE} * (c.r + 1) * COALESCE(nx.n_types, 0)
+                      / t.n_tokens) AS BIGINT) AS gt_mass_scaled
+    FROM cc c
+    LEFT JOIN cc nx ON nx.r = c.r + 1
+    CROSS JOIN tot t
+    ORDER BY c.r
+    """,
+    doc="Good-Turing frequency smoothing table: unigram types bucketed by "
+    "raw count r, with N_r = |{w : c(w)=r}| and the Turing-smoothed "
+    "count r* = (r+1) N_(r+1)/N_r per class (r* = 0 for the top class "
+    "where N_(r+1) vanishes — production SGT regresses the tail; the "
+    "count-of-counts table emitted here IS that regression's input). "
+    "gt_mass = (r+1) N_(r+1)/N is each class's reallocated probability "
+    "mass; the r=1 row's gt_mass... is the classic missing-mass estimate "
+    "N_1/N shifted down to r=0 (Gale & Sampson 1995). Scale: the corpus "
+    "reduces to vocabulary-grain counts in one hash shuffle; the "
+    "count-of-counts table is register-domain (|distinct r| rows), its "
+    "r+1 self-join and the 1-row token total are metadata ops. Smoothed "
+    "values are single correctly-rounded divisions scaled to BIGINT — "
+    "order-independent, engine-identical.",
+)
+def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    cc = uni.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    cc = cc.localCheckpoint(eager=False)  # register-domain; 3 consumers
+    # token total folded over the register-domain frame, not the corpus
+    wtot = Window.partitionBy()
+    with_tot = cc.withColumn(
+        "n_tokens", F.sum(F.col("r") * F.col("n_types")).over(wtot)
+    )
+    nx = cc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_next")
+    )
+    return (
+        with_tot.join(F.broadcast(nx), "r", "left")
+        .select(
+            "r",
+            "n_types",
+            (F.col("r") * F.col("n_types")).cast("bigint").alias("class_tokens"),
+            F.round(
+                F.lit(LM_SCALE)
+                * (F.col("r") + 1)
+                * F.coalesce(F.col("n_next"), F.lit(0))
+                / F.col("n_types")
+            )
+            .cast("bigint")
+            .alias("r_star_scaled"),
+            F.round(
+                F.lit(LM_SCALE)
+                * (F.col("r") + 1)
+                * F.coalesce(F.col("n_next"), F.lit(0))
+                / F.col("n_tokens")
+            )
+            .cast("bigint")
+            .alias("gt_mass_scaled"),
+        )
+        .orderBy("r")
     )

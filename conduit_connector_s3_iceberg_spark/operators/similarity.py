@@ -3586,3 +3586,136 @@ def emb_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("rf") <= TOP_K) & (F.col("rq") > TOP_K), F.col("rf"))
         ).alias("top_missed_rank"),
     )
+
+
+# ------------------------------------------- JL random-projection audit -----
+
+JL_K = 8           # projected dimensionality
+JL_PAIR_IDS = 32   # audit pair sample: all pairs among vec_id < 32 (496)
+
+# Deterministic +/-1 Rademacher sign matrix from md5 (public, engine-free,
+# same recipe as the LSH planes above): column j is one projection.
+_JL_SIGNS = [
+    [
+        1.0 if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0], 16) < 8
+        else -1.0
+        for i in range(DIM)
+    ]
+    for j in range(JL_K)
+]
+
+
+def _jl_spark_proj(j: int) -> str:
+    arr = "array(" + ", ".join(f"{v}D" for v in _JL_SIGNS[j]) + ")"
+    return _spark_dot(_SPARK_EMB_D, arr)
+
+
+def _jl_sql_proj(j: int) -> str:
+    arr = "[" + ", ".join(str(v) for v in _JL_SIGNS[j]) + "]::DOUBLE[]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}),"
+        f" i -> embedding[i] * ({arr})[i]), (x, y) -> x + y)"
+    )
+
+
+@query(
+    "emb_jl_projection_audit",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             [{", ".join(_jl_sql_proj(j) for j in range(JL_K))}]::DOUBLE[] AS p
+      FROM embeddings
+      WHERE vec_id < {JL_PAIR_IDS}
+    ), pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])),
+               (x, y) -> x + y) AS d2,
+             list_reduce(list_transform(generate_series(1, {JL_K}),
+               j -> (a.p[j] - b.p[j]) * (a.p[j] - b.p[j])),
+               (x, y) -> x + y) AS pd2
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    ), ratios AS (
+      SELECT CAST(round(1000000000 * pd2 / ({JL_K}.0 * d2)) AS BIGINT)
+               AS ratio_scaled
+      FROM pairs WHERE d2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(ratio_scaled) AS BIGINT) AS min_ratio_scaled,
+           CAST(MAX(ratio_scaled) AS BIGINT) AS max_ratio_scaled,
+           CAST(SUM(ratio_scaled) AS DOUBLE)
+             / (COUNT(*) * 1000000000.0) AS mean_ratio,
+           SUM(CASE WHEN abs(ratio_scaled - 1000000000) <= 250000000
+                    THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS frac_within_25pct
+    FROM ratios
+    """,
+    doc="Johnson-Lindenstrauss projection-fidelity audit: project D=64 "
+    "embeddings to K=8 via a deterministic Rademacher (+/-1) sign matrix "
+    "(Achlioptas 2003 — database-friendly random projections), then "
+    "measure ||Pa-Pb||^2/(K) vs ||a-b||^2 over all 496 pairs of a fixed "
+    "32-vector sample. The go/no-go gate before swapping full-precision "
+    "distances for projected ones in a dedup or ANN prefilter: mean "
+    "ratio ~1 and a tight spread justify the 8x distance-compute cut. "
+    "Scale: the projection is a per-row fixed-order fold (one corpus "
+    "map, here pruned to the 32-row sample by pushdown); the pair frame "
+    "is sample^2-bounded, never corpus^2. Per-pair ratios quantize to "
+    "BIGINT before the summary fold, so min/max/mean are "
+    "order-independent and engine-identical.",
+)
+def emb_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.filter(F.col("vec_id") < JL_PAIR_IDS).select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("e"),
+        F.expr(
+            "array(" + ", ".join(_jl_spark_proj(j) for j in range(JL_K)) + ")"
+        ).alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("ida"),
+        F.col("e").alias("ea"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("idb"),
+        F.col("e").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        F.expr(
+            "aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, v) -> acc + v)"
+        ).alias("d2"),
+        F.expr(
+            "aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, v) -> acc + v)"
+        ).alias("pd2"),
+    )
+    ratios = pairs.filter(F.col("d2") > 0).select(
+        F.round(
+            F.lit(1_000_000_000) * F.col("pd2") / (F.lit(float(JL_K)) * F.col("d2"))
+        )
+        .cast("bigint")
+        .alias("ratio_scaled")
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("ratio_scaled").alias("min_ratio_scaled"),
+        F.max("ratio_scaled").alias("max_ratio_scaled"),
+        (
+            F.sum("ratio_scaled").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000_000.0))
+        ).alias("mean_ratio"),
+        (
+            F.sum(
+                F.when(
+                    F.abs(F.col("ratio_scaled") - 1_000_000_000)
+                    <= 250_000_000,
+                    1,
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_within_25pct"),
+    )

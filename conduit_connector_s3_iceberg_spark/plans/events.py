@@ -2247,3 +2247,96 @@ def events_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_lift")
     )
+
+
+# --------------------------------------------------- cohort retention -------
+
+# Monday anchor for the engine-identical integer week index: both engines
+# compute floor(days-since-1970-01-05 / 7) with positive integer division.
+_WEEK_EPOCH = "1970-01-05"
+
+
+@query(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '{_WEEK_EPOCH}', CAST(ts AS DATE)) // 7 AS w
+      FROM events
+    ), w0 AS (
+      SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY user_id
+    ), cohort AS (
+      SELECT w0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM w0 GROUP BY w0
+    ), act AS (
+      SELECT w0.w0, uw.w - w0.w0 AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM uw JOIN w0 USING (user_id)
+      GROUP BY w0.w0, uw.w - w0.w0
+    )
+    SELECT DATE '{_WEEK_EPOCH}' + CAST(a.w0 * 7 AS INTEGER) AS cohort_start,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           c.cohort_size,
+           a.active_users,
+           a.active_users / CAST(c.cohort_size AS DOUBLE) AS retention
+    FROM act a JOIN cohort c USING (w0)
+    ORDER BY cohort_start, week_offset
+    """,
+    doc="Weekly cohort retention matrix: users bucketed by the Monday week "
+    "of their FIRST event; each later (user, week) activity row counts "
+    "toward (cohort, week_offset). The canonical growth-analytics grid "
+    "(cohort x offset) every product warehouse materializes. Scale: the "
+    "raw log reduces to distinct (user, week) rows in one hash shuffle; "
+    "first-week min-agg and the activity join are both user_id-keyed (one "
+    "co-partitioned shuffle, no skew — users are the fine grain); the "
+    "final aggregation lands on the weeks^2-sized cohort grid, metadata "
+    "no matter the corpus. Retention is a single bigint/bigint division "
+    "per cell — order-independent, engine-identical. Week index is pure "
+    "integer arithmetic from a fixed Monday epoch, immune to engine "
+    "week-truncation conventions (ISO vs locale).",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit(_WEEK_EPOCH).cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by the w0 agg and the join
+    )
+    w0 = uw.groupBy("user_id").agg(F.min("w").alias("w0"))
+    cohort = w0.groupBy("w0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = (
+        uw.join(w0, "user_id")
+        .groupBy(
+            F.col("w0"),
+            (F.col("w") - F.col("w0")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    return (
+        act.join(F.broadcast(cohort), "w0")
+        .select(
+            F.date_add(
+                F.lit(_WEEK_EPOCH).cast("date"),
+                (F.col("w0") * 7).cast("int"),
+            ).alias("cohort_start"),
+            "week_offset",
+            "cohort_size",
+            "active_users",
+            (
+                F.col("active_users") / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_start", "week_offset")
+    )
