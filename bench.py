@@ -108,6 +108,11 @@ BENCH_EXT3 = [
     "lm_good_turing",
     "emb_jl_projection_audit",
     "corpus_repeat_epochs",
+    # round 7, fifth wave
+    "sample_ess_audit",
+    "events_ab_cuped",
+    "graph_resource_allocation",
+    "dedup_bbit_minhash",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -799,3 +799,103 @@ def graph_salsa_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a").cast("double") / scale).alias("score"),
     )
     return h_side.union(a_side)
+
+
+# ------------------------------------------ resource-allocation index -------
+
+RA_SCALE = 1_000_000_000
+
+
+@query(
+    "graph_resource_allocation",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), keep AS (
+      SELECT s, CAST(round({RA_SCALE} / COUNT(*)) AS BIGINT) AS w
+      FROM cp GROUP BY s HAVING COUNT(*) <= {LINK_DEG_CAP}
+    ), g AS (
+      SELECT cp.c, cp.s, keep.w FROM cp JOIN keep ON cp.s = keep.s
+    ), pairs AS (
+      SELECT a.c AS c1, b.c AS c2,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(a.w) AS BIGINT) AS ra_scaled
+      FROM g a JOIN g b ON a.s = b.s AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT c1, c2, cn, ra_scaled,
+           CAST(ra_scaled AS DOUBLE) / {RA_SCALE} AS ra
+    FROM pairs
+    ORDER BY ra_scaled DESC, c1, c2
+    LIMIT {LINK_TOP}
+    """,
+    doc="Resource-allocation link prediction (Zhou, Lü & Zhang 2009): each "
+    "shared part s sends 1/deg(s) of unit resource to every customer "
+    "pair it connects — the degree-penalized cousin of the "
+    "common-neighbor count that consistently beats Jaccard and "
+    "Adamic-Adar on co-purchase graphs because hub neighbors carry "
+    "almost no signal. Same q²-bounded plan as graph_link_jaccard: hub "
+    "parts above LINK_DEG_CAP are dropped, each part's weight w = "
+    "round(SCALE/deg) is computed ONCE in the degree filter (a single "
+    "correctly-rounded division — engine-identical), the capped member "
+    "list explodes its C(q,2) pairs locally per part, and pair scores "
+    "are exact BIGINT sums of the carried weights; top pairs via "
+    "TakeOrderedAndProject. 1/deg needs no log, so the whole score is "
+    "integer-exact — no transcendental to disagree across engines.",
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
+        .distinct()
+    )
+    # per-part weight fused into the degree-cap filter: one part-keyed agg
+    keep = (
+        cp.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("sdeg"))
+        .filter(F.col("sdeg") <= LINK_DEG_CAP)
+        .select(
+            "s",
+            F.round(F.lit(RA_SCALE) / F.col("sdeg")).cast("bigint").alias("w"),
+        )
+    )
+    g = cp.join(keep, "s")
+    # pair generation local per part (the graph_link_jaccard shape): the
+    # capped member list explodes C(q,2) combinations in place; the part's
+    # weight rides along on every emitted pair
+    adj = g.groupBy("s").agg(
+        F.sort_array(F.collect_list("c")).alias("members"),
+        F.max("w").alias("w"),
+    )
+    pairs = (
+        adj.select(
+            "w",
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1),"
+                    " y -> struct(x AS c1, y AS c2))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.c1", "p.c2", "w")
+        .groupBy("c1", "c2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("w").cast("bigint").alias("ra_scaled"),
+        )
+    )
+    return (
+        pairs.select(
+            "c1",
+            "c2",
+            "cn",
+            "ra_scaled",
+            (F.col("ra_scaled").cast("double") / F.lit(RA_SCALE)).alias("ra"),
+        )
+        .orderBy(F.col("ra_scaled").desc(), "c1", "c2")
+        .limit(LINK_TOP)
+    )

@@ -1124,3 +1124,70 @@ def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
     )
+
+
+# ---------------------------------------- importance-weight ESS audit -------
+
+ESS_W_SCALE = 65536  # 16-bit weight quantization (same grid as the soft gate)
+
+
+@query(
+    "sample_ess_audit",
+    oracle=f"""
+    WITH q AS (
+{_QW_QUALITY_SQL}
+    ), wq AS (
+      SELECT d.source,
+             CAST(round({ESS_W_SCALE} * q.quality) AS BIGINT) AS w
+      FROM q JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(w * w) AS BIGINT) AS sum_w2,
+           CAST(SUM(w) AS DOUBLE) * SUM(w) / SUM(w * w) AS ess,
+           CAST(SUM(w) AS DOUBLE) * SUM(w) / SUM(w * w) / COUNT(*)
+             AS ess_ratio
+    FROM wq
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Effective-sample-size audit of the quality importance weights "
+    "(Kong 1992): per source, ESS = (Σw)²/Σw² and its ratio to the raw "
+    "doc count — the diagnostic run BEFORE any weighted resample ships; "
+    "ESS ratio near 1 means near-uniform weights (weighting is a no-op), "
+    "a low ratio means a few documents dominate the resample and the "
+    "downstream estimator's variance explodes. Weights quantize once to "
+    "the 16-bit grid the soft sampling gate itself uses, so Σw and Σw² "
+    "are exact BIGINT sums (order-independent); ESS is a final one-chain "
+    "IEEE division. Scale: one narrow map + one hash shuffle to source "
+    "grain — no data movement beyond the groupBy.",
+)
+def sample_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_col
+
+    docs = _docs(spark, sf_dir)
+    wq = docs.select(
+        "source",
+        F.round(F.lit(ESS_W_SCALE) * quality_col()).cast("bigint").alias("w"),
+    )
+    return (
+        wq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("sum_w"),
+            F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sum_w2"),
+            (
+                F.sum("w").cast("double")
+                * F.sum("w")
+                / F.sum(F.col("w") * F.col("w"))
+            ).alias("ess"),
+            (
+                F.sum("w").cast("double")
+                * F.sum("w")
+                / F.sum(F.col("w") * F.col("w"))
+                / F.count(F.lit(1))
+            ).alias("ess_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -2340,3 +2340,164 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_start", "week_offset")
     )
+
+
+# --------------------------------------------------- CUPED adjustment -------
+
+
+@query(
+    "events_ab_cuped",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts) < b.mid_us THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid_us
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events CROSS JOIN bounds b
+      GROUP BY user_id
+    ), assigned AS (
+      SELECT user_id, x, y,
+             CAST(('0x' || substr(md5('{AB_SALT}' || user_id::VARCHAR), 1, 15))
+                  AS BIGINT) % 2 AS variant
+      FROM per_user
+    ), cells AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM assigned GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 0 THEN sx END) AS sx0,
+        MAX(CASE WHEN variant = 1 THEN sx END) AS sx1,
+        MAX(CASE WHEN variant = 0 THEN sy END) AS sy0,
+        MAX(CASE WHEN variant = 1 THEN sy END) AS sy1,
+        CAST(SUM(n) AS BIGINT) AS n,
+        CAST(SUM(sx) AS BIGINT) AS sx,
+        CAST(SUM(sy) AS BIGINT) AS sy,
+        CAST(SUM(sxx) AS BIGINT) AS sxx,
+        CAST(SUM(sxy) AS BIGINT) AS sxy,
+        CAST(SUM(syy) AS BIGINT) AS syy
+      FROM cells
+    )
+    SELECT n0, n1,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS theta,
+           CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 AS lift_raw,
+           (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+             - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+               * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+             AS lift_cuped,
+           CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
+             / (n * sxx - sx * sx) / (n * syy - sy * sy) AS var_reduction
+    FROM wide
+    """,
+    doc="CUPED variance reduction (Deng et al. WSDM'13): pre-period event "
+    "count as the covariate X, post-period purchase count as the metric "
+    "Y, theta = cov(X,Y)/var(X) pooled over both variants (the standard "
+    "unbiased-under-randomization choice), adjusted lift = raw lift - "
+    "theta * covariate imbalance; var_reduction = rho² is the fraction "
+    "of metric variance the adjustment removes. The technique every "
+    "experimentation platform runs to cut experiment runtimes ~30-50%. "
+    "Period split is the integer midpoint of the event-time range (1-row "
+    "broadcast onto the scan); all moment sums are exact BIGINT per "
+    "variant cell, so theta/lift/rho² are final one-chain IEEE "
+    "expressions over a 2-row frame — order-independent, "
+    "engine-identical. Scale: one user-grain shuffle; everything after "
+    "is metadata.",
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(_us("ts")).alias("mn"), F.max(_us("ts")).alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid_us"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(_us("ts") < F.col("mid_us"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (_us("ts") >= F.col("mid_us"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    assigned = per_user.select(
+        "x",
+        "y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+    )
+    cells = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("variant") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("variant") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("variant") == 1, F.col("sy"))).alias("sy1"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+        F.sum("sxy").cast("bigint").alias("sxy"),
+        F.sum("syy").cast("bigint").alias("syy"),
+    )
+    theta = F.expr(
+        "cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx)"
+    )
+    lift_raw = F.expr(
+        "cast(sy1 as double) / n1 - cast(sy0 as double) / n0"
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        theta.alias("theta"),
+        lift_raw.alias("lift_raw"),
+        (
+            lift_raw
+            - theta
+            * F.expr("cast(sx1 as double) / n1 - cast(sx0 as double) / n0")
+        ).alias("lift_cuped"),
+        F.expr(
+            "cast(n * sxy - sx * sy as double) * (n * sxy - sx * sy)"
+            " / (n * sxx - sx * sx) / (n * syy - sy * sy)"
+        ).alias("var_reduction"),
+    )

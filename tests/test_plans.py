@@ -391,6 +391,8 @@ BROADCAST_NONEQUI_OK = {
     "emb_int8_recall",
     # 32-row bounded pair sample, broadcast non-equi self-join (496 pairs)
     "emb_jl_projection_audit",
+    # 1-row period-midpoint broadcast onto the scan (CUPED pre/post split)
+    "events_ab_cuped",
 }
 
 
