@@ -2297,21 +2297,29 @@ _WEEK_EPOCH = "1970-01-05"
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     uw = (
-        ev.select(
-            "user_id",
-            F.floor(
-                F.datediff(
-                    F.col("ts").cast("date"),
-                    F.lit(_WEEK_EPOCH).cast("date"),
-                )
-                / 7
-            )
-            .cast("long")
-            .alias("w"),
-        )
+        ev.select("user_id", week_index("ts"))
         .distinct()
         .localCheckpoint(eager=False)  # consumed by the w0 agg and the join
     )
+    return cohort_grid(uw)
+
+
+def week_index(ts_col) -> F.Column:
+    """Engine-identical integer week index of a timestamp column."""
+    col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return (
+        F.floor(
+            F.datediff(col.cast("date"), F.lit(_WEEK_EPOCH).cast("date")) / 7
+        )
+        .cast("long")
+        .alias("w")
+    )
+
+
+def cohort_grid(uw: DataFrame) -> DataFrame:
+    """(cohort × offset) retention grid from a distinct (user_id, w)
+    activity frame — shared by the batch query and the streaming
+    maintainer's serve path (``streaming.ivm.retention_from_state``)."""
     w0 = uw.groupBy("user_id").agg(F.min("w").alias("w0"))
     cohort = w0.groupBy("w0").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_size")

@@ -275,3 +275,64 @@ def decayed_popularity_from_summary(wh, summary_table: str) -> DataFrame:
         "event_type", "d", F.col("n_rows").alias("n")
     )
     return decayed_scores_from_daily(daily)
+
+
+# --------------------------------------- cohort-retention maintenance ------
+#
+# Streaming twin of ``plans.events.events_retention_cohorts``. The cohort
+# grid itself is NOT additively maintainable: a late-arriving earlier
+# event moves a user's first week and re-labels every one of their offset
+# cells. The minimal exact state is the distinct (user_id, week) activity
+# set — one row per user-week, far below the raw log, and the smallest
+# sufficient statistic under out-of-order arrival (first-seen week must be
+# an exact min). Each epoch admits only NOVEL user-weeks against the
+# standing table (the dedup_stream first-seen discipline: batch keys
+# broadcast into the probe, matched set broadcasts back — O(batch), the
+# standing table is never shuffled); the serve path recomputes the
+# metadata-sized grid from the state via the SAME ``cohort_grid`` code the
+# batch query runs, so streaming == batch is equality by construction.
+
+
+def maintain_retention_stream(
+    stream: DataFrame,
+    wh,
+    state_table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the distinct (user_id, w) activity table from an
+    append-only event stream (rows with ``ts``, ``user_id``). Serve the
+    cohort grid with ``retention_from_state``."""
+    from ..plans.events import week_index
+    from ..writer import epoch_already_applied, mark_epoch_applied
+
+    epoch_table = f"{state_table}__applied_epoch"
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if epoch_already_applied(wh, epoch_table, epoch_id):
+            return  # replayed epoch — user-weeks already admitted
+        uw = batch.select("user_id", week_index("ts")).distinct()
+        novel = probe_novel(wh, state_table, uw, ["user_id", "w"])
+        append_index(wh, state_table, novel)
+        mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def retention_from_state(wh, state_table: str) -> DataFrame:
+    """Cohort retention grid from the maintained user-week state —
+    identical output to the batch query over the same fed rows (shared
+    ``cohort_grid`` plan); cost is one user-grain aggregation over the
+    state, never the raw log."""
+    from ..plans.events import cohort_grid
+
+    return cohort_grid(wh.read(state_table).select("user_id", "w"))
