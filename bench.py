@@ -113,6 +113,9 @@ BENCH_EXT3 = [
     "events_ab_cuped",
     "graph_resource_allocation",
     "dedup_bbit_minhash",
+    # round 7, sixth wave
+    "emb_dim_moments",
+    "events_burst_viterbi",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -3719,3 +3719,132 @@ def emb_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("frac_within_25pct"),
     )
+
+
+# ------------------------------------------- per-dimension moment audit -----
+
+MOM_SCALE = 1024  # 2^10 component quantization grid for exact moment sums
+
+
+@query(
+    "emb_dim_moments",
+    oracle=f"""
+    WITH comp AS (
+      SELECT u.dim - 1 AS dim,
+             CAST(round({MOM_SCALE} * u.x) AS BIGINT) AS xq
+      FROM (
+        SELECT unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+      ) u
+    ), mom AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s1,
+             CAST(SUM(xq * xq) AS BIGINT) AS s2,
+             CAST(SUM(xq * xq * xq) AS HUGEINT) AS s3,
+             CAST(SUM(xq * xq * xq * xq) AS HUGEINT) AS s4
+      FROM comp GROUP BY dim
+    ), cen AS (
+      SELECT dim, n, s1, s2,
+             CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS c
+      FROM mom
+    ), cm AS (
+      SELECT m.dim, m.n, m.s1, m.s2,
+             CAST(m.s2 - 2 * cen.c * m.s1 + m.n * cen.c * cen.c
+                  AS BIGINT) AS m2c,
+             CAST(m.s3 - 3 * cen.c * m.s2 + 3 * cen.c * cen.c * m.s1
+                  - m.n * cen.c * cen.c * cen.c AS BIGINT) AS m3c,
+             CAST(m.s4 - 4 * cen.c * m.s3 + 6 * cen.c * cen.c * m.s2
+                  - 4 * cen.c * cen.c * cen.c * m.s1
+                  + m.n * cen.c * cen.c * cen.c * cen.c AS BIGINT) AS m4c
+      FROM mom m JOIN cen USING (dim)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(s1 AS DOUBLE) / (n * {MOM_SCALE}.0) AS mean,
+           sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+             / (n * {MOM_SCALE}.0) AS std,
+           sqrt(n * 1.0) * CAST(m3c AS DOUBLE)
+             / (sqrt(CAST(m2c AS DOUBLE)) * sqrt(CAST(m2c AS DOUBLE))
+                * sqrt(CAST(m2c AS DOUBLE))) AS skewness,
+           n * 1.0 * CAST(m4c AS DOUBLE)
+             / (CAST(m2c AS DOUBLE) * CAST(m2c AS DOUBLE)) - 3.0
+             AS excess_kurtosis
+    FROM cm
+    ORDER BY dim
+    """,
+    doc="Per-dimension moment profile of the embedding space: mean / std / "
+    "skewness / excess kurtosis per coordinate from exact integer sums "
+    "over components quantized once to the 2^10 grid. Skew/kurtosis are "
+    "central moments about the QUANTIZED mean c = round(s1/n) — the "
+    "binomial expansion (s4 - 4c·s3 + 6c²·s2 - 4c³·s1 + n·c⁴ etc.) folds "
+    "them from the same one-pass raw sums, exact in wide integers, and "
+    "every value CAST to double fits int64 (deliberate: int128→double "
+    "casts are not correctly rounded in all engines — verified on "
+    "DuckDB's HUGEINT — while int64→double is; raw n³·s4 identities blow "
+    "past 2^63 and hit exactly that). The quantization-readiness audit: "
+    "a heavy-tailed dimension (high kurtosis) is where per-tensor int8 "
+    "clipping loses recall (emb_int8_recall measures the symptom; this "
+    "locates the cause), and nonzero means flag the anisotropy "
+    "emb_isotropy summarizes. Scale: one posexplode + one hash shuffle "
+    "to the 64-row dimension grain; the sigma^3 normalizer is an explicit "
+    "sqrt product — libm pow() disagrees across engines by ULPs even at "
+    "integer exponents (measured), sqrt and * are correctly rounded.",
+)
+def emb_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(F.expr(_SPARK_EMB_D)).alias("dim", "x")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.lit(MOM_SCALE) * F.col("x"))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    d38 = "decimal(38,0)"
+    mom = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("s1"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("s2"),
+        F.sum(
+            (F.col("xq") * F.col("xq") * F.col("xq")).cast(d38)
+        ).cast(d38).alias("s3"),
+        F.sum(
+            (F.col("xq") * F.col("xq")).cast(d38)
+            * (F.col("xq") * F.col("xq")).cast(d38)
+        ).cast(d38).alias("s4"),
+    )
+    cm = mom.withColumn(
+        "c", F.expr("cast(round(cast(s1 as double) / n) as bigint)")
+    ).select(
+        "dim",
+        "n",
+        "s1",
+        "s2",
+        F.expr("cast(s2 - 2 * c * s1 + n * c * c as bigint)").alias("m2c"),
+        F.expr(
+            "cast(s3 - 3 * c * s2 + 3 * c * c * s1 - n * c * c * c"
+            " as bigint)"
+        ).alias("m3c"),
+        F.expr(
+            "cast(s4 - 4 * c * s3 + 6 * c * c * s2 - 4 * c * c * c * s1"
+            " + n * c * c * c * c as bigint)"
+        ).alias("m4c"),
+    )
+    return cm.select(
+        "dim",
+        "n",
+        F.expr(f"cast(s1 as double) / (n * {MOM_SCALE}.0)").alias("mean"),
+        F.expr(
+            f"sqrt(cast(n * s2 - s1 * s1 as double)) / (n * {MOM_SCALE}.0)"
+        ).alias("std"),
+        F.expr(
+            "sqrt(n * 1.0) * cast(m3c as double)"
+            " / (sqrt(cast(m2c as double)) * sqrt(cast(m2c as double))"
+            " * sqrt(cast(m2c as double)))"
+        ).alias("skewness"),
+        F.expr(
+            "n * 1.0 * cast(m4c as double)"
+            " / (cast(m2c as double) * cast(m2c as double)) - 3.0"
+        ).alias("excess_kurtosis"),
+    ).orderBy("dim")

@@ -393,6 +393,8 @@ BROADCAST_NONEQUI_OK = {
     "emb_jl_projection_audit",
     # 1-row period-midpoint broadcast onto the scan (CUPED pre/post split)
     "events_ab_cuped",
+    # 1-row date-bounds broadcast seeding the dense day grid (Holt shape)
+    "events_burst_viterbi",
 }
 
 
