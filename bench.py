@@ -116,6 +116,7 @@ BENCH_EXT3 = [
     # round 7, sixth wave
     "emb_dim_moments",
     "events_burst_viterbi",
+    "sim_ann_ivf_indexed",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

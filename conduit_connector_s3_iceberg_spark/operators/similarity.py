@@ -3848,3 +3848,209 @@ def emb_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (cast(m2c as double) * cast(m2c as double)) - 3.0"
         ).alias("excess_kurtosis"),
     ).orderBy("dim")
+
+
+# ------------------------------------------ persisted IVF index table -------
+#
+# The dedup labels-table discipline (operators/dedup.py `ensure_dedup_table`)
+# applied to similarity serving: cell assignment is a deterministic pure map
+# (md5 centroids; pyspark.ml KMeans at production scale), so the inverted
+# index is a persistable table — assign ONCE, serve every query after it
+# from a parquet layout PARTITIONED BY cell. The 100-TB payoff is not the
+# skipped assignment arithmetic, it is the scan shape: a probe of NPROBE
+# cells reads only those partitions' files (static partition pruning from
+# the bounded probe list), i.e. ~NPROBE/N_CENTROIDS of the corpus instead
+# of a full scan per query batch. Rebuild triggers mirror the labels table:
+# parameter/centroid change -> new key; corpus append (new files, old files
+# byte-identical) -> assign ONLY the new files and append their rows into
+# the cell partitions; any rewrite -> full rebuild.
+
+ANN_INDEX_VERSION = 1
+
+
+def ann_index_path(sf_dir: str) -> str:
+    """State root keyed by source path + every definition the persisted
+    bytes depend on (centroid constants, DIM)."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    cdef = hashlib.md5(repr(CENTROIDS).encode()).hexdigest()
+    key = hashlib.sha256(
+        f"v{ANN_INDEX_VERSION}:{os.path.abspath(src)}:{DIM}:{cdef}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "spark-warehouse", "ann_index", key)
+
+
+def _assign_cells(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, emb, nrm, cell): the deterministic
+    index row. Same expressions as sim_ann_ivf's inline assignment."""
+    return df.select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    ).select(
+        "vec_id",
+        "emb",
+        F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias(
+            "nrm"
+        ),
+        F.expr(_DISTS_SPARK).alias("dists"),
+    ).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.expr(
+            "cast(array_position(dists, array_min(dists)) as int)"
+        ).alias("cell"),
+    )
+
+
+def ensure_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent persisted IVF index, maintained O(delta) under
+    corpus APPENDS (new files only; any rewrite rebuilds)."""
+    import os
+
+    from .dedup import _corpus_snapshot, _state_manifest, _write_state_manifest
+
+    root = ann_index_path(sf_dir)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    snap = _corpus_snapshot(src)
+    man = _state_manifest(root)
+    data = os.path.join(root, "cells")
+
+    if man is not None and man["snapshot"] == snap:
+        return spark.read.parquet(data)  # serve: nothing changed
+
+    if man is not None:
+        old = man["snapshot"]
+        unchanged = all(
+            f in snap and snap[f] == old[f] for f in old
+        )
+        new_files = [f for f in snap if f not in old]
+        if unchanged and new_files:
+            # append path: assign ONLY the new files' rows
+            paths = [
+                os.path.join(src, f) if not os.path.isfile(src) else src
+                for f in new_files
+            ]
+            delta = spark.read.parquet(*paths).select("vec_id", "embedding")
+            _assign_cells(delta).write.mode("append").partitionBy(
+                "cell"
+            ).parquet(data)
+            _write_state_manifest(root, {"snapshot": snap, "appended": True})
+            return spark.read.parquet(data)
+
+    # full (re)build — direct read, NOT load_table: its resolved-relation
+    # cache assumes immutable tables, and a rebuild exists precisely
+    # because the corpus changed
+    emb = spark.read.parquet(src).select("vec_id", "embedding")
+    os.makedirs(root, exist_ok=True)
+    _assign_cells(emb).write.mode("overwrite").partitionBy("cell").parquet(
+        data
+    )
+    _write_state_manifest(root, {"snapshot": snap, "appended": False})
+    return spark.read.parquet(data)
+
+
+@query(
+    "sim_ann_ivf_indexed",
+    oracle=f"""
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), dist AS (
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), ranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM dist
+    ), e AS (
+      SELECT d.vec_id, d.emb, d.nrm, r.cell
+      FROM d JOIN ranked r ON r.vec_id = d.vec_id AND r.rk = 1
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.emb AS qemb, e.nrm AS qnrm,
+             p.cell AS probe_cell
+      FROM e JOIN ranked p ON p.vec_id = e.vec_id AND p.rk <= {NPROBE}
+      WHERE e.vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.cell = q.probe_cell AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS INTEGER) AS rank
+      FROM cand
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="IVF top-k served from the PERSISTED cell-partitioned index "
+    "(ensure_ann_index — the dedup labels-table discipline applied to "
+    "similarity): assignment runs once per corpus generation; every "
+    "query batch after it probes its NPROBE cells by reading ONLY those "
+    "partitions' files (static pruning from a bounded 10-int probe "
+    "list — the one collect is metadata, never data). At 100 TB that "
+    "turns per-batch candidate generation from a full corpus scan into "
+    "~NPROBE/N_CENTROIDS of it; appends assign only the new files into "
+    "the cell partitions (O(delta), tested), rewrites or parameter "
+    "changes rebuild under a fresh key. Results are bit-identical to "
+    "sim_ann_ivf (same deterministic assignment — the oracle is the "
+    "full recompute).",
+)
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ann_index(spark, sf_dir)
+    # queries: the bounded N_QUERIES head recomputes its probe list from
+    # the raw table (pushdown: vec_id < 5) — query-side work, not corpus
+    qsrc = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select("vec_id", F.expr(_SPARK_EMB_D).alias("emb"))
+    qf = qsrc.select(
+        "vec_id",
+        "emb",
+        F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias(
+            "nrm"
+        ),
+        F.expr(_DISTS_SPARK).alias("dists"),
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.expr(
+            f"transform(slice(array_sort(dists), 1, {NPROBE}),"
+            " d -> cast(array_position(dists, d) as int))"
+        ).alias("probes"),
+    )
+    q = qf.select(
+        "query_id", "qemb", "qnrm", F.explode("probes").alias("probe_cell")
+    )
+    probe_cells = sorted(
+        {r["probe_cell"] for r in q.select("probe_cell").collect()}
+    )  # bounded: <= N_QUERIES * NPROBE ints — partition-pruning literals
+    cand = (
+        idx.filter(F.col("cell").isin(probe_cells))
+        .join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

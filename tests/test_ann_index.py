@@ -1,0 +1,140 @@
+"""Persisted cell-partitioned IVF index: build-if-absent, partition-pruned
+probing, O(delta) append maintenance, rebuild on rewrite."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _fresh(spark, sf_dir):
+    """Remove any state for sf_dir so the test exercises the cold path."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        ann_index_path,
+    )
+
+    root = ann_index_path(sf_dir)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    return root
+
+
+def test_indexed_serve_equals_inline_ivf(spark):
+    """The served query is bit-identical to the inline sim_ann_ivf —
+    same deterministic assignment, persisted vs recomputed."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        sim_ann_ivf,
+        sim_ann_ivf_indexed,
+    )
+
+    _fresh(spark, SF001)
+    got = sorted(tuple(r) for r in sim_ann_ivf_indexed(spark, SF001).collect())
+    want = sorted(tuple(r) for r in sim_ann_ivf(spark, SF001).collect())
+    assert got == want
+
+
+def test_probe_scan_is_partition_pruned(spark):
+    """Candidate generation reads ONLY the probed cells' files — the scan
+    the index exists to avoid never happens."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        ensure_ann_index,
+    )
+
+    idx = ensure_ann_index(spark, SF001)
+    all_cells = {r["cell"] for r in idx.select("cell").distinct().collect()}
+    probe = sorted(all_cells)[:2]
+    pruned = idx.filter(F.col("cell").isin(probe))
+    # input_file_name() evaluates on the rows ACTUALLY read — the pruned
+    # scan must touch only the probed cells' partition files
+    files = {
+        r["f"]
+        for r in pruned.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert files, "pruned scan lost its files"
+    for f in files:
+        assert any(f"cell={c}/" in f for c in probe), f
+    all_files = {
+        r["f"]
+        for r in idx.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(files) < len(all_files)
+    # and the planner prunes statically: the scan's partition filters
+    # mention cell, so the skipped partitions are never even listed
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_append_assigns_only_new_files(spark, tmp_path):
+    """On a corpus append (old files byte-identical, new file added) the
+    maintainer assigns ONLY the new file's rows; a rewrite rebuilds."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        ann_index_path,
+        ensure_ann_index,
+    )
+
+    # synthetic multi-file corpus: embeddings.parquet as a DIRECTORY
+    sf_dir = str(tmp_path / "sf")
+    corpus = os.path.join(sf_dir, "embeddings.parquet")
+    os.makedirs(corpus)
+    base = spark.read.parquet(SF001 + "/embeddings.parquet")
+    base.filter(F.col("vec_id") < 40).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(corpus + "/part0")
+    # spark can't read nested dirs of parquet dirs — write plain files
+    shutil.rmtree(corpus)
+    os.makedirs(corpus)
+    pdf = base.filter(F.col("vec_id") < 40).toPandas()
+    pdf.to_parquet(os.path.join(corpus, "a.parquet"), index=False)
+
+    root = ann_index_path(sf_dir)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    idx1 = ensure_ann_index(spark, sf_dir)
+    n1 = idx1.count()
+    assert n1 == 40
+
+    # append a second file: maintenance must add exactly its rows
+    pdf2 = base.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).toPandas()
+    pdf2.to_parquet(os.path.join(corpus, "b.parquet"), index=False)
+    idx2 = ensure_ann_index(spark, sf_dir)
+    assert idx2.count() == 50
+    assert {r["vec_id"] for r in idx2.select("vec_id").collect()} == set(
+        range(50)
+    )
+    # assignments for the original rows were not rewritten (still served
+    # from the same files — the append touched only new partition files)
+    import json
+
+    man = json.load(open(os.path.join(root, "manifest.json")))
+    assert man["appended"] is True
+
+    # rewrite file a -> full rebuild (appended flag resets)
+    pdf.iloc[:20].to_parquet(os.path.join(corpus, "a.parquet"), index=False)
+    idx3 = ensure_ann_index(spark, sf_dir)
+    assert idx3.count() == 30
+    man = json.load(open(os.path.join(root, "manifest.json")))
+    assert man["appended"] is False
+
+
+def test_index_assignment_matches_inline(spark):
+    """Persisted cell of every vector equals the inline assignment."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        _assign_cells,
+        ensure_ann_index,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    idx = ensure_ann_index(spark, SF001).select("vec_id", "cell")
+    inline = _assign_cells(
+        load_table(spark, SF001, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "cell")
+    assert idx.exceptAll(inline).count() == 0
+    assert inline.exceptAll(idx).count() == 0
