@@ -336,3 +336,60 @@ def retention_from_state(wh, state_table: str) -> DataFrame:
     from ..plans.events import cohort_grid
 
     return cohort_grid(wh.read(state_table).select("user_id", "w"))
+
+
+# ------------------------------------------- ANN-index maintenance ---------
+#
+# Streaming twin of ``operators.similarity.ensure_ann_index``: cell
+# assignment is a deterministic pure map over the incoming vector, so a
+# stream of new embeddings maintains the SAME persisted cell-partitioned
+# layout the batch builder writes — each epoch assigns its batch
+# (O(batch), no state read at all: unlike dedup admission there is no
+# membership question, every arriving vector belongs in exactly one cell)
+# and appends into the cell partitions. Replay-guarded like every
+# maintainer here; serving (partition-pruned probe) is unchanged.
+
+
+def maintain_ann_index_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    epoch_state_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Maintain a cell-partitioned ANN index directory from an append-only
+    embedding stream (rows with ``vec_id``, ``embedding``)."""
+    import json
+    import os
+
+    from ..operators.similarity import _assign_cells
+
+    state = epoch_state_dir or (index_dir + "__epochs")
+    os.makedirs(state, exist_ok=True)
+
+    def _applied(epoch_id: int) -> bool:
+        return os.path.exists(os.path.join(state, f"e{epoch_id}.json"))
+
+    def _mark(epoch_id: int, n: int) -> None:
+        p = os.path.join(state, f"e{epoch_id}.json.tmp")
+        with open(p, "w") as fh:
+            json.dump({"rows": n}, fh)
+        os.replace(p, os.path.join(state, f"e{epoch_id}.json"))
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if _applied(epoch_id):
+            return  # replayed epoch — rows already in the cell partitions
+        assigned = _assign_cells(batch.select("vec_id", "embedding"))
+        assigned.write.mode("append").partitionBy("cell").parquet(index_dir)
+        _mark(epoch_id, batch.count())
+
+    writer = (
+        stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

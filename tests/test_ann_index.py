@@ -138,3 +138,69 @@ def test_index_assignment_matches_inline(spark):
     ).select("vec_id", "cell")
     assert idx.exceptAll(inline).count() == 0
     assert inline.exceptAll(idx).count() == 0
+
+
+def test_ann_index_stream_matches_batch_build(spark, tmp_path):
+    """A 3-epoch embedding stream maintains cell partitions identical to
+    the batch builder's assignment over the same rows; a replayed epoch
+    appends nothing."""
+    import json
+
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        _assign_cells,
+    )
+    from conduit_connector_s3_iceberg_spark.streaming.ivm import (
+        maintain_ann_index_stream,
+    )
+
+    # pandas writes the list column as DOUBLE; align the frame (and hence
+    # the readStream schema) with that
+    base = spark.read.parquet(SF001 + "/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    feed = tmp_path / "embfeed"
+    feed.mkdir()
+    pdf = base.orderBy("vec_id").toPandas()
+    n = len(pdf)
+    cuts = [n * i // 3 for i in range(4)]
+    for i in range(3):
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            str(feed / f"c{i}.parquet"), index=False
+        )
+        os.utime(str(feed / f"c{i}.parquet"), (1_700_000_000 + i,) * 2)
+
+    index_dir = str(tmp_path / "annidx")
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    maintain_ann_index_stream(
+        stream, index_dir, str(tmp_path / "ckpt")
+    ).awaitTermination(180)
+
+    got = spark.read.parquet(index_dir).select("vec_id", "cell")
+    want = _assign_cells(base).select("vec_id", "cell")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # replay epoch 0 by hand: the guard must refuse the double append
+    before = spark.read.parquet(index_dir).count()
+    from conduit_connector_s3_iceberg_spark.streaming import ivm as _ivm
+
+    state = index_dir + "__epochs"
+    assert os.path.exists(os.path.join(state, "e0.json"))
+    # a foreachBatch redelivery with the same epoch id is a no-op: the
+    # mark exists, so the writer path never runs (exercised through the
+    # public function by re-running the same bounded stream from a fresh
+    # checkpoint BUT the same epoch-state dir; epochs 0..2 re-fire and
+    # all three are refused)
+    stream2 = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    maintain_ann_index_stream(
+        stream2, index_dir, str(tmp_path / "ckpt2"), epoch_state_dir=state
+    ).awaitTermination(180)
+    assert spark.read.parquet(index_dir).count() == before
