@@ -117,6 +117,7 @@ BENCH_EXT3 = [
     "emb_dim_moments",
     "events_burst_viterbi",
     "sim_ann_ivf_indexed",
+    "sample_weight_truncation",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

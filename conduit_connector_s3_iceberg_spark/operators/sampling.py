@@ -1191,3 +1191,122 @@ def sample_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------- truncated importance sampling ------
+
+ESS_CLIP_PCTS = (90, 99, 100)  # clip grid: p90 / p99 / no-clip
+
+
+@query(
+    "sample_weight_truncation",
+    oracle=f"""
+    WITH q AS (
+{_QW_QUALITY_SQL}
+    ), wq AS (
+      SELECT CAST(round({ESS_W_SCALE} * quality) AS BIGINT) AS w FROM q
+    ), hist AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wq GROUP BY w
+    ), cum AS (
+      SELECT w, c,
+             SUM(c) OVER (ORDER BY w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             SUM(c) OVER () AS n
+      FROM hist
+    ), taus AS (
+      SELECT p.pct, MIN(cum.w) AS tau
+      FROM (VALUES {", ".join(f"({p})" for p in ESS_CLIP_PCTS)}) AS p(pct)
+      JOIN cum ON cum.cc * 100 >= p.pct * cum.n
+      GROUP BY p.pct
+    ), clipped AS (
+      SELECT t.pct, t.tau,
+             CAST(SUM(LEAST(h.w, t.tau) * h.c) AS BIGINT) AS s1,
+             CAST(SUM(LEAST(h.w, t.tau) * LEAST(h.w, t.tau) * h.c)
+                  AS BIGINT) AS s2,
+             CAST(SUM(h.c) AS BIGINT) AS n,
+             CAST(SUM(h.w * h.c) AS BIGINT) AS mass,
+             CAST(SUM(CASE WHEN h.w > t.tau THEN h.c ELSE 0 END)
+                  AS BIGINT) AS n_clipped
+      FROM taus t CROSS JOIN hist h
+      GROUP BY t.pct, t.tau
+    )
+    SELECT CAST(pct AS BIGINT) AS pct, tau,
+           CAST(s1 AS DOUBLE) * s1 / s2 AS ess,
+           CAST(s1 AS DOUBLE) * s1 / s2 / n AS ess_ratio,
+           1.0 - CAST(s1 AS DOUBLE) / mass AS mass_clipped,
+           n_clipped
+    FROM clipped
+    ORDER BY pct
+    """,
+    doc="Truncated importance sampling audit (Ionides 2008): clip the "
+    "quality weights at their own p90/p99/max and report, per clip "
+    "level, the effective sample size, ESS ratio, clipped-mass fraction "
+    "and clipped-doc count — the bias/variance operating curve consulted "
+    "before a weighted resample ships (clipping trades a bounded bias "
+    "for the variance the ESS audit flags). EVERYTHING after the one "
+    "corpus pass runs on the weight HISTOGRAM: weights live on the "
+    "16-bit grid, so the histogram is register-domain (<= 65537 rows), "
+    "quantile thresholds come from exact cumulative-count integer math "
+    "(the sketch_hist_quantiles idiom), and each clip level's moment "
+    "sums fold SUM(min(w,tau)^k * count) over that histogram — the "
+    "3-level grid costs three passes over metadata, zero over data. All "
+    "exact BIGINT; ESS is a final one-chain IEEE division.",
+)
+def sample_weight_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_col
+
+    docs = _docs(spark, sf_dir)
+    hist = (
+        docs.select(
+            F.round(F.lit(ESS_W_SCALE) * quality_col())
+            .cast("bigint")
+            .alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # register-domain; taus + 3 folds
+    )
+    wcum = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.withColumn("cc", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in ESS_CLIP_PCTS], "pct bigint"
+    )
+    taus = (
+        F.broadcast(pcts)
+        .join(cum, F.col("cc") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(F.min("w").alias("tau"))
+    )
+    clipped = (
+        F.broadcast(taus)
+        .crossJoin(hist)
+        .groupBy("pct", "tau")
+        .agg(
+            F.sum(F.least(F.col("w"), F.col("tau")) * F.col("c"))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(
+                F.least(F.col("w"), F.col("tau"))
+                * F.least(F.col("w"), F.col("tau"))
+                * F.col("c")
+            )
+            .cast("bigint")
+            .alias("s2"),
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("w") * F.col("c")).cast("bigint").alias("mass"),
+            F.sum(F.when(F.col("w") > F.col("tau"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
+    return clipped.select(
+        "pct",
+        "tau",
+        F.expr("cast(s1 as double) * s1 / s2").alias("ess"),
+        F.expr("cast(s1 as double) * s1 / s2 / n").alias("ess_ratio"),
+        F.expr("1.0 - cast(s1 as double) / mass").alias("mass_clipped"),
+        "n_clipped",
+    ).orderBy("pct")

@@ -395,6 +395,9 @@ BROADCAST_NONEQUI_OK = {
     "events_ab_cuped",
     # 1-row date-bounds broadcast seeding the dense day grid (Holt shape)
     "events_burst_viterbi",
+    # 3-row pct grid + 3-row tau table broadcast over the register-domain
+    # weight histogram (never the corpus)
+    "sample_weight_truncation",
 }
 
 

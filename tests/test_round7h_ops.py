@@ -82,3 +82,23 @@ def test_burst_dp_prefers_flat_series_all_baseline(spark):
     s1, nd = sum(xs), len(xs)
     s2 = sum(x * x for x in xs)
     assert nd * s2 - s1 * s1 == 0  # sd == 0 -> r1 == r0, no burst wins
+
+
+def test_weight_truncation_monotone_and_consistent(spark):
+    """ESS is non-increasing in tau (clipping can only equalize weights),
+    the no-clip row matches the raw ESS identity, and clipped-mass
+    fractions are in [0, 1) and non-increasing in pct."""
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        sample_weight_truncation,
+    )
+
+    rows = {r["pct"]: r for r in sample_weight_truncation(spark, SF001).collect()}
+    assert set(rows) == {90, 99, 100}
+    # tighter clip -> higher ESS (weights more equal), more mass clipped
+    assert rows[90]["ess"] >= rows[99]["ess"] >= rows[100]["ess"]
+    assert rows[90]["mass_clipped"] >= rows[99]["mass_clipped"]
+    assert rows[100]["mass_clipped"] == 0.0
+    assert rows[100]["n_clipped"] == 0
+    for r in rows.values():
+        assert 0.0 <= r["mass_clipped"] < 1.0
+        assert 0.0 < r["ess_ratio"] <= 1.0
