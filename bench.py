@@ -118,6 +118,7 @@ BENCH_EXT3 = [
     "events_burst_viterbi",
     "sim_ann_ivf_indexed",
     "sample_weight_truncation",
+    "sim_index_balance_audit",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

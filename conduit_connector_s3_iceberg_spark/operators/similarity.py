@@ -4054,3 +4054,77 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+@query(
+    "sim_index_balance_audit",
+    oracle=f"""
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dist AS (
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), assigned AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell
+      FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        FROM dist
+      ) WHERE rk = 1
+    ), sizes AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assigned
+      GROUP BY cell
+    ), tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(MAX(n_vecs) AS BIGINT) AS mx
+      FROM sizes
+    )
+    SELECT s.cell, s.n_vecs,
+           s.n_vecs * t.n_cells / CAST(t.n AS DOUBLE) AS balance,
+           s.n_vecs / CAST(t.n AS DOUBLE) AS scan_frac,
+           CAST(t.mx * t.n_cells AS DOUBLE) / t.n AS imbalance_factor
+    FROM sizes s CROSS JOIN tot t
+    ORDER BY s.cell
+    """,
+    doc="IVF cell-balance audit over the PERSISTED index: per-cell vector "
+    "count, balance ratio (n_vecs x n_cells / N — 1.0 = perfectly even), "
+    "the fraction of the corpus one probe of that cell scans, and the "
+    "global imbalance factor (max cell / mean cell) — the number that "
+    "decides when the index needs re-training: a hot cell IS the "
+    "worst-case probe latency, exactly like a skewed shuffle partition. "
+    "Serves from ensure_ann_index's 3-column read (cell is a partition "
+    "column — the scan reads footers and the partition value, no vector "
+    "bytes); the oracle recomputes assignment from scratch, so this also "
+    "re-verifies the persisted bytes each sweep (the labels-table "
+    "cold/warm discipline). Aggregation is cell-grain (N_CENTROIDS "
+    "rows), the totals fold is a 1-row broadcast over it.",
+)
+def sim_index_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ann_index(spark, sf_dir)
+    sizes = idx.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    tot = sizes.agg(
+        F.sum("n_vecs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n_vecs").cast("bigint").alias("mx"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr("n_vecs * n_cells / cast(n as double)").alias("balance"),
+            F.expr("n_vecs / cast(n as double)").alias("scan_frac"),
+            F.expr("cast(mx * n_cells as double) / n").alias(
+                "imbalance_factor"
+            ),
+        )
+        .orderBy("cell")
+    )

@@ -204,3 +204,22 @@ def test_ann_index_stream_matches_batch_build(spark, tmp_path):
         stream2, index_dir, str(tmp_path / "ckpt2"), epoch_state_dir=state
     ).awaitTermination(180)
     assert spark.read.parquet(index_dir).count() == before
+
+
+def test_balance_audit_partitions_sum_to_one(spark):
+    """scan_frac sums to 1, balance averages to 1 weighted by cells, and
+    the imbalance factor equals max(n_vecs)/mean(n_vecs)."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        sim_index_balance_audit,
+    )
+
+    rows = sim_index_balance_audit(spark, SF001).collect()
+    assert rows
+    total_frac = sum(r["scan_frac"] for r in rows)
+    assert abs(total_frac - 1.0) < 1e-9
+    n = sum(r["n_vecs"] for r in rows)
+    mx = max(r["n_vecs"] for r in rows)
+    want = mx * len(rows) / n
+    for r in rows:
+        assert abs(r["imbalance_factor"] - want) < 1e-9
+        assert r["balance"] > 0

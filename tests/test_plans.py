@@ -398,6 +398,8 @@ BROADCAST_NONEQUI_OK = {
     # 3-row pct grid + 3-row tau table broadcast over the register-domain
     # weight histogram (never the corpus)
     "sample_weight_truncation",
+    # 1-row index-totals broadcast into the N_CENTROIDS-row balance table
+    "sim_index_balance_audit",
 }
 
 
