@@ -119,6 +119,9 @@ BENCH_EXT3 = [
     "sim_ann_ivf_indexed",
     "sample_weight_truncation",
     "sim_index_balance_audit",
+    # round 7, seventh wave
+    "pack_pair_efficiency",
+    "text_quality_frontier",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

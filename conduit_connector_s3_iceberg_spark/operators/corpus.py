@@ -1998,3 +1998,134 @@ def corpus_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- mirrored-rank pair packing -----
+
+PACK_CTX = 512  # context length for paired packing (same grid as chunks)
+
+
+@query(
+    "pack_pair_efficiency",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS l
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, l,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY l DESC, doc_id
+             ) AS rd,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM d
+    ), pairs AS (
+      SELECT a.lang,
+             LEAST(a.l, {PACK_CTX}) + LEAST(b.l, {PACK_CTX}) AS fill
+      FROM ranked a
+      JOIN ranked b
+        ON b.lang = a.lang AND b.rd = a.n - a.rd + 1 AND a.rd < b.rd
+    ), solo AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({PACK_CTX} - LEAST(l, {PACK_CTX})) AS BIGINT)
+               AS naive_waste
+      FROM d GROUP BY lang
+    ), paired AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN fill <= {PACK_CTX}
+                           THEN {PACK_CTX} - fill ELSE 0 END) AS BIGINT)
+               AS pair_waste,
+             CAST(SUM(CASE WHEN fill > {PACK_CTX} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overflow
+      FROM pairs GROUP BY lang
+    )
+    SELECT s.lang, s.n_docs, p.n_pairs, p.n_overflow,
+           s.naive_waste, p.pair_waste,
+           1.0 - p.pair_waste / CAST(s.naive_waste AS DOUBLE)
+             AS waste_reduction
+    FROM solo s JOIN paired p USING (lang)
+    ORDER BY s.lang
+    """,
+    doc="Sequence-packing efficiency audit via mirrored-rank pairing: per "
+    "language, rank docs by token length desc and pair rank i with rank "
+    "n-i+1 (longest with shortest — the closed-form two-pointer pass, "
+    "the standard first cut at training-batch packing before an LPT "
+    "solver), clamp each member at the context length, and compare "
+    "padding waste against one-doc-per-sequence. The table that decides "
+    "whether packing is worth a shuffle: waste_reduction near 1 means "
+    "almost all padding disappears. Scale: ranks are lang-partitioned "
+    "windows (bounded partitions, no global sort); the pair join is "
+    "rank-equality inside the same lang — co-partitioned, zero "
+    "additional shuffle after the window's. Odd middle doc stays solo "
+    "by the a.rd < b.rd guard; all integer math.",
+)
+def pack_pair_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("l"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("l").desc(), "doc_id")
+    wl = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "l",
+        F.row_number().over(w).alias("rd"),
+        F.count(F.lit(1)).over(wl).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)  # one window pass; both pair legs
+    a = ranked.select(
+        "lang", F.col("l").alias("la"), "rd", "n"
+    )
+    b = ranked.select(
+        F.col("lang").alias("lang_b"), F.col("l").alias("lb"),
+        F.col("rd").alias("rb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang_b") == F.col("lang"))
+        & (F.col("rb") == F.col("n") - F.col("rd") + 1)
+        & (F.col("rd") < F.col("rb")),
+    ).select(
+        "lang",
+        (
+            F.least(F.col("la"), F.lit(PACK_CTX))
+            + F.least(F.col("lb"), F.lit(PACK_CTX))
+        ).alias("fill"),
+    )
+    solo = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.lit(PACK_CTX) - F.least(F.col("l"), F.lit(PACK_CTX)))
+        .cast("bigint")
+        .alias("naive_waste"),
+    )
+    paired = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.col("fill") <= PACK_CTX, F.lit(PACK_CTX) - F.col("fill")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pair_waste"),
+        F.sum(F.when(F.col("fill") > PACK_CTX, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overflow"),
+    )
+    return (
+        solo.join(paired, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_pairs",
+            "n_overflow",
+            "naive_waste",
+            "pair_waste",
+            F.expr(
+                "1.0 - pair_waste / cast(naive_waste as double)"
+            ).alias("waste_reduction"),
+        )
+        .orderBy("lang")
+    )

@@ -1310,3 +1310,144 @@ def sample_weight_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1.0 - cast(s1 as double) / mass").alias("mass_clipped"),
         "n_clipped",
     ).orderBy("pct")
+
+
+# --------------------------------------------- quality operating curve ------
+
+QF_PCTS = (25, 50, 75, 90)  # candidate cut percentiles
+
+
+@query(
+    "text_quality_frontier",
+    oracle=f"""
+    WITH q AS (
+{_QW_QUALITY_SQL}
+    ), wq AS (
+      SELECT CAST(round({ESS_W_SCALE} * q.quality) AS BIGINT) AS w,
+             CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS toks
+      FROM q JOIN documents d USING (doc_id)
+    ), hist AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(toks) AS BIGINT) AS tk
+      FROM wq GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(tk) AS BIGINT) AS t
+      FROM hist
+    ), cum AS (
+      SELECT w, c,
+             SUM(c) OVER (ORDER BY w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM hist
+    ), taus AS (
+      SELECT p.pct, MIN(cum.w) AS tau
+      FROM (VALUES {", ".join(f"({p})" for p in QF_PCTS)}) AS p(pct)
+      JOIN cum ON cum.cc * 100 >= p.pct * (SELECT n FROM tot)
+      GROUP BY p.pct
+    ), kept AS (
+      SELECT t2.pct, t2.tau,
+             CAST(SUM(CASE WHEN h.w >= t2.tau THEN h.c ELSE 0 END)
+                  AS BIGINT) AS kept_docs,
+             CAST(SUM(CASE WHEN h.w >= t2.tau THEN h.tk ELSE 0 END)
+                  AS BIGINT) AS kept_tokens,
+             CAST(SUM(CASE WHEN h.w >= t2.tau THEN h.w * h.c ELSE 0 END)
+                  AS BIGINT) AS kept_wsum
+      FROM taus t2 CROSS JOIN hist h
+      GROUP BY t2.pct, t2.tau
+    )
+    SELECT CAST(k.pct AS BIGINT) AS pct, k.tau,
+           k.kept_docs,
+           k.kept_docs / CAST(tot.n AS DOUBLE) AS kept_doc_frac,
+           k.kept_tokens,
+           k.kept_tokens / CAST(tot.t AS DOUBLE) AS kept_token_frac,
+           CAST(k.kept_wsum AS DOUBLE)
+             / (k.kept_docs * {ESS_W_SCALE}.0) AS mean_quality_kept
+    FROM kept k CROSS JOIN tot
+    ORDER BY pct
+    """,
+    doc="Quality-cut operating curve: for cuts at the quality score's own "
+    "p25/p50/p75/p90, the kept doc/token mass and the mean quality of "
+    "the survivors — the frontier a cleaning pipeline consults to price "
+    "a threshold before committing to it (text_filter_cascade applies "
+    "ONE chosen gate; this prices the whole menu). Same register-domain "
+    "discipline as sample_weight_truncation: one corpus pass builds the "
+    "16-bit (quality -> doc count, token mass) histogram, thresholds "
+    "come from exact cumulative-count integer math, and each cut's "
+    "kept-mass sums fold over the <= 65537-row histogram — four cuts "
+    "cost four metadata passes, zero data passes. All exact BIGINT; the "
+    "fractions are final one-chain IEEE divisions.",
+)
+def text_quality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_col
+
+    docs = _docs(spark, sf_dir)
+    hist = (
+        docs.select(
+            F.round(F.lit(ESS_W_SCALE) * quality_col())
+            .cast("bigint")
+            .alias("w"),
+            F.size(F.split(F.trim(F.col("text")), " "))
+            .cast("bigint")
+            .alias("toks"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("toks").cast("bigint").alias("tk"),
+        )
+        .localCheckpoint(eager=False)  # register-domain; taus + folds
+    )
+    wcum = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (
+        hist.withColumn("cc", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .withColumn("t", F.sum("tk").over(wall))
+    )
+    pcts = spark.createDataFrame([(p,) for p in QF_PCTS], "pct bigint")
+    taus = (
+        F.broadcast(pcts)
+        .join(cum, F.col("cc") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(F.min("w").alias("tau"))
+    )
+    tot = hist.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("tk").cast("bigint").alias("t"),
+    )
+    kept = (
+        F.broadcast(taus)
+        .crossJoin(hist)
+        .groupBy("pct", "tau")
+        .agg(
+            F.sum(F.when(F.col("w") >= F.col("tau"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_docs"),
+            F.sum(F.when(F.col("w") >= F.col("tau"), F.col("tk")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(
+                F.when(
+                    F.col("w") >= F.col("tau"), F.col("w") * F.col("c")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_wsum"),
+        )
+    )
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select(
+            "pct",
+            "tau",
+            "kept_docs",
+            F.expr("kept_docs / cast(n as double)").alias("kept_doc_frac"),
+            "kept_tokens",
+            F.expr("kept_tokens / cast(t as double)").alias(
+                "kept_token_frac"
+            ),
+            F.expr(
+                f"cast(kept_wsum as double) / (kept_docs * {ESS_W_SCALE}.0)"
+            ).alias("mean_quality_kept"),
+        )
+        .orderBy("pct")
+    )

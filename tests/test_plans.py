@@ -400,6 +400,9 @@ BROADCAST_NONEQUI_OK = {
     "sample_weight_truncation",
     # 1-row index-totals broadcast into the N_CENTROIDS-row balance table
     "sim_index_balance_audit",
+    # 4-row pct grid + 4-row tau table + 1-row totals broadcast over the
+    # register-domain quality histogram (never the corpus)
+    "text_quality_frontier",
 }
 
 

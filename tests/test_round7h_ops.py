@@ -102,3 +102,39 @@ def test_weight_truncation_monotone_and_consistent(spark):
     for r in rows.values():
         assert 0.0 <= r["mass_clipped"] < 1.0
         assert 0.0 < r["ess_ratio"] <= 1.0
+
+
+def test_pack_pair_efficiency_beats_naive(spark):
+    """Pairing never wastes more padding than solo packing, pair counts
+    are floor(n/2) per lang, and waste_reduction is in [0, 1]."""
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        pack_pair_efficiency,
+    )
+
+    rows = pack_pair_efficiency(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] == r["n_docs"] // 2
+        assert r["pair_waste"] <= r["naive_waste"]
+        assert 0.0 <= r["waste_reduction"] <= 1.0
+
+
+def test_quality_frontier_monotone(spark):
+    """Higher cuts keep fewer docs/tokens but higher mean quality; the
+    kept fractions agree with the percentile semantics (a pXX cut keeps
+    at most (100-XX)% + one bucket of docs)."""
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        text_quality_frontier,
+    )
+
+    rows = sorted(
+        text_quality_frontier(spark, SF001).collect(), key=lambda r: r["pct"]
+    )
+    assert [r["pct"] for r in rows] == [25, 50, 75, 90]
+    for a, b in zip(rows, rows[1:]):
+        assert a["kept_docs"] >= b["kept_docs"]
+        assert a["kept_tokens"] >= b["kept_tokens"]
+        assert a["mean_quality_kept"] <= b["mean_quality_kept"] + 1e-12
+        assert a["tau"] <= b["tau"]
+    for r in rows:
+        assert r["kept_doc_frac"] <= (100 - r["pct"]) / 100 + 0.05
