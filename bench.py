@@ -122,6 +122,7 @@ BENCH_EXT3 = [
     # round 7, seventh wave
     "pack_pair_efficiency",
     "text_quality_frontier",
+    "emb_sign_hamming_recall",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -4128,3 +4128,143 @@ def sim_index_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ------------------------------------------ 1-bit sign-code recall ----------
+
+_SIGN_LO_SPARK = (
+    "aggregate(transform(slice(emb, 1, 32),"
+    " (x, i) -> IF(x >= 0.0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+)
+_SIGN_HI_SPARK = (
+    "aggregate(transform(slice(emb, 33, 32),"
+    " (x, i) -> IF(x >= 0.0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+)
+_SIGN_LO_SQL = (
+    "list_reduce(list_transform(generate_series(1, 32),"
+    " i -> CASE WHEN emb[i] >= 0 THEN (1::BIGINT << (i - 1))"
+    " ELSE 0::BIGINT END), (a, b) -> a + b)"
+)
+_SIGN_HI_SQL = (
+    "list_reduce(list_transform(generate_series(33, 64),"
+    " i -> CASE WHEN emb[i] >= 0 THEN (1::BIGINT << (i - 33))"
+    " ELSE 0::BIGINT END), (a, b) -> a + b)"
+)
+
+
+@query(
+    "emb_sign_hamming_recall",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, emb, {_SQL_NORM.replace("embedding::DOUBLE[]", "emb")} AS nrm,
+             {_SIGN_LO_SQL} AS lo, {_SIGN_HI_SQL} AS hi
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm,
+             lo AS qlo, hi AS qhi
+      FROM c WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_sql_dot('q.qemb', 'c.emb')} / (q.qnrm * c.nrm) AS cosine,
+             CAST(bit_count(xor(q.qlo, c.lo))
+                  + bit_count(xor(q.qhi, c.hi)) AS BIGINT) AS hamming
+      FROM q JOIN c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, hamming,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming ASC, vec_id) AS INTEGER) AS rq
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(COUNT(*) FILTER (WHERE rf <= {TOP_K} AND rq <= {TOP_K})
+                AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) FILTER (WHERE rf <= {TOP_K} AND rq <= {TOP_K})
+                AS DOUBLE) / {TOP_K}.0 AS recall,
+           CAST(SUM(hamming) FILTER (WHERE rf <= {TOP_K}) AS BIGINT)
+             AS exact_topk_hamming
+    FROM ranked
+    WHERE rf <= {TOP_K} OR rq <= {TOP_K}
+    GROUP BY query_id
+    """,
+    doc="1-bit sign-code recall audit — the last rung of the quantization "
+    "ladder (float32 cosine -> int8 `emb_int8_recall` -> PQ-ADC -> 4-bit "
+    "minhash `dedup_bbit_minhash` -> THIS, 64 dims in 8 bytes): each "
+    "vector collapses to its sign bits packed into two 32-bit halves "
+    "(shift arithmetic stays clear of the sign bit — a 1L<<63 pack is "
+    "engine-UB bait), candidates rank by Hamming distance "
+    "(bit_count(xor)) vs the exact float cosine in the SAME single "
+    "broadcast-query scan, dual-criterion two-phase top-k as the int8 "
+    "audit. Per query: overlap@k, recall@k, and the exact top-k's total "
+    "Hamming mass (the separation margin a Hamming prefilter would need "
+    "to honor). The table that prices an 8-byte-per-vector candidate "
+    "tier in front of the IVF index.",
+)
+def emb_sign_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    ).select(
+        "vec_id",
+        "emb",
+        F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias(
+            "nrm"
+        ),
+        F.expr(_SIGN_LO_SPARK).alias("lo"),
+        F.expr(_SIGN_HI_SPARK).alias("hi"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+        F.expr(
+            "cast(bit_count(qlo ^ lo) + bit_count(qhi ^ hi) as bigint)"
+        ).alias("hamming"),
+    )
+    sc = spark.sparkContext
+    if base.rdd.getNumPartitions() > 2 * sc.defaultParallelism:
+        wf_l = Window.partitionBy("query_id", "part_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        wq_l = Window.partitionBy("query_id", "part_id").orderBy(
+            F.col("hamming").asc(), F.col("vec_id")
+        )
+        scored = (
+            scored.withColumn("part_id", F.spark_partition_id())
+            .withColumn("lrf", F.row_number().over(wf_l))
+            .withColumn("lrq", F.row_number().over(wq_l))
+            .filter((F.col("lrf") <= TOP_K) | (F.col("lrq") <= TOP_K))
+            .drop("part_id", "lrf", "lrq")
+        )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id")
+    )
+    ranked = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rq", F.row_number().over(wq))
+        .filter((F.col("rf") <= TOP_K) | (F.col("rq") <= TOP_K))
+    )
+    hit = (F.col("rf") <= TOP_K) & (F.col("rq") <= TOP_K)
+    return ranked.groupBy("query_id").agg(
+        F.count(F.when(hit, 1)).cast("bigint").alias("n_overlap"),
+        (
+            F.count(F.when(hit, 1)).cast("double") / F.lit(float(TOP_K))
+        ).alias("recall"),
+        F.sum(F.when(F.col("rf") <= TOP_K, F.col("hamming")))
+        .cast("bigint")
+        .alias("exact_topk_hamming"),
+    )

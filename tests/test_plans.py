@@ -403,6 +403,8 @@ BROADCAST_NONEQUI_OK = {
     # 4-row pct grid + 4-row tau table + 1-row totals broadcast over the
     # register-domain quality histogram (never the corpus)
     "text_quality_frontier",
+    # 5-row query-set broadcast against the corpus scan (bruteforce shape)
+    "emb_sign_hamming_recall",
 }
 
 

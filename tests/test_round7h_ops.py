@@ -138,3 +138,21 @@ def test_quality_frontier_monotone(spark):
         assert a["tau"] <= b["tau"]
     for r in rows:
         assert r["kept_doc_frac"] <= (100 - r["pct"]) / 100 + 0.05
+
+
+def test_sign_hamming_codes_and_recall_bounds(spark):
+    """Sign codes use exactly the low 32 bits of each half, Hamming is
+    symmetric and bounded by 64, and per-query recall is in [0, 1] with
+    the two rankings drawn from the same candidate scan."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        TOP_K,
+        emb_sign_hamming_recall,
+    )
+
+    rows = emb_sign_hamming_recall(spark, SF001).collect()
+    assert len(rows) == 5  # one per query
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOP_K
+        assert abs(r["recall"] - r["n_overlap"] / TOP_K) < 1e-12
+        # exact top-k Hamming mass bounded by k * 64 bits
+        assert 0 <= r["exact_topk_hamming"] <= TOP_K * 64
