@@ -123,6 +123,7 @@ BENCH_EXT3 = [
     "pack_pair_efficiency",
     "text_quality_frontier",
     "emb_sign_hamming_recall",
+    "events_cohort_ltv",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -2509,3 +2509,126 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (n * sxx - sx * sx) / (n * syy - sy * sy)"
         ).alias("var_reduction"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '{_WEEK_EPOCH}', CAST(ts AS DATE)) // 7 AS w
+      FROM events
+    ), w0 AS (
+      SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY user_id
+    ), cohort AS (
+      SELECT w0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM w0 GROUP BY w0
+    ), rev AS (
+      SELECT user_id,
+             datediff('day', DATE '{_WEEK_EPOCH}', CAST(ts AS DATE)) // 7 AS w,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS r
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, datediff('day', DATE '{_WEEK_EPOCH}', CAST(ts AS DATE)) // 7
+    ), cell AS (
+      SELECT w0.w0, r.w - w0.w0 AS week_offset,
+             CAST(SUM(r.r) AS DECIMAL(38,2)) AS rev
+      FROM rev r JOIN w0 USING (user_id)
+      GROUP BY w0.w0, r.w - w0.w0
+    ), grid AS (
+      SELECT c.w0, o.week_offset,
+             CAST(COALESCE(cell.rev, 0) AS DECIMAL(38,2)) AS rev,
+             c.cohort_size
+      FROM cohort c
+      JOIN (SELECT DISTINCT w0, week_offset FROM cell) dom ON dom.w0 = c.w0
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(range(0, (SELECT MAX(week_offset) + 1 FROM cell
+                                WHERE cell.w0 = c.w0))) AS week_offset
+      ) o
+      LEFT JOIN cell ON cell.w0 = c.w0 AND cell.week_offset = o.week_offset
+      GROUP BY ALL
+    )
+    SELECT DATE '{_WEEK_EPOCH}' + CAST(w0 * 7 AS INTEGER) AS cohort_start,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           cohort_size,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(rev) OVER (
+             PARTITION BY w0 ORDER BY week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,2)) AS DOUBLE) / cohort_size AS ltv_per_user
+    FROM grid
+    ORDER BY cohort_start, week_offset
+    """,
+    doc="Cohort LTV matrix — the revenue face of events_retention_cohorts: "
+    "per (first-event-week cohort, week offset), purchase revenue and "
+    "the cumulative lifetime value per cohort member, on a DENSE offset "
+    "grid (0..max per cohort) so the running LTV curve has no holes "
+    "where a quiet week would otherwise vanish. Revenue accumulates in "
+    "DECIMAL(38,2) end-to-end (the plans/helpers.py money discipline) — "
+    "the running window folds decimals, not doubles, so the curve is "
+    "bit-stable under any shuffle order; the single /cohort_size "
+    "division emits the final double. Scale: user-grain shuffles only; "
+    "the dense grid and its running window live on the weeks^2 cohort "
+    "frame, metadata no matter the corpus.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select("user_id", week_index("ts")).distinct()
+    w0 = uw.groupBy("user_id").agg(F.min("w").alias("w0"))
+    w0 = w0.localCheckpoint(eager=False)  # cohort sizes + revenue join
+    cohort = w0.groupBy("w0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", week_index("ts"), dec("value").alias("v"))
+        .groupBy("user_id", "w")
+        .agg(F.sum("v").cast("decimal(38,2)").alias("r"))
+    )
+    cell = (
+        rev.join(w0, "user_id")
+        .groupBy(
+            F.col("w0"),
+            (F.col("w") - F.col("w0")).cast("long").alias("week_offset"),
+        )
+        .agg(F.sum("r").cast("decimal(38,2)").alias("rev"))
+        .localCheckpoint(eager=False)  # domain + dense-grid left join
+    )
+    maxoff = cell.groupBy("w0").agg(
+        F.max("week_offset").alias("mx")
+    )
+    grid = (
+        cohort.join(F.broadcast(maxoff), "w0")
+        .select(
+            "w0",
+            "cohort_size",
+            F.explode(F.expr("sequence(0L, mx)")).alias("week_offset"),
+        )
+        .join(cell, ["w0", "week_offset"], "left")
+        .select(
+            "w0",
+            "cohort_size",
+            "week_offset",
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(38,2)")).alias(
+                "rev"
+            ),
+        )
+    )
+    wrun = (
+        Window.partitionBy("w0")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.select(
+            F.date_add(
+                F.lit(_WEEK_EPOCH).cast("date"), (F.col("w0") * 7).cast("int")
+            ).alias("cohort_start"),
+            "week_offset",
+            "cohort_size",
+            F.col("rev").cast("double").alias("revenue"),
+            (
+                F.sum("rev").over(wrun).cast("decimal(38,2)").cast("double")
+                / F.col("cohort_size")
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_start", "week_offset")
+    )

@@ -111,3 +111,31 @@ def test_repeat_epochs_budget_and_contiguity(spark):
         expect = sum(r["n_tokens"] // (2**i) for i in range(r["epochs"]))
         assert r["effective_value"] == expect
     out.unpersist()
+
+
+def test_cohort_ltv_monotone_and_dense(spark):
+    """LTV per user is non-decreasing in offset within a cohort, the
+    offset grid is dense 0..max, and cohort sizes match the retention
+    matrix's."""
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_cohort_ltv,
+        events_retention_cohorts,
+    )
+
+    rows = events_cohort_ltv(spark, SF001).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_start"], []).append(r)
+    ret_sizes = {
+        r["cohort_start"]: r["cohort_size"]
+        for r in events_retention_cohorts(spark, SF001).collect()
+    }
+    for start, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        assert [r["week_offset"] for r in rs] == list(range(len(rs)))
+        ltvs = [r["ltv_per_user"] for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(ltvs, ltvs[1:]))
+        assert rs[0]["cohort_size"] == ret_sizes[start]
+        for r in rs:
+            assert r["revenue"] >= 0.0
