@@ -124,6 +124,8 @@ BENCH_EXT3 = [
     "text_quality_frontier",
     "emb_sign_hamming_recall",
     "events_cohort_ltv",
+    "graph_hits",
+    "sample_kfold_assignments",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

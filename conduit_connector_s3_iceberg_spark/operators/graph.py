@@ -899,3 +899,126 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ra_scaled").desc(), "c1", "c2")
         .limit(LINK_TOP)
     )
+
+
+# ----------------------------------------------------- HITS (Kleinberg) -----
+
+HITS_ITERS = 2          # fixed unrolled rounds (oracle mirrors them exactly)
+HITS_SCALE = 1_000_000  # 10^6 fixed point: the norm multiply score*SCALE
+# stays under 2^63 while max_degree * SCALE^2 < 9.2e18 (degrees to ~9e6);
+# for hub-heavier graphs drop a decade of scale per degree decade or lift
+# the multiply to DECIMAL — PR_SCALE (10^12) overflows here because
+# un-normalized sums are already degree * SCALE before the multiply.
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), a1 AS (  -- a = sum of h over in-edges; h0 = SCALE for all hubs
+      SELECT s, CAST(COUNT(*) AS BIGINT) * {HITS_SCALE} AS a
+      FROM und GROUP BY s
+    ), a1n AS (
+      SELECT s,
+             CAST(a * {HITS_SCALE} // (SELECT MAX(a) FROM a1) AS BIGINT) AS a
+      FROM a1
+    ), h1 AS (
+      SELECT c, CAST(SUM(a1n.a) AS BIGINT) AS h
+      FROM und JOIN a1n USING (s) GROUP BY c
+    ), h1n AS (
+      SELECT c,
+             CAST(h * {HITS_SCALE} // (SELECT MAX(h) FROM h1) AS BIGINT) AS h
+      FROM h1
+    ), a2 AS (
+      SELECT s, CAST(SUM(h1n.h) AS BIGINT) AS a
+      FROM und JOIN h1n USING (c) GROUP BY s
+    ), a2n AS (
+      SELECT s,
+             CAST(a * {HITS_SCALE} // (SELECT MAX(a) FROM a2) AS BIGINT) AS a
+      FROM a2
+    ), h2 AS (
+      SELECT c, CAST(SUM(a2n.a) AS BIGINT) AS h
+      FROM und JOIN a2n USING (s) GROUP BY c
+    ), h2n AS (
+      SELECT c,
+             CAST(h * {HITS_SCALE} // (SELECT MAX(h) FROM h2) AS BIGINT) AS h
+      FROM h2
+    )
+    SELECT 'c' || CAST(c AS VARCHAR) AS id, 'hub' AS side,
+           h AS score_scaled, h / {HITS_SCALE}.0 AS score
+    FROM h2n
+    UNION ALL
+    SELECT 's' || CAST(s AS VARCHAR) AS id, 'auth' AS side,
+           a AS score_scaled, a / {HITS_SCALE}.0 AS score
+    FROM a2n
+    ORDER BY side, id
+    """,
+    doc="HITS hubs/authorities (Kleinberg JACM'99) over the bipartite "
+    "customer->supplier trade graph, 2 fixed unrolled rounds — the "
+    "multiplicative mutual-reinforcement scoring SALSA's degree-divided "
+    "walk deliberately is not (HITS rewards a hub for endorsing MANY "
+    "strong authorities; SALSA splits its vote). Normalization per "
+    "half-step is max-division in exact integers (score x SCALE div "
+    "max), so every value stays on the 10^6 fixed-point grid and the "
+    "whole fixpoint is bit-stable under any shuffle order — no float "
+    "norm, no l2 (see HITS_SCALE's overflow budget note). Per half-step: "
+    "one edges-scores hash join + one hash agg + a 1-row max broadcast; "
+    "lineage cut per round. Together with graph_pagerank and "
+    "graph_salsa_authority this completes the classic endorsement-"
+    "ranking triad a crawl/source-weighting pipeline chooses from.",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        mx = scores.agg(F.max(col).alias("mx"))
+        return (
+            scores.crossJoin(F.broadcast(mx))
+            .select(
+                *[c for c in scores.columns if c != col],
+                F.expr(f"{col} * {HITS_SCALE} div mx").alias(col),
+            )
+        )
+
+    # h0 = SCALE for every hub, so a1 = SCALE * indeg
+    auth = und.groupBy("s").agg(
+        (F.count(F.lit(1)) * F.lit(HITS_SCALE)).cast("bigint").alias("a")
+    )
+    auth = _norm(auth, "a").localCheckpoint(eager=False)
+    hubs = None
+    for i in range(HITS_ITERS):
+        hubs = (
+            und.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+        hubs = _norm(hubs, "h").localCheckpoint(eager=False)
+        if i < HITS_ITERS - 1:
+            auth = (
+                und.join(hubs, "c")
+                .groupBy("s")
+                .agg(F.sum("h").cast("bigint").alias("a"))
+            )
+            auth = _norm(auth, "a").localCheckpoint(eager=False)
+    h_side = hubs.select(
+        F.concat(F.lit("c"), F.col("c")).alias("id"),
+        F.lit("hub").alias("side"),
+        F.col("h").alias("score_scaled"),
+        (F.col("h") / F.lit(float(HITS_SCALE))).alias("score"),
+    )
+    a_side = auth.select(
+        F.concat(F.lit("s"), F.col("s")).alias("id"),
+        F.lit("auth").alias("side"),
+        F.col("a").alias("score_scaled"),
+        (F.col("a") / F.lit(float(HITS_SCALE))).alias("score"),
+    )
+    return h_side.union(a_side).orderBy("side", "id")

@@ -1451,3 +1451,99 @@ def text_quality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ------------------------------------------------ k-fold CV assignment ------
+
+KFOLD = 5
+SALT_F = "kf1:"  # version the folds; changing it redraws everything
+
+
+@query(
+    "sample_kfold_assignments",
+    oracle=f"""
+    WITH assign AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('{SALT_F}' || doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) % {KFOLD} AS fold
+      FROM documents
+    ), cell AS (
+      SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assign GROUP BY fold, lang
+    ), lt AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total FROM cell
+      GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM cell
+    ), ft AS (
+      SELECT fold, CAST(SUM(n) AS BIGINT) AS fold_total FROM cell
+      GROUP BY fold
+    )
+    SELECT c.fold, c.lang, c.n,
+           CAST(lt.lang_total * ft.fold_total AS DOUBLE) / tot.total
+             AS expected,
+           (c.n - CAST(lt.lang_total * ft.fold_total AS DOUBLE) / tot.total)
+             * (c.n - CAST(lt.lang_total * ft.fold_total AS DOUBLE)
+                / tot.total)
+             / (CAST(lt.lang_total * ft.fold_total AS DOUBLE) / tot.total)
+             AS chi2_term
+    FROM cell c
+    JOIN lt USING (lang) JOIN ft USING (fold) CROSS JOIN tot
+    ORDER BY c.fold, c.lang
+    """,
+    doc=f"Deterministic {KFOLD}-fold cross-validation assignment with a "
+    "stratification-balance audit: fold = salted-md5(doc_id) mod k (the "
+    "events_ab_lift assignment discipline — reproducible across engines, "
+    "reruns, and cluster layouts), and per (fold, lang) cell the "
+    "observed count, the independence-expected count, and its chi-square "
+    "term — summing chi2_term over the grid against chi2((k-1)(L-1)) df "
+    "is the pre-registration check that no fold is accidentally "
+    "language-skewed before per-fold eval numbers get compared. Scale: "
+    "one narrow hash map + one (fold, lang)-grain shuffle; margins and "
+    "the grid are k x L metadata. Counts and margin products are exact "
+    "BIGINT; expected/chi2 are fixed one-chain IEEE expressions.",
+)
+def sample_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    assign = docs.select(
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(SALT_F), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % KFOLD
+        ).alias("fold"),
+    )
+    cell = assign.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cell = cell.localCheckpoint(eager=False)  # k x L grid; 3 margins + join
+    lt = cell.groupBy("lang").agg(F.sum("n").cast("bigint").alias("lang_total"))
+    ft = cell.groupBy("fold").agg(F.sum("n").cast("bigint").alias("fold_total"))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.expr(
+        "cast(lang_total * fold_total as double) / total"
+    )
+    return (
+        cell.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(ft), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "lang",
+            "n",
+            expected.alias("expected"),
+            (
+                (F.col("n") - expected)
+                * (F.col("n") - expected)
+                / expected
+            ).alias("chi2_term"),
+        )
+        .orderBy("fold", "lang")
+    )

@@ -405,6 +405,10 @@ BROADCAST_NONEQUI_OK = {
     "text_quality_frontier",
     # 5-row query-set broadcast against the corpus scan (bruteforce shape)
     "emb_sign_hamming_recall",
+    # 1-row max broadcasts normalizing each HITS half-step
+    "graph_hits",
+    # 1-row corpus-total broadcast into the k x L fold grid
+    "sample_kfold_assignments",
 }
 
 

@@ -156,3 +156,58 @@ def test_sign_hamming_codes_and_recall_bounds(spark):
         assert abs(r["recall"] - r["n_overlap"] / TOP_K) < 1e-12
         # exact top-k Hamming mass bounded by k * 64 bits
         assert 0 <= r["exact_topk_hamming"] <= TOP_K * 64
+
+
+def test_hits_normalization_and_sides(spark):
+    """Both sides top out at exactly SCALE (max-normalized), scores are
+    positive, and the side populations equal the bipartite node sets."""
+    from conduit_connector_s3_iceberg_spark.operators.graph import (
+        HITS_SCALE,
+        graph_hits,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    out = graph_hits(spark, SF001).cache()
+    for side in ("hub", "auth"):
+        scores = [
+            r["score_scaled"]
+            for r in out.filter(F.col("side") == side).collect()
+        ]
+        assert max(scores) == HITS_SCALE
+        assert min(scores) > 0
+    orders = load_table(spark, SF001, "orders")
+    li = load_table(spark, SF001, "lineitem")
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    assert (
+        out.filter(F.col("side") == "hub").count()
+        == pairs.select("o_custkey").distinct().count()
+    )
+    assert (
+        out.filter(F.col("side") == "auth").count()
+        == pairs.select("l_suppkey").distinct().count()
+    )
+    out.unpersist()
+
+
+def test_kfold_cells_partition_corpus_and_chi2_small(spark):
+    """Cells partition the corpus exactly (sum n = corpus size, k x L
+    grid), expected counts sum to the same total, and the md5 assignment
+    is balanced enough that total chi2 stays far below a blown design."""
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        KFOLD,
+        sample_kfold_assignments,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = sample_kfold_assignments(spark, SF001).collect()
+    n_docs = load_table(spark, SF001, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    assert abs(sum(r["expected"] for r in rows) - n_docs) < 1e-6
+    folds = {r["fold"] for r in rows}
+    assert folds == set(range(KFOLD))
+    chi2 = sum(r["chi2_term"] for r in rows)
+    langs = len({r["lang"] for r in rows})
+    df = (KFOLD - 1) * (langs - 1)
+    # p ~ 0.001 critical value for chi2(df) is ~ df + 3*sqrt(2*df) + 6;
+    # a hash-balanced design sits way below it
+    assert chi2 < df + 3 * (2 * df) ** 0.5 + 6
