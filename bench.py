@@ -126,6 +126,7 @@ BENCH_EXT3 = [
     "events_cohort_ltv",
     "graph_hits",
     "sample_kfold_assignments",
+    "corpus_kfold_leakage",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -2129,3 +2129,92 @@ def pack_pair_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------ k-fold leakage audit ------
+
+
+@query(
+    "corpus_kfold_leakage",
+    oracle=f"""
+    WITH votes AS (
+      SELECT doc_id, {", ".join(_simhash_vote_sql(b) for b in range(16))}
+      FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents
+      ) GROUP BY doc_id
+    ), grouped AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS INTEGER) AS group_fp FROM votes
+    ), assigned AS (
+      SELECT doc_id, group_fp,
+             CAST(('0x' || substr(md5('kf1:' || doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) % 5 AS fold
+      FROM grouped
+    ), spans AS (
+      SELECT group_fp, CAST(COUNT(DISTINCT fold) AS BIGINT) AS n_folds
+      FROM assigned GROUP BY group_fp
+    )
+    SELECT a.fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.group_fp) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN s.n_folds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky_docs,
+           CAST(SUM(CASE WHEN s.n_folds > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS leak_frac
+    FROM assigned a JOIN spans s ON a.group_fp = s.group_fp
+    GROUP BY a.fold
+    ORDER BY a.fold
+    """,
+    doc="Cross-fold leakage audit of the doc-keyed k-fold design: join the "
+    "deterministic fold assignment (sample_kfold_assignments' hash) to "
+    "the near-dup group key and count, per fold, the docs whose "
+    "duplicate family spans more than one fold — the exact contamination "
+    "a doc-keyed CV design admits and corpus_groupwise_split's "
+    "group-keyed hash eliminates by construction (the two queries are "
+    "the before/after of the same decision). Serves the group key from "
+    "the persisted dedup labels table (consumer discipline; the oracle "
+    "stays the full SimHash recompute). One fold map + one "
+    "group_fp-grain span agg; everything else is the k-row rollup.",
+)
+def corpus_kfold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import ensure_dedup_table
+    from .sampling import KFOLD, SALT_F
+
+    grouped = ensure_dedup_table(spark, sf_dir).select("doc_id", "group_fp")
+    assigned = grouped.select(
+        "doc_id",
+        "group_fp",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(SALT_F), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % KFOLD
+        ).alias("fold"),
+    ).localCheckpoint(eager=False)  # feeds spans + the rollup
+    spans = assigned.groupBy("group_fp").agg(
+        F.countDistinct("fold").cast("bigint").alias("n_folds")
+    )
+    return (
+        assigned.join(spans, "group_fp")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("group_fp").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_folds") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaky_docs"),
+            (
+                F.sum(F.when(F.col("n_folds") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("leak_frac"),
+        )
+        .orderBy("fold")
+    )

@@ -211,3 +211,20 @@ def test_kfold_cells_partition_corpus_and_chi2_small(spark):
     # p ~ 0.001 critical value for chi2(df) is ~ df + 3*sqrt(2*df) + 6;
     # a hash-balanced design sits way below it
     assert chi2 < df + 3 * (2 * df) ** 0.5 + 6
+
+
+def test_kfold_leakage_vs_groupwise_split(spark):
+    """The doc-keyed fold design admits nonzero family leakage exactly
+    where the group-keyed split has none: every leaky doc sits in a
+    group with >= 2 members, and totals partition the corpus."""
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        corpus_kfold_leakage,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = corpus_kfold_leakage(spark, SF001).collect()
+    n_docs = load_table(spark, SF001, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_leaky_docs"] <= r["n_docs"]
+        assert abs(r["leak_frac"] - r["n_leaky_docs"] / r["n_docs"]) < 1e-12
