@@ -129,6 +129,15 @@ BENCH_EXT3 = [
     "corpus_kfold_leakage",
 ]
 
+# Round-8 additions, reported under "ext4" — earlier lists are frozen
+# trend lists, so new operators start their own.
+BENCH_EXT4 = [
+    "sim_ann_ivf_trained",
+    "sim_ann_trained_recall",
+    "dedup_pairs_delta",
+    "dedup_labels_delta_audit",
+]
+
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +
 # whole-stage codegen compile (worst on the dedup self-joins), and JIT can
 # still taint the second — three runs reliably capture steady state.
@@ -162,25 +171,40 @@ def main() -> None:
     ext = run_list(BENCH_EXT)
     ext2 = run_list(BENCH_EXT2)
     ext3 = run_list(BENCH_EXT3)
+    ext4 = run_list(BENCH_EXT4)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "ext": ext,
-                "ext_total": round(sum(ext.values()), 3),
-                "ext2": ext2,
-                "ext2_total": round(sum(ext2.values()), 3),
-                "ext3": ext3,
-                "ext3_total": round(sum(ext3.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "ext": ext,
+        "ext_total": round(sum(ext.values()), 3),
+        "ext2": ext2,
+        "ext2_total": round(sum(ext2.values()), 3),
+        "ext3": ext3,
+        "ext3_total": round(sum(ext3.values()), 3),
+        "ext4": ext4,
+        "ext4_total": round(sum(ext4.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # Durability (r7 verdict: the driver's BENCH_r07.json artifact was
+    # truncated mid-line, orphaning the round's totals): always persist
+    # the full parsed JSON locally; BENCH_ROUND=<N> additionally stamps
+    # the round-close copy committed in-tree as BENCH_LOCAL_r<N>.json.
+    here = os.path.dirname(os.path.abspath(__file__))
+    outs = [os.path.join(here, "BENCH_LOCAL_latest.json")]
+    if os.environ.get("BENCH_ROUND"):
+        outs.append(
+            os.path.join(
+                here, f"BENCH_LOCAL_r{os.environ['BENCH_ROUND']}.json"
+            )
         )
-    )
+    for p in outs:
+        with open(p, "w") as fh:
+            json.dump(payload, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -327,12 +327,23 @@ def _centroid(c: int) -> list[float]:
 CENTROIDS = [_centroid(c) for c in range(N_CENTROIDS)]
 
 # distance array over a pre-computed double-array `emb` column
-_DISTS_SPARK = "array(" + ", ".join(
-    "aggregate(zip_with(emb, "
-    + "array(" + ", ".join(f"{v}D" for v in c) + ")"
-    + ", (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-    for c in CENTROIDS
-) + ")"
+
+
+def _dists_spark_for(cents: list) -> str:
+    """Squared-L2 distance array to ``cents`` as inline literals — the
+    centroid set is driver-side metadata (K×DIM doubles), so baking it
+    into the expression keeps assignment a codegen'd narrow map with no
+    join at all. Python float repr round-trips exactly through the JVM
+    double parser, so trained (data-derived) centroids stay bit-exact."""
+    return "array(" + ", ".join(
+        "aggregate(zip_with(emb, "
+        + "array(" + ", ".join(f"{v}D" for v in c) + ")"
+        + ", (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        for c in cents
+    ) + ")"
+
+
+_DISTS_SPARK = _dists_spark_for(CENTROIDS)
 
 # centroids as a 16-row VALUES table: the previous formulation inlined the
 # 64-element centroid literal TWICE per element inside a per-row
@@ -3112,11 +3123,14 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism: components are unit-normalized per row (left-fold norm,
 # identical in both engines), quantized once to ISO_SCALE integers, and
-# every cross-row accumulation after that is BIGINT. |us| <= ISO_SCALE, so
-# per-dim sums are bounded by n*ISO_SCALE and the gram mass by
-# DIM*(n*ISO_SCALE)^2 -- within BIGINT through n ~ 3e5 per label. The final
-# emission divides two exact integers (cast correctly rounded identically
-# when above 2^53).
+# every cross-row accumulation after that is exact integer arithmetic.
+# |us| <= ISO_SCALE, so per-dim sums are bounded by n*ISO_SCALE (bigint is
+# ample), but the gram mass grows as DIM*(n*ISO_SCALE)^2 — past 2^63 at
+# n ~ 3e5 rows per label, where a bigint sum would wrap SILENTLY in Spark
+# while DuckDB errors. Both masses therefore accumulate in decimal(38,0)
+# (the emb_dim_moments s3/s4 pattern), good to n ~ 1e14 per label. The
+# final emission divides two exact integers (cast correctly rounded
+# identically when above 2^53).
 
 ISO_SCALE = 10_000
 
@@ -3139,11 +3153,13 @@ ISO_SCALE = 10_000
       FROM rows_, generate_series(1, {DIM}) AS t(i)
       GROUP BY label, pos
     ), gram AS (
-      SELECT label, CAST(SUM(s * s) AS BIGINT) AS gram_mass
+      SELECT label,
+             CAST(SUM(CAST(s AS HUGEINT) * s) AS DECIMAL(38,0)) AS gram_mass
       FROM dims GROUP BY label
     ), per AS (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-             CAST(SUM(selfdot) AS BIGINT) AS self_mass
+             CAST(SUM(CAST(selfdot AS HUGEINT)) AS DECIMAL(38,0))
+               AS self_mass
       FROM rows_ GROUP BY label
     )
     SELECT label, n_vecs, gram_mass, self_mass,
@@ -3179,17 +3195,25 @@ def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("selfdot"),
     )
     rows = rows.localCheckpoint(eager=False)  # feeds dims AND per-label aggs
+    # gram/self mass accumulate in decimal(38,0) (the emb_dim_moments
+    # s3/s4 pattern): sum(bigint) would wrap SILENTLY past n ~ 3e5 rows
+    # per label (n²·ISO_SCALE² hits 2^63) while DuckDB errors — decimal
+    # keeps the advertised corpus-linear behavior exact at 100 TB
+    d38 = "decimal(38,0)"
     dims = (
         rows.select("label", F.posexplode("us").alias("pos", "u"))
         .groupBy("label", "pos")
         .agg(F.sum("u").alias("s"))
     )
     gram = dims.groupBy("label").agg(
-        F.sum(F.col("s") * F.col("s")).alias("gram_mass")
+        F.sum(
+            (F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)"))
+            .cast(d38)
+        ).cast(d38).alias("gram_mass")
     )
     per = rows.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-        F.sum("selfdot").alias("self_mass"),
+        F.sum(F.col("selfdot").cast(d38)).cast(d38).alias("self_mass"),
     )
     denom = (
         (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
@@ -3865,18 +3889,19 @@ def emb_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-identical) -> assign ONLY the new files and append their rows into
 # the cell partitions; any rewrite -> full rebuild.
 
-ANN_INDEX_VERSION = 1
+ANN_INDEX_VERSION = 2  # v2: generation-scoped cells/gen_N dirs (atomic appends)
 
 
-def ann_index_path(sf_dir: str) -> str:
+def ann_index_path(sf_dir: str, mode: str = "static") -> str:
     """State root keyed by source path + every definition the persisted
-    bytes depend on (centroid constants, DIM)."""
+    bytes depend on (centroid mode/seed constants, DIM)."""
     import os
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     cdef = hashlib.md5(repr(CENTROIDS).encode()).hexdigest()
     key = hashlib.sha256(
-        f"v{ANN_INDEX_VERSION}:{os.path.abspath(src)}:{DIM}:{cdef}".encode()
+        f"v{ANN_INDEX_VERSION}:{os.path.abspath(src)}:{DIM}:{cdef}:{mode}"
+        .encode()
     ).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -3884,9 +3909,11 @@ def ann_index_path(sf_dir: str) -> str:
     return os.path.join(repo_root, "spark-warehouse", "ann_index", key)
 
 
-def _assign_cells(df: DataFrame) -> DataFrame:
+def _assign_cells(df: DataFrame, cents: list | None = None) -> DataFrame:
     """(vec_id, embedding) -> (vec_id, emb, nrm, cell): the deterministic
-    index row. Same expressions as sim_ann_ivf's inline assignment."""
+    index row. Same expressions as sim_ann_ivf's inline assignment;
+    ``cents`` overrides the static seed centroids (trained mode)."""
+    dists = _DISTS_SPARK if cents is None else _dists_spark_for(cents)
     return df.select(
         "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
     ).select(
@@ -3895,7 +3922,7 @@ def _assign_cells(df: DataFrame) -> DataFrame:
         F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias(
             "nrm"
         ),
-        F.expr(_DISTS_SPARK).alias("dists"),
+        F.expr(dists).alias("dists"),
     ).select(
         "vec_id",
         "emb",
@@ -3906,51 +3933,202 @@ def _assign_cells(df: DataFrame) -> DataFrame:
     )
 
 
-def ensure_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seed_ivf_centroids(spark: SparkSession, emb: DataFrame) -> list:
+    """Untrained baseline centroids: the K lowest-vec_id DATA POINTS
+    (the ``emb_kmeans_assign`` seeding — deterministic and replicable in
+    SQL). Data-point seeds sit inside the data cloud, so every cell is
+    reachable; the static md5 constants, by contrast, sit far outside a
+    concentrated corpus and collapse assignment into 2-3 giant cells
+    (measured on the synthetic embeddings — see sim_ann_trained_recall's
+    scan_frac column). Falls back to the static constant for any missing
+    seed id so the list is always K long."""
+    rows = (
+        emb.select("vec_id", F.expr(_SPARK_EMB_D).alias("emb"))
+        .filter(F.col("vec_id") < N_CENTROIDS)
+        .collect()  # bounded: K rows of metadata
+    )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["emb"]] for r in rows}
+    return [
+        by_id.get(i, list(CENTROIDS[i])) for i in range(N_CENTROIDS)
+    ]
+
+
+def train_ivf_centroids(
+    spark: SparkSession, emb: DataFrame, seeds: list | None = None
+) -> list:
+    """One exact Lloyd update of the data-point seed centroids over
+    ``emb`` (vec_id, embedding) — the ``emb_kmeans_assign`` discipline
+    applied to the index build: round-0 assignment is a shuffle-free
+    broadcast-argmin narrow map against the seeds; the update is one
+    (cell, dim) hash agg of SCALED-INTEGER sums (exact,
+    order-independent — so the DuckDB oracle reproduces the centroids
+    bit-for-bit); empty cells keep their seed. The K×DIM result is
+    driver-side metadata (the one collect is bounded), stored in the
+    index manifest so rebuilds are keyed on it.
+
+    At 100 TB: training cost is one corpus pass + a K·DIM-key agg —
+    amortized over every query batch the index serves; more Lloyd rounds
+    are this same body repeated (cf. ``emb_kmeans_iterate``)."""
+    if seeds is None:
+        seeds = seed_ivf_centroids(spark, emb)
+    a0 = _assign_cells(emb, seeds)
+    sums = (
+        a0.select("cell", F.posexplode("emb").alias("pos", "x"))
+        .select(
+            "cell",
+            "pos",
+            F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.sum("xs").alias("ssum"), F.count(F.lit(1)).alias("n"))
+    )
+    trained = [list(c) for c in seeds]  # seed fallback for empty cells
+    for r in sums.collect():  # bounded: K*DIM rows of metadata
+        # same association as the oracle: int->double cast, /n, /scale
+        trained[r["cell"] - 1][r["pos"]] = (
+            float(r["ssum"]) / r["n"] / CENTROID_SCALE
+        )
+    return trained
+
+
+def _cells_paths(root: str, gen: int, base: int = 0) -> list:
+    from ..state import gen_paths
+
+    return gen_paths(root, "cells", gen, base)
+
+
+def _read_ann_cells(spark: SparkSession, root: str, man: dict) -> DataFrame:
+    """Union of the manifest-reachable cell generations. Generation dirs
+    are separate partitioned tables (Spark's documented shape for
+    multi-root partition dirs); a cell filter pushes through the Union
+    into every child scan's PartitionFilters, so partition-pruned
+    probing is preserved across generations."""
+    from functools import reduce
+
+    parts = [
+        spark.read.parquet(p)
+        for p in _cells_paths(root, man["gen"], man.get("base_gen", 0))
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def ensure_ann_index(
+    spark: SparkSession, sf_dir: str, mode: str = "static"
+) -> DataFrame:
     """Build-if-absent persisted IVF index, maintained O(delta) under
-    corpus APPENDS (new files only; any rewrite rebuilds)."""
+    corpus APPENDS (new files only; any rewrite rebuilds).
+
+    ``mode="trained"`` trains the centroids from the corpus at BASE build
+    time (one exact Lloyd update of the static seeds —
+    :func:`train_ivf_centroids`) and stores them in the manifest; appends
+    assign new rows against the FROZEN manifest centroids (real-IVF
+    semantics: retraining is a rebuild decision driven by the balance /
+    drift audits, never an implicit side effect of ingest), and a rebuild
+    retrains. The two modes key different state roots.
+
+    Commit protocol (r7 ADVICE fix): appended assignments are staged as
+    a NEW generation directory ``cells/gen_{g+1}/cell=…`` — invisible to
+    readers, who list only the generations the manifest names — and the
+    atomic manifest replace is the single commit point, exactly the
+    dedup labels-table discipline (``operators/dedup.py``
+    ``maintain_dedup_state``). A crash between the parquet write and the
+    manifest commit leaves the served index at generation ``g``; the
+    retry's ``mode("overwrite")`` replaces the orphaned directory, so a
+    delta is never double-appended and a concurrent reader never sees
+    partially appended rows."""
     import os
+    import shutil
 
-    from .dedup import _corpus_snapshot, _state_manifest, _write_state_manifest
+    from ..state import (
+        corpus_snapshot,
+        gen_dir,
+        read_manifest,
+        snapshot_delta,
+        write_manifest,
+    )
 
-    root = ann_index_path(sf_dir)
+    root = ann_index_path(sf_dir, mode)
     src = os.path.join(sf_dir, "embeddings.parquet")
-    snap = _corpus_snapshot(src)
-    man = _state_manifest(root)
-    data = os.path.join(root, "cells")
-
-    if man is not None and man["snapshot"] == snap:
-        return spark.read.parquet(data)  # serve: nothing changed
+    snap = corpus_snapshot(src)
+    man = read_manifest(root)
+    if man is not None and "gen" not in man:
+        man = None  # pre-v2 flat layout — rebuild under the new protocol
 
     if man is not None:
-        old = man["snapshot"]
-        unchanged = all(
-            f in snap and snap[f] == old[f] for f in old
-        )
-        new_files = [f for f in snap if f not in old]
-        if unchanged and new_files:
-            # append path: assign ONLY the new files' rows
-            paths = [
-                os.path.join(src, f) if not os.path.isfile(src) else src
-                for f in new_files
-            ]
-            delta = spark.read.parquet(*paths).select("vec_id", "embedding")
-            _assign_cells(delta).write.mode("append").partitionBy(
-                "cell"
-            ).parquet(data)
-            _write_state_manifest(root, {"snapshot": snap, "appended": True})
-            return spark.read.parquet(data)
+        kind, new_files = snapshot_delta(man["snapshot"], snap)
+        if kind == "unchanged":
+            return _read_ann_cells(spark, root, man)  # serve
+        if kind == "appended" and not os.path.isfile(src):
+            # append path: assign ONLY the new files' rows (against the
+            # frozen manifest centroids in trained mode), staged as
+            # generation gen+1, committed by the manifest replace
+            gen = man["gen"]
+            delta = spark.read.parquet(
+                *[os.path.join(src, f) for f in new_files]
+            ).select("vec_id", "embedding")
+            _assign_cells(delta, man.get("centroids")).write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(gen_dir(root, "cells", gen + 1))
+            man = {
+                **man,
+                "gen": gen + 1,
+                "base_gen": man.get("base_gen", 0),
+                "snapshot": snap,
+                "appended": True,
+            }
+            write_manifest(root, man)
+            return _read_ann_cells(spark, root, man)
 
     # full (re)build — direct read, NOT load_table: its resolved-relation
     # cache assumes immutable tables, and a rebuild exists precisely
     # because the corpus changed
     emb = spark.read.parquet(src).select("vec_id", "embedding")
+    cents = train_ivf_centroids(spark, emb) if mode == "trained" else None
+    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
-    _assign_cells(emb).write.mode("overwrite").partitionBy("cell").parquet(
-        data
+    _assign_cells(emb, cents).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(gen_dir(root, "cells", 0))
+    man = {"gen": 0, "base_gen": 0, "snapshot": snap, "appended": False}
+    if cents is not None:
+        man["centroids"] = cents
+    write_manifest(root, man)
+    return _read_ann_cells(spark, root, man)
+
+
+def compact_ann_index(spark: SparkSession, root: str) -> None:
+    """Merge the index's cell generations into one base generation
+    (readers union ``base_gen..gen``; periodic compaction keeps the
+    union width O(1)). Same staged-files-then-manifest commit as
+    ``compact_dedup_state``; run ``expire_ann_state`` afterwards to
+    reclaim the superseded generation directories."""
+    from ..state import gen_dir, read_manifest, write_manifest
+
+    man = read_manifest(root)
+    if man is None:
+        raise ValueError(f"no ANN index at {root}; run ensure_ann_index")
+    gen, base = man["gen"], man.get("base_gen", 0)
+    if base == gen:
+        return  # single live generation — nothing to merge
+    _read_ann_cells(spark, root, man).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(gen_dir(root, "cells", gen + 1))
+    write_manifest(
+        root, {**man, "gen": gen + 1, "base_gen": gen + 1}
     )
-    _write_state_manifest(root, {"snapshot": snap, "appended": False})
-    return spark.read.parquet(data)
+
+
+def expire_ann_state(root: str) -> list:
+    """Delete cell generations the committed manifest no longer reaches
+    (below ``base_gen`` after compaction, or crashed-writer orphans
+    above ``gen``). Returns the deleted paths."""
+    from ..state import expire_generations, read_manifest
+
+    man = read_manifest(root)
+    if man is None:
+        raise ValueError(f"no ANN index at {root}; nothing to expire")
+    live = set(range(man.get("base_gen", 0), man["gen"] + 1))
+    return expire_generations(root, {"cells": live})
 
 
 @query(
@@ -4006,6 +4184,15 @@ def ensure_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_ann_index(spark, sf_dir)
+    return _probe_index_topk(spark, sf_dir, idx, _DISTS_SPARK)
+
+
+def _probe_index_topk(
+    spark: SparkSession, sf_dir: str, idx: DataFrame, dists_expr: str
+) -> DataFrame:
+    """Serve top-k from a persisted cell-partitioned index: per-query
+    probe list from ``dists_expr`` (the index's centroid set), candidate
+    generation partition-pruned to the probed cells."""
     # queries: the bounded N_QUERIES head recomputes its probe list from
     # the raw table (pushdown: vec_id < 5) — query-side work, not corpus
     qsrc = load_table(spark, sf_dir, "embeddings").filter(
@@ -4017,7 +4204,7 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias(
             "nrm"
         ),
-        F.expr(_DISTS_SPARK).alias("dists"),
+        F.expr(dists_expr).alias("dists"),
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -4130,6 +4317,330 @@ def sim_index_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- trained IVF index -----
+#
+# At 100 TB you TRAIN the IVF centroids from the corpus. Trained mode
+# seeds from the K lowest-vec_id DATA POINTS (the emb_kmeans_assign
+# seeding — data-point seeds sit inside the data cloud) and runs one
+# exact scaled-integer Lloyd update (train_ivf_centroids); the result is
+# manifest-stored build metadata: appends assign against the frozen
+# centroids, rebuilds retrain, the balance/drift audits decide when a
+# retrain is due. The static md5 constants stay as the oracle-friendly
+# default index — but on a concentrated corpus they collapse assignment
+# into 2-3 giant cells, so their high recall is a near-full scan in
+# disguise; sim_ann_trained_recall quantifies exactly that with a
+# scan_frac column next to recall. Both oracles below re-derive the
+# training from scratch in SQL, so the manifest-stored centroid bytes
+# are re-verified against a from-scratch Lloyd update on every sweep.
+
+_SQL_D2_C = (
+    f"list_reduce(list_transform(generate_series(1, {DIM}),"
+    " i -> (d.emb[i] - {c}[i]) * (d.emb[i] - {c}[i])), (x, y) -> x + y)"
+)
+
+# shared training CTE chain: data-point seeds (cent0) -> seed assignment
+# (dist0/a0) -> exact scaled-int cell means with seed fallback for empty
+# cells (tcent) -> trained assignment rankings (tranked) + rows (te)
+_TRAIN_CTE = f"""
+    d AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), cent0 AS (
+      SELECT CAST(vec_id + 1 AS INTEGER) AS cell, emb AS c
+      FROM d WHERE vec_id < {N_CENTROIDS}
+    ), dist0 AS (
+      SELECT d.vec_id, cent0.cell, {_SQL_D2_C.format(c='cent0.c')} AS d2
+      FROM d, cent0
+    ), a0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        FROM dist0
+      ) WHERE rk = 1
+    ), csums AS (
+      SELECT a0.cell, i AS pos,
+             CAST(SUM(CAST(round(d.emb[i] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a0 JOIN d USING (vec_id), generate_series(1, {DIM}) AS t(i)
+      GROUP BY a0.cell, pos
+    ), tc AS (
+      SELECT cell,
+             array_agg(CAST(ssum AS DOUBLE) / n / {CENTROID_SCALE}
+                       ORDER BY pos) AS c
+      FROM csums GROUP BY cell
+    ), tcent AS (
+      SELECT cent0.cell, COALESCE(tc.c, cent0.c) AS c
+      FROM cent0 LEFT JOIN tc USING (cell)
+    ), tdist AS (
+      SELECT d.vec_id, tcent.cell, {_SQL_D2_C.format(c='tcent.c')} AS d2
+      FROM d, tcent
+    ), tranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM tdist
+    ), te AS (
+      SELECT d.vec_id, d.emb, d.nrm, r.cell
+      FROM d JOIN tranked r ON r.vec_id = d.vec_id AND r.rk = 1
+    )
+"""
+
+
+@query(
+    "sim_ann_ivf_trained",
+    oracle=f"""
+    WITH {_TRAIN_CTE},
+    tq AS (
+      SELECT te.vec_id AS query_id, te.emb AS qemb, te.nrm AS qnrm,
+             p.cell AS probe_cell
+      FROM te JOIN tranked p ON p.vec_id = te.vec_id AND p.rk <= {NPROBE}
+      WHERE te.vec_id < {N_QUERIES}
+    ), tcand AS (
+      SELECT tq.query_id, te.vec_id,
+             {_sql_dot('tq.qemb', 'te.emb')} / (tq.qnrm * te.nrm) AS cosine
+      FROM tq JOIN te ON te.cell = tq.probe_cell AND te.vec_id <> tq.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS INTEGER) AS rank
+      FROM tcand
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="IVF top-k served from the persisted TRAINED index "
+    "(ensure_ann_index mode='trained'): centroids seeded from the K "
+    "lowest-vec_id data points and moved by one exact scaled-integer "
+    "Lloyd update at base build time, stored in the index manifest, "
+    "frozen across appends. Serving is identical to sim_ann_ivf_indexed "
+    "(probe NPROBE nearest cells of the partitioned index); the oracle "
+    "re-derives the training from scratch, so the manifest-stored "
+    "centroids and the persisted cell assignments are both re-verified "
+    "against a from-scratch Lloyd update on every sweep.",
+)
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..state import read_manifest
+
+    idx = ensure_ann_index(spark, sf_dir, mode="trained")
+    cents = read_manifest(ann_index_path(sf_dir, "trained"))["centroids"]
+    return _probe_index_topk(spark, sf_dir, idx, _dists_spark_for(cents))
+
+
+RECALL_QUERIES = 50  # recall audit query set: wide enough to average noise
+
+
+def _recall_variant_sql(assign: str, ranked: str) -> str:
+    """One variant's eval CTEs: top-k from probing NPROBE cells of the
+    ``assign`` (vec_id, emb, nrm, cell) relation using the ``ranked``
+    (vec_id, cell, rk) probe rankings."""
+    return f"""
+    {assign}q AS (
+      SELECT a.vec_id AS query_id, a.emb AS qemb, a.nrm AS qnrm,
+             p.cell AS probe_cell
+      FROM {assign} a JOIN {ranked} p
+        ON p.vec_id = a.vec_id AND p.rk <= {NPROBE}
+      WHERE a.vec_id < {RECALL_QUERIES}
+    ), {assign}top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_sql_dot('q.qemb', 'a.emb')} / (q.qnrm * a.nrm) DESC,
+                 a.vec_id) AS rank
+        FROM {assign}q q JOIN {assign} a
+          ON a.cell = q.probe_cell AND a.vec_id <> q.query_id
+      ) WHERE rank <= {TOP_K}
+    ), {assign}scan AS (
+      SELECT CAST(SUM(sz) AS BIGINT) AS tot FROM (
+        SELECT DISTINCT query_id, probe_cell FROM {assign}q
+      ) p JOIN (
+        SELECT cell, COUNT(*) AS sz FROM {assign} GROUP BY cell
+      ) s ON s.cell = p.probe_cell
+    )"""
+
+
+def _recall_row_sql(variant: str, assign: str) -> str:
+    return f"""
+      SELECT '{variant}' AS variant, CAST({NPROBE} AS BIGINT) AS nprobe,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM {assign}top JOIN truth USING (query_id, vec_id)) AS hits,
+             (SELECT CAST(COUNT(*) AS DOUBLE)
+              FROM {assign}top JOIN truth USING (query_id, vec_id))
+               / {RECALL_QUERIES * TOP_K}.0 AS recall,
+             (SELECT CAST(tot AS DOUBLE) FROM {assign}scan)
+               / ((SELECT COUNT(*) FROM d) * {RECALL_QUERIES}.0) AS scan_frac
+    """
+
+
+@query(
+    "sim_ann_trained_recall",
+    oracle=f"""
+    WITH mcent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), {_TRAIN_CTE},
+    mdist AS (
+      SELECT d.vec_id, mcent.cell, {_SQL_D2_C.format(c='mcent.c')} AS d2
+      FROM d, mcent
+    ), mranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM mdist
+    ), ms AS (
+      SELECT d.vec_id, d.emb, d.nrm, r.cell
+      FROM d JOIN mranked r ON r.vec_id = d.vec_id AND r.rk = 1
+    ), sranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM dist0
+    ), sd AS (
+      SELECT d.vec_id, d.emb, d.nrm, r.cell
+      FROM d JOIN sranked r ON r.vec_id = d.vec_id AND r.rk = 1
+    ),
+    {_recall_variant_sql('ms', 'mranked')},
+    {_recall_variant_sql('sd', 'sranked')},
+    {_recall_variant_sql('te', 'tranked')},
+    bq AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM d WHERE vec_id < {RECALL_QUERIES}
+    ), bcand AS (
+      SELECT bq.query_id, d.vec_id,
+             {_sql_dot('bq.qemb', 'd.emb')} / (bq.qnrm * d.nrm) AS cosine
+      FROM bq JOIN d ON d.vec_id <> bq.query_id
+    ), truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM bcand
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT * FROM (
+      {_recall_row_sql('static', 'ms')}
+      UNION ALL
+      {_recall_row_sql('seeded', 'sd')}
+      UNION ALL
+      {_recall_row_sql('trained', 'te')}
+    ) ORDER BY variant
+    """,
+    doc="Recall-vs-cost comparison of three IVF centroid sets at EQUAL "
+    f"nprobe over a {RECALL_QUERIES}-query set: 'static' (md5 constant "
+    "seeds — the default index), 'seeded' (untrained data-point seeds), "
+    "'trained' (one Lloyd update of those seeds — the persisted trained "
+    "index). Per variant: hits/recall@k against exact brute-force truth "
+    "AND scan_frac, the mean fraction of the corpus a probe actually "
+    "reads. The honest numbers behind 'training helps': on a "
+    "concentrated corpus the static seeds collapse into 2-3 giant cells "
+    "— near-1.0 recall at scan_frac ≈ 1 is a full scan in disguise — "
+    "while trained centroids hold recall at a scan fraction an order of "
+    "magnitude lower, and beat the untrained data-point seeds at "
+    "identical cost (the Lloyd update's contribution). Truth is exact "
+    "brute force over the bounded query set (the audit's cost by "
+    "definition; two-phase top-k bounds the merge). All three variants "
+    "re-derive in SQL, so this also re-verifies both persisted indexes.",
+)
+def sim_ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..state import read_manifest
+
+    emb_raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb_d = emb_raw.select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))")
+    ).localCheckpoint(eager=False)
+    seeds = seed_ivf_centroids(spark, emb_raw)
+
+    static_idx = ensure_ann_index(spark, sf_dir)
+    trained_idx = ensure_ann_index(spark, sf_dir, mode="trained")
+    trained_cents = read_manifest(ann_index_path(sf_dir, "trained"))[
+        "centroids"
+    ]
+    seeded_idx = _assign_cells(emb_raw, seeds)
+
+    q = emb_d.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = emb_d.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    truth = _two_phase_topk(cand, TOP_K, base=emb_d).select(
+        "query_id", "vec_id"
+    ).localCheckpoint(eager=False)
+    ntot = emb_d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def one(idx: DataFrame, cents: list, name: str) -> DataFrame:
+        dists = _dists_spark_for(cents)
+        probes = (
+            emb_d.filter(F.col("vec_id") < RECALL_QUERIES)
+            .select("vec_id", "emb", "nrm", F.expr(dists).alias("dists"))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("qemb"),
+                F.col("nrm").alias("qnrm"),
+                F.explode(
+                    F.expr(
+                        f"transform(slice(array_sort(dists), 1, {NPROBE}),"
+                        " d -> cast(array_position(dists, d) as int))"
+                    )
+                ).alias("probe_cell"),
+            )
+        )
+        vtop = _two_phase_topk(
+            idx.join(
+                F.broadcast(probes),
+                (F.col("cell") == F.col("probe_cell"))
+                & (F.col("vec_id") != F.col("query_id")),
+            ).select(
+                "query_id",
+                "vec_id",
+                (
+                    F.expr(_spark_dot("qemb", "emb"))
+                    / (F.col("qnrm") * F.col("nrm"))
+                ).alias("cosine"),
+            ),
+            TOP_K,
+            base=idx,
+        ).select("query_id", "vec_id")
+        hits = vtop.join(truth, ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        )
+        sizes = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+        scan = (
+            probes.select("query_id", "probe_cell")
+            .distinct()
+            .join(sizes, F.col("probe_cell") == F.col("cell"))
+            .agg(F.sum("sz").cast("bigint").alias("tot"))
+        )
+        return (
+            hits.crossJoin(F.broadcast(scan))
+            .crossJoin(F.broadcast(ntot))
+            .select(
+                F.lit(name).alias("variant"),
+                F.lit(NPROBE).cast("bigint").alias("nprobe"),
+                "hits",
+                (
+                    F.col("hits").cast("double")
+                    / F.lit(float(RECALL_QUERIES * TOP_K))
+                ).alias("recall"),
+                (
+                    F.col("tot").cast("double")
+                    / (F.col("n") * F.lit(float(RECALL_QUERIES)))
+                ).alias("scan_frac"),
+            )
+        )
+
+    return (
+        one(static_idx, CENTROIDS, "static")
+        .unionAll(one(seeded_idx, seeds, "seeded"))
+        .unionAll(one(trained_idx, trained_cents, "trained"))
+        .orderBy("variant")
+    )
 # ------------------------------------------ 1-bit sign-code recall ----------
 
 _SIGN_LO_SPARK = (

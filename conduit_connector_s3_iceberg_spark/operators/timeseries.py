@@ -1295,10 +1295,26 @@ def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd = len(xs)
         if nd == 0:
             return pd.DataFrame([], columns=cols)
+
+        def round_half_away(v: float) -> int:
+            # DuckDB round() semantics (half away from zero) — Python's
+            # builtin is half-even, which can differ by 1 at a .5
+            # boundary and change the whole cost table. v - floor(v) is
+            # exact (Sterbenz), so this rounds the REPRESENTED value.
+            f = math.floor(v) if v >= 0 else math.ceil(v)
+            if v >= 0:
+                return int(f + 1) if v - f >= 0.5 else int(f)
+            return int(f - 1) if f - v >= 0.5 else int(f)
+
         s1 = sum(xs)
         s2 = sum(x * x for x in xs)
-        r0q = round(TS_SCALE * (s1 / nd))
-        sdq = round(math.sqrt(float(nd * s2 - s1 * s1)) * TS_SCALE / nd)
+        # same association as the oracle: exact integer product, ONE
+        # correctly-rounded float division (never s1/nd then *TS_SCALE —
+        # two roundings can land the other side of a .5 boundary)
+        r0q = round_half_away(TS_SCALE * s1 / nd)
+        sdq = round_half_away(
+            math.sqrt(float(nd * s2 - s1 * s1)) * TS_SCALE / nd
+        )
         r1q = r0q + (3 * sdq) // 2
         c0 = [abs(x * TS_SCALE - r0q) for x in xs]
         c1 = [abs(x * TS_SCALE - r1q) for x in xs]

@@ -229,6 +229,7 @@ def apply_cdc_batch_dlq(
     envelope_batch: DataFrame,
     key_fields: list[str],
     dlq_table: str | None = None,
+    mark: str | None = None,
 ) -> int:
     """Per-record-tolerant apply: quarantine malformed records, commit the
     rest. Returns the number of quarantined records.
@@ -238,7 +239,11 @@ def apply_cdc_batch_dlq(
     (``SparkDestinationStream.java:70-92``) at micro-batch cost. When
     ``dlq_table`` is given, quarantined rows append durably there
     (``position``, ``operation``, ``error``, ``quarantined_at``).
-    """
+
+    The table apply is MERGE-idempotent under replay (same collapsed keys,
+    same values); the DLQ append is NOT (each replay would stamp and
+    append the same quarantined rows again), so the stream path passes a
+    per-epoch commit ``mark`` to make it exactly-once."""
     valid, dlq = split_cdc_batch(envelope_batch, key_fields)
     schema = wh.schema(table)
     decoded = decode_cdc(valid, schema, key_fields)
@@ -248,7 +253,7 @@ def apply_cdc_batch_dlq(
         stamped = dlq.withColumn("quarantined_at", F.current_timestamp())
         if not wh.table_exists(dlq_table):
             wh.create_table(dlq_table, stamped.schema)
-        wh.append(dlq_table, stamped)
+        wh.append(dlq_table, stamped, mark=mark)
     return n_bad
 
 
@@ -274,7 +279,10 @@ def apply_cdc_stream(
         if batch.isEmpty():
             return
         if dead_letter_table is not None:
-            apply_cdc_batch_dlq(wh, table, batch, key_fields, dead_letter_table)
+            apply_cdc_batch_dlq(
+                wh, table, batch, key_fields, dead_letter_table,
+                mark=f"e{epoch_id}",
+            )
             return
         apply_cdc_batch(wh, table, decode_cdc(batch, schema, key_fields), key_fields)
 

@@ -121,12 +121,17 @@ def apply_mixture_epoch(wh, prefix: str, batch: DataFrame, epoch_id: int) -> Non
         ),
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),
     ).localCheckpoint()  # consumed by both summaries + the admission probe
+    # per-epoch commit marks on every write; the keep-index append stays
+    # LAST (admit_novel's ordering rule: once it commits, a replay's
+    # probe sees the fps and recomputes novel empty — correct only
+    # because everything else already committed and mark-skips)
     apply_summary_delta(
         wh,
         f"{prefix}_before",
         tok.select(F.lit(1).alias(SIGN_COL), "source", "n_tokens"),
         ["source"],
         ["n_tokens"],
+        mark=f"e{epoch_id}",
     )
     keep_table = f"{prefix}_keep"
     novel = probe_novel(
@@ -138,8 +143,11 @@ def apply_mixture_epoch(wh, prefix: str, batch: DataFrame, epoch_id: int) -> Non
         novel.select(F.lit(1).alias(SIGN_COL), "source", "n_tokens"),
         ["source"],
         ["n_tokens"],
+        mark=f"e{epoch_id}",
     )
-    append_index(wh, keep_table, novel.select("content_fp"))
+    append_index(
+        wh, keep_table, novel.select("content_fp"), mark=f"e{epoch_id}"
+    )
     mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
 

@@ -45,7 +45,7 @@ def apply_dedup_epoch(
     index, append survivors + their fingerprints, advance the epoch
     watermark. Module-level so replay semantics are unit-testable."""
     from ..writer import epoch_already_applied, mark_epoch_applied
-    from .ivm import append_index, keep_first, probe_novel
+    from .ivm import admit_novel
 
     epoch_table = f"{fp_table}__applied_epoch"
     if batch.isEmpty():
@@ -53,14 +53,16 @@ def apply_dedup_epoch(
     if epoch_already_applied(wh, epoch_table, epoch_id):
         return  # re-delivered epoch — already admitted
 
-    fp = batch.withColumn("content_fp", _fingerprint())
-    firsts = keep_first(fp, "content_fp")
-    novel = probe_novel(wh, fp_table, firsts, "content_fp")
-    spark = batch.sparkSession
-    novel = novel.localCheckpoint()  # consumed twice (docs + fps)
-    append_index(wh, out_table, novel)
-    append_index(wh, fp_table, novel.select("content_fp"))
-    mark_epoch_applied(wh, epoch_table, spark, epoch_id)
+    admit_novel(
+        wh,
+        fp_table,
+        batch.withColumn("content_fp", _fingerprint()),
+        "content_fp",
+        out_table=out_table,
+        index_cols=["content_fp"],
+        mark=f"e{epoch_id}",
+    )
+    mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
 
 def maintain_dedup_stream(
@@ -161,11 +163,17 @@ def apply_family_savings_epoch(
             j.select(F.lit(1).alias(SIGN_COL), fp_col, "n_tokens"),
             [fp_col],
             ["n_tokens"],
+            mark=f"e{epoch_id}",
         )
         firsts = keep_first(j, fp_col).select(
             fp_col, F.col("n_tokens").alias("tok_kept")
         )
-        append_index(wh, keeper, probe_novel(wh, keeper, firsts, fp_col))
+        append_index(
+            wh,
+            keeper,
+            probe_novel(wh, keeper, firsts, fp_col),
+            mark=f"e{epoch_id}",
+        )
     mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
 
@@ -367,8 +375,8 @@ def apply_substring_gate_epoch(
         .distinct()
         .join(F.broadcast(matched), "h", "left_anti")
     )
-    append_index(wh, out_table, admitted)
-    append_index(wh, idx_table, novel_digests)
+    append_index(wh, out_table, admitted, mark=f"e{epoch_id}")
+    append_index(wh, idx_table, novel_digests, mark=f"e{epoch_id}")
     mark_epoch_applied(wh, epoch_table, spark, epoch_id)
 
 
@@ -484,8 +492,9 @@ def apply_semantic_gate_epoch(
     rejected = hit_standing.unionByName(hit_in_batch).distinct()
     admitted = vecs.join(F.broadcast(rejected), "vec_id", "left_anti")
 
-    append_index(wh, out_table, admitted)
-    append_index(wh, idx_table, vecs)  # prior-SEEN: rejected rows too
+    append_index(wh, out_table, admitted, mark=f"e{epoch_id}")
+    # prior-SEEN: rejected rows too
+    append_index(wh, idx_table, vecs, mark=f"e{epoch_id}")
     mark_epoch_applied(wh, epoch_table, spark, epoch_id)
 
 

@@ -68,6 +68,7 @@ def apply_summary_delta(
     delta: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
+    mark: str | None = None,
 ) -> None:
     """Merge one batch's pre-aggregated deltas into the summary table.
 
@@ -87,7 +88,7 @@ def apply_summary_delta(
             *[F.col(f"d_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
         ).filter(F.col("n_rows") > 0)
         wh.create_table(summary_table, fresh.schema)
-        wh.append(summary_table, fresh)
+        wh.append(summary_table, fresh, mark=mark)
         return
     current = wh.read(summary_table)
     merged = (
@@ -108,7 +109,7 @@ def apply_summary_delta(
         )
         .filter(F.col("n_rows") > 0)
     )
-    wh.overwrite_with(summary_table, merged)
+    wh.overwrite_with(summary_table, merged, mark=mark)
 
 
 def maintain_summary_stream(
@@ -154,7 +155,7 @@ def maintain_summary_stream(
             )
         apply_summary_delta(
             wh, summary_table, cdc_delta_frame(batch, table_schema),
-            group_cols, sum_cols,
+            group_cols, sum_cols, mark=f"e{epoch_id}",
         )
         mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
@@ -207,12 +208,59 @@ def probe_novel(wh, index_table: str, rows: DataFrame, key) -> DataFrame:
     return rows.join(F.broadcast(matched), key, "left_anti")
 
 
-def append_index(wh, index_table: str, rows: DataFrame) -> None:
+def append_index(
+    wh, index_table: str, rows: DataFrame, mark: str | None = None
+) -> None:
     """Create-if-absent + append: register the admitted rows in the
-    standing index."""
+    standing index. ``mark`` makes a replayed epoch's append a no-op
+    (ParquetWarehouse commit marks)."""
     if not wh.table_exists(index_table):
         wh.create_table(index_table, rows.schema)
-    wh.append(index_table, rows)
+    wh.append(index_table, rows, mark=mark)
+
+
+def admit_novel(
+    wh,
+    index_table: str,
+    rows: DataFrame,
+    key,
+    out_table: str | None = None,
+    index_cols: list | None = None,
+    mark: str | None = None,
+) -> DataFrame:
+    """The streaming first-seen admission idiom, in ONE place (used by
+    the dedup stream, the corpus mixture maintainer, and the retention
+    cohort maintainer): dedupe the batch on ``key`` (keep-first by lowest
+    doc_id when the rows carry payload, plain distinct when the rows ARE
+    the key), anti-probe the standing ``index_table``, then append the
+    admitted rows to ``out_table`` (when given) and their ``index_cols``
+    (default: the key) to the index. Returns the admitted rows,
+    localCheckpoint'd — every caller consumes them at least twice.
+
+    ``mark`` (pass ``f"e{epoch_id}"``) rides the ParquetWarehouse commit
+    marks, so a crash BETWEEN the two appends replays exactly-once per
+    table; the caller still owns the cross-epoch replay guard
+    (:func:`~..writer.epoch_already_applied`).
+
+    ORDERING RULE: the index append must be the epoch's LAST data write —
+    once it commits, a replay's probe sees the admitted keys and
+    recomputes ``novel`` as empty, which is only correct if every other
+    write of the epoch already committed (and therefore mark-skips). A
+    caller that needs ``novel`` for further writes (e.g. a summary delta)
+    must apply them BEFORE calling the index append — use the unbundled
+    ``probe_novel``/``append_index`` pieces with the same mark instead of
+    this composite."""
+    keys = [key] if isinstance(key, str) else list(key)
+    firsts = (
+        rows.distinct()
+        if set(rows.columns) == set(keys)
+        else keep_first(rows, key)
+    )
+    novel = probe_novel(wh, index_table, firsts, key).localCheckpoint()
+    if out_table is not None:
+        append_index(wh, out_table, novel, mark=mark)
+    append_index(wh, index_table, novel.select(*(index_cols or keys)), mark=mark)
+    return novel
 
 
 # ------------------------------------- decayed-popularity maintenance ------
@@ -252,7 +300,10 @@ def maintain_decayed_popularity_stream(
             F.to_date("ts").alias("d"),
             "event_type",
         )
-        apply_summary_delta(wh, summary_table, delta, ["event_type", "d"], [])
+        apply_summary_delta(
+            wh, summary_table, delta, ["event_type", "d"], [],
+            mark=f"e{epoch_id}",
+        )
         mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
     writer = (
@@ -314,8 +365,9 @@ def maintain_retention_stream(
         if epoch_already_applied(wh, epoch_table, epoch_id):
             return  # replayed epoch — user-weeks already admitted
         uw = batch.select("user_id", week_index("ts")).distinct()
-        novel = probe_novel(wh, state_table, uw, ["user_id", "w"])
-        append_index(wh, state_table, novel)
+        admit_novel(
+            wh, state_table, uw, ["user_id", "w"], mark=f"e{epoch_id}"
+        )
         mark_epoch_applied(wh, epoch_table, batch.sparkSession, epoch_id)
 
     writer = (
@@ -346,8 +398,31 @@ def retention_from_state(wh, state_table: str) -> DataFrame:
 # layout the batch builder writes — each epoch assigns its batch
 # (O(batch), no state read at all: unlike dedup admission there is no
 # membership question, every arriving vector belongs in exactly one cell)
-# and appends into the cell partitions. Replay-guarded like every
-# maintainer here; serving (partition-pruned probe) is unchanged.
+# and writes it into a deterministic per-epoch generation directory.
+# Replay-guarded INCLUDING mid-epoch failure (r7 ADVICE fix): the epoch
+# write is ``mode("overwrite")`` of ``gen_e{epoch}/cell=…``, so a crash
+# between the parquet write and the epoch mark makes the retry replace
+# the partial directory instead of double-appending its rows; serving
+# (partition-pruned probe — the cell= dirs sit one level down, partition
+# inference stops at the non-kv gen segment) is unchanged.
+
+
+def read_ann_index_dir(spark, index_dir: str) -> DataFrame:
+    """Read a streamed ANN index: union of the per-epoch generation dirs
+    (each its own cell-partitioned table — the multi-root shape Spark
+    requires; a cell filter pushes through the Union into every child
+    scan's PartitionFilters, so probing stays partition-pruned)."""
+    import os
+    from functools import reduce
+
+    gens = sorted(
+        os.path.join(index_dir, d)
+        for d in os.listdir(index_dir)
+        if d.startswith("gen_e")
+    )
+    if not gens:
+        raise ValueError(f"no epoch generations under {index_dir}")
+    return reduce(DataFrame.unionByName, (spark.read.parquet(g) for g in gens))
 
 
 def maintain_ann_index_stream(
@@ -358,7 +433,8 @@ def maintain_ann_index_stream(
     available_now: bool = True,
 ):
     """Maintain a cell-partitioned ANN index directory from an append-only
-    embedding stream (rows with ``vec_id``, ``embedding``)."""
+    embedding stream (rows with ``vec_id``, ``embedding``); read it back
+    with :func:`read_ann_index_dir`."""
     import json
     import os
 
@@ -382,7 +458,12 @@ def maintain_ann_index_stream(
         if _applied(epoch_id):
             return  # replayed epoch — rows already in the cell partitions
         assigned = _assign_cells(batch.select("vec_id", "embedding"))
-        assigned.write.mode("append").partitionBy("cell").parquet(index_dir)
+        # deterministic per-epoch dir + overwrite = idempotent retry: a
+        # crash after this write but before _mark re-runs the epoch and
+        # REPLACES the directory — never a duplicate append
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(index_dir, f"gen_e{epoch_id}")
+        )
         _mark(epoch_id, batch.count())
 
     writer = (

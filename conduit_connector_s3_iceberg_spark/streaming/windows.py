@@ -167,7 +167,9 @@ def trending_topk_stream(
         )
         if not wh.table_exists(result_table):
             wh.create_table(result_table, ranked.schema)
-        wh.append(result_table, ranked)
+        # commit mark = epoch id: a foreachBatch re-delivery of this
+        # epoch (at-least-once) must not double-append its rows
+        wh.append(result_table, ranked, mark=f"e{epoch_id}")
 
     writer = (
         agg.writeStream.foreachBatch(_epoch)

@@ -57,19 +57,57 @@ class ParquetWarehouse:
     def _dir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _current_path(self, table: str) -> str:
+    # cap on remembered idempotence marks: Structured Streaming only ever
+    # re-delivers the LAST unacknowledged epoch per checkpoint, so a short
+    # recent-marks window is sufficient and keeps CURRENT O(1)-sized
+    MAX_COMMIT_MARKS = 64
+
+    def _current_state(self, table: str) -> dict:
         marker = os.path.join(self._dir(table), "CURRENT")
         with open(marker) as fh:
-            return os.path.join(self._dir(table), fh.read().strip())
+            raw = fh.read().strip()
+        if raw.startswith("{"):
+            return json.loads(raw)
+        return {"version": raw, "marks": {}}  # pre-marks plain marker
 
-    def _commit(self, table: str, version_dir: str) -> None:
+    def _current_path(self, table: str) -> str:
+        return os.path.join(
+            self._dir(table), self._current_state(table)["version"]
+        )
+
+    def _commit(self, table: str, version_dir: str, mark: str | None = None) -> None:
+        """Atomic snapshot pointer swap. ``mark`` is an idempotence token
+        (e.g. ``e<epoch>``) recorded IN THE SAME os.replace as the version
+        pointer — so 'this epoch's write committed to this table' and the
+        data it committed become one atomic fact. That closes the
+        mid-epoch crash window of multi-table epoch application: each
+        table independently remembers whether the epoch's write landed,
+        and a replay skips exactly the tables that already committed
+        (see :meth:`append`'s ``mark`` and :func:`mark_epoch_applied`)."""
         marker = os.path.join(self._dir(table), "CURRENT")
+        marks: dict = {}
+        if os.path.exists(marker):
+            marks = self._current_state(table).get("marks", {})
+        if mark is not None:
+            marks.pop(str(mark), None)  # re-insert at the recent end
+            marks[str(mark)] = os.path.basename(version_dir)
+            while len(marks) > self.MAX_COMMIT_MARKS:
+                marks.pop(next(iter(marks)))
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(os.path.basename(version_dir))
+            json.dump(
+                {"version": os.path.basename(version_dir), "marks": marks}, fh
+            )
         os.replace(tmp, marker)  # atomic snapshot pointer swap
         with open(os.path.join(self._dir(table), "LOG"), "a") as fh:
             fh.write(os.path.basename(version_dir) + "\n")
+
+    def mark_applied(self, table: str, mark: str) -> bool:
+        """True if a commit carrying ``mark`` already landed on ``table``
+        (within the recent-marks window — see MAX_COMMIT_MARKS)."""
+        if not self.table_exists(table):
+            return False
+        return str(mark) in self._current_state(table).get("marks", {})
 
     def create_table(
         self,
@@ -174,10 +212,12 @@ class ParquetWarehouse:
         stored = self._stored_schema(table)
         return stored if stored is not None else self.read(table).schema
 
-    def _write_version(self, table: str, df: DataFrame) -> None:
+    def _write_version(
+        self, table: str, df: DataFrame, mark: str | None = None
+    ) -> None:
         version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
         self._write_data(table, df, version_dir)
-        self._commit(table, version_dir)
+        self._commit(table, version_dir, mark=mark)
 
     def _write_data(
         self, table: str, df: DataFrame, out_dir: str, spec: dict | None = None
@@ -315,13 +355,21 @@ class ParquetWarehouse:
         return {"delete_files_applied": pending}
 
     # -- mutations (CoW) ----------------------------------------------------
-    def append(self, table: str, df: DataFrame) -> None:
+    def append(self, table: str, df: DataFrame, mark: str | None = None) -> None:
         """O(new data) append: write only the new rows as data files; the
         previous version's files are HARDLINKED into the new version dir
         (the same manifest-reuse idea as an Iceberg append commit — new
         snapshot, shared unchanged data files). Rewriting the whole table
         per append would make ingest O(table) per batch, which is worse
-        than the reference's per-record file appends at any real scale."""
+        than the reference's per-record file appends at any real scale.
+
+        ``mark``: idempotence token — if a committed version already
+        carries it, the append is a NO-OP. Epoch maintainers that write
+        several tables pass ``mark=f"e{epoch_id}"`` so a crash BETWEEN
+        the tables' commits replays exactly-once per table: the tables
+        that committed skip, the ones that didn't apply."""
+        if mark is not None and self.mark_applied(table, mark):
+            return
         current = self._current_path(table)
         self._check_layout_matches_spec(table, current)
         version_dir = os.path.join(self._dir(table), f"v-{uuid.uuid4().hex}")
@@ -332,7 +380,7 @@ class ParquetWarehouse:
         self._link_deletes(current, version_dir)
         # Spark part filenames embed a per-write UUID → no collisions
         self._move_files(staging, version_dir)
-        self._commit(table, version_dir)
+        self._commit(table, version_dir, mark=mark)
 
     @staticmethod
     def _move_files(staging: str, version_dir: str) -> None:
@@ -381,8 +429,14 @@ class ParquetWarehouse:
             self._write_version(table, cur.filter(~predicate))
         return deleted
 
-    def overwrite_with(self, table: str, df: DataFrame) -> None:
-        self._write_version(table, df)
+    def overwrite_with(
+        self, table: str, df: DataFrame, mark: str | None = None
+    ) -> None:
+        """Full-snapshot overwrite; ``mark`` skips an already-committed
+        epoch write exactly like :meth:`append`'s."""
+        if mark is not None and self.mark_applied(table, mark):
+            return
+        self._write_version(table, df, mark=mark)
 
     # -- snapshots: history / time travel / rollback ------------------------
     def _check_layout_matches_spec(self, table: str, version_path: str) -> None:
@@ -793,10 +847,14 @@ def mark_epoch_applied(
     wh: ParquetWarehouse, state_table: str, spark: SparkSession, epoch_id: int
 ) -> None:
     """Persist ``epoch_id`` as the new replay watermark (see
-    :func:`epoch_already_applied`). In the Parquet analogue the data
-    overwrite and this watermark are two commits — a crash exactly between
-    them can still double-apply that one epoch; a transactional store
-    (Iceberg) folds both into one MERGE transaction."""
+    :func:`epoch_already_applied`). The data writes and this watermark are
+    separate commits, but every maintainer's data write carries a
+    per-epoch commit ``mark`` (ParquetWarehouse.append/overwrite_with) —
+    so a crash anywhere inside the epoch replays exactly-once per table:
+    already-committed tables skip on their mark, the rest apply, and this
+    watermark is simply the last mark-carrying write to land. (Iceberg
+    folds data + watermark into one MERGE transaction; the marks protocol
+    is the CoW analogue.)"""
     row = spark.createDataFrame([(int(epoch_id),)], "epoch_id long")
     if not wh.table_exists(state_table):
         wh.create_table(state_table, row.schema)

@@ -151,6 +151,7 @@ def test_ann_index_stream_matches_batch_build(spark, tmp_path):
     )
     from conduit_connector_s3_iceberg_spark.streaming.ivm import (
         maintain_ann_index_stream,
+        read_ann_index_dir,
     )
 
     # pandas writes the list column as DOUBLE; align the frame (and hence
@@ -179,13 +180,13 @@ def test_ann_index_stream_matches_batch_build(spark, tmp_path):
         stream, index_dir, str(tmp_path / "ckpt")
     ).awaitTermination(180)
 
-    got = spark.read.parquet(index_dir).select("vec_id", "cell")
+    got = read_ann_index_dir(spark, index_dir).select("vec_id", "cell")
     want = _assign_cells(base).select("vec_id", "cell")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
 
     # replay epoch 0 by hand: the guard must refuse the double append
-    before = spark.read.parquet(index_dir).count()
+    before = read_ann_index_dir(spark, index_dir).count()
     from conduit_connector_s3_iceberg_spark.streaming import ivm as _ivm
 
     state = index_dir + "__epochs"
@@ -203,7 +204,25 @@ def test_ann_index_stream_matches_batch_build(spark, tmp_path):
     maintain_ann_index_stream(
         stream2, index_dir, str(tmp_path / "ckpt2"), epoch_state_dir=state
     ).awaitTermination(180)
-    assert spark.read.parquet(index_dir).count() == before
+    assert read_ann_index_dir(spark, index_dir).count() == before
+
+    # mid-epoch crash window (r7 ADVICE): delete epoch 1's mark but leave
+    # its generation dir — simulating a crash AFTER the parquet write,
+    # BEFORE the mark. The replay must OVERWRITE the per-epoch dir, not
+    # double-append its rows.
+    os.remove(os.path.join(state, "e1.json"))
+    stream3 = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    maintain_ann_index_stream(
+        stream3, index_dir, str(tmp_path / "ckpt3"), epoch_state_dir=state
+    ).awaitTermination(180)
+    assert read_ann_index_dir(spark, index_dir).count() == before
+    got = read_ann_index_dir(spark, index_dir).select("vec_id", "cell")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
 
 
 def test_balance_audit_partitions_sum_to_one(spark):
@@ -223,3 +242,182 @@ def test_balance_audit_partitions_sum_to_one(spark):
     for r in rows:
         assert abs(r["imbalance_factor"] - want) < 1e-9
         assert r["balance"] > 0
+
+
+def test_ann_append_crash_window_is_invisible_and_retry_safe(spark, tmp_path):
+    """r7 ADVICE (medium): a crash between the delta parquet write and the
+    manifest commit must leave the SERVED index at the old generation —
+    and the retry must replace the orphaned generation, never duplicate
+    the delta's vectors."""
+    import json
+
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        ann_index_path,
+        ensure_ann_index,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    corpus = os.path.join(sf_dir, "embeddings.parquet")
+    os.makedirs(corpus)
+    base = spark.read.parquet(SF001 + "/embeddings.parquet")
+    pdf = base.filter(F.col("vec_id") < 40).toPandas()
+    pdf.to_parquet(os.path.join(corpus, "a.parquet"), index=False)
+
+    root = ann_index_path(sf_dir)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    ensure_ann_index(spark, sf_dir)
+    man0 = json.load(open(os.path.join(root, "manifest.json")))
+    assert man0["gen"] == 0
+
+    pdf2 = base.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).toPandas()
+    pdf2.to_parquet(os.path.join(corpus, "b.parquet"), index=False)
+    idx2 = ensure_ann_index(spark, sf_dir)
+    assert idx2.count() == 50
+    man1 = json.load(open(os.path.join(root, "manifest.json")))
+    assert man1["gen"] == 1 and man1["appended"] is True
+
+    # crash window: generation-1 files exist on disk, manifest says gen 0
+    with open(os.path.join(root, "manifest.json"), "w") as fh:
+        json.dump(man0, fh)
+    # the half-applied append is INVISIBLE: serving reads man0's snapshot
+    # mismatch → re-runs the append; first confirm a pure reader at the
+    # rolled-back manifest never lists gen_1
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        _read_ann_cells,
+    )
+
+    assert _read_ann_cells(spark, root, man0).count() == 40
+
+    # retry: overwrites the orphaned generation, commits — no duplicates
+    idx3 = ensure_ann_index(spark, sf_dir)
+    assert idx3.count() == 50
+    assert idx3.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_ann_compact_and_expire(spark, tmp_path):
+    """Compaction merges cell generations into one base generation;
+    expiry deletes the superseded dirs; the served rows are unchanged
+    and still partition-pruned."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        ann_index_path,
+        compact_ann_index,
+        ensure_ann_index,
+        expire_ann_state,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    corpus = os.path.join(sf_dir, "embeddings.parquet")
+    os.makedirs(corpus)
+    base = spark.read.parquet(SF001 + "/embeddings.parquet")
+    base.filter(F.col("vec_id") < 40).toPandas().to_parquet(
+        os.path.join(corpus, "a.parquet"), index=False
+    )
+    root = ann_index_path(sf_dir)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    ensure_ann_index(spark, sf_dir)
+    base.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).toPandas().to_parquet(os.path.join(corpus, "b.parquet"), index=False)
+    before = sorted(
+        (r["vec_id"], r["cell"])
+        for r in ensure_ann_index(spark, sf_dir).collect()
+    )
+
+    compact_ann_index(spark, root)
+    deleted = expire_ann_state(root)
+    assert deleted, "expiry should reclaim the pre-compaction generations"
+    assert sorted(os.listdir(os.path.join(root, "cells"))) == ["gen_2"]
+    idx = ensure_ann_index(spark, sf_dir)
+    got = sorted((r["vec_id"], r["cell"]) for r in idx.collect())
+    assert got == before
+    # still a partitioned read: pruning filter reaches the scan
+    pruned = idx.filter(F.col("cell") == got[0][1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # compaction is a no-op at a single generation; expiry then idles
+    compact_ann_index(spark, root)
+    assert expire_ann_state(root) == []
+
+
+def test_trained_index_stores_centroids_and_freezes_on_append(spark, tmp_path):
+    """Trained mode: manifest stores the Lloyd-updated centroids; an
+    append assigns new rows against the FROZEN manifest centroids (no
+    silent retrain) and the manifest centroids do not change."""
+    import json
+
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        N_CENTROIDS,
+        DIM,
+        ann_index_path,
+        ensure_ann_index,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    corpus = os.path.join(sf_dir, "embeddings.parquet")
+    os.makedirs(corpus)
+    base = spark.read.parquet(SF001 + "/embeddings.parquet")
+    base.filter(F.col("vec_id") < 40).toPandas().to_parquet(
+        os.path.join(corpus, "a.parquet"), index=False
+    )
+    root = ann_index_path(sf_dir, "trained")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    idx1 = ensure_ann_index(spark, sf_dir, mode="trained")
+    assert idx1.count() == 40
+    man1 = json.load(open(os.path.join(root, "manifest.json")))
+    cents = man1["centroids"]
+    assert len(cents) == N_CENTROIDS and len(cents[0]) == DIM
+
+    base.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).toPandas().to_parquet(os.path.join(corpus, "b.parquet"), index=False)
+    idx2 = ensure_ann_index(spark, sf_dir, mode="trained")
+    assert idx2.count() == 50
+    man2 = json.load(open(os.path.join(root, "manifest.json")))
+    assert man2["centroids"] == cents, "append must not retrain"
+    assert man2["appended"] is True
+
+    # and the appended rows' cells equal assignment to the frozen cents
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        _assign_cells,
+    )
+
+    delta = base.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).select("vec_id", "embedding")
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in _assign_cells(delta, cents).collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in idx2.filter(F.col("vec_id") >= 40).select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_trained_recall_beats_seeded_at_equal_cost(spark):
+    """The number that justifies training: at equal nprobe, the trained
+    index recalls at least as much as the untrained data-point seeds at
+    no higher scan fraction — and scans an order of magnitude less of
+    the corpus than the collapsed static-seed index."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        sim_ann_trained_recall,
+    )
+
+    rows = {
+        r["variant"]: r for r in sim_ann_trained_recall(spark, SF001).collect()
+    }
+    assert set(rows) == {"static", "seeded", "trained"}
+    tr, sd, st = rows["trained"], rows["seeded"], rows["static"]
+    assert tr["hits"] >= sd["hits"], "Lloyd update must not hurt recall"
+    assert tr["scan_frac"] <= sd["scan_frac"] * 1.05
+    # static's near-1.0 recall is a near-full scan in disguise
+    assert st["scan_frac"] > 0.9
+    assert tr["scan_frac"] < st["scan_frac"] / 4
