@@ -136,6 +136,10 @@ BENCH_EXT4 = [
     "sim_ann_trained_recall",
     "dedup_pairs_delta",
     "dedup_labels_delta_audit",
+    # round 8, second wave
+    "sim_trained_nprobe_curve",
+    "emb_abtt_isotropy_gain",
+    "events_did_lift",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -3230,6 +3230,206 @@ def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- All-but-the-Top correction audit ----
+#
+# Mu & Viswanath 2018 ("All-but-the-Top"): embedding spaces are
+# anisotropic largely because every vector shares a large common MEAN
+# component; removing it collapses the "unrelated pairs already have high
+# cosine" baseline toward zero, which is what makes cosine thresholds
+# (SemDeDup, ANN recall targets) meaningful. This audit measures the
+# correction's effect with the same never-pair-anything identity as
+# emb_isotropy: mean pairwise cosine BEFORE (raw unit vectors) and AFTER
+# (mean-removed, re-normalized), one row.
+#
+# Exactness: unit vectors quantize to ISO_SCALE ints; the mean is kept as
+# the exact rational (per-dim sum, n) by CENTERING IN THE n-SCALED
+# integer domain (c = u*n - s, exact BIGINT); re-normalization is the one
+# IEEE step (int->double casts + sqrt + divide, correctly rounded and
+# identical cross-engine), then re-quantization back to ints and
+# decimal(38,0) masses. Scale: two posexplode hash-aggs over (dim) keys
+# plus a 1-row (DIM-array) broadcast back onto the scan — corpus-linear,
+# no pair join, no driver-side data collect.
+
+
+@query(
+    "emb_abtt_isotropy_gain",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x / {_SQL_NORM} * {ISO_SCALE}) AS BIGINT)) AS us
+      FROM embeddings
+    ), dims AS (
+      SELECT i AS pos, CAST(SUM(us[i]) AS BIGINT) AS s
+      FROM unit, generate_series(1, {DIM}) AS t(i)
+      GROUP BY pos
+    ), meanrow AS (
+      SELECT array_agg(s ORDER BY pos) AS sarr,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM unit) AS n
+      FROM dims
+    ), centered AS (
+      SELECT u.vec_id,
+             list_transform(generate_series(1, {DIM}),
+               i -> u.us[i] * m.n - m.sarr[i]) AS c
+      FROM unit u CROSS JOIN meanrow m
+    ), cn AS (
+      SELECT vec_id, c,
+             CAST(list_reduce(list_transform(c,
+                    x -> CAST(x AS HUGEINT) * x), (a, b) -> a + b)
+                  AS DECIMAL(38,0)) AS cnorm2
+      FROM centered
+    ), unit2 AS (
+      SELECT vec_id,
+             CASE WHEN cnorm2 = 0
+                  THEN list_transform(c, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(c,
+                    x -> CAST(round(CAST(x AS DOUBLE)
+                           / sqrt(CAST(cnorm2 AS DOUBLE)) * {ISO_SCALE})
+                         AS BIGINT))
+             END AS us2
+      FROM cn
+    ), dims2 AS (
+      SELECT i AS pos, CAST(SUM(us2[i]) AS BIGINT) AS s2
+      FROM unit2, generate_series(1, {DIM}) AS t(i)
+      GROUP BY pos
+    ), masses AS (
+      SELECT
+        (SELECT CAST(SUM(CAST(s AS HUGEINT) * s) AS DECIMAL(38,0))
+         FROM dims) AS gram_b,
+        (SELECT CAST(SUM(CAST(list_reduce(list_transform(us,
+                   x -> CAST(x AS HUGEINT) * x), (a, b) -> a + b)
+                 AS HUGEINT)) AS DECIMAL(38,0)) FROM unit) AS self_b,
+        (SELECT CAST(SUM(CAST(s2 AS HUGEINT) * s2) AS DECIMAL(38,0))
+         FROM dims2) AS gram_a,
+        (SELECT CAST(SUM(CAST(list_reduce(list_transform(us2,
+                   x -> CAST(x AS HUGEINT) * x), (a, b) -> a + b)
+                 AS HUGEINT)) AS DECIMAL(38,0)) FROM unit2) AS self_a,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM unit) AS n_vecs
+    )
+    SELECT n_vecs,
+           CAST(gram_b - self_b AS DOUBLE)
+             / (CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
+                * {ISO_SCALE * ISO_SCALE}.0) AS mpc_before,
+           CAST(gram_a - self_a AS DOUBLE)
+             / (CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
+                * {ISO_SCALE * ISO_SCALE}.0) AS mpc_after,
+           CAST(gram_b - self_b AS DOUBLE)
+             / (CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
+                * {ISO_SCALE * ISO_SCALE}.0)
+           - CAST(gram_a - self_a AS DOUBLE)
+             / (CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
+                * {ISO_SCALE * ISO_SCALE}.0) AS gain
+    FROM masses
+    """,
+    doc="All-but-the-Top correction audit (Mu & Viswanath 2018): corpus "
+    "mean pairwise cosine BEFORE and AFTER removing the common mean "
+    "vector and re-normalizing — the anisotropy correction that makes "
+    "cosine thresholds meaningful for SemDeDup and ANN recall targets. "
+    "Computed via the ||Σu||² − Σ||u||² identity (never a pair join); "
+    "centering happens in the n-scaled exact-integer domain (c = u·n − "
+    "Σu, exact BIGINT), re-normalization is the single IEEE step, and "
+    "all cross-row masses accumulate in decimal(38,0). gain > 0 is the "
+    "expected signature (the mean component was inflating the unrelated-"
+    "pair baseline). Scale: two dim-keyed hash aggs + one 1-row "
+    "broadcast of the DIM-array mean — corpus-linear.",
+)
+def emb_abtt_isotropy_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    us_expr = (
+        f"transform({_SPARK_EMB_D}, "
+        f"x -> cast(round(x / {_SPARK_NORM} * {ISO_SCALE}) as bigint))"
+    )
+    unit = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(us_expr).alias("us"))
+        .localCheckpoint(eager=False)  # feeds dims, masses, and centering
+    )
+    dims = (
+        unit.select(F.posexplode("us").alias("pos", "u"))
+        .groupBy("pos")
+        .agg(F.sum("u").alias("s"))
+    )
+    meanrow = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, s))), x -> x.s)"
+        ).alias("sarr")
+    ).crossJoin(
+        F.broadcast(unit.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    )
+    centered = unit.crossJoin(F.broadcast(meanrow)).select(
+        "vec_id",
+        "us",
+        F.expr("zip_with(us, sarr, (u, s) -> u * n - s)").alias("c"),
+    )
+    cn = centered.select(
+        "vec_id",
+        "us",
+        "c",
+        F.expr(
+            f"aggregate(c, cast(0 as {d38}),"
+            f" (a, x) -> a + cast(x as decimal(19,0))"
+            f" * cast(x as decimal(19,0)))"
+        ).alias("cnorm2"),
+    )
+    unit2 = cn.select(
+        "vec_id",
+        "us",
+        F.expr(
+            f"""CASE WHEN cnorm2 = 0
+                 THEN transform(c, x -> cast(0 as bigint))
+                 ELSE transform(c, x -> cast(round(cast(x as double)
+                        / sqrt(cast(cnorm2 as double)) * {ISO_SCALE})
+                      as bigint))
+               END"""
+        ).alias("us2"),
+    ).localCheckpoint(eager=False)  # feeds dims2 and the after-masses
+    dims2 = (
+        unit2.select(F.posexplode("us2").alias("pos", "u2"))
+        .groupBy("pos")
+        .agg(F.sum("u2").alias("s2"))
+    )
+
+    def _sq_sum(col: str) -> F.Column:
+        return F.sum(
+            (F.col(col).cast("decimal(19,0)") * F.col(col).cast("decimal(19,0)"))
+            .cast(d38)
+        ).cast(d38)
+
+    gram_b = dims.agg(_sq_sum("s").alias("gram_b"))
+    gram_a = dims2.agg(_sq_sum("s2").alias("gram_a"))
+    selfs = unit2.select(
+        F.expr(
+            f"aggregate(us, cast(0 as {d38}), (a, x) ->"
+            " a + cast(x as decimal(19,0)) * cast(x as decimal(19,0)))"
+        ).alias("sb"),
+        F.expr(
+            f"aggregate(us2, cast(0 as {d38}), (a, x) ->"
+            " a + cast(x as decimal(19,0)) * cast(x as decimal(19,0)))"
+        ).alias("sa"),
+    ).agg(
+        F.sum("sb").cast(d38).alias("self_b"),
+        F.sum("sa").cast(d38).alias("self_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+    )
+    mpc = (
+        "cast({g} - {s} as double)"
+        f" / (cast(n_vecs * (n_vecs - 1) as double) * {ISO_SCALE * ISO_SCALE}.0)"
+    )
+    return (
+        selfs.crossJoin(F.broadcast(gram_b))
+        .crossJoin(F.broadcast(gram_a))
+        .select(
+            "n_vecs",
+            F.expr(mpc.format(g="gram_b", s="self_b")).alias("mpc_before"),
+            F.expr(mpc.format(g="gram_a", s="self_a")).alias("mpc_after"),
+            (
+                F.expr(mpc.format(g="gram_b", s="self_b"))
+                - F.expr(mpc.format(g="gram_a", s="self_a"))
+            ).alias("gain"),
+        )
+    )
+
+
 # ------------------------------------------------------- filtered ANN -----
 #
 # Metadata-filtered vector search — "nearest neighbors WHERE label = X" —
@@ -4640,6 +4840,185 @@ def sim_ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one(seeded_idx, seeds, "seeded"))
         .unionAll(one(trained_idx, trained_cents, "trained"))
         .orderBy("variant")
+    )
+
+
+NP_MAX = 4  # operating-curve sweep: nprobe 1..NP_MAX
+
+
+@query(
+    "sim_trained_nprobe_curve",
+    oracle=f"""
+    WITH {_TRAIN_CTE},
+    nps AS (SELECT unnest(generate_series(1, {NP_MAX})) AS np),
+    pq AS (
+      SELECT te.vec_id AS query_id, te.emb AS qemb, te.nrm AS qnrm,
+             p.cell AS probe_cell, CAST(p.rk AS BIGINT) AS prank
+      FROM te JOIN tranked p ON p.vec_id = te.vec_id AND p.rk <= {NP_MAX}
+      WHERE te.vec_id < {RECALL_QUERIES}
+    ), cand AS (
+      SELECT pq.query_id, pq.prank, te.vec_id,
+             {_sql_dot('pq.qemb', 'te.emb')} / (pq.qnrm * te.nrm) AS cosine
+      FROM pq JOIN te ON te.cell = pq.probe_cell AND te.vec_id <> pq.query_id
+    ), topk AS (
+      SELECT np, query_id, vec_id FROM (
+        SELECT n.np, c.query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY n.np, c.query_id
+                 ORDER BY c.cosine DESC, c.vec_id) AS rk
+        FROM cand c JOIN nps n ON c.prank <= n.np
+      ) WHERE rk <= {TOP_K}
+    ), bq AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM d WHERE vec_id < {RECALL_QUERIES}
+    ), bcand AS (
+      SELECT bq.query_id, d.vec_id,
+             {_sql_dot('bq.qemb', 'd.emb')} / (bq.qnrm * d.nrm) AS cosine
+      FROM bq JOIN d ON d.vec_id <> bq.query_id
+    ), truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM bcand
+      ) WHERE rank <= {TOP_K}
+    ), sizes AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM te GROUP BY cell
+    ), scans AS (
+      SELECT n.np, CAST(SUM(s.sz) AS BIGINT) AS tot
+      FROM pq JOIN nps n ON pq.prank <= n.np
+      JOIN sizes s ON s.cell = pq.probe_cell
+      GROUP BY n.np
+    ), hits AS (
+      SELECT np, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM topk JOIN truth USING (query_id, vec_id)
+      GROUP BY np
+    )
+    SELECT CAST(n.np AS BIGINT) AS nprobe,
+           COALESCE(h.hits, 0) AS hits,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE)
+             / {RECALL_QUERIES * TOP_K}.0 AS recall,
+           CAST(s.tot AS DOUBLE)
+             / ((SELECT COUNT(*) FROM d) * {RECALL_QUERIES}.0) AS scan_frac
+    FROM nps n
+    LEFT JOIN hits h ON h.np = n.np
+    LEFT JOIN scans s ON s.np = n.np
+    ORDER BY nprobe
+    """,
+    doc=f"Recall/cost operating curve of the TRAINED IVF index: nprobe "
+    f"1..{NP_MAX} in one pass — candidates are generated ONCE at "
+    f"nprobe={NP_MAX} with each candidate tagged by the rank of its cell "
+    "in the query's probe list, and every smaller-nprobe answer is a "
+    "filter of that set (prank <= np), so the sweep costs one probe, not "
+    f"{NP_MAX}. Per nprobe: recall@k against exact brute-force truth and "
+    "the mean corpus fraction scanned — the curve a serving team reads "
+    "to pick its latency/recall point (the trained twin of "
+    "sim_ivf_nprobe_curve). Serves the persisted trained index; the "
+    "oracle re-derives training + the full sweep from scratch.",
+)
+def sim_trained_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..state import read_manifest
+
+    idx = ensure_ann_index(spark, sf_dir, mode="trained")
+    cents = read_manifest(ann_index_path(sf_dir, "trained"))["centroids"]
+    emb_d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))")
+    ).localCheckpoint(eager=False)
+
+    probes = (
+        emb_d.filter(F.col("vec_id") < RECALL_QUERIES)
+        .select(
+            "vec_id", "emb", "nrm",
+            F.expr(_dists_spark_for(cents)).alias("dists"),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            F.posexplode(
+                F.expr(
+                    f"transform(slice(array_sort(dists), 1, {NP_MAX}),"
+                    " d -> cast(array_position(dists, d) as int))"
+                )
+            ).alias("pos0", "probe_cell"),
+        )
+        .select(
+            "query_id", "qemb", "qnrm", "probe_cell",
+            (F.col("pos0") + 1).cast("bigint").alias("prank"),
+        )
+    )
+    nps = spark.range(1, NP_MAX + 1).select(F.col("id").alias("np"))
+    cand = idx.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "prank",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    ncand = cand.join(F.broadcast(nps), F.col("prank") <= F.col("np"))
+    w = Window.partitionBy("np", "query_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    topk = (
+        ncand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("np", "query_id", "vec_id")
+    )
+
+    q = emb_d.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    bcand = emb_d.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    truth = _two_phase_topk(bcand, TOP_K, base=emb_d).select(
+        "query_id", "vec_id"
+    )
+
+    hits = (
+        topk.join(truth, ["query_id", "vec_id"])
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    sizes = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    scans = (
+        probes.select("query_id", "probe_cell", "prank")
+        .join(F.broadcast(nps), F.col("prank") <= F.col("np"))
+        .join(sizes, F.col("probe_cell") == F.col("cell"))
+        .groupBy("np")
+        .agg(F.sum("sz").cast("bigint").alias("tot"))
+    )
+    ntot = emb_d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        nps.join(hits, "np", "left")
+        .join(scans, "np", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            F.col("np").cast("bigint").alias("nprobe"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.lit(float(RECALL_QUERIES * TOP_K))
+            ).alias("recall"),
+            (
+                F.col("tot").cast("double")
+                / (F.col("n") * F.lit(float(RECALL_QUERIES)))
+            ).alias("scan_frac"),
+        )
+        .orderBy("nprobe")
     )
 # ------------------------------------------ 1-bit sign-code recall ----------
 

@@ -2511,6 +2511,139 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------- difference-in-differences ----------
+
+
+@query(
+    "events_did_lift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts) < b.mid_us
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid_us
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS post
+      FROM events CROSS JOIN bounds b
+      GROUP BY user_id
+    ), assigned AS (
+      SELECT user_id, pre, post,
+             CAST(('0x' || substr(md5('{AB_SALT}' || user_id::VARCHAR), 1, 15))
+                  AS BIGINT) % 2 AS variant
+      FROM per_user
+    ), cells AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS BIGINT) AS spre,
+             CAST(SUM(post) AS BIGINT) AS spost
+      FROM assigned GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 0 THEN spre END) AS pre0,
+        MAX(CASE WHEN variant = 1 THEN spre END) AS pre1,
+        MAX(CASE WHEN variant = 0 THEN spost END) AS post0,
+        MAX(CASE WHEN variant = 1 THEN spost END) AS post1
+      FROM cells
+    )
+    SELECT n0, n1,
+           CAST(pre0 AS DOUBLE) / n0 AS pre_mean_c,
+           CAST(pre1 AS DOUBLE) / n1 AS pre_mean_t,
+           CAST(post0 AS DOUBLE) / n0 AS post_mean_c,
+           CAST(post1 AS DOUBLE) / n1 AS post_mean_t,
+           CAST(pre1 AS DOUBLE) / n1 - CAST(pre0 AS DOUBLE) / n0
+             AS pre_gap,
+           CAST(post1 AS DOUBLE) / n1 - CAST(post0 AS DOUBLE) / n0
+             AS post_gap,
+           (CAST(post1 AS DOUBLE) / n1 - CAST(post0 AS DOUBLE) / n0)
+             - (CAST(pre1 AS DOUBLE) / n1 - CAST(pre0 AS DOUBLE) / n0)
+             AS did_lift
+    FROM wide
+    """,
+    doc="Difference-in-differences lift (Card & Krueger 1994 shape): "
+    "per-user purchase counts in the pre/post halves of the event-time "
+    "range, variants by the salted-hash assignment every ab_* query "
+    "shares; DiD = (T_post − T_pre) − (C_post − C_pre) in group means. "
+    "pre_gap is the built-in placebo check — under randomized assignment "
+    "it should sit near zero, and a large value flags a broken "
+    "assignment or pre-period contamination before anyone reads the "
+    "lift. All sums are exact BIGINT per variant cell; the means and "
+    "gaps are final one-chain IEEE expressions over a 2-row frame. "
+    "Scale: one user-grain shuffle, everything after is metadata.",
+)
+def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(_us("ts")).alias("mn"), F.max(_us("ts")).alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid_us"))
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when((_us("ts") < F.col("mid_us")) & is_purchase, 1)
+                .otherwise(0)
+            ).cast("bigint").alias("pre"),
+            F.sum(
+                F.when((_us("ts") >= F.col("mid_us")) & is_purchase, 1)
+                .otherwise(0)
+            ).cast("bigint").alias("post"),
+        )
+    )
+    assigned = per_user.select(
+        "pre",
+        "post",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+    )
+    cells = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("spre"),
+        F.sum("post").cast("bigint").alias("spost"),
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("spre"))).alias("pre0"),
+        F.max(F.when(F.col("variant") == 1, F.col("spre"))).alias("pre1"),
+        F.max(F.when(F.col("variant") == 0, F.col("spost"))).alias("post0"),
+        F.max(F.when(F.col("variant") == 1, F.col("spost"))).alias("post1"),
+    )
+    pre_gap = F.expr("cast(pre1 as double) / n1 - cast(pre0 as double) / n0")
+    post_gap = F.expr(
+        "cast(post1 as double) / n1 - cast(post0 as double) / n0"
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        F.expr("cast(pre0 as double) / n0").alias("pre_mean_c"),
+        F.expr("cast(pre1 as double) / n1").alias("pre_mean_t"),
+        F.expr("cast(post0 as double) / n0").alias("post_mean_c"),
+        F.expr("cast(post1 as double) / n1").alias("post_mean_t"),
+        pre_gap.alias("pre_gap"),
+        post_gap.alias("post_gap"),
+        (post_gap - pre_gap).alias("did_lift"),
+    )
+
+
 @query(
     "events_cohort_ltv",
     oracle=f"""

@@ -1,0 +1,65 @@
+"""Round-8 operator invariants: DiD lift, ABTT isotropy gain, trained
+nprobe curve. The oracle sweep proves cross-engine equality; these pin
+the semantic invariants the numbers must satisfy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_did_lift_identities(spark):
+    from conduit_connector_s3_iceberg_spark.plans.events import (
+        events_did_lift,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    row = events_did_lift(spark, SF001).collect()[0]
+    n_users = (
+        load_table(spark, SF001, "events").select("user_id").distinct().count()
+    )
+    assert row["n0"] + row["n1"] == n_users
+    assert abs(
+        row["did_lift"] - (row["post_gap"] - row["pre_gap"])
+    ) < 1e-12
+    assert abs(
+        row["pre_gap"] - (row["pre_mean_t"] - row["pre_mean_c"])
+    ) < 1e-12
+
+
+def test_abtt_gain_is_positive_and_mean_removed(spark):
+    """Mean removal must shrink the unrelated-pair cosine baseline (the
+    ABTT signature): after > 0 gain, and the post-correction mean
+    pairwise cosine sits at or below the raw one."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        emb_abtt_isotropy_gain,
+    )
+
+    row = emb_abtt_isotropy_gain(spark, SF001).collect()[0]
+    assert row["n_vecs"] == 500
+    assert row["gain"] > 0
+    assert row["mpc_after"] < row["mpc_before"]
+
+
+def test_trained_nprobe_curve_is_monotone_and_consistent(spark):
+    """More probes never hurt recall and always scan more; the
+    nprobe=NPROBE row must agree with sim_ann_trained_recall's trained
+    row (same index, same query set)."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        NPROBE,
+        sim_ann_trained_recall,
+        sim_trained_nprobe_curve,
+    )
+
+    rows = sim_trained_nprobe_curve(spark, SF001).orderBy("nprobe").collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b["hits"] >= a["hits"]
+        assert b["scan_frac"] > a["scan_frac"]
+    trained = {
+        r["variant"]: r for r in sim_ann_trained_recall(spark, SF001).collect()
+    }["trained"]
+    at_np = [r for r in rows if r["nprobe"] == NPROBE][0]
+    assert at_np["hits"] == trained["hits"]
+    assert abs(at_np["scan_frac"] - trained["scan_frac"]) < 1e-12
