@@ -140,6 +140,10 @@ BENCH_EXT4 = [
     "sim_trained_nprobe_curve",
     "emb_abtt_isotropy_gain",
     "events_did_lift",
+    # round 8, third wave
+    "lm_source_kl",
+    "text_feature_hash_audit",
+    "dedup_threshold_curve",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -198,6 +198,163 @@ def jaccard_pairs_for_docs(docs: DataFrame, materialize: bool = True) -> DataFra
     )
 
 
+# ------------------------------------------- threshold operating curve -----
+#
+# "What does moving the Jaccard threshold buy?" answered from ONE
+# candidate pass (the same one-probe/many-filters discipline as
+# sim_trained_nprobe_curve): candidate pairs with exact similarity are
+# generated once from the df-capped inverted index, and every threshold's
+# row is a FILTER of that set — the threshold test is an exact integer
+# cross-multiply (1e6·nc >= t_q·union, no float compare), the mean
+# similarity an exact fold of per-pair quantized Jaccard. At 100 TB
+# candidate generation dominates near-dup cost; a per-threshold rerun
+# would multiply it by |thresholds| for no reason.
+
+# per-million thresholds: a coarse low band plus a dense high band — the
+# near-dup mass on template-heavy corpora (this one included) sits in a
+# cliff above 0.9, and the cliff is exactly what the curve must resolve
+THRESH_QS = [
+    200_000, 400_000, 600_000, 800_000,
+    900_000, 950_000, 980_000, 990_000,
+]
+
+
+@query(
+    "dedup_threshold_curve",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+      FROM documents
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), idx AS (
+      SELECT doc_id, s.shingle FROM sh s JOIN kept USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM idx GROUP BY doc_id
+    ), rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS nc
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), cand AS (
+      SELECT doc_a, doc_b, nc, sa.sz + sb.sz - nc AS un,
+             CAST(round(1000000.0 * nc / (sa.sz + sb.sz - nc)) AS BIGINT)
+               AS jq
+      FROM rawpairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+    ), th AS (
+      SELECT unnest([{", ".join(str(t) for t in THRESH_QS)}]) AS tq
+    ), hit AS (
+      SELECT th.tq, c.doc_a, c.doc_b, c.jq
+      FROM cand c JOIN th ON 1000000 * c.nc >= th.tq * c.un
+    ), stats AS (
+      SELECT tq, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(jq) AS BIGINT) AS sjq
+      FROM hit GROUP BY tq
+    ), dcnt AS (
+      SELECT tq, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs FROM (
+        SELECT tq, doc_a AS d FROM hit
+        UNION ALL SELECT tq, doc_b FROM hit
+      ) GROUP BY tq
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents
+    )
+    SELECT th.tq / 1000000.0 AS threshold,
+           COALESCE(s.n_pairs, 0) AS n_pairs,
+           COALESCE(d.n_docs, 0) AS n_docs,
+           CAST(COALESCE(d.n_docs, 0) AS DOUBLE) / nd.n_corpus AS docs_frac,
+           CAST(s.sjq AS DOUBLE) / (s.n_pairs * 1000000.0) AS mean_jaccard
+    FROM th
+    LEFT JOIN stats s ON s.tq = th.tq
+    LEFT JOIN dcnt d ON d.tq = th.tq
+    CROSS JOIN nd
+    ORDER BY threshold
+    """,
+    doc="Jaccard-threshold operating curve from ONE candidate pass: pair "
+    "count, documents touched, corpus fraction, and mean pair "
+    "similarity at each threshold — the sensitivity table that says "
+    "whether the dedup threshold sits on a cliff or a plateau before "
+    "anyone commits to a corpus-wide rerun. Candidates come from the "
+    "df-capped inverted index once; each threshold is an exact "
+    "integer cross-multiply filter (1e6·nc >= t_q·union — no float "
+    "compare), the mean an exact fold of per-pair quantized Jaccard. "
+    "The one-probe/many-filters discipline of sim_trained_nprobe_curve "
+    "applied to dedup tuning.",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    idx, sizes = _capped_index(docs)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    rawpairs = (
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    )
+    cand = (
+        rawpairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "nc",
+            (F.col("sa") + F.col("sb") - F.col("nc")).alias("un"),
+            F.expr(
+                "cast(round(1000000.0 * nc / (sa + sb - nc)) as bigint)"
+            ).alias("jq"),
+        )
+    )
+    th = spark.createDataFrame([(t,) for t in THRESH_QS], "tq bigint")
+    hit = cand.join(
+        F.broadcast(th),
+        F.lit(1_000_000) * F.col("nc") >= F.col("tq") * F.col("un"),
+    ).localCheckpoint(eager=False)  # feeds stats AND the endpoint count
+    stats = hit.groupBy("tq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("jq").cast("bigint").alias("sjq"),
+    )
+    dcnt = (
+        hit.select("tq", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .distinct()
+        .groupBy("tq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    return (
+        th.join(stats, "tq", "left")
+        .join(dcnt, "tq", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            (F.col("tq") / F.lit(1000000.0)).alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            (
+                F.coalesce("n_docs", F.lit(0)).cast("double")
+                / F.col("n_corpus")
+            ).alias("docs_frac"),
+            (
+                F.col("sjq").cast("double")
+                / (F.col("n_pairs") * F.lit(1000000.0))
+            ).alias("mean_jaccard"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def _minhash_aggs():
     """k salted-md5 min-hash aggregate expressions (JVM-side, no UDF)."""
     return [

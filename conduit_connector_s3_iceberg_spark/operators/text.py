@@ -2320,3 +2320,106 @@ def text_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spearman_rho"),
     )
+
+
+# ----------------------------------------------- feature-hashing audit -----
+#
+# The hashing trick (Weinberger et al. 2009) maps an unbounded vocabulary
+# into D fixed buckets for linear classifiers / quality gates; its cost
+# is collisions, and this audit prices them on the REAL corpus before a
+# model ships: how many buckets are occupied, how many word types share
+# a bucket, and what fraction of token MASS sits in collided buckets
+# (mass-weighted collisions are what actually corrupt a classifier's
+# features — two rare types colliding is noise, a stopword landing on a
+# signal word is damage).
+#
+# Scale: one token explode -> one (word) hash agg (the vocabulary table,
+# orders of magnitude smaller than the corpus) -> one D-bounded bucket
+# agg -> a 1-row fold. Nothing after the first agg touches corpus-sized
+# data; D is a constant.
+
+FEATURE_HASH_D = 4096
+_FH_SALT = "fh1:"
+
+
+@query(
+    "text_feature_hash_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(('0x' || substr(md5('{_FH_SALT}' || w), 1, 15)) AS BIGINT)
+               % {FEATURE_HASH_D} AS b
+      FROM toks GROUP BY w
+    ), buckets AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c) AS BIGINT) AS mass
+      FROM vocab GROUP BY b
+    )
+    SELECT CAST({FEATURE_HASH_D} AS BIGINT) AS n_buckets,
+           CAST(SUM(mass) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_types) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS occupied,
+           CAST(SUM(n_types) - COUNT(*) AS BIGINT) AS excess_types,
+           CAST(MAX(n_types) AS BIGINT) AS max_bucket_types,
+           CAST(MAX(mass) AS BIGINT) AS max_bucket_mass,
+           CAST(SUM(CASE WHEN n_types > 1 THEN mass ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(mass) AS DOUBLE) AS collided_mass_frac,
+           CAST(SUM(n_types) AS DOUBLE) / {FEATURE_HASH_D}.0 AS load_factor
+    FROM buckets
+    """,
+    doc=f"Feature-hashing collision audit (Weinberger 2009 hashing "
+    f"trick) at D={FEATURE_HASH_D} buckets: occupied buckets, excess "
+    "word types (types minus occupied = unavoidable collisions), the "
+    "worst bucket by types and by token mass, and collided_mass_frac — "
+    "the fraction of token MASS in buckets shared by 2+ types, the "
+    "number that says whether a hashed-feature quality classifier can "
+    "trust its weights on THIS corpus. Exact integer aggregation; "
+    "md5-derived buckets are engine-identical. One explode, one vocab "
+    "agg, one D-bounded agg, 1-row output.",
+)
+def text_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("split(trim(lower(text)), ' ')")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).select(
+        "c",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(_FH_SALT), F.col("w"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % FEATURE_HASH_D
+        ).alias("b"),
+    )
+    buckets = vocab.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("mass"),
+    )
+    return buckets.agg(
+        F.lit(FEATURE_HASH_D).cast("bigint").alias("n_buckets"),
+        F.sum("mass").cast("bigint").alias("n_tokens"),
+        F.sum("n_types").cast("bigint").alias("n_types"),
+        F.count(F.lit(1)).cast("bigint").alias("occupied"),
+        (F.sum("n_types") - F.count(F.lit(1))).cast("bigint").alias(
+            "excess_types"
+        ),
+        F.max("n_types").cast("bigint").alias("max_bucket_types"),
+        F.max("mass").cast("bigint").alias("max_bucket_mass"),
+        (
+            F.sum(F.when(F.col("n_types") > 1, F.col("mass")).otherwise(0))
+            .cast("double")
+            / F.sum("mass").cast("double")
+        ).alias("collided_mass_frac"),
+        (
+            F.sum("n_types").cast("double") / F.lit(float(FEATURE_HASH_D))
+        ).alias("load_factor"),
+    )

@@ -63,3 +63,67 @@ def test_trained_nprobe_curve_is_monotone_and_consistent(spark):
     at_np = [r for r in rows if r["nprobe"] == NPROBE][0]
     assert at_np["hits"] == trained["hits"]
     assert abs(at_np["scan_frac"] - trained["scan_frac"]) < 1e-12
+
+
+def test_source_kl_accounts_every_token(spark):
+    from conduit_connector_s3_iceberg_spark.operators.lm import lm_source_kl
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = lm_source_kl(spark, SF001).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    want = (
+        load_table(spark, SF001, "documents")
+        .select(F.explode(F.expr("split(trim(lower(text)), ' ')")))
+        .count()
+    )
+    assert total == want
+    # the corrected (quadratic-term) Mitchell log2 keeps the aggregate
+    # error well under this corpus's smallest true divergence — every
+    # source comes out positive, as KL must be
+    assert all(r["kl_bits"] > 0 for r in rows)
+
+
+def test_feature_hash_audit_identities(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        FEATURE_HASH_D,
+        text_feature_hash_audit,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    row = text_feature_hash_audit(spark, SF001).collect()[0]
+    toks = load_table(spark, SF001, "documents").select(
+        F.explode(F.expr("split(trim(lower(text)), ' ')")).alias("w")
+    )
+    assert row["n_buckets"] == FEATURE_HASH_D
+    assert row["n_tokens"] == toks.count()
+    assert row["n_types"] == toks.distinct().count()
+    assert row["excess_types"] == row["n_types"] - row["occupied"]
+    assert row["occupied"] <= min(FEATURE_HASH_D, row["n_types"])
+    assert 0.0 <= row["collided_mass_frac"] <= 1.0
+
+
+def test_threshold_curve_is_monotone_and_anchored(spark):
+    """Raising the threshold can only remove pairs/docs; the row at the
+    production JACCARD_THRESHOLD must count exactly the pairs
+    dedup_ngram_jaccard emits."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_ngram_jaccard,
+        dedup_threshold_curve,
+    )
+
+    rows = dedup_threshold_curve(spark, SF001).orderBy("threshold").collect()
+    assert len(rows) == 8
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pairs"] <= a["n_pairs"]
+        assert b["n_docs"] <= a["n_docs"]
+    anchor = [
+        r for r in rows if abs(r["threshold"] - JACCARD_THRESHOLD) < 1e-9
+    ]
+    if anchor:  # the grid contains the production threshold
+        assert anchor[0]["n_pairs"] == dedup_ngram_jaccard(spark, SF001).count()
+    else:  # bracketing rows must still bound the production pair count
+        n = dedup_ngram_jaccard(spark, SF001).count()
+        lo = max(r["n_pairs"] for r in rows if r["threshold"] >= JACCARD_THRESHOLD)
+        hi = min(r["n_pairs"] for r in rows if r["threshold"] <= JACCARD_THRESHOLD)
+        assert lo <= n <= hi
