@@ -409,6 +409,22 @@ BROADCAST_NONEQUI_OK = {
     "graph_hits",
     # 1-row corpus-total broadcast into the k x L fold grid
     "sample_kfold_assignments",
+    # round 8 bounded broadcasts:
+    # |thresholds|-row grid joined to the candidate-pair set by a non-equi
+    # integer cross-multiply + 1-row pair-total fold
+    "dedup_threshold_curve",
+    # 1-row n / DIM-array mean / decimal gram-mass broadcasts — bounded
+    "emb_abtt_isotropy_gain",
+    # 1-row event-time-bounds broadcast splitting pre/post (CUPED shape)
+    "events_did_lift",
+    # 1-row corpus-token-total broadcast into the |sources|-row KL table
+    "lm_source_kl",
+    # N_QUERIES-row query broadcast (bruteforce shape) + bounded probe/
+    # scan/total folds over the trained-index audit
+    "sim_ann_trained_recall",
+    # |nprobe-levels|-row spine joined by prank <= np (non-equi on a
+    # 4-row side) + bounded folds — the one-pass operating curve
+    "sim_trained_nprobe_curve",
 }
 
 
