@@ -144,6 +144,12 @@ BENCH_EXT4 = [
     "lm_source_kl",
     "text_feature_hash_audit",
     "dedup_threshold_curve",
+    # round 8, fourth wave
+    "text_gopher_rules",
+    "dedup_weighted_jaccard",
+    "emb_silhouette",
+    "corpus_l_diversity",
+    "graph_modularity",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -1109,6 +1109,74 @@ def corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- l-diversity ----
+#
+# k-anonymity's blind spot (Machanavajjhala et al. 2007): a group can be
+# large yet HOMOGENEOUS — every member carrying the same sensitive value —
+# so group membership alone discloses it. The sensitive attribute here is
+# the document content itself (its fingerprint): a quasi-identifier group
+# whose docs are all near-copies of one text leaks that text to anyone who
+# can place a contributor in the group. l = distinct content fingerprints
+# per (lang, source, length-bucket) group; the release gate is l >= L.
+# Same dimension-bounded two-agg shape as corpus_k_anonymity.
+
+LDIV_L = 3
+
+
+@query(
+    "corpus_l_diversity",
+    oracle=f"""
+    WITH groups AS (
+      SELECT lang, source,
+             CAST(n_chars // {KANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS l
+      FROM documents
+      GROUP BY lang, source, len_bucket
+    )
+    SELECT (l < {LDIV_L}) AS below_l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(MAX(l) AS BIGINT) AS max_l
+    FROM groups
+    GROUP BY below_l
+    ORDER BY below_l
+    """,
+    doc=f"l-diversity audit (Machanavajjhala et al. 2007) over the same "
+    "(lang, source, length-bucket) quasi-identifier tuple as "
+    "corpus_k_anonymity, with the content fingerprint as the sensitive "
+    f"attribute: groups whose distinct-content count falls below l={LDIV_L} "
+    "are homogeneity-attack exposed even when they pass the k gate. One "
+    "hash-agg at the quasi-identifier grain with a distinct-count, "
+    "two-row verdict — the companion release-review number.",
+)
+def corpus_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / KANON_LEN_BUCKET).cast("long").alias(
+            "len_bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(F.md5(F.lower(F.trim(F.col("text")))))
+        .cast("long")
+        .alias("l"),
+    )
+    return (
+        groups.groupBy((F.col("l") < LDIV_L).alias("below_l"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_docs"),
+            F.min("l").cast("long").alias("min_l"),
+            F.max("l").cast("long").alias("max_l"),
+        )
+        .orderBy("below_l")
+    )
+
+
 # ------------------------------------------------- source concentration -----
 #
 # One number for "is this corpus dominated by a few sources?": the Gini

@@ -355,6 +355,121 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ weighted (multiset) Jaccard
+#
+# Set Jaccard treats "foo bar baz" repeated 40 times and appearing once as
+# the same shingle SET — template-heavy and degenerate-repetition docs
+# therefore look more similar (or less) than their token mass says. The
+# weighted / multiset form J_w = Σ_t min(c_a, c_b) / Σ_t max(c_a, c_b)
+# (Ioffe 2010's target statistic; computed exactly here, not sketched)
+# prices multiplicity. Identity used: Σ max = T_a + T_b − Σ min, so only
+# the SHARED types ever join — tokens private to one doc never produce a
+# join row. Candidates come from the same df-capped type domain as the
+# set-Jaccard family (cap on distinct-doc frequency bounds per-type join
+# fan-out at C(50,2) pairs), so the pair pass stays subquadratic at 100 TB.
+
+
+@query(
+    "dedup_weighted_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
+    ), cnts AS (
+      SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM sh GROUP BY doc_id, shingle
+    ), kept AS (
+      SELECT shingle FROM cnts GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), occ AS (
+      SELECT c.doc_id, c.shingle, c.cnt FROM cnts c JOIN kept USING (shingle)
+    ), totals AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS tot FROM occ GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS w_common,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_types
+      FROM occ a JOIN occ b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, w_common, n_shared_types,
+           CAST(w_common AS DOUBLE) / (ta.tot + tb.tot - w_common)
+             AS weighted_jaccard
+    FROM pairs p
+    JOIN totals ta ON p.doc_a = ta.doc_id
+    JOIN totals tb ON p.doc_b = tb.doc_id
+    WHERE 1000000 * w_common
+          >= {int(JACCARD_THRESHOLD * 1_000_000)} * (ta.tot + tb.tot - w_common)
+    """,
+    doc="Weighted (multiset) Jaccard near-dup pairs: "
+        "Σ min(c_a,c_b) / Σ max(c_a,c_b) over trigram occurrence counts "
+        "(Ioffe 2010's statistic, exact) — prices shingle multiplicity "
+        "that the set form erases, the variant that separates 'same "
+        "template repeated 40x' from 'same template once'. Only shared "
+        "types join (Σmax via the T_a+T_b−Σmin identity); the df cap on "
+        "distinct-doc type frequency bounds join fan-out exactly like the "
+        "set-Jaccard index; admission is an exact integer cross-multiply.",
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cnts = (
+        docs.select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"))
+        .groupBy("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    kept = (
+        cnts.groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle_h")
+    )
+    # one corpus scan: the capped occurrence index feeds totals AND both
+    # sides of the pair join (the _capped_index materialization rule)
+    occ = cnts.join(kept, "shingle_h").persist()
+    totals = occ.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    a, b = occ.alias("a"), occ.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.least(F.col("a.cnt"), F.col("b.cnt")))
+            .cast("bigint")
+            .alias("w_common"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_types"),
+        )
+    )
+    tq = int(JACCARD_THRESHOLD * 1_000_000)
+    return (
+        pairs.join(
+            totals.select(F.col("doc_id").alias("doc_a"), F.col("tot").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            totals.select(F.col("doc_id").alias("doc_b"), F.col("tot").alias("tb")),
+            "doc_b",
+        )
+        .filter(
+            F.lit(1_000_000) * F.col("w_common")
+            >= F.lit(tq) * (F.col("ta") + F.col("tb") - F.col("w_common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "w_common",
+            "n_shared_types",
+            (
+                F.col("w_common").cast("double")
+                / (F.col("ta") + F.col("tb") - F.col("w_common"))
+            ).alias("weighted_jaccard"),
+        )
+    )
+
+
 def _minhash_aggs():
     """k salted-md5 min-hash aggregate expressions (JVM-side, no UDF)."""
     return [

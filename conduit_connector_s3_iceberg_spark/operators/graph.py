@@ -1022,3 +1022,122 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a") / F.lit(float(HITS_SCALE))).alias("score"),
     )
     return h_side.union(a_side).orderBy("side", "id")
+
+
+# ------------------------------------------------------------ modularity ----
+#
+# Newman-Girvan modularity of a node partition: Q = Σ_c [ e_c/m −
+# (d_c/2m)² ] — THE number for "is this community assignment better than
+# chance?", reported per community so the weak communities are visible.
+# Partition under audit: the nation of each trade-graph node (does
+# customer↔supplier trade concentrate within nations?). Everything is
+# exact integers until one final division per row: the contribution is
+# computed as (4·m·e_c − d_c²) / (4·m·m) with the numerator in
+# decimal(38,0) (d_c² reaches ~4m² ≈ 4·10²⁴ at m = 10¹² undirected
+# edges — past BIGINT; the emb_isotropy discipline). Shape at scale: the
+# edge extraction's join + two dimension-grain aggregates; communities
+# are |nations|-sized.
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), lab AS (
+      SELECT u.ck, u.sk, cn.n_name AS c_comm, sn.n_name AS s_comm
+      FROM und u
+      JOIN customer ON ck = c_custkey
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab
+    ), within AS (
+      SELECT c_comm AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM lab WHERE c_comm = s_comm GROUP BY c_comm
+    ), deg AS (
+      SELECT community, CAST(SUM(d) AS BIGINT) AS d_c FROM (
+        SELECT c_comm AS community, COUNT(*) AS d FROM lab GROUP BY c_comm
+        UNION ALL
+        SELECT s_comm, COUNT(*) FROM lab GROUP BY s_comm
+      ) GROUP BY community
+    )
+    SELECT d.community,
+           d.d_c AS degree_mass,
+           COALESCE(w.e_c, 0) AS within_edges,
+           CAST(CAST(4 AS DECIMAL(38,0)) * m.m * COALESCE(w.e_c, 0)
+                - CAST(d.d_c AS DECIMAL(38,0)) * d.d_c AS DOUBLE)
+             / (4.0 * m.m * m.m) AS contribution
+    FROM deg d LEFT JOIN within w ON d.community = w.community
+    CROSS JOIN m
+    ORDER BY d.community
+    """,
+    doc="Newman-Girvan modularity of the nation partition over the "
+        "customer↔supplier trade graph, per community: within-community "
+        "edges e_c, degree mass d_c, and contribution e_c/m − (d_c/2m)² "
+        "computed as one exact decimal(38,0) numerator (4·m·e_c − d_c²) "
+        "over one double division — BIGINT-overflow-safe to m ≈ 10¹² "
+        "edges. Sum of the column IS Q. Edge extraction join + two "
+        "dimension-grain aggregates; the community table is "
+        "|nations|-sized.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    und = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    lab = (
+        und.join(cust, und.ck == cust.c_custkey)
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"),
+                                        F.col("n_name").alias("c_comm"))),
+              F.col("c_nationkey") == F.col("cnk"))
+        .join(supp, und.sk == supp.s_suppkey)
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("snk"),
+                                        F.col("n_name").alias("s_comm"))),
+              F.col("s_nationkey") == F.col("snk"))
+        .select("c_comm", "s_comm")
+        .persist()  # feeds m, within, and both degree halves: one extraction
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    within = (
+        lab.filter(F.col("c_comm") == F.col("s_comm"))
+        .groupBy(F.col("c_comm").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = (
+        lab.groupBy(F.col("c_comm").alias("community"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .union(
+            lab.groupBy(F.col("s_comm").alias("community"))
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        .groupBy("community")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    return (
+        deg.join(within, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.col("d_c").alias("degree_mass"),
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("within_edges"),
+            (
+                (
+                    F.lit(4).cast("decimal(38,0)")
+                    * F.col("m")
+                    * F.coalesce("e_c", F.lit(0))
+                    - F.col("d_c").cast("decimal(38,0)") * F.col("d_c")
+                ).cast("double")
+                / (F.lit(4.0) * F.col("m") * F.col("m"))
+            ).alias("contribution"),
+        )
+        .orderBy("community")
+    )

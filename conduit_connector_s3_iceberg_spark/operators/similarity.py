@@ -2418,6 +2418,143 @@ def emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- silhouette validity -----
+#
+# Centroid-simplified silhouette (the O(n·k) form of Rousseeuw 1987 —
+# a(i)/b(i) against own/nearest-other CENTROID distance instead of the
+# O(n²) mean pairwise distances; the only silhouette computable at corpus
+# scale): s = (b − a) / max(a, b), a = ‖x − c_own‖, b = min over other
+# labels ‖x − c_l‖. Same exact-integer centroid table and broadcast-crossJoin
+# plan as emb_centroid_margin; per-row s is quantized to an exact integer
+# before the per-label mean so the aggregate is shuffle-order-independent.
+# sqrt is IEEE-correctly-rounded in both engines, so per-row doubles match
+# bit-for-bit.
+
+SIL_SCALE = 1_000_000
+
+
+@query(
+    "emb_silhouette",
+    oracle=f"""
+    WITH s AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE})
+                           AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / {CENTROID_SCALE} AS c
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+      GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS clabel, array_agg(c ORDER BY pos) AS carr
+      FROM s GROUP BY label
+    ), e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), d AS (
+      SELECT e.vec_id, e.label, cent.clabel,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (e.emb[i] - cent.carr[i]) * (e.emb[i] - cent.carr[i])),
+               (x, y) -> x + y) AS d2
+      FROM e, cent
+    ), m AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN d2 END) AS a2,
+             MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+      FROM d GROUP BY vec_id, label
+    ), sil AS (
+      SELECT vec_id, label, a2, b2,
+             CAST(round({SIL_SCALE}.0 * CASE
+               WHEN GREATEST(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+               ELSE (sqrt(b2) - sqrt(a2)) / GREATEST(sqrt(a2), sqrt(b2))
+             END) AS BIGINT) AS sq
+      FROM m
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN b2 < a2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(MIN(sq) AS BIGINT) AS min_sq,
+           CAST(SUM(sq) AS DOUBLE) / COUNT(*) / {SIL_SCALE} AS mean_silhouette
+    FROM sil
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Centroid-simplified silhouette per label (Rousseeuw 1987, O(n·k) "
+        "centroid form): s = (b−a)/max(a,b) against own vs nearest-other "
+        "exact-integer centroid, per-label mean from per-row quantized "
+        "integers (shuffle-order-independent), plus the misassignment "
+        "count (b < a) — the cluster-validity report that says whether "
+        "the label partition is worth building an IVF index on. One "
+        "posexplode aggregation + one bounded centroid broadcast; never "
+        "a pair join.",
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "label", F.posexplode(F.expr(_SPARK_EMB_D)).alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+    )
+    cent = (
+        scaled.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("xs").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(CENTROID_SCALE)
+            ).alias("c")
+        )
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+            ).alias("carr")
+        )
+        .localCheckpoint(eager=False)  # 5-row table; cut the agg lineage
+    )
+    e = emb.select("vec_id", "label", F.expr(_SPARK_EMB_D).alias("emb"))
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(
+            "aggregate(zip_with(emb, carr, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+    m = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    sil = m.select(
+        "label",
+        "a2",
+        "b2",
+        F.expr(
+            f"cast(round({SIL_SCALE}.0 * case"
+            " when greatest(sqrt(a2), sqrt(b2)) = 0 then 0.0"
+            " else (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))"
+            " end) as bigint)"
+        ).alias("sq"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("b2") < F.col("a2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.min("sq").cast("bigint").alias("min_sq"),
+            (
+                F.sum("sq").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(SIL_SCALE)
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
 # ------------------------------------------------- IVF nprobe sweep --------
 #
 # The operational tuning curve for the IVF index: recall@k and candidate

@@ -602,6 +602,120 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ Gopher repetition rules
+#
+# The published Gopher repetition-rule family (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1.2): a document is dropped when too
+# much of its mass sits in REPEATED n-grams — measured here as (a) the
+# top-bigram occurrence share and (b) the fraction of trigram occurrences
+# belonging to trigram types that appear >= 2 times in the document
+# ("duplicate n-gram mass"; distinct from text_repetition_score, which is
+# the single most-frequent-trigram share only). Both statistics are exact
+# integer masses per document; the gate itself is an exact per-million
+# cross-multiply (1e6·mass <= limit_q·total — no float compare decides
+# admission), so both engines admit the identical document set. Shape at
+# scale: two explodes + two doc_id-keyed hash-agg chains joined on doc_id
+# — corpus-linear, no shuffle wider than the doc grain.
+
+BIGRAMS_SPARK = (
+    "transform(sequence(1, greatest(size(split(trim(text),' ')) - 1, 1)),"
+    " i -> concat_ws(' ', slice(split(trim(text),' '), i, 2)))"
+)
+BIGRAMS_SQL = (
+    "list_transform(generate_series(1, greatest(len(string_split(trim(text),' ')) - 1, 1)),"
+    " i -> array_to_string(list_slice(string_split(trim(text),' '), i, i+1), ' '))"
+)
+# per-million admission limits (Gopher's published thresholds)
+GOPHER_TOP_BI_MAX_Q = 200_000   # top bigram <= 0.20 of bigram occurrences
+GOPHER_DUP_TRI_MAX_Q = 300_000  # duplicated-trigram mass <= 0.30
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH bi AS (
+      SELECT doc_id, unnest({BIGRAMS_SQL}) AS g FROM documents
+    ), bc AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM bi GROUP BY doc_id, g
+    ), bagg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             CAST(MAX(cnt) AS BIGINT) AS top_bigram_count,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_bigram_mass
+      FROM bc GROUP BY doc_id
+    ), tri AS (
+      SELECT doc_id, unnest({SHINGLES_SQL}) AS g FROM documents
+    ), tc AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM tri GROUP BY doc_id, g
+    ), tagg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_trigram_mass
+      FROM tc GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_bigrams, top_bigram_count, dup_bigram_mass,
+           n_trigrams, dup_trigram_mass,
+           CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(dup_trigram_mass AS DOUBLE) / n_trigrams AS dup_trigram_frac,
+           (1000000 * top_bigram_count <= {GOPHER_TOP_BI_MAX_Q} * n_bigrams
+            AND 1000000 * dup_trigram_mass
+                <= {GOPHER_DUP_TRI_MAX_Q} * n_trigrams) AS passes_gopher
+    FROM bagg b JOIN tagg t ON b.doc_id = t.doc_id
+    """,
+    doc="Gopher repetition-rule gate (Rae et al. 2021 §A1.1.2): per-document "
+        "top-bigram occurrence share and duplicated-trigram mass fraction, "
+        "with the published 0.20/0.30 limits applied as exact per-million "
+        "integer cross-multiplies — the admission decision never touches a "
+        "float. Two explode+hash-agg chains keyed by doc_id joined at the "
+        "doc grain; corpus-linear at 100 TB.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bi = docs.select("doc_id", F.explode(F.expr(BIGRAMS_SPARK)).alias("g"))
+    bc = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    bagg = bc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.max("cnt").cast("bigint").alias("top_bigram_count"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_bigram_mass"),
+    )
+    tri = docs.select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("g"))
+    tc = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    tagg = tc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_trigrams"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_trigram_mass"),
+    )
+    return bagg.join(tagg, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_count",
+        "dup_bigram_mass",
+        "n_trigrams",
+        "dup_trigram_mass",
+        (F.col("top_bigram_count").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+        (F.col("dup_trigram_mass").cast("double") / F.col("n_trigrams")).alias(
+            "dup_trigram_frac"
+        ),
+        (
+            (
+                F.lit(1_000_000) * F.col("top_bigram_count")
+                <= F.lit(GOPHER_TOP_BI_MAX_Q) * F.col("n_bigrams")
+            )
+            & (
+                F.lit(1_000_000) * F.col("dup_trigram_mass")
+                <= F.lit(GOPHER_DUP_TRI_MAX_Q) * F.col("n_trigrams")
+            )
+        ).alias("passes_gopher"),
+    )
+
+
 # ------------------------------------------------------------ token rarity
 #
 # A model-free 'perplexity proxy': score each token by an integer

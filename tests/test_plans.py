@@ -425,6 +425,10 @@ BROADCAST_NONEQUI_OK = {
     # |nprobe-levels|-row spine joined by prank <= np (non-equi on a
     # 4-row side) + bounded folds — the one-pass operating curve
     "sim_trained_nprobe_curve",
+    # |labels|-row (5) centroid table broadcast (centroid-margin shape)
+    "emb_silhouette",
+    # 1-row edge-total broadcast into the |nations|-row community table
+    "graph_modularity",
 }
 
 

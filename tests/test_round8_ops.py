@@ -127,3 +127,96 @@ def test_threshold_curve_is_monotone_and_anchored(spark):
         lo = max(r["n_pairs"] for r in rows if r["threshold"] >= JACCARD_THRESHOLD)
         hi = min(r["n_pairs"] for r in rows if r["threshold"] <= JACCARD_THRESHOLD)
         assert lo <= n <= hi
+
+
+def test_gopher_rules_masses_and_gate_consistency(spark):
+    """Masses bounded by totals; the integer gate must equal the float
+    fractions' verdict recomputed from the emitted exact masses."""
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        GOPHER_DUP_TRI_MAX_Q,
+        GOPHER_TOP_BI_MAX_Q,
+        text_gopher_rules,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = text_gopher_rules(spark, SF001).collect()
+    assert len(rows) == load_table(spark, SF001, "documents").count()
+    for r in rows:
+        assert 0 < r["top_bigram_count"] <= r["n_bigrams"]
+        assert 0 <= r["dup_bigram_mass"] <= r["n_bigrams"]
+        assert 0 <= r["dup_trigram_mass"] <= r["n_trigrams"]
+        # duplicated mass is never just one occurrence of a type
+        assert r["dup_bigram_mass"] != 1 and r["dup_trigram_mass"] != 1
+        expect = (
+            1_000_000 * r["top_bigram_count"]
+            <= GOPHER_TOP_BI_MAX_Q * r["n_bigrams"]
+        ) and (
+            1_000_000 * r["dup_trigram_mass"]
+            <= GOPHER_DUP_TRI_MAX_Q * r["n_trigrams"]
+        )
+        assert r["passes_gopher"] == expect
+
+
+def test_weighted_jaccard_bounds_and_type_floor(spark):
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_weighted_jaccard,
+    )
+
+    rows = dedup_weighted_jaccard(spark, SF001).collect()
+    assert rows  # the seeded near-dup families must surface
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        # each shared type contributes min(c_a, c_b) >= 1
+        assert r["w_common"] >= r["n_shared_types"] >= 1
+        assert JACCARD_THRESHOLD <= r["weighted_jaccard"] <= 1.0
+
+
+def test_silhouette_bounds_and_coverage(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        emb_silhouette,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = emb_silhouette(spark, SF001).collect()
+    emb = load_table(spark, SF001, "embeddings")
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    assert len(rows) == emb.select("label").distinct().count()
+    for r in rows:
+        assert 0 <= r["n_negative"] <= r["n_vecs"]
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert -1_000_000 <= r["min_sq"] <= 1_000_000
+
+
+def test_l_diversity_partitions_and_bounds(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        LDIV_L,
+        corpus_l_diversity,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = corpus_l_diversity(spark, SF001).collect()
+    docs = load_table(spark, SF001, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 1 <= r["min_l"] <= r["max_l"]
+        if r["below_l"]:
+            assert r["max_l"] < LDIV_L
+        else:
+            assert r["min_l"] >= LDIV_L
+
+
+def test_modularity_identities(spark):
+    """Degree mass sums to 2m, within-edges never exceed m, and Q (the
+    contribution sum) is in the Newman bound (-0.5, 1]."""
+    from conduit_connector_s3_iceberg_spark.operators.graph import (
+        graph_modularity,
+    )
+
+    rows = graph_modularity(spark, SF001).collect()
+    deg_sum = sum(r["degree_mass"] for r in rows)
+    assert deg_sum % 2 == 0
+    m = deg_sum // 2
+    assert 0 < sum(r["within_edges"] for r in rows) <= m
+    q = sum(r["contribution"] for r in rows)
+    assert -0.5 < q <= 1.0
