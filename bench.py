@@ -150,6 +150,12 @@ BENCH_EXT4 = [
     "emb_silhouette",
     "corpus_l_diversity",
     "graph_modularity",
+    # round 8, fifth wave
+    "sim_mutual_knn",
+    "text_collocations_pmi",
+    # round 8, sixth wave
+    "sim_range_search_audit",
+    "emb_davies_bouldin",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

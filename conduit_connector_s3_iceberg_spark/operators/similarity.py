@@ -449,6 +449,138 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _two_phase_topk(cand, TOP_K, base=base)
 
 
+# ----------------------------------------------------- range-search audit --
+#
+# Radius (range) search is the OTHER retrieval primitive — "everything
+# with cosine >= τ", the shape dedup sweeps and recall-oriented filters
+# use, where top-k's fixed k silently truncates dense neighborhoods. An
+# IVF index serves range queries by scanning only the probed cells, and
+# the operational question is what fraction of the true τ-ball that
+# probe set captures. ONE corpus pass answers it: each (query, vector)
+# pair gets its exact cosine AND an in-probed-cell flag, so the true
+# count and the served count are two conditional aggregates of the same
+# scan — never a second pass, and found ⊆ true by construction.
+
+RANGE_TAU = 0.22
+
+
+@query(
+    "sim_range_search_audit",
+    oracle=f"""
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), dist AS (
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), ranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM dist
+    ), e AS (
+      SELECT d.vec_id, d.emb, d.nrm, r.cell
+      FROM d JOIN ranked r ON r.vec_id = d.vec_id AND r.rk = 1
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.emb AS qemb, e.nrm AS qnrm,
+             list(p.cell ORDER BY p.rk) AS probes
+      FROM e JOIN ranked p ON p.vec_id = e.vec_id AND p.rk <= {NPROBE}
+      WHERE e.vec_id < {N_QUERIES}
+      GROUP BY e.vec_id, e.emb, e.nrm
+    ), pairs AS (
+      SELECT q.query_id,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine,
+             list_contains(q.probes, e.cell) AS in_probe
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) FILTER (WHERE cosine >= {RANGE_TAU}) AS BIGINT)
+             AS n_true,
+           CAST(COUNT(*) FILTER (WHERE cosine >= {RANGE_TAU} AND in_probe)
+                AS BIGINT) AS n_found,
+           CASE WHEN COUNT(*) FILTER (WHERE cosine >= {RANGE_TAU}) = 0
+                THEN 1.0
+                ELSE CAST(COUNT(*) FILTER (WHERE cosine >= {RANGE_TAU}
+                                           AND in_probe) AS DOUBLE)
+                     / COUNT(*) FILTER (WHERE cosine >= {RANGE_TAU})
+           END AS range_recall
+    FROM pairs
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+    doc=f"Range (radius) search recall audit at cosine >= {RANGE_TAU}: per "
+        "query, the true τ-ball size vs the part an IVF probe of "
+        f"{NPROBE} cells serves — computed from ONE corpus pass where "
+        "each pair carries its exact cosine and an in-probed-cell flag, "
+        "so truth and served are two conditional counts of the same "
+        "scan. The audit that says whether the index's nprobe is safe "
+        "for RANGE queries, where top-k recall numbers don't transfer "
+        "(dense neighborhoods overflow k long before they escape τ).",
+)
+def sim_range_search_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    with_dists = base.select(
+        "vec_id",
+        "emb",
+        F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias(
+            "nrm"
+        ),
+        F.expr(_DISTS_SPARK).alias("dists"),
+    )
+    emb = with_dists.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.expr(
+            "cast(array_position(dists, array_min(dists)) as int)"
+        ).alias("cell"),
+        F.expr(
+            f"transform(slice(array_sort(dists), 1, {NPROBE}),"
+            " d -> cast(array_position(dists, d) as int))"
+        ).alias("probes"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("probes").alias("qprobes"),
+    )
+    pairs = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+        F.expr("array_contains(qprobes, cell)").alias("in_probe"),
+    )
+    hit = F.col("cosine") >= RANGE_TAU
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.count(F.when(hit, 1)).cast("bigint").alias("n_true"),
+            F.count(F.when(hit & F.col("in_probe"), 1))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_found",
+            F.when(F.col("n_true") == 0, F.lit(1.0))
+            .otherwise(F.col("n_found").cast("double") / F.col("n_true"))
+            .alias("range_recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- Per-label centroids (exact, shuffle-once vector aggregation) ---------
 #
 # Cross-row float sums are order-dependent, so the centroid pipeline scales
@@ -2550,6 +2682,232 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
                 / F.lit(SIL_SCALE)
             ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------- reciprocal nearest neighbors
+#
+# Mutual-kNN pairs: (a, b) is kept only when b is in a's k nearest AND a
+# is in b's k nearest — the strict symmetric criterion dataset-curation
+# pipelines use for embedding-level dedup (one-sided kNN links hubs to
+# everything; mutuality kills hub edges). Blocked by label — the pair
+# join NEVER leaves a label block (the emb_semdedup √n-cluster
+# discipline), so the cost is Σ|block|², not n², and each block's
+# neighborhood window is local to its partition. Both directions come
+# from ONE ranked table self-joined on the reversed key.
+
+K_MUTUAL = 3
+
+
+@query(
+    "sim_mutual_knn",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_sql_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cosine DESC, dst
+             ) AS INTEGER) AS rnk
+      FROM scored
+    ), topk AS (
+      SELECT * FROM ranked WHERE rnk <= {K_MUTUAL}
+    )
+    SELECT f.src AS vec_a, f.dst AS vec_b, f.cosine,
+           f.rnk AS rank_ab, r.rnk AS rank_ba
+    FROM topk f JOIN topk r ON f.src = r.dst AND f.dst = r.src
+    WHERE f.src < f.dst
+    """,
+    doc=f"Reciprocal (mutual) k-NN pairs at k={K_MUTUAL}: kept only when "
+        "each endpoint ranks in the other's top-k by cosine — the "
+        "symmetric near-dup criterion that suppresses hub links a "
+        "one-sided kNN graph drags in. Label-blocked pair join (the "
+        "emb_semdedup discipline: cost Σ|block|², never n²), one ranked "
+        "table reused for both directions via a reversed-key self-join.",
+)
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        (
+            F.expr(
+                "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y),"
+                " 0.0D, (acc, x) -> acc + x)"
+            )
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= K_MUTUAL)
+        .localCheckpoint(eager=False)  # one ranked table, two join sides
+    )
+    f, r = topk.alias("f"), topk.alias("r")
+    return (
+        f.join(
+            r,
+            (F.col("f.src") == F.col("r.dst"))
+            & (F.col("f.dst") == F.col("r.src")),
+        )
+        .filter(F.col("f.src") < F.col("f.dst"))
+        .select(
+            F.col("f.src").alias("vec_a"),
+            F.col("f.dst").alias("vec_b"),
+            F.col("f.cosine").alias("cosine"),
+            F.col("f.rnk").alias("rank_ab"),
+            F.col("r.rnk").alias("rank_ba"),
+        )
+    )
+
+
+# --------------------------------------------- Davies-Bouldin validity -----
+#
+# Davies-Bouldin index (1979) — silhouette's cheaper sibling: per cluster
+# the worst-case (σ_i + σ_j) / ‖c_i − c_j‖ over other clusters, where σ
+# is the mean member-to-centroid distance. Lower is better; a component
+# > 1 means some other cluster is closer than this one is tight. Cost is
+# O(n·1) + O(k²): each member touches ONLY its own centroid (a k-row
+# broadcast equi-join on label — cheaper than silhouette's k-way
+# crossJoin), and the pair max runs on the k-row centroid table. Per-row
+# distances are quantized to exact integers before the per-label mean so
+# σ is shuffle-order-independent.
+
+
+@query(
+    "emb_davies_bouldin",
+    oracle=f"""
+    WITH s AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE})
+                           AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / {CENTROID_SCALE} AS c
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+      GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS clabel, array_agg(c ORDER BY pos) AS carr
+      FROM s GROUP BY label
+    ), e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), own AS (
+      SELECT e.label,
+             CAST(round({SIL_SCALE}.0 * sqrt(
+               list_reduce(list_transform(generate_series(1, {DIM}),
+                 i -> (e.emb[i] - cent.carr[i]) * (e.emb[i] - cent.carr[i])),
+                 (x, y) -> x + y))) AS BIGINT) AS dq
+      FROM e JOIN cent ON e.label = cent.clabel
+    ), sig AS (
+      SELECT label, COUNT(*) AS n_vecs,
+             CAST(SUM(dq) AS DOUBLE) / COUNT(*) / {SIL_SCALE} AS sigma
+      FROM own GROUP BY label
+    ), cd AS (
+      SELECT a.clabel AS la, b.clabel AS lb,
+             sqrt(list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (a.carr[i] - b.carr[i]) * (a.carr[i] - b.carr[i])),
+               (x, y) -> x + y)) AS cdist
+      FROM cent a JOIN cent b ON a.clabel <> b.clabel
+    )
+    SELECT si.label, si.n_vecs, si.sigma,
+           MAX((si.sigma + sj.sigma) / cd.cdist) AS db_component
+    FROM sig si
+    JOIN cd ON cd.la = si.label
+    JOIN sig sj ON sj.label = cd.lb
+    GROUP BY si.label, si.n_vecs, si.sigma
+    ORDER BY si.label
+    """,
+    doc="Davies-Bouldin cluster-validity component per label (Davies & "
+        "Bouldin 1979): max over other clusters of (σ_i + σ_j)/‖c_i−c_j‖ "
+        "with σ the mean member-to-centroid distance — mean of the "
+        "column is THE DB index. Members join only their OWN centroid "
+        "(k-row broadcast equi-join; no k-way fan-out), pair terms live "
+        "on the k-row centroid table, per-row distances quantized before "
+        "the mean. The lower-cost companion to emb_silhouette.",
+)
+def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "label", F.posexplode(F.expr(_SPARK_EMB_D)).alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+    )
+    cent = (
+        scaled.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("xs").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(CENTROID_SCALE)
+            ).alias("c")
+        )
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+            ).alias("carr")
+        )
+        .localCheckpoint(eager=False)  # k-row table; feeds two consumers
+    )
+    e = emb.select("label", F.expr(_SPARK_EMB_D).alias("emb"))
+    own = e.join(
+        F.broadcast(cent), e.label == cent.clabel
+    ).select(
+        "label",
+        F.expr(
+            f"cast(round({SIL_SCALE}.0 * sqrt("
+            "aggregate(zip_with(emb, carr, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x))) as bigint)"
+        ).alias("dq"),
+    )
+    sig = own.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum("dq").cast("double") / F.count(F.lit(1)) / F.lit(SIL_SCALE)
+        ).alias("sigma"),
+    )
+    a = cent.select(F.col("clabel").alias("la"), F.col("carr").alias("ca"))
+    b = cent.select(F.col("clabel").alias("lb"), F.col("carr").alias("cb"))
+    cd = a.join(F.broadcast(b), F.col("la") != F.col("lb")).select(
+        "la",
+        "lb",
+        F.expr(
+            "sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x))"
+        ).alias("cdist"),
+    )
+    si = sig.select(
+        F.col("label"), F.col("n_vecs"), F.col("sigma")
+    )
+    sj = sig.select(
+        F.col("label").alias("lb"), F.col("sigma").alias("sigma_j")
+    )
+    return (
+        si.join(cd, si.label == cd.la)
+        .join(F.broadcast(sj), "lb")
+        .groupBy("label", "n_vecs", "sigma")
+        .agg(
+            F.max(
+                (F.col("sigma") + F.col("sigma_j")) / F.col("cdist")
+            ).alias("db_component")
         )
         .orderBy("label")
     )

@@ -716,6 +716,167 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_pass_col() -> F.Column:
+    """Narrow per-row form of the ``text_gopher_rules`` admission gate —
+    bit-identical verdict to the batch query (asserted in
+    tests/test_round8_ops.py) but ZERO shuffles: the duplicated-trigram
+    mass is counted as sorted-neighbor equality (an element belongs to a
+    duplicated type iff it equals a neighbor in the sorted gram array, so
+    one array_sort + one index filter replaces the explode + groupBy),
+    and the top-bigram count is a single left fold tracking the longest
+    equal run. Being a pure codegen expression over ``text``, this is the
+    form a STREAMING admission gate uses (stateless, pre-watermark — the
+    clean_doc_stream discipline) and the form a 100-TB batch gate prefers
+    when only the verdict is needed: corpus-linear with no gram shuffle
+    at all."""
+    st = f"array_sort({SHINGLES_SPARK})"
+    sb = f"array_sort({BIGRAMS_SPARK})"
+    dup_tri = (
+        f"size(filter(sequence(1, size({st})), i ->"
+        f" (i > 1 AND element_at({st}, i) = element_at({st}, i - 1))"
+        f" OR (i < size({st}) AND element_at({st}, i) = element_at({st}, i + 1))))"
+    )
+    top_bi = (
+        f"aggregate({sb},"
+        " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(acc.prev <=> x, acc.run + 1, 1),"
+        "   'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1, 1))),"
+        " acc -> acc.best)"
+    )
+    return F.expr(
+        f"1000000 * {top_bi} <= {GOPHER_TOP_BI_MAX_Q} * size({sb})"
+        f" AND 1000000 * {dup_tri} <= {GOPHER_DUP_TRI_MAX_Q} * size({st})"
+    )
+
+
+# -------------------------------------------------------- collocations (PMI)
+#
+# Collocation extraction by pointwise mutual information: PMI(a,b) =
+# log2( p(ab) / (p(a)·p(b)) ) = log2(f_ab) + 2·log2(N) − log2(M) −
+# log2(f_a) − log2(f_b) over adjacent-token pair counts — the classic
+# phrase-mining statistic (Church & Hanks 1990). Every log argument is a
+# positive integer COUNT, so each term uses the corrected quantized
+# Mitchell log2 (lm_source_kl's 0.3466·f·(1−f) form: libm-free, max error
+# 0.0076 bits/log, engine-identical), and the whole score is an exact
+# BIGINT sum of quantized logs — the top-k ranking is decided by integer
+# compare, never a float. Min-count floor excludes the unstable tail
+# (hapax pairs have divergent PMI by construction). Shape at scale: one
+# pair explode + (pair, token, token) hash aggs + two token-keyed joins;
+# totals ride 1-row broadcasts; TakeOrderedAndProject emits k rows.
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 50
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(trim(text), ' ') AS toks FROM documents
+      WHERE len(string_split(trim(text), ' ')) >= 2
+    ), pairs AS (
+      SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+    ), pc AS (
+      SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS f_ab
+      FROM pairs GROUP BY tok_a, tok_b
+      HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f_w FROM (
+        SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(f_w) AS BIGINT) AS n FROM uni
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs
+    ), scored AS (
+      SELECT pc.tok_a, pc.tok_b, pc.f_ab,
+             {_lm._mlog2c_q('pc.f_ab')} + 2 * {_lm._mlog2c_q('tot.n')}
+               - {_lm._mlog2c_q('m.m')} - {_lm._mlog2c_q('ua.f_w')}
+               - {_lm._mlog2c_q('ub.f_w')} AS pmi_q
+      FROM pc
+      JOIN uni ua ON pc.tok_a = ua.w
+      JOIN uni ub ON pc.tok_b = ub.w
+      CROSS JOIN tot CROSS JOIN m
+    )
+    SELECT tok_a, tok_b, f_ab, pmi_q,
+           pmi_q / 1000000.0 AS pmi_bits
+    FROM scored
+    ORDER BY pmi_q DESC, tok_a, tok_b
+    LIMIT {COLLOC_TOP_K}
+    """,
+    doc=f"Top-{COLLOC_TOP_K} collocations by pointwise mutual information "
+        "over adjacent token pairs (Church & Hanks 1990), min pair count "
+        f"{COLLOC_MIN_COUNT}: PMI assembled as an exact BIGINT sum of "
+        "corrected quantized Mitchell log2 terms (every argument a "
+        "positive count; libm-free, engine-identical), so the ranking is "
+        "an integer sort. One pair explode + token-keyed count joins; "
+        "corpus totals ride 1-row broadcasts; top-k via "
+        "TakeOrderedAndProject.",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    pairs = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(text),' ')) - 1),"
+                    " i -> struct("
+                    "element_at(split(trim(text),' '), i) as tok_a,"
+                    " element_at(split(trim(text),' '), i + 1) as tok_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.tok_a", "p.tok_b")
+        .persist()  # feeds pair counts AND the pair total: one corpus scan
+    )
+    pc = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f_ab"))
+        .filter(F.col("f_ab") >= COLLOC_MIN_COUNT)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f_w"))
+    )
+    tot = uni.agg(F.sum("f_w").cast("bigint").alias("n"))
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    scored = (
+        pc.join(uni.select(F.col("w").alias("tok_a"), F.col("f_w").alias("fa")), "tok_a")
+        .join(uni.select(F.col("w").alias("tok_b"), F.col("f_w").alias("fb")), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "tok_a",
+            "tok_b",
+            "f_ab",
+            (
+                F.expr(_lm._mlog2c_q_spark("f_ab"))
+                + F.lit(2) * F.expr(_lm._mlog2c_q_spark("n"))
+                - F.expr(_lm._mlog2c_q_spark("m"))
+                - F.expr(_lm._mlog2c_q_spark("fa"))
+                - F.expr(_lm._mlog2c_q_spark("fb"))
+            ).alias("pmi_q"),
+        )
+    )
+    return (
+        scored.select(
+            "tok_a",
+            "tok_b",
+            "f_ab",
+            "pmi_q",
+            (F.col("pmi_q") / F.lit(1_000_000.0)).alias("pmi_bits"),
+        )
+        .orderBy(F.col("pmi_q").desc(), "tok_a", "tok_b")
+        .limit(COLLOC_TOP_K)
+    )
+
+
 # ------------------------------------------------------------ token rarity
 #
 # A model-free 'perplexity proxy': score each token by an integer

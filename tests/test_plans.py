@@ -429,6 +429,14 @@ BROADCAST_NONEQUI_OK = {
     "emb_silhouette",
     # 1-row edge-total broadcast into the |nations|-row community table
     "graph_modularity",
+    # 1-row unigram-total + 1-row pair-total broadcasts into the
+    # min-count-filtered collocation table
+    "text_collocations_pmi",
+    # N_QUERIES-row query broadcast against the corpus scan (the
+    # bruteforce shape) carrying the in-probed-cell flag
+    "sim_range_search_audit",
+    # k-row centroid-pair and k-row sigma broadcasts (k = |labels|)
+    "emb_davies_bouldin",
 }
 
 

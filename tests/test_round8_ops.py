@@ -220,3 +220,112 @@ def test_modularity_identities(spark):
     assert 0 < sum(r["within_edges"] for r in rows) <= m
     q = sum(r["contribution"] for r in rows)
     assert -0.5 < q <= 1.0
+
+
+def test_narrow_gopher_gate_matches_batch_query(spark):
+    """The zero-shuffle sorted-neighbor/run-fold gate form must give the
+    bit-identical verdict to the explode+groupBy batch query on every
+    document — it is the streaming admission form."""
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        gopher_pass_col,
+        text_gopher_rules,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    narrow = {
+        r["doc_id"]: r["p"]
+        for r in load_table(spark, SF001, "documents")
+        .select("doc_id", gopher_pass_col().alias("p"))
+        .collect()
+    }
+    batch = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in text_gopher_rules(spark, SF001).collect()
+    }
+    assert narrow == batch
+    assert any(batch.values())  # the synthetic corpus is low-repetition:
+    # it passes wholesale, so prove the REJECT branch on a degenerate doc
+    # (the boilerplate signature the rule was published for)
+    degen = spark.createDataFrame(
+        [(1, "spam ham " * 40 + "spam"), (2, "a b c d e f g h i j k")],
+        "doc_id bigint, text string",
+    ).select("doc_id", gopher_pass_col().alias("p"))
+    got = {r["doc_id"]: r["p"] for r in degen.collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_mutual_knn_is_symmetric_and_label_blocked(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        K_MUTUAL,
+        sim_mutual_knn,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = sim_mutual_knn(spark, SF001).collect()
+    assert rows
+    lab = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF001, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert 1 <= r["rank_ab"] <= K_MUTUAL
+        assert 1 <= r["rank_ba"] <= K_MUTUAL
+        assert lab[r["vec_a"]] == lab[r["vec_b"]]
+    # strictly stricter than one-sided kNN: fewer pairs than k*n/2
+    assert len(rows) < K_MUTUAL * len(lab) / 2
+
+
+def test_collocations_ranked_by_exact_integer_pmi(spark):
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        COLLOC_MIN_COUNT,
+        COLLOC_TOP_K,
+        text_collocations_pmi,
+    )
+
+    rows = text_collocations_pmi(spark, SF001).collect()
+    assert 0 < len(rows) <= COLLOC_TOP_K
+    for r in rows:
+        assert r["f_ab"] >= COLLOC_MIN_COUNT
+        assert abs(r["pmi_bits"] - r["pmi_q"] / 1e6) < 1e-12
+    qs = [r["pmi_q"] for r in rows]
+    assert qs == sorted(qs, reverse=True)
+
+
+def test_range_search_audit_containment(spark):
+    """Served ⊆ true per query, recall consistent with the counts, and
+    the probe set must find SOMETHING (the index is not useless)."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        N_QUERIES,
+        sim_range_search_audit,
+    )
+
+    rows = sim_range_search_audit(spark, SF001).collect()
+    assert len(rows) == N_QUERIES
+    assert any(r["n_found"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_found"] <= r["n_true"]
+        if r["n_true"]:
+            expect = r["n_found"] / r["n_true"]
+            assert abs(r["range_recall"] - expect) < 1e-12
+        else:
+            assert r["range_recall"] == 1.0
+
+
+def test_davies_bouldin_consistency_with_silhouette(spark):
+    """DB components positive with σ > 0; label sets and member counts
+    agree with emb_silhouette's (same partition, two validity views)."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        emb_davies_bouldin,
+        emb_silhouette,
+    )
+
+    db = {r["label"]: r for r in emb_davies_bouldin(spark, SF001).collect()}
+    sil = {r["label"]: r for r in emb_silhouette(spark, SF001).collect()}
+    assert set(db) == set(sil)
+    for lab, r in db.items():
+        assert r["n_vecs"] == sil[lab]["n_vecs"]
+        assert r["sigma"] > 0
+        assert r["db_component"] > 0
