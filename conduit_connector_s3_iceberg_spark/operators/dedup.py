@@ -416,15 +416,19 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.xxhash64("shingle").alias("shingle_h"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    kept = (
-        cnts.groupBy("shingle_h")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df cap as a window over the count table — a groupBy+join back would
+    # re-derive the tokenize/shingle front end for the df side (scan_count
+    # showed 4 corpus reads inside the cache build); the window keeps the
+    # cap on the SAME shuffle the counts already took (shingle_h is
+    # already the key) and the cache build scans the corpus once
+    occ = (
+        cnts.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
+        )
         .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle_h")
+        .drop("df")
+        .persist()
     )
-    # one corpus scan: the capped occurrence index feeds totals AND both
-    # sides of the pair join (the _capped_index materialization rule)
-    occ = cnts.join(kept, "shingle_h").persist()
     totals = occ.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("tot"))
     a, b = occ.alias("a"), occ.alias("b")
     pairs = (

@@ -839,10 +839,14 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("f_ab"))
         .filter(F.col("f_ab") >= COLLOC_MIN_COUNT)
     )
+    # vocab-grain table consumed three times (both join sides + the
+    # total); left as lineage each consumer re-scans the corpus
+    # (scan_count showed 4 top-level reads) — persisted it costs one
     uni = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f_w"))
+        .persist()
     )
     tot = uni.agg(F.sum("f_w").cast("bigint").alias("n"))
     m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
