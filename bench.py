@@ -156,6 +156,7 @@ BENCH_EXT4 = [
     # round 8, sixth wave
     "sim_range_search_audit",
     "emb_davies_bouldin",
+    "emb_calinski_harabasz",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

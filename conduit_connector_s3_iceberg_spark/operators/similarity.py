@@ -2913,6 +2913,145 @@ def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- Calinski-Harabasz validity ----
+#
+# The third validity lens (Calinski & Harabasz 1974): CH = (B/(k−1)) /
+# (W/(n−k)) with B = Σ_i n_i·‖c_i − c̄‖² (between-cluster mass) and
+# W = Σ_x ‖x − c_own‖² (within-cluster mass) — the variance-ratio view
+# that silhouette (per-point geometry) and Davies-Bouldin (worst
+# neighbor) don't give. W is an exact integer fold: per-row squared
+# distances quantized to BIGINT before summing; B needs only the k
+# centroids and the grand mean (k-row arithmetic). One row out.
+
+CH_SCALE = 1_000_000  # quantization for per-row squared distances
+
+
+@query(
+    "emb_calinski_harabasz",
+    oracle=f"""
+    WITH s AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(round(embedding[i]::DOUBLE * {CENTROID_SCALE})
+                           AS BIGINT)) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+      GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS clabel, MAX(n_i) AS n_i,
+             array_agg(CAST(sx AS DOUBLE) / n_i / {CENTROID_SCALE}
+                       ORDER BY pos) AS carr
+      FROM s GROUP BY label
+    ), grand AS (
+      -- grand mean from the SAME exact integer sums (not a re-scan)
+      SELECT pos, CAST(SUM(sx) AS DOUBLE) / SUM(n_i) / {CENTROID_SCALE} AS g
+      FROM s GROUP BY pos
+    ), gm AS (
+      SELECT array_agg(g ORDER BY pos) AS garr FROM grand
+    ), e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), own AS (
+      SELECT CAST(round({CH_SCALE}.0 *
+               list_reduce(list_transform(generate_series(1, {DIM}),
+                 i -> (e.emb[i] - cent.carr[i]) * (e.emb[i] - cent.carr[i])),
+                 (x, y) -> x + y)) AS BIGINT) AS wq
+      FROM e JOIN cent ON e.label = cent.clabel
+    ), w AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(wq) AS DOUBLE) / {CH_SCALE} AS w_mass FROM own
+    ), b AS (
+      -- per-cluster contribution quantized to BIGINT before the k-row
+      -- sum: a raw double sum would be addend-order-dependent
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(round({CH_SCALE}.0 * cent.n_i * list_reduce(
+               list_transform(generate_series(1, {DIM}),
+                 i -> (cent.carr[i] - gm.garr[i]) * (cent.carr[i] - gm.garr[i])),
+               (x, y) -> x + y)) AS BIGINT)) AS DOUBLE) / {CH_SCALE} AS b_mass
+      FROM cent CROSS JOIN gm
+    )
+    SELECT w.n, b.k, b.b_mass, w.w_mass,
+           (b.b_mass / (b.k - 1)) / (w.w_mass / (w.n - b.k)) AS ch_index
+    FROM w CROSS JOIN b
+    """,
+    doc="Calinski-Harabasz variance-ratio index (1974): between-cluster "
+        "mass over within-cluster mass, df-corrected — the third validity "
+        "lens beside emb_silhouette and emb_davies_bouldin. W is an exact "
+        "quantized-integer fold over one own-centroid equi-join pass; B "
+        "and the grand mean are k-row arithmetic over the SAME exact "
+        "integer component sums (never a second corpus scan). One row.",
+)
+def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        emb.select("label", F.posexplode(F.expr(_SPARK_EMB_D)).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * CENTROID_SCALE).cast("bigint")
+            ).alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        )
+        .localCheckpoint(eager=False)  # k×DIM rows; feeds cent AND grand
+    )
+    cent = s.groupBy(F.col("label").alias("clabel")).agg(
+        F.max("n_i").alias("n_i"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos,"
+            f" cast(sx as double) / n_i / {CENTROID_SCALE} as c))), t -> t.c)"
+        ).alias("carr"),
+    ).localCheckpoint(eager=False)
+    gm = (
+        s.groupBy("pos")
+        .agg(
+            (
+                F.sum("sx").cast("double")
+                / F.sum("n_i")
+                / F.lit(CENTROID_SCALE)
+            ).alias("g")
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, g))), t -> t.g)"
+            ).alias("garr")
+        )
+    )
+    e = emb.select("label", F.expr(_SPARK_EMB_D).alias("emb"))
+    own = e.join(F.broadcast(cent), e.label == cent.clabel).select(
+        F.expr(
+            f"cast(round({CH_SCALE}.0 *"
+            " aggregate(zip_with(emb, carr, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x)) as bigint)"
+        ).alias("wq")
+    )
+    w = own.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("wq").cast("double") / F.lit(CH_SCALE)).alias("w_mass"),
+    )
+    b = cent.crossJoin(F.broadcast(gm)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.sum(
+                F.expr(
+                    f"cast(round({CH_SCALE}.0 * n_i *"
+                    " aggregate(zip_with(carr, garr,"
+                    " (x, y) -> (x - y) * (x - y)),"
+                    " 0.0D, (acc, x) -> acc + x)) as bigint)"
+                )
+            ).cast("double")
+            / F.lit(CH_SCALE)
+        ).alias("b_mass"),
+    )
+    return w.crossJoin(F.broadcast(b)).select(
+        "n",
+        "k",
+        "b_mass",
+        "w_mass",
+        (
+            (F.col("b_mass") / (F.col("k") - 1))
+            / (F.col("w_mass") / (F.col("n") - F.col("k")))
+        ).alias("ch_index"),
+    )
+
+
 # ------------------------------------------------- IVF nprobe sweep --------
 #
 # The operational tuning curve for the IVF index: recall@k and candidate

@@ -437,6 +437,8 @@ BROADCAST_NONEQUI_OK = {
     "sim_range_search_audit",
     # k-row centroid-pair and k-row sigma broadcasts (k = |labels|)
     "emb_davies_bouldin",
+    # 1-row grand-mean array + 1-row B/W mass broadcasts — bounded
+    "emb_calinski_harabasz",
 }
 
 

