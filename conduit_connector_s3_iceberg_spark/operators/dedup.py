@@ -411,24 +411,31 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # the count table is persisted BEFORE the df cap so the cap's df
+    # aggregation and the join back both read the cache instead of
+    # re-deriving the tokenize/shingle front end (scan_count showed 4
+    # corpus reads in the unpersisted form). The cap itself stays a
+    # hash-agg + join — NOT a count-over-window, which would gather every
+    # occurrence row of a hot shingle type into one window group (the
+    # exact straggler the df cap exists to remove; hash aggregation
+    # absorbs hot keys map-side)
     cnts = (
         docs.select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"))
         .groupBy("doc_id", F.xxhash64("shingle").alias("shingle_h"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    # df cap as a window over the count table — a groupBy+join back would
-    # re-derive the tokenize/shingle front end for the df side (scan_count
-    # showed 4 corpus reads inside the cache build); the window keeps the
-    # cap on the SAME shuffle the counts already took (shingle_h is
-    # already the key) and the cache build scans the corpus once
-    occ = (
-        cnts.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
-        )
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
         .persist()
     )
+    kept = (
+        cnts.groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle_h")
+    )
+    # occ stays LINEAGE over the cnts cache (persisting it too would
+    # nest InMemoryRelations — same physical reads, combinatorial plan
+    # prints): each consumer re-runs the cap join, but every input is
+    # the cache + the cache-derived kept set; the corpus is read once
+    occ = cnts.join(kept, "shingle_h")
     totals = occ.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("tot"))
     a, b = occ.alias("a"), occ.alias("b")
     pairs = (
