@@ -157,6 +157,8 @@ BENCH_EXT4 = [
     "sim_range_search_audit",
     "emb_davies_bouldin",
     "emb_calinski_harabasz",
+    # round 8, seventh wave
+    "events_seasonal_strength",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -1354,3 +1354,178 @@ def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("event_type", "start_t")
+
+
+# ------------------------------------------------------ seasonal strength --
+#
+# Hyndman's seasonal-strength statistic F_s = max(0, 1 − Var(remainder) /
+# Var(detrended)) from a classical decomposition of the daily count
+# series: trend = centered 7-day moving average (full windows only),
+# seasonal = day-of-week mean of the detrended series, remainder = what's
+# left. F_s near 0 → no weekly cycle, near 1 → the cycle explains the
+# detrended variance; THE one number behind "do we need dow-aware
+# anomaly baselines for this event type?" (events_seasonal_anomaly's
+# premise, audited).
+#
+# Exactness: detrended values are kept in the ×7 integer domain
+# (R7 = 7·x − Σ₇x — no division), day-of-week is datediff from a fixed
+# Monday anchor mod 7 (both engines' native dow functions disagree on
+# numbering; datediff is pure integer arithmetic), the seasonal mean's
+# one double division is written identically, and remainders are
+# quantized before the variance sums. Squared-sum accumulators live in
+# decimal(38,0)/HUGEINT (quantized remainders square past 2^63 at
+# production daily volumes — the emb_isotropy discipline).
+
+SEAS_SCALE = 1_000_000
+
+
+@query(
+    "events_seasonal_strength",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day FROM events
+    ), counts AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM ev GROUP BY event_type, day
+    ), bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM counts
+    ), grid AS (
+      SELECT t.event_type, g.day
+      FROM (SELECT DISTINCT event_type FROM counts) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+      ) g
+    ), series AS (
+      SELECT g.event_type, g.day, COALESCE(c.x, 0) AS x
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.day = c.day
+    ), tr AS (
+      SELECT event_type, day, x,
+             SUM(x) OVER w AS t7, COUNT(*) OVER w AS w_n,
+             datediff('day', DATE '1970-01-05', day) % 7 AS dow
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, dow, 7 * x - t7 AS r7
+      FROM tr WHERE w_n = 7
+    ), seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(r7) AS DOUBLE) / COUNT(*) AS s
+      FROM det GROUP BY event_type, dow
+    ), rem AS (
+      SELECT d.event_type,
+             CAST({SEAS_SCALE} AS BIGINT) * d.r7 AS det_q,
+             CAST(round({SEAS_SCALE}.0 * (d.r7 - s.s)) AS BIGINT) AS rem_q
+      FROM det d JOIN seas s
+        ON d.event_type = s.event_type AND d.dow = s.dow
+    ), mom AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(det_q) AS BIGINT) AS sd,
+             CAST(SUM(CAST(det_q AS HUGEINT) * det_q) AS DOUBLE) AS sdd,
+             CAST(SUM(rem_q) AS BIGINT) AS sr,
+             CAST(SUM(CAST(rem_q AS HUGEINT) * rem_q) AS DOUBLE) AS srr
+      FROM rem GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           (sdd - (CAST(sd AS DOUBLE) * sd) / n) / n AS var_detrended,
+           (srr - (CAST(sr AS DOUBLE) * sr) / n) / n AS var_remainder,
+           GREATEST(0.0, 1.0 - ((srr - (CAST(sr AS DOUBLE) * sr) / n) / n)
+                    / ((sdd - (CAST(sd AS DOUBLE) * sd) / n) / n))
+             AS seasonal_strength
+    FROM mom
+    ORDER BY event_type
+    """,
+    doc="Weekly seasonal strength per event type (Hyndman's F_s = "
+        "max(0, 1 − Var(remainder)/Var(detrended)) over a classical "
+        "decomposition): centered 7-day trend on full windows, "
+        "day-of-week seasonal means, all in the ×7 exact-integer domain "
+        "with an anchor-Monday datediff dow (engine dow numbering "
+        "differs), remainders quantized before decimal-accumulated "
+        "variance sums. The audit behind dow-aware anomaly baselines. "
+        "One dense day grid + two window passes + dimension-grain aggs.",
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    counts = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # bounds/grid/join reuse (fano shape)
+    )
+    bounds = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    series = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = series.select(
+        "event_type",
+        "x",
+        F.sum("x").over(w).alias("t7"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7).alias(
+            "dow"
+        ),
+    )
+    det = tr.filter(F.col("w_n") == 7).select(
+        "event_type", "dow", (F.lit(7) * F.col("x") - F.col("t7")).alias("r7")
+    ).localCheckpoint(eager=False)  # feeds seas AND rem
+    seas = det.groupBy("event_type", "dow").agg(
+        (F.sum("r7").cast("double") / F.count(F.lit(1))).alias("s")
+    )
+    rem = det.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        (F.lit(SEAS_SCALE).cast("bigint") * F.col("r7")).alias("det_q"),
+        F.expr(
+            f"cast(round({SEAS_SCALE}.0 * (r7 - s)) as bigint)"
+        ).alias("rem_q"),
+    )
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    mom = rem.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("det_q").cast("bigint").alias("sd"),
+        F.sum(
+            (F.col("det_q").cast(d19) * F.col("det_q").cast(d19)).cast(d38)
+        )
+        .cast(d38)
+        .cast("double")
+        .alias("sdd"),
+        F.sum("rem_q").cast("bigint").alias("sr"),
+        F.sum(
+            (F.col("rem_q").cast(d19) * F.col("rem_q").cast(d19)).cast(d38)
+        )
+        .cast(d38)
+        .cast("double")
+        .alias("srr"),
+    )
+    nd = F.col("n")
+    var_det = (
+        F.col("sdd") - (F.col("sd").cast("double") * F.col("sd")) / nd
+    ) / nd
+    var_rem = (
+        F.col("srr") - (F.col("sr").cast("double") * F.col("sr")) / nd
+    ) / nd
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        var_det.alias("var_detrended"),
+        var_rem.alias("var_remainder"),
+        F.greatest(F.lit(0.0), F.lit(1.0) - var_rem / var_det).alias(
+            "seasonal_strength"
+        ),
+    ).orderBy("event_type")

@@ -31,15 +31,28 @@ def clean_doc_stream(
     ts_col: str = "ingest_ts",
     watermark: str = "10 minutes",
     quality_threshold: float = QUALITY_THRESHOLD,
+    repetition_gate: bool = False,
 ) -> DataFrame:
-    """Language gate → quality gate → within-watermark exact dedup over a
-    streaming DataFrame of ``(doc_id, text, <ts_col>)``.
+    """Language gate → quality gate → (optional) Gopher repetition gate →
+    within-watermark exact dedup over a streaming DataFrame of
+    ``(doc_id, text, <ts_col>)``.
 
     Returns the cleaned stream with the same signal columns the batch
     pipeline emits (content_fp, n_tokens, quality). All gates are narrow
-    codegen expressions — the only stateful stage is the fingerprint dedup.
-    """
-    scored = docs.select(
+    codegen expressions — the only stateful stage is the fingerprint
+    dedup. ``repetition_gate=True`` adds ``gopher_pass_col`` (the
+    zero-shuffle per-row form of ``text_gopher_rules`` — stateless, so it
+    composes pre-watermark like the other gates and admits the
+    bit-identical document set as the batch query)."""
+    src = docs
+    if repetition_gate:
+        from ..operators.text import gopher_pass_col
+
+        # stateless per-row expression → composes pre-watermark like the
+        # other gates; filtering on the raw text BEFORE the projection
+        # keeps the plan one narrow map + filter
+        src = src.filter(gopher_pass_col())
+    scored = src.select(
         "doc_id",
         ts_col,
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),

@@ -439,6 +439,8 @@ BROADCAST_NONEQUI_OK = {
     "emb_davies_bouldin",
     # 1-row grand-mean array + 1-row B/W mass broadcasts — bounded
     "emb_calinski_harabasz",
+    # 1-row date-bounds broadcast seeding the dense day grid (fano shape)
+    "events_seasonal_strength",
 }
 
 

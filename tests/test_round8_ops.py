@@ -353,3 +353,25 @@ def test_calinski_harabasz_identities(spark):
     # sf0.001 — consistent with the small emb_centroid_margin values);
     # the index just has to be positive and finite
     assert 0 < row["ch_index"] < float("inf")
+
+
+def test_seasonal_strength_bounds_and_day_accounting(spark):
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        events_seasonal_strength,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = events_seasonal_strength(spark, SF001).collect()
+    ev = load_table(spark, SF001, "events").select(
+        F.col("ts").cast("date").alias("day")
+    )
+    span = ev.agg(
+        F.datediff(F.max("day"), F.min("day")).alias("d")
+    ).collect()[0]["d"] + 1
+    for r in rows:
+        # full 7-day windows only: span minus 3 edge days each side
+        assert r["n_days"] == span - 6
+        assert r["var_detrended"] >= 0 and r["var_remainder"] >= 0
+        assert 0.0 <= r["seasonal_strength"] <= 1.0
+        # removing the dow means can only reduce variance
+        assert r["var_remainder"] <= r["var_detrended"] + 1e-9

@@ -1205,3 +1205,42 @@ def test_route_cdc_batch_partitions_epoch_by_collection(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown collection"):
         route_cdc_batch(wh, bad, {"items": ["id"]}, "items")
+
+
+def test_clean_doc_stream_repetition_gate_matches_batch(spark, tmp_path):
+    """With repetition_gate=True the streaming pipeline's admitted set is
+    the batch pipeline's survivors INTERSECTED with the batch Gopher
+    gate's passers — the stateless per-row gate form composes
+    pre-watermark without changing any other gate's verdict."""
+    from conduit_connector_s3_iceberg_spark.operators.text import (
+        pipeline_training_set,
+        text_gopher_rules,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+    from conduit_connector_s3_iceberg_spark.streaming import clean_doc_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    with_ts = docs.withColumn(
+        "ingest_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    src = stream_of(spark, tmp_path, with_ts, "docs_src_gopher")
+    out = run_to_memory(
+        clean_doc_stream(src, repetition_gate=True),
+        tmp_path,
+        "cleaned_docs_gopher",
+        output_mode="append",
+    )
+    got_fps = {r.content_fp for r in out.collect()}
+
+    passers = {
+        r["doc_id"]
+        for r in text_gopher_rules(spark, sf).collect()
+        if r["passes_gopher"]
+    }
+    batch = pipeline_training_set(spark, sf).collect()
+    # batch survivors whose KEPT doc passes the gate (keep-first: the
+    # fingerprint survives iff its keeper doc does — on this fixture all
+    # docs share the gate verdict per fingerprint since dupes are copies)
+    want = {r.content_fp for r in batch if r.doc_id in passers}
+    assert got_fps == want
