@@ -159,6 +159,7 @@ BENCH_EXT4 = [
     "emb_calinski_harabasz",
     # round 8, seventh wave
     "events_seasonal_strength",
+    "sample_decayed_admission",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

@@ -1547,3 +1547,92 @@ def sample_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+# ---------------------------------------------------- time-decayed admission
+#
+# Recency-weighted sampling as a pure map-side integer gate: an event aged
+# `a` days is admitted with probability 2^(−floor(a / HALF_LIFE)) — full
+# admission for the newest half-life window, halving per window. The gate
+# is `u < 2^52 >> floor(a/HL)` with u the 52-bit uniform from the md5 hex
+# prefix (the Bernoulli-by-hash idiom above): a power-of-two threshold
+# shift needs NO float arithmetic, so the admission set is bit-identical
+# across engines and across reruns (replay-idempotent by construction —
+# the property a backfill needs). The only non-map work is the 1-row
+# reference-day broadcast and the dimension-grain acceptance report; at
+# 100 TB the gate filters at the scan.
+
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_SALT = "decay:"
+_U52 = 1 << 52
+
+
+@query(
+    "sample_decayed_admission",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(ts AS DATE) AS day FROM events
+    ), ref AS (
+      SELECT MAX(day) AS ref_day FROM ev
+    ), gated AS (
+      SELECT e.event_id, e.event_type,
+             datediff('day', e.day, ref.ref_day) // {DECAY_HALF_LIFE_DAYS}
+               AS k,
+             CAST(('0x' || substr(md5('{DECAY_SALT}' || e.event_id::VARCHAR),
+                                  1, 13)) AS BIGINT) AS u
+      FROM ev e CROSS JOIN ref
+    )
+    SELECT event_type, k,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE u < ({_U52} >> k)) AS BIGINT)
+             AS n_admitted,
+           CAST(COUNT(*) FILTER (WHERE u < ({_U52} >> k)) AS DOUBLE)
+             / COUNT(*) AS admit_rate
+    FROM gated
+    GROUP BY event_type, k
+    ORDER BY event_type, k
+    """,
+    doc=f"Time-decayed admission sampling report: events admitted with "
+        f"probability 2^(−floor(age/{DECAY_HALF_LIFE_DAYS}d)) via an "
+        "integer power-of-two threshold over the 52-bit md5 uniform — no "
+        "float in the gate, bit-identical admission across engines and "
+        "reruns (backfill-idempotent). Per (event_type, half-life bucket): "
+        "population, admitted count, realized rate vs the nominal 2^−k. "
+        "Map-side gate at the scan + dimension-grain rollup; the 1-row "
+        "reference day is the only broadcast.",
+)
+def sample_decayed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("date").alias("day")
+    )
+    ref = ev.agg(F.max("day").alias("ref_day"))
+    gated = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.floor(
+            F.datediff(F.col("ref_day"), F.col("day"))
+            / F.lit(DECAY_HALF_LIFE_DAYS)
+        ).cast("long").alias("k"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(DECAY_SALT), F.col("event_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long").alias("u"),
+    )
+    admit = F.expr(f"u < shiftright(cast({_U52} as bigint), cast(k as int))")
+    return (
+        gated.groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(F.when(admit, 1)).cast("bigint").alias("n_admitted"),
+            (
+                F.count(F.when(admit, 1)).cast("double") / F.count(F.lit(1))
+            ).alias("admit_rate"),
+        )
+        .orderBy("event_type", "k")
+    )

@@ -441,6 +441,8 @@ BROADCAST_NONEQUI_OK = {
     "emb_calinski_harabasz",
     # 1-row date-bounds broadcast seeding the dense day grid (fano shape)
     "events_seasonal_strength",
+    # 1-row reference-day broadcast ahead of the map-side integer gate
+    "sample_decayed_admission",
 }
 
 

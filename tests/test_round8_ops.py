@@ -375,3 +375,24 @@ def test_seasonal_strength_bounds_and_day_accounting(spark):
         assert 0.0 <= r["seasonal_strength"] <= 1.0
         # removing the dow means can only reduce variance
         assert r["var_remainder"] <= r["var_detrended"] + 1e-9
+
+
+def test_decayed_admission_halves_per_bucket(spark):
+    """Admission counts bounded by population; realized rates track the
+    nominal 2^-k within binomial noise on the bulk buckets; k=0 admits
+    everything (2^52 threshold over a 52-bit uniform)."""
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        sample_decayed_admission,
+    )
+
+    rows = sample_decayed_admission(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_admitted"] <= r["n_events"]
+        if r["k"] == 0:
+            assert r["n_admitted"] == r["n_events"]
+        if r["n_events"] >= 200:
+            nominal = 2.0 ** -r["k"]
+            # 5-sigma binomial band around the nominal rate
+            sd = (nominal * (1 - nominal) / r["n_events"]) ** 0.5
+            assert abs(r["admit_rate"] - nominal) <= 5 * sd + 1e-12
