@@ -160,6 +160,7 @@ BENCH_EXT4 = [
     # round 8, seventh wave
     "events_seasonal_strength",
     "sample_decayed_admission",
+    "dedup_edit_verify",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

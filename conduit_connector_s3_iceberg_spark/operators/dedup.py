@@ -4406,3 +4406,79 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(float(_BB_SCALE)))
         ).alias("mean_bias_b4"),
     )
+
+
+# ------------------------------------------------ edit-distance verification
+#
+# The final tier of a production dedup cascade: shingle candidates →
+# Jaccard verification → EXACT character-level edit distance on what
+# survives. Jaccard is order-blind ("a b c d" ≈ "d c b a"); Levenshtein
+# is the order-aware ground truth, and it's affordable precisely because
+# it only ever runs on the (tiny) verified-pair set — never the corpus.
+# Both engines ship an exact integer levenshtein(), so the verdict
+# column is engine-identical by construction; the similarity is
+# 1 − d/greatest(len_a, len_b) with the gate an exact integer
+# cross-multiply. Shape at scale: two doc_id-keyed text-attach joins on
+# the bounded pair set + a per-pair O(L²) string kernel (the classic
+# verify-stage cost model — candidates × L², not n² × L²).
+
+EDIT_SIM_MIN_Q = 600_000  # admit pairs with edit similarity >= 0.6
+
+
+@query(
+    "dedup_edit_verify",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    attach AS (
+      SELECT p.doc_a, p.doc_b,
+             levenshtein(da.text, db.text) AS edit_dist,
+             GREATEST(len(da.text), len(db.text)) AS max_len
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+           CAST(max_len AS BIGINT) AS max_len,
+           1.0 - CAST(edit_dist AS DOUBLE) / max_len AS edit_sim,
+           (1000000 * (max_len - edit_dist) >= {EDIT_SIM_MIN_Q} * max_len)
+             AS is_editdup
+    FROM attach
+    """,
+    doc="Edit-distance verification tier over the Jaccard-verified "
+        "near-dup pairs: exact Levenshtein (built-in, engine-identical "
+        "integers) with similarity 1 − d/max_len and an integer "
+        "cross-multiply admission gate — the order-aware ground truth "
+        "Jaccard can't see, affordable because it runs on the verified "
+        "pair set only (candidates × L², never corpus² × L²). Two "
+        "doc_id-keyed text-attach joins on the bounded pair set.",
+)
+def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    attach = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
+            F.greatest(F.length("ta"), F.length("tb"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+    )
+    return attach.select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        "max_len",
+        (
+            F.lit(1.0) - F.col("edit_dist").cast("double") / F.col("max_len")
+        ).alias("edit_sim"),
+        (
+            F.lit(1_000_000) * (F.col("max_len") - F.col("edit_dist"))
+            >= F.lit(EDIT_SIM_MIN_Q) * F.col("max_len")
+        ).alias("is_editdup"),
+    )

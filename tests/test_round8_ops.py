@@ -396,3 +396,27 @@ def test_decayed_admission_halves_per_bucket(spark):
             # 5-sigma binomial band around the nominal rate
             sd = (nominal * (1 - nominal) / r["n_events"]) ** 0.5
             assert abs(r["admit_rate"] - nominal) <= 5 * sd + 1e-12
+
+
+def test_edit_verify_tier_bounds(spark):
+    """Edit distance bounded by max_len; the verdict equals the float
+    similarity's verdict recomputed from the exact integers; at least one
+    Jaccard pair must survive the order-aware tier on the seeded
+    near-dup families."""
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        EDIT_SIM_MIN_Q,
+        dedup_edit_verify,
+        dedup_ngram_jaccard,
+    )
+
+    rows = dedup_edit_verify(spark, SF001).collect()
+    assert len(rows) == dedup_ngram_jaccard(spark, SF001).count()
+    assert any(r["is_editdup"] for r in rows)
+    for r in rows:
+        assert 0 <= r["edit_dist"] <= r["max_len"]
+        expect = (
+            1_000_000 * (r["max_len"] - r["edit_dist"])
+            >= EDIT_SIM_MIN_Q * r["max_len"]
+        )
+        assert r["is_editdup"] == expect
+        assert abs(r["edit_sim"] - (1 - r["edit_dist"] / r["max_len"])) < 1e-12
