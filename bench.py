@@ -161,6 +161,7 @@ BENCH_EXT4 = [
     "events_seasonal_strength",
     "sample_decayed_admission",
     "dedup_edit_verify",
+    "sim_prf_rocchio",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

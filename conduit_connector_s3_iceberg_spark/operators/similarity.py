@@ -592,6 +592,188 @@ def sim_range_search_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENTROID_SCALE = 1_000_000
 
 
+# -------------------------------------------- pseudo-relevance feedback ----
+#
+# Rocchio PRF (Rocchio 1971; the classic query-expansion loop): retrieve
+# top-k, move the query toward the centroid of what came back
+# (q' = α·q + β·c̄, α=1, β=0.75), retrieve again, and report what the
+# expansion bought — per query: round-2 overlap with round 1, new-doc
+# count, and the quantized mean-cosine delta of the result set. Two
+# bounded retrieval passes (the N_QUERIES-row broadcast shape) + a
+# k-row-per-query exact-integer centroid; nothing about the corpus is
+# touched twice beyond the two scans every PRF implementation pays.
+
+PRF_ALPHA = 1.0
+PRF_BETA = 0.75
+PRF_K = 10
+
+
+@query(
+    "sim_prf_rocchio",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+      WHERE vec_id < {N_QUERIES}
+    ), r1 AS (
+      SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT q.query_id, e.vec_id,
+               {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_dot('q.qemb', 'e.emb')}
+                                        / (q.qnrm * e.nrm) DESC, e.vec_id)
+                 AS rank
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rank <= {PRF_K}
+    ), fb AS (
+      SELECT r1.query_id, pos,
+             CAST(SUM(CAST(round(e.emb[pos] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS sx,
+             COUNT(*) AS k
+      FROM r1 JOIN e ON r1.vec_id = e.vec_id,
+           generate_series(1, {DIM}) AS t(pos)
+      GROUP BY r1.query_id, pos
+    ), q2 AS (
+      SELECT q.query_id,
+             array_agg({PRF_ALPHA} * q.qemb[fb.pos]
+                       + {PRF_BETA} * (CAST(fb.sx AS DOUBLE) / fb.k
+                                       / {CENTROID_SCALE})
+                       ORDER BY fb.pos) AS q2emb
+      FROM q JOIN fb ON q.query_id = fb.query_id
+      GROUP BY q.query_id
+    ), q2n AS (
+      SELECT query_id, q2emb,
+             sqrt(list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> q2emb[i] * q2emb[i]), (x, y) -> x + y)) AS q2nrm
+      FROM q2
+    ), r2 AS (
+      SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT n.query_id, e.vec_id,
+               {_sql_dot('n.q2emb', 'e.emb')} / (n.q2nrm * e.nrm) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY n.query_id
+                                  ORDER BY {_sql_dot('n.q2emb', 'e.emb')}
+                                        / (n.q2nrm * e.nrm) DESC, e.vec_id)
+                 AS rank
+        FROM q2n n JOIN e ON e.vec_id <> n.query_id
+      ) WHERE rank <= {PRF_K}
+    )
+    SELECT r2.query_id,
+           CAST(COUNT(r1.vec_id) AS BIGINT) AS n_overlap,
+           CAST({PRF_K} - COUNT(r1.vec_id) AS BIGINT) AS n_new,
+           CAST(SUM(CAST(round(1000000.0 * r2.cosine) AS BIGINT)) AS BIGINT)
+             AS sum_cos2_q
+    FROM r2 LEFT JOIN r1
+      ON r2.query_id = r1.query_id AND r2.vec_id = r1.vec_id
+    GROUP BY r2.query_id
+    ORDER BY r2.query_id
+    """,
+    doc=f"Rocchio pseudo-relevance feedback audit (α={PRF_ALPHA}, "
+        f"β={PRF_BETA}, k={PRF_K}): expand each query toward the exact "
+        "integer centroid of its round-1 top-k, retrieve again, and "
+        "report round-2 overlap with round 1, new-doc count, and the "
+        "quantized round-2 cosine mass — the numbers that say whether "
+        "query expansion helps on this corpus before anyone wires it "
+        "into serving. Two bounded broadcast retrieval passes; the "
+        "feedback centroid is k-rows-per-query exact arithmetic.",
+)
+def sim_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    ).localCheckpoint(eager=False)  # both retrieval passes + the feedback join
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    r1 = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= PRF_K)
+        .localCheckpoint(eager=False)  # feedback centroid + overlap join
+    )
+    fb = (
+        r1.join(e.select("vec_id", F.col("emb").alias("femb")), "vec_id")
+        .select("query_id", F.posexplode("femb").alias("pos0", "x"))
+        .groupBy("query_id", "pos0")
+        .agg(
+            F.sum(F.round(F.col("x") * CENTROID_SCALE).cast("bigint")).alias("sx"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    q2 = (
+        q.join(fb, "query_id")
+        .select(
+            "query_id",
+            "pos0",
+            (
+                F.lit(PRF_ALPHA) * F.expr("qemb[pos0]")
+                + F.lit(PRF_BETA)
+                * (F.col("sx").cast("double") / F.col("k") / F.lit(CENTROID_SCALE))
+            ).alias("c"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos0, c))), s -> s.c)"
+            ).alias("q2emb")
+        )
+        .select(
+            "query_id",
+            "q2emb",
+            F.expr(
+                "sqrt(aggregate(q2emb, 0.0D, (acc, x) -> acc + x * x))"
+            ).alias("q2nrm"),
+        )
+        .localCheckpoint(eager=False)  # N_QUERIES rows
+    )
+    r2 = (
+        e.join(F.broadcast(q2), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("q2emb", "emb"))
+                / (F.col("q2nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= PRF_K)
+    )
+    r1k = r1.select(
+        F.col("query_id").alias("q1"), F.col("vec_id").alias("v1")
+    )
+    return (
+        r2.join(
+            r1k,
+            (r2.query_id == r1k.q1) & (r2.vec_id == r1k.v1),
+            "left",
+        )
+        .groupBy(r2.query_id)
+        .agg(
+            F.count("v1").cast("bigint").alias("n_overlap"),
+            (F.lit(PRF_K) - F.count("v1")).cast("bigint").alias("n_new"),
+            F.sum(
+                F.expr("cast(round(1000000.0 * cosine) as bigint)")
+            ).cast("bigint").alias("sum_cos2_q"),
+        )
+        .orderBy("query_id")
+    )
+
+
+
+
 @query(
     "emb_label_centroids",
     oracle=f"""

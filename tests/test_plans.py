@@ -443,6 +443,8 @@ BROADCAST_NONEQUI_OK = {
     "events_seasonal_strength",
     # 1-row reference-day broadcast ahead of the map-side integer gate
     "sample_decayed_admission",
+    # two N_QUERIES-row query broadcasts (bruteforce shape, both rounds)
+    "sim_prf_rocchio",
 }
 
 

@@ -420,3 +420,24 @@ def test_edit_verify_tier_bounds(spark):
         )
         assert r["is_editdup"] == expect
         assert abs(r["edit_sim"] - (1 - r["edit_dist"] / r["max_len"])) < 1e-12
+
+
+def test_prf_rocchio_accounting(spark):
+    """overlap + new = k per query; overlap must be substantial (the
+    expanded query stays anchored at alpha=1) but not always total
+    (expansion must move SOMETHING on this corpus, else the audit is
+    vacuous)."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        N_QUERIES,
+        PRF_K,
+        sim_prf_rocchio,
+    )
+
+    # sf0.01: large enough that the expansion actually moves the tail
+    # for some queries (sf0.001's 500-vec corpus is rank-stable at k=10)
+    rows = sim_prf_rocchio(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["n_overlap"] + r["n_new"] == PRF_K
+        assert r["n_overlap"] >= 1
+    assert any(r["n_new"] > 0 for r in rows)
