@@ -3,17 +3,21 @@
 The r3 verdict's scale finding: dedup_jaccard_prefix_filter re-derived its
 shingle index per consumer, showing 22 `Scan parquet` instances for one
 query. This probe collects a query at the given SF and classifies the
-final (AQE) executed plan's scan nodes:
+final (AQE) executed plan's scan nodes by WALKING THE PLAN TREE (the
+treeString is unusable for this: every InMemoryTableScan consumer
+reprints its cache's definition, and nested caches reprint recursively —
+the naive string count reported 64 "reads" for a plan that scans the
+corpus once):
 
-* ``top_scans``   — parquet scans that execute as part of this plan
-  (NOT under an InMemoryRelation): each is a real base-table read.
-* ``cached_scans``— parquet scans inside ONE InMemoryRelation definition:
-  they execute exactly once, when the cache materializes (every
-  InMemoryTableScan consumer reprints the same cached subtree, so the
-  raw string count over-states them by the consumer count).
-* ``imts``        — InMemoryTableScan consumers reading the cache.
+* ``top_scans``   — FileSourceScan nodes reached outside any cache: each
+  is a real base-table read per execution.
+* ``cached_scans``— FileSourceScan nodes inside DISTINCT InMemoryRelation
+  cached plans (deduped by relation object identity, recursing through
+  nested caches): they execute once, when the cache materializes.
+* ``imts``        — InMemoryTableScan consumers in the executing plan.
 
-Effective base-table reads = top_scans + cached_scans. Usage:
+Effective base-table reads = top_scans + cached_scans (a static upper
+bound: runtime ReuseExchange inside a stage can dedup further). Usage:
 
     python tools/scan_count.py [sf_dir] query [query ...]
 """
@@ -24,51 +28,57 @@ import sys
 
 sys.path.insert(0, ".")
 
-from conduit_connector_s3_iceberg_spark.plans.registry import load_all  # noqa: E402
-from conduit_connector_s3_iceberg_spark.session import build_session  # noqa: E402
 
-_TREE = " :+-*()0123456789"
+def classify_scans_tree(df, jvm) -> dict[str, int]:
+    """Walk the executed SparkPlan via py4j, deduping InMemoryRelations
+    by object identity so each cache's scans count once."""
+    counters = {"top_scans": 0, "cached_scans": 0, "imts": 0}
+    seen: set[int] = set()
 
+    def walk(node, in_cache: bool) -> None:
+        nm = node.getClass().getSimpleName()
+        if nm == "FileSourceScanExec":
+            counters["cached_scans" if in_cache else "top_scans"] += 1
+            return
+        if nm == "InMemoryTableScanExec":
+            if not in_cache:
+                counters["imts"] += 1
+            rel = node.relation()
+            # dedup by the shared CachedRDDBuilder: AQE gives each cache
+            # CONSUMER its own InMemoryRelation instance, but all of them
+            # share one builder (one materialization)
+            rid = jvm.java.lang.System.identityHashCode(rel.cacheBuilder())
+            if rid not in seen:
+                seen.add(rid)
+                walk(rel.cachedPlan(), True)
+            return
+        if "AdaptiveSparkPlan" in nm:
+            walk(node.executedPlan(), in_cache)
+            return
+        if "QueryStage" in nm:
+            walk(node.plan(), in_cache)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), in_cache)
 
-def _indent(line: str) -> int:
-    return len(line) - len(line.lstrip(_TREE))
-
-
-def classify_scans(plan: str) -> dict[str, int]:
-    top = cached = imts = relations = 0
-    imr_indent: int | None = None  # inside an InMemoryRelation subtree
-    for line in plan.splitlines():
-        ind = _indent(line)
-        if imr_indent is not None and ind <= imr_indent:
-            imr_indent = None
-        if "InMemoryRelation" in line:
-            if imr_indent is None:
-                imr_indent = ind
-            relations += 1
-            continue
-        if "InMemoryTableScan" in line and imr_indent is None:
-            imts += 1
-            continue
-        if "Scan parquet" in line:
-            if imr_indent is None:
-                top += 1
-            elif relations == 1:
-                # count cached scans from the FIRST relation print only —
-                # every other consumer reprints the identical subtree
-                cached += 1
-    return {"top_scans": top, "cached_scans": cached, "imts": imts}
+    walk(df._jdf.queryExecution().executedPlan(), False)
+    return counters
 
 
 def main() -> int:
+    from conduit_connector_s3_iceberg_spark.plans.registry import load_all
+    from conduit_connector_s3_iceberg_spark.session import build_session
+
     args = sys.argv[1:]
     sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.001"
     registry = load_all()
     spark = build_session(shuffle_partitions=32)
+    jvm = spark._jvm
     for name in args:
         df = registry[name].build(spark, sf_dir)
         df.collect()  # AQE: final plan only exists after execution
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        c = classify_scans(plan)
+        c = classify_scans_tree(df, jvm)
         spark.catalog.clearCache()
         print(
             f"{name}: effective_reads={c['top_scans'] + c['cached_scans']} "
