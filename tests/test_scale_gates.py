@@ -137,14 +137,13 @@ SCAN_BUDGETED = [
 
 @pytest.mark.parametrize("name", SCAN_BUDGETED)
 def test_dedup_corpus_scan_budget(spark, name):
-    from tools.scan_count import classify_scans
+    from tools.scan_count import classify_scans_tree
 
     q = load_all()[name]
     df = q.build(spark, SF001)
     df.collect()  # AQE: the final plan exists only after execution
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    c = classify_scans_tree(df, spark._jvm)
     spark.catalog.clearCache()
-    c = classify_scans(plan)
     effective = c["top_scans"] + c["cached_scans"]
     assert effective <= MAX_CORPUS_READS, (
         f"{name}: {effective} effective corpus reads "
