@@ -162,6 +162,9 @@ BENCH_EXT4 = [
     "sample_decayed_admission",
     "dedup_edit_verify",
     "sim_prf_rocchio",
+    # round 8, eighth wave
+    "events_rfm_segments",
+    "events_burstiness",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

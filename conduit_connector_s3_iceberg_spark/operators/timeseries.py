@@ -1529,3 +1529,227 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------------- RFM segmentation --
+#
+# The classic marketing-analytics cut (Hughes 1994): score every user
+# 1..Q on Recency (days since last purchase — lower is better), Frequency
+# (purchase count), and Monetary (purchase value), then report the
+# Q³-cell grid. Scores are ntile quantiles with DETERMINISTIC total
+# order: each ranking breaks ties by user_id, so both engines assign the
+# identical segment to every user (a bare ntile over a tied column is
+# engine-dependent). The per-user rollup is one hash agg; the three
+# rankings are windows over the |users| frame (at 100 TB: range-partition
+# by the ranked key — same plan Spark's ntile already compiles to); the
+# report is Q³ rows.
+
+def _global_rank(df, order) -> DataFrame:
+    """Exact global rank over a total order WITHOUT a single-task window:
+    range partition on the order columns (global order across partitions),
+    row_number within each partition, plus broadcast per-partition row
+    offsets. The only unpartitioned window runs over the <= |partitions|
+    offset rows. Rank is exact wherever the range boundaries fall, so the
+    range partitioner's sampling cannot perturb the result; the order must
+    be a total order (tie-break included) for determinism."""
+    rp = df.repartitionByRange(*order)
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    with_local = rp.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrk", F.row_number().over(local).cast("bigint")
+    )
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # <= |partitions| rows: bounded by construction
+    offs = (
+        with_local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        with_local.join(F.broadcast(offs), "_pid")
+        .withColumn("_grank", (F.col("_off") + F.col("_lrk")).cast("bigint"))
+        .drop("_pid", "_lrk", "_off", "_cnt")
+    )
+
+
+def _ntile_from_rank(rank_col: str, n_col: str, q: int):
+    """Standard-SQL ntile bucket from an exact global rank: the first
+    n % q buckets take ceil(n/q) rows, the rest floor(n/q) — the same
+    assignment ntile() makes over the same total order, computable
+    map-side from (rank, n) without any window."""
+    r = f"({n_col} % {q})"
+    s_ = f"({n_col} div {q})"
+    return F.expr(
+        f"cast(case when {rank_col} <= {r} * ({s_} + 1)"
+        f" then ({rank_col} - 1) div ({s_} + 1) + 1"
+        f" else {r} + ({rank_col} - {r} * ({s_} + 1) - 1) div {s_} + 1"
+        " end as int)"
+    )
+
+
+RFM_Q = 4
+
+
+@query(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             MAX(CAST(ts AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), ref AS (
+      SELECT MAX(last_day) AS ref_day FROM p
+    ), scored AS (
+      SELECT user_id, freq, monetary_c,
+             datediff('day', last_day, ref.ref_day) AS recency_days,
+             ntile({RFM_Q}) OVER (
+               ORDER BY datediff('day', last_day, ref.ref_day), user_id
+             ) AS r_score,
+             ntile({RFM_Q}) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             ntile({RFM_Q}) OVER (ORDER BY monetary_c DESC, user_id)
+               AS m_score
+      FROM p CROSS JOIN ref
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(freq) AS BIGINT) AS n_purchases,
+           CAST(SUM(monetary_c) AS BIGINT) AS monetary_cents,
+           CAST(MIN(recency_days) AS BIGINT) AS min_recency_days,
+           CAST(MAX(recency_days) AS BIGINT) AS max_recency_days
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc=f"RFM segmentation (Hughes 1994) at Q={RFM_Q}: per-user recency/"
+        "frequency/monetary rollup (monetary in exact cents), three "
+        "EXACT quantile scores with deterministic user_id tie-breaks (a "
+        "bare ntile over tied values is engine-dependent), Q³-cell "
+        "report with population, purchase, and value mass per cell. "
+        "Scores come from distributed global ranks — range partition + "
+        "per-partition row_number + broadcast partition offsets — and "
+        "the standard-SQL ntile bucket formula, so no window ever "
+        "gathers the user frame into one task (the oracle's plain ntile "
+        "over the same total order is the spec being matched).",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_c"),
+    )
+    ref = p.agg(F.max("last_day").alias("ref_day"))
+    base = p.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff(F.col("ref_day"), F.col("last_day"))
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    scored = base
+    for col_name, order in (
+        ("r_score", (F.col("recency_days"), F.col("user_id"))),
+        ("f_score", (F.col("freq").desc(), F.col("user_id"))),
+        ("m_score", (F.col("monetary_c").desc(), F.col("user_id"))),
+    ):
+        ranked = _global_rank(scored, order).crossJoin(F.broadcast(n_row))
+        scored = ranked.withColumn(
+            col_name, _ntile_from_rank("_grank", "_n", RFM_Q)
+        ).drop("_grank", "_n")
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("freq").cast("bigint").alias("n_purchases"),
+            F.sum("monetary_c").cast("bigint").alias("monetary_cents"),
+            F.min("recency_days").cast("bigint").alias("min_recency_days"),
+            F.max("recency_days").cast("bigint").alias("max_recency_days"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ------------------------------------------------------------ burstiness ---
+#
+# Goh & Barabási (2008) burstiness coefficient B = (σ − μ)/(σ + μ) over
+# per-user interarrival gaps: B → −1 for metronome traffic, 0 for a
+# Poisson process, → +1 for extreme bursts. The per-type number that
+# says whether rate-based anomaly thresholds (events_anomaly_*) can
+# assume Poisson noise — and the signature bot detectors read next to
+# events_bot_regularity. Gaps are exact epoch-microsecond integers from
+# a per-(user, type) lag window (ties broken by event_id); Σg is BIGINT,
+# Σg² lives in decimal(38,0)/HUGEINT (a 30-day gap is ~2.6e12 µs —
+# squared is past 2^63); μ and σ are one identical double chain at the
+# end.
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    ), mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS sg,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS sgg
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           CAST(sg AS DOUBLE) / n / 1000000.0 AS mean_gap_s,
+           sqrt(sgg / n - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
+             / 1000000.0 AS sd_gap_s,
+           (sqrt(sgg / n - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
+              - CAST(sg AS DOUBLE) / n)
+           / (sqrt(sgg / n - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
+              + CAST(sg AS DOUBLE) / n) AS burstiness
+    FROM mom
+    ORDER BY event_type
+    """,
+    doc="Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of per-user interarrival "
+        "gaps, per event type: −1 metronome, 0 Poisson, +1 bursty — the "
+        "audit that says whether Poisson-noise anomaly thresholds are "
+        "valid for this stream. Gaps are exact epoch-microsecond integers "
+        "from one (user, type) lag window; Σg² accumulates in "
+        "decimal(38,0)/HUGEINT; μ/σ/B are one identical double chain.",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("gap"),  # ts is NTZ; the cast's tz offset cancels in the diff
+    ).filter(F.col("gap").isNotNull())
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    mom = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum((F.col("gap").cast(d19) * F.col("gap").cast(d19)).cast(d38))
+        .cast(d38)
+        .cast("double")
+        .alias("sgg"),
+    )
+    mu = F.col("sg").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("sgg") / F.col("n") - mu * mu)
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        (mu / F.lit(1_000_000.0)).alias("mean_gap_s"),
+        (sd / F.lit(1_000_000.0)).alias("sd_gap_s"),
+        ((sd - mu) / (sd + mu)).alias("burstiness"),
+    ).orderBy("event_type")

@@ -445,6 +445,8 @@ BROADCAST_NONEQUI_OK = {
     "sample_decayed_admission",
     # two N_QUERIES-row query broadcasts (bruteforce shape, both rounds)
     "sim_prf_rocchio",
+    # 1-row reference-day broadcast into the |purchasers| frame
+    "events_rfm_segments",
 }
 
 

@@ -441,3 +441,44 @@ def test_prf_rocchio_accounting(spark):
         assert r["n_overlap"] + r["n_new"] == PRF_K
         assert r["n_overlap"] >= 1
     assert any(r["n_new"] > 0 for r in rows)
+
+
+def test_rfm_segments_account_for_every_purchaser(spark):
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        RFM_Q,
+        events_rfm_segments,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = events_rfm_segments(spark, SF001).collect()
+    purchasers = (
+        load_table(spark, SF001, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == purchasers
+    for r in rows:
+        assert 1 <= r["r_score"] <= RFM_Q
+        assert 1 <= r["f_score"] <= RFM_Q
+        assert 1 <= r["m_score"] <= RFM_Q
+        assert r["n_purchases"] >= r["n_users"]
+        assert r["min_recency_days"] <= r["max_recency_days"]
+
+
+def test_burstiness_is_in_range_and_gap_counts_add_up(spark):
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        events_burstiness,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = events_burstiness(spark, SF001).collect()
+    ev = load_table(spark, SF001, "events")
+    # gaps per (user, type) = rows - distinct(user, type) series starts
+    n_events = ev.count()
+    n_series = ev.select("user_id", "event_type").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_events - n_series
+    for r in rows:
+        assert -1.0 < r["burstiness"] < 1.0
+        assert r["mean_gap_s"] > 0 and r["sd_gap_s"] >= 0
