@@ -165,6 +165,7 @@ BENCH_EXT4 = [
     # round 8, eighth wave
     "events_rfm_segments",
     "events_burstiness",
+    "graph_powerlaw_alpha",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

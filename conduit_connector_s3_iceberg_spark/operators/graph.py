@@ -1141,3 +1141,109 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# ------------------------------------------------------- power-law alpha ----
+#
+# Degree-distribution tail exponent by the continuous-approximation MLE
+# (Clauset, Shalizi & Newman 2009, eq. 3.1): α = 1 + n / Σ ln(d_i /
+# (x_min − ½)) over tail nodes d_i >= x_min. The one-number answer to
+# "how heavy-tailed is this graph?" — α <= 2 means hub mass dominates
+# (caps like LINK_DEG_CAP are mandatory), α >= 3 means the tail is tame.
+# Each log is the corrected quantized Mitchell log2 (exact-integer fold,
+# engine-identical); the x_min − ½ shift and the log2→ln conversion fold
+# into ONE final double chain, so the sum stays a BIGINT of quantized
+# integer logs. Shape: one degree hash-agg per side + a tail fold;
+# everything after the edge extraction is degree-domain-sized.
+
+from .lm import _mlog2c_q as _lm_mlog2c_sql  # corrected Mitchell log2 (SQL)
+
+PL_XMIN = 2  # tail threshold: degree-1 nodes carry no tail information
+
+
+@query(
+    "graph_powerlaw_alpha",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), deg AS (
+      SELECT 'cust' AS side, ck AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM und GROUP BY ck
+      UNION ALL
+      SELECT 'supp', sk, CAST(COUNT(*) AS BIGINT) FROM und GROUP BY sk
+    ), tail AS (
+      SELECT side, d, {_lm_mlog2c_sql('d')} AS lq
+      FROM deg WHERE d >= {PL_XMIN}
+    )
+    SELECT side,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(lq) AS BIGINT) AS sum_log2_q,
+           1.0 + COUNT(*) / (0.6931471805599453 *
+             (CAST(SUM(lq) AS DOUBLE) / 1000000.0
+              - COUNT(*) * 0.5849625007211562)) AS alpha
+    FROM tail
+    GROUP BY side
+    ORDER BY side
+    """,
+    doc=f"Power-law tail exponent of the trade-graph degree distribution "
+        "per bipartite side (Clauset-Shalizi-Newman 2009 continuous MLE, "
+        f"x_min={PL_XMIN}): α = 1 + n/Σ ln(d/(x_min−½)) with each log2 "
+        "an exact quantized Mitchell fold (BIGINT sum) and the ln "
+        "conversion + half-shift folded into one final double chain. "
+        "α ≤ 2 ⇒ hub-dominated (degree caps mandatory); degree agg + "
+        "degree-domain fold, nothing corpus-scale after edge extraction.",
+)
+def graph_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lm import _mlog2c_q_spark
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both degree sides
+    )
+    deg = (
+        und.groupBy(F.col("ck").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .select(F.lit("cust").alias("side"), "d")
+        .union(
+            und.groupBy(F.col("sk").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+            .select(F.lit("supp").alias("side"), "d")
+        )
+    )
+    tail = deg.filter(F.col("d") >= PL_XMIN).select(
+        "side", "d", F.expr(_mlog2c_q_spark("d")).alias("lq")
+    )
+    # ln(d/(x_min-1/2)) = ln2*(log2(d) - log2(1.5)); both constants are
+    # exact double literals written identically in the oracle
+    return (
+        tail.groupBy("side")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+            F.max("d").cast("bigint").alias("max_degree"),
+            F.sum("lq").cast("bigint").alias("sum_log2_q"),
+        )
+        .select(
+            "side",
+            "n_tail",
+            "max_degree",
+            "sum_log2_q",
+            (
+                F.lit(1.0)
+                + F.col("n_tail")
+                / (
+                    F.lit(0.6931471805599453)
+                    * (
+                        F.col("sum_log2_q").cast("double") / F.lit(1_000_000.0)
+                        - F.col("n_tail") * F.lit(0.5849625007211562)
+                    )
+                )
+            ).alias("alpha"),
+        )
+        .orderBy("side")
+    )

@@ -482,3 +482,19 @@ def test_burstiness_is_in_range_and_gap_counts_add_up(spark):
     for r in rows:
         assert -1.0 < r["burstiness"] < 1.0
         assert r["mean_gap_s"] > 0 and r["sd_gap_s"] >= 0
+
+
+def test_powerlaw_alpha_tail_and_range(spark):
+    from conduit_connector_s3_iceberg_spark.operators.graph import (
+        PL_XMIN,
+        graph_powerlaw_alpha,
+    )
+
+    rows = graph_powerlaw_alpha(spark, SF001).collect()
+    assert [r["side"] for r in rows] == ["cust", "supp"]
+    for r in rows:
+        assert r["n_tail"] > 0
+        assert r["max_degree"] >= PL_XMIN
+        # MLE over d >= 2 with the (x_min - 1/2) shift is > 1 by
+        # construction and finite on any non-degenerate tail
+        assert 1.0 < r["alpha"] < 100.0
