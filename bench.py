@@ -166,6 +166,7 @@ BENCH_EXT4 = [
     "events_rfm_segments",
     "events_burstiness",
     "graph_powerlaw_alpha",
+    "corpus_split_hellinger",
 ]
 
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +

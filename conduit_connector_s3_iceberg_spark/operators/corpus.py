@@ -2286,3 +2286,123 @@ def corpus_kfold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ------------------------------------------------------ split Hellinger -----
+#
+# Distribution-level split drift: the Hellinger distance H = sqrt(1 − A)
+# with affinity A = Σ_w sqrt(p_w · q_w) between the TRAIN and VAL unigram
+# distributions (same hash split as corpus_train_split). corpus_split_drift
+# compares marginal stats; this compares the DISTRIBUTIONS — H near 0 says
+# the validation set measures the same language the model trains on, H
+# near 1 says the split is measuring something else. Exactness at 100 TB:
+# sqrt(p·q) is computed as sqrt(cp)·sqrt(cq) / (sqrt(Np)·sqrt(Nq)) —
+# counts convert to doubles exactly (< 2⁵³), each sqrt is IEEE-correctly
+# rounded, and the per-word product is quantized to BIGINT before the
+# vocab-wide sum, so no count product ever overflows and no float sum
+# depends on shuffle order. One token explode + one (split, word) agg +
+# one word-grain join; totals ride 1-row broadcasts.
+
+HELL_SCALE = 1_000_000
+
+
+@query(
+    "corpus_split_hellinger",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CASE WHEN substr(md5('{{salt}}' || doc_id::VARCHAR), 1, 2)
+                       < '{{train_hex}}' THEN 'train'
+                  WHEN substr(md5('{{salt}}' || doc_id::VARCHAR), 1, 2)
+                       < '{{val_hex}}' THEN 'val'
+                  ELSE 'test' END AS split,
+             unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ), c AS (
+      SELECT split, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE split IN ('train', 'val') GROUP BY split, w
+    ), tot AS (
+      SELECT CAST(SUM(CASE WHEN split = 'train' THEN cnt END) AS BIGINT)
+               AS np,
+             CAST(SUM(CASE WHEN split = 'val' THEN cnt END) AS BIGINT) AS nq
+      FROM c
+    ), pairs AS (
+      SELECT COALESCE(p.w, q.w) AS w,
+             COALESCE(p.cnt, 0) AS cp, COALESCE(q.cnt, 0) AS cq
+      FROM (SELECT w, cnt FROM c WHERE split = 'train') p
+      FULL OUTER JOIN (SELECT w, cnt FROM c WHERE split = 'val') q
+        ON p.w = q.w
+    ), aff AS (
+      SELECT CAST(SUM(CAST(round({HELL_SCALE}.0 * sqrt(CAST(cp AS DOUBLE))
+                           * sqrt(CAST(cq AS DOUBLE))) AS BIGINT)) AS BIGINT)
+               AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(COUNT(*) FILTER (WHERE cp = 0 OR cq = 0) AS BIGINT)
+               AS n_disjoint
+      FROM pairs
+    )
+    SELECT tot.np AS train_tokens, tot.nq AS val_tokens,
+           aff.n_types, aff.n_disjoint,
+           CAST(aff.sq AS DOUBLE) / {HELL_SCALE}
+             / (sqrt(CAST(tot.np AS DOUBLE)) * sqrt(CAST(tot.nq AS DOUBLE)))
+             AS affinity,
+           sqrt(1.0 - CAST(aff.sq AS DOUBLE) / {HELL_SCALE}
+                / (sqrt(CAST(tot.np AS DOUBLE)) * sqrt(CAST(tot.nq AS DOUBLE))))
+             AS hellinger
+    FROM aff CROSS JOIN tot
+    """.format(salt=SPLIT_SALT, train_hex=TRAIN_HEX, val_hex=VAL_HEX),
+    doc="Hellinger distance between the train and val unigram "
+        "distributions (same hash split as corpus_train_split): the "
+        "distribution-level split-drift number corpus_split_drift's "
+        "marginals can't see. Affinity terms are sqrt(cp)·sqrt(cq) "
+        "(exact-input IEEE sqrts — no count product ever forms, so "
+        "nothing overflows at 100 TB), quantized per word before the "
+        "vocab-wide BIGINT sum; one token explode + one (split, word) "
+        "agg + one word-grain full-outer join.",
+)
+def corpus_split_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 2
+    )
+    toks = docs.select(
+        F.when(h < TRAIN_HEX, "train")
+        .when(h < VAL_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("split").isin("train", "val"))
+    c = toks.groupBy("split", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=False)  # feeds totals AND both join sides
+    tot = c.agg(
+        F.sum(F.when(F.col("split") == "train", F.col("cnt"))).cast("bigint").alias("np"),
+        F.sum(F.when(F.col("split") == "val", F.col("cnt"))).cast("bigint").alias("nq"),
+    )
+    p = c.filter(F.col("split") == "train").select("w", F.col("cnt").alias("cp"))
+    q = c.filter(F.col("split") == "val").select("w", F.col("cnt").alias("cq"))
+    pairs = p.join(q, "w", "full_outer").select(
+        F.coalesce("cp", F.lit(0)).alias("cp"),
+        F.coalesce("cq", F.lit(0)).alias("cq"),
+    )
+    aff = pairs.agg(
+        F.sum(
+            F.expr(
+                f"cast(round({HELL_SCALE}.0 * sqrt(cast(cp as double))"
+                " * sqrt(cast(cq as double))) as bigint)"
+            )
+        ).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(
+            F.when((F.col("cp") == 0) | (F.col("cq") == 0), 1).otherwise(0)
+        ).cast("bigint").alias("n_disjoint"),
+    )
+    den = F.sqrt(F.col("np").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    affinity = F.col("sq").cast("double") / F.lit(HELL_SCALE) / den
+    return aff.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("train_tokens"),
+        F.col("nq").alias("val_tokens"),
+        "n_types",
+        "n_disjoint",
+        affinity.alias("affinity"),
+        F.sqrt(F.lit(1.0) - affinity).alias("hellinger"),
+    )

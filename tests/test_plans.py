@@ -447,6 +447,8 @@ BROADCAST_NONEQUI_OK = {
     "sim_prf_rocchio",
     # 1-row reference-day broadcast into the |purchasers| frame
     "events_rfm_segments",
+    # 1-row split-totals broadcast into the 1-row affinity fold
+    "corpus_split_hellinger",
 }
 
 

@@ -498,3 +498,17 @@ def test_powerlaw_alpha_tail_and_range(spark):
         # MLE over d >= 2 with the (x_min - 1/2) shift is > 1 by
         # construction and finite on any non-degenerate tail
         assert 1.0 < r["alpha"] < 100.0
+
+
+def test_split_hellinger_bounds_and_disjoint_accounting(spark):
+    from conduit_connector_s3_iceberg_spark.operators.corpus import (
+        corpus_split_hellinger,
+    )
+
+    row = corpus_split_hellinger(spark, SF001).collect()[0]
+    assert row["train_tokens"] > row["val_tokens"] > 0  # ~80/10 split
+    assert 0 <= row["n_disjoint"] <= row["n_types"]
+    assert 0.0 <= row["affinity"] <= 1.0
+    assert 0.0 <= row["hellinger"] <= 1.0
+    # same generator for both splits: the distributions must be close
+    assert row["hellinger"] < 0.9
