@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.registry import QUERIES, query
+from ..plans.registry import QUERIES, query, track_cache
 from ..sources.tables import load_table
 
 # 3-gram word shingles, identical token/slice semantics in Spark and DuckDB.
@@ -419,11 +419,10 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occurrence row of a hot shingle type into one window group (the
     # exact straggler the df cap exists to remove; hash aggregation
     # absorbs hot keys map-side)
-    cnts = (
+    cnts = track_cache(
         docs.select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"))
         .groupBy("doc_id", F.xxhash64("shingle").alias("shingle_h"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .persist()
     )
     kept = (
         cnts.groupBy("shingle_h")
@@ -1234,6 +1233,19 @@ def _dfreq_paths(root: str, gen: int, base: int = 0) -> list:
 def build_dedup_state(
     spark: SparkSession, docs: DataFrame, root: str, files: dict | None = None
 ) -> DataFrame:
+    """Concurrent-writer-safe wrapper: the full rebuild runs under the
+    state root's maintenance lease (see :func:`state.maintenance_lease`)
+    so a concurrent maintainer cannot interleave staging with the rmtree.
+    """
+    from ..state import maintenance_lease
+
+    with maintenance_lease(root):
+        return _build_dedup_state_locked(spark, docs, root, files)
+
+
+def _build_dedup_state_locked(
+    spark: SparkSession, docs: DataFrame, root: str, files: dict | None = None
+) -> DataFrame:
     """Full build of the labels state at ``root`` from ``docs``:
     ONE pass of the expensive front end — n-gram Jaccard pairs →
     star-contraction components (O(log n) rounds) for ``cluster_id``,
@@ -1279,6 +1291,26 @@ def build_dedup_state(
 
 
 def maintain_dedup_state(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    root: str,
+    files: dict | None = None,
+) -> DataFrame:
+    """Concurrent-writer-safe wrapper: maintenance serializes on the
+    state root's lease. Two simultaneous maintainers used to interleave
+    gen+1 staging writes and last-writer-wins away a generation (r8
+    verdict, What's missing #3); under the lease the second writer
+    re-reads the manifest AFTER the first commits, sees the new
+    generation, and applies its delta on top — both deltas land. The
+    manifest CAS inside write_manifest stays as defense-in-depth for
+    writers that bypass the lease."""
+    from ..state import maintenance_lease
+
+    with maintenance_lease(root):
+        return _maintain_dedup_state_locked(spark, delta_docs, root, files)
+
+
+def _maintain_dedup_state_locked(
     spark: SparkSession,
     delta_docs: DataFrame,
     root: str,
@@ -1538,6 +1570,15 @@ def maintain_dedup_state(
 
 
 def compact_dedup_state(spark: SparkSession, root: str) -> None:
+    """Concurrent-writer-safe wrapper: compaction serializes on the
+    state root's maintenance lease like build/maintain."""
+    from ..state import maintenance_lease
+
+    with maintenance_lease(root):
+        return _compact_dedup_state_locked(spark, root)
+
+
+def _compact_dedup_state_locked(spark: SparkSession, root: str) -> None:
     """Merge the labels state's index/df-log generations into a single
     base generation — the scheduled compaction job the append path
     amortizes against (every maintenance adds one generation directory;
@@ -1595,27 +1636,35 @@ def expire_dedup_state(root: str) -> list:
     ``dedup_labels_delta_audit`` serve from, the current generation is
     what every other consumer reads. Everything else (compacted-away
     gens, intermediate labels/pairs gens, orphans of crashed writers) is
-    deleted. Returns the deleted paths."""
+    deleted. Returns the deleted paths.
+
+    Runs under the maintenance lease: 'orphan above gen' is only safely
+    deletable when no writer is mid-stage — a concurrent maintainer's
+    freshly staged (not yet committed) gen+1 files look exactly like a
+    crashed writer's orphans, and deleting them between its parquet
+    write and its manifest commit would publish a manifest pointing at
+    missing files."""
     import os
     import re
     import shutil
 
-    from ..state import expire_generations
+    from ..state import expire_generations, maintenance_lease
 
-    man = _state_manifest(root)
-    if man is None:
-        raise ValueError(f"no labels state at {root}; nothing to expire")
-    gen = man["gen"]
-    live = set(range(man.get("base_gen", 0), gen + 1))
-    deleted = expire_generations(root, {"index": live, "dfreq": live})
-    flat = re.compile(r"^(labels|pairs)_g(\d+)$")
-    for name in os.listdir(root):
-        m = flat.match(name)
-        if m and int(m.group(2)) not in (0, gen):
-            p = os.path.join(root, name)
-            shutil.rmtree(p, ignore_errors=True)
-            deleted.append(p)
-    return deleted
+    with maintenance_lease(root):
+        man = _state_manifest(root)
+        if man is None:
+            raise ValueError(f"no labels state at {root}; nothing to expire")
+        gen = man["gen"]
+        live = set(range(man.get("base_gen", 0), gen + 1))
+        deleted = expire_generations(root, {"index": live, "dfreq": live})
+        flat = re.compile(r"^(labels|pairs)_g(\d+)$")
+        for name in os.listdir(root):
+            m = flat.match(name)
+            if m and int(m.group(2)) not in (0, gen):
+                p = os.path.join(root, name)
+                shutil.rmtree(p, ignore_errors=True)
+                deleted.append(p)
+        return deleted
 
 
 def ensure_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1632,26 +1681,20 @@ def ensure_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from ..state import snapshot_delta
+
     src = os.path.join(sf_dir, "documents.parquet")
     root = dedup_table_path(sf_dir)
     cur = _corpus_snapshot(src)
     man = _state_manifest(root)
     if man is not None:
         old = man.get("files", {})
-        if old == cur:
+        kind, new_rel = snapshot_delta(old, cur)
+        if kind == "unchanged":
             return spark.read.parquet(_labels_dir(root, man["gen"]))
-        appended = set(old) <= set(cur) and all(
-            old[k] == cur[k] for k in old
-        )
-        if appended and old:
-            if os.path.isfile(src):  # single file can't grow by append
-                appended = False
-        if appended and old:
-            new_files = [
-                src if os.path.isfile(src) else os.path.join(src, rel)
-                for rel in cur
-                if rel not in old
-            ]
+        if kind == "appended" and not os.path.isfile(src):
+            # (a single file can't grow by append — rewritten instead)
+            new_files = [os.path.join(src, rel) for rel in new_rel]
             delta = spark.read.parquet(*new_files).select("doc_id", "text")
             return maintain_dedup_state(spark, delta, root, files=cur)
     # direct read, not load_table: its per-session relation cache pins the
@@ -2390,7 +2433,7 @@ def _capped_index(docs: DataFrame, materialize: bool = True):
         "shingle_h",
     )
     if materialize:
-        idx = idx.persist()
+        idx = track_cache(idx)
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     return idx, sizes
 
@@ -2427,7 +2470,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = sh.join(
         df_tbl.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle_h"
     )
-    doc_sets = (
+    doc_sets = track_cache(
         idx.groupBy("doc_id")
         .agg(
             F.expr(
@@ -2436,7 +2479,6 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hs"),
             F.count(F.lit(1)).alias("sz"),
         )
-        .persist()
     )
     # PPJoin prefix: the floor((1-t)·|d|)+1 globally-rarest shingles
     prefix = doc_sets.select(

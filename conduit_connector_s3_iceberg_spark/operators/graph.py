@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..plans.registry import query
+from ..plans.registry import query, track_cache
 from ..sources.tables import load_table
 
 PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (10^12 < 2^53: the
@@ -1104,8 +1104,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         F.col("n_name").alias("s_comm"))),
               F.col("s_nationkey") == F.col("snk"))
         .select("c_comm", "s_comm")
-        .persist()  # feeds m, within, and both degree halves: one extraction
     )
+    lab = track_cache(lab)  # feeds m, within, and both degree halves: one extraction
     m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     within = (
         lab.filter(F.col("c_comm") == F.col("s_comm"))

@@ -1624,7 +1624,13 @@ def sample_decayed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long").alias("u"),
     )
-    admit = F.expr(f"u < shiftright(cast({_U52} as bigint), cast(k as int))")
+    # Spark's shiftright masks the shift count mod 64 (Java semantics), so
+    # an event aged >= 64 half-lives would wrap to full admission where the
+    # saturating-shift oracle admits none. Clamp to 63: for every k >= 53
+    # the threshold is already 0 in both engines, so least(k, 63) is exact.
+    admit = F.expr(
+        f"u < shiftright(cast({_U52} as bigint), cast(least(k, 63L) as int))"
+    )
     return (
         gated.groupBy("event_type", "k")
         .agg(

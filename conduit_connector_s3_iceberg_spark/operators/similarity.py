@@ -4956,17 +4956,26 @@ def seed_ivf_centroids(spark: SparkSession, emb: DataFrame) -> list:
     reachable; the static md5 constants, by contrast, sit far outside a
     concentrated corpus and collapse assignment into 2-3 giant cells
     (measured on the synthetic embeddings — see sim_ann_trained_recall's
-    scan_frac column). Falls back to the static constant for any missing
-    seed id so the list is always K long."""
+    scan_frac column).
+
+    The corpus MUST contain vec_ids 0..K-1: the SQL oracles' cent0 CTE
+    selects exactly those rows, so a silent fallback for a missing seed
+    id would make trained-mode assignments diverge from the oracle on a
+    tiny or non-contiguous corpus. Build fails loudly instead."""
     rows = (
         emb.select("vec_id", F.expr(_SPARK_EMB_D).alias("emb"))
         .filter(F.col("vec_id") < N_CENTROIDS)
         .collect()  # bounded: K rows of metadata
     )
     by_id = {int(r["vec_id"]): [float(x) for x in r["emb"]] for r in rows}
-    return [
-        by_id.get(i, list(CENTROIDS[i])) for i in range(N_CENTROIDS)
-    ]
+    missing = [i for i in range(N_CENTROIDS) if i not in by_id]
+    if missing:
+        raise ValueError(
+            f"seed_ivf_centroids: corpus is missing seed vec_ids {missing}; "
+            f"data-point seeding requires vec_ids 0..{N_CENTROIDS - 1} to "
+            "be present (the oracle's cent0 CTE selects exactly these rows)"
+        )
+    return [by_id[i] for i in range(N_CENTROIDS)]
 
 
 def train_ivf_centroids(
@@ -5051,7 +5060,32 @@ def ensure_ann_index(
     manifest commit leaves the served index at generation ``g``; the
     retry's ``mode("overwrite")`` replaces the orphaned directory, so a
     delta is never double-appended and a concurrent reader never sees
-    partially appended rows."""
+    partially appended rows.
+
+    Concurrent writers serialize on the root's maintenance lease (r8
+    verdict item): without it, two maintainers staging ``gen+1``
+    simultaneously overwrite each other's staged cells, and the loser's
+    manifest commit last-writer-wins away the winner's generation."""
+    import os
+    import shutil
+
+    from ..state import (
+        corpus_snapshot,
+        gen_dir,
+        maintenance_lease,
+        read_manifest,
+        snapshot_delta,
+        write_manifest,
+    )
+
+    root = ann_index_path(sf_dir, mode)
+    with maintenance_lease(root):
+        return _ensure_ann_index_locked(spark, sf_dir, mode, root)
+
+
+def _ensure_ann_index_locked(
+    spark: SparkSession, sf_dir: str, mode: str, root: str
+) -> DataFrame:
     import os
     import shutil
 
@@ -5063,7 +5097,6 @@ def ensure_ann_index(
         write_manifest,
     )
 
-    root = ann_index_path(sf_dir, mode)
     src = os.path.join(sf_dir, "embeddings.parquet")
     snap = corpus_snapshot(src)
     man = read_manifest(root)
@@ -5117,34 +5150,41 @@ def compact_ann_index(spark: SparkSession, root: str) -> None:
     (readers union ``base_gen..gen``; periodic compaction keeps the
     union width O(1)). Same staged-files-then-manifest commit as
     ``compact_dedup_state``; run ``expire_ann_state`` afterwards to
-    reclaim the superseded generation directories."""
-    from ..state import gen_dir, read_manifest, write_manifest
+    reclaim the superseded generation directories. Serializes on the
+    root's maintenance lease like every other ANN writer."""
+    from ..state import gen_dir, maintenance_lease, read_manifest, write_manifest
 
-    man = read_manifest(root)
-    if man is None:
-        raise ValueError(f"no ANN index at {root}; run ensure_ann_index")
-    gen, base = man["gen"], man.get("base_gen", 0)
-    if base == gen:
-        return  # single live generation — nothing to merge
-    _read_ann_cells(spark, root, man).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(gen_dir(root, "cells", gen + 1))
-    write_manifest(
-        root, {**man, "gen": gen + 1, "base_gen": gen + 1}
-    )
+    with maintenance_lease(root):
+        man = read_manifest(root)
+        if man is None:
+            raise ValueError(f"no ANN index at {root}; run ensure_ann_index")
+        gen, base = man["gen"], man.get("base_gen", 0)
+        if base == gen:
+            return  # single live generation — nothing to merge
+        _read_ann_cells(spark, root, man).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(gen_dir(root, "cells", gen + 1))
+        write_manifest(
+            root, {**man, "gen": gen + 1, "base_gen": gen + 1}
+        )
 
 
 def expire_ann_state(root: str) -> list:
     """Delete cell generations the committed manifest no longer reaches
     (below ``base_gen`` after compaction, or crashed-writer orphans
-    above ``gen``). Returns the deleted paths."""
-    from ..state import expire_generations, read_manifest
+    above ``gen``). Returns the deleted paths. Takes the maintenance
+    lease: a concurrent maintainer's freshly staged gen+1 cells are
+    indistinguishable from crashed-writer orphans, and deleting them
+    between its parquet write and manifest commit would publish a
+    manifest pointing at missing files."""
+    from ..state import expire_generations, maintenance_lease, read_manifest
 
-    man = read_manifest(root)
-    if man is None:
-        raise ValueError(f"no ANN index at {root}; nothing to expire")
-    live = set(range(man.get("base_gen", 0), man["gen"] + 1))
-    return expire_generations(root, {"cells": live})
+    with maintenance_lease(root):
+        man = read_manifest(root)
+        if man is None:
+            raise ValueError(f"no ANN index at {root}; nothing to expire")
+        live = set(range(man.get("base_gen", 0), man["gen"] + 1))
+        return expire_generations(root, {"cells": live})
 
 
 @query(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.registry import QUERIES, query
+from ..plans.registry import QUERIES, query, track_cache
 from ..sources.tables import load_table
 from . import lm as _lm  # noqa: F401  (registers the fluency oracle this module composes)
 from .dedup import SHINGLES_SPARK, SHINGLES_SQL
@@ -832,8 +832,8 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.tok_a", "p.tok_b")
-        .persist()  # feeds pair counts AND the pair total: one corpus scan
     )
+    pairs = track_cache(pairs)  # feeds pair counts AND the pair total: one corpus scan
     pc = (
         pairs.groupBy("tok_a", "tok_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f_ab"))
@@ -842,11 +842,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab-grain table consumed three times (both join sides + the
     # total); left as lineage each consumer re-scans the corpus
     # (scan_count showed 4 top-level reads) — persisted it costs one
-    uni = (
+    uni = track_cache(
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f_w"))
-        .persist()
     )
     tot = uni.agg(F.sum("f_w").cast("bigint").alias("n"))
     m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))

@@ -34,12 +34,51 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+# Persisted intermediates tracked per registry query. A builder that caches
+# a shared front end (e.g. text_collocations_pmi's pair table) registers it
+# via track_cache(); the NEXT registry-query invocation releases everything
+# tracked so far. The returned DataFrame has usually been materialized by
+# then (harness pattern: build -> collect -> next query); if it hasn't,
+# unpersist() merely drops the cache and the plan recomputes — correctness
+# is never at stake. This bounds executor cache growth in a long-lived
+# session running many registry queries (previously only an external
+# spark.catalog.clearCache() released them).
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for release at the next registry
+    query invocation (or an explicit release_tracked_caches())."""
+    df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every tracked cache; returns how many were released."""
+    n = len(_TRACKED_CACHES)
+    for df in _TRACKED_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _TRACKED_CACHES.clear()
+    return n
+
 
 def query(name: str, oracle: str | None, doc: str = ""):
     """Register a query under ``name`` with its DuckDB oracle SQL."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = Query(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked_caches()
+            return fn(spark, sf_dir)
+
+        build.__doc__ = fn.__doc__
+        build.__name__ = fn.__name__
+        QUERIES[name] = Query(
+            name=name, build=build, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
         return fn
 
     return deco

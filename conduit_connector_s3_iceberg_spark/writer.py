@@ -75,7 +75,13 @@ class ParquetWarehouse:
             self._dir(table), self._current_state(table)["version"]
         )
 
-    def _commit(self, table: str, version_dir: str, mark: str | None = None) -> None:
+    def _commit(
+        self,
+        table: str,
+        version_dir: str,
+        mark: str | None = None,
+        clear_marks: bool = False,
+    ) -> None:
         """Atomic snapshot pointer swap. ``mark`` is an idempotence token
         (e.g. ``e<epoch>``) recorded IN THE SAME os.replace as the version
         pointer — so 'this epoch's write committed to this table' and the
@@ -86,7 +92,7 @@ class ParquetWarehouse:
         (see :meth:`append`'s ``mark`` and :func:`mark_epoch_applied`)."""
         marker = os.path.join(self._dir(table), "CURRENT")
         marks: dict = {}
-        if os.path.exists(marker):
+        if not clear_marks and os.path.exists(marker):
             marks = self._current_state(table).get("marks", {})
         if mark is not None:
             marks.pop(str(mark), None)  # re-insert at the recent end
@@ -523,7 +529,14 @@ class ParquetWarehouse:
         path = os.path.join(self._dir(table), version)
         if not os.path.isdir(path):
             raise ValueError(f"unknown or expired version {version!r} of {table!r}")
-        self._commit(table, path)
+        # A rollback discards the writes of every epoch committed after the
+        # target snapshot, so the idempotence marks that recorded those
+        # epochs as applied are now lies: carrying them forward would make
+        # a replay-after-rollback silently skip re-appliable epochs (within
+        # the 64-mark window) and lose their writes. Clear the marks dict —
+        # the next replay re-applies everything, which is exactly right
+        # because the data is back to the pre-epoch state.
+        self._commit(table, path, clear_marks=True)
         return version
 
     # -- named refs (Iceberg tags: immutable snapshot names) ---------------

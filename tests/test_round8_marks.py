@@ -136,3 +136,22 @@ def test_summary_delta_mark_prevents_double_merge(spark, tmp_path):
     apply_summary_delta(wh, "sum_t", delta, ["source"], ["n_tokens"], mark="e1")
     row = wh.read("sum_t").collect()[0]
     assert row["n_rows"] == 2 and row["sum_n_tokens"] == 20
+
+
+def test_rollback_clears_marks_so_rolled_back_epochs_reapply(spark, tmp_path):
+    """Replay-after-rollback recovery (r8 ADVICE): rollback() discards the
+    data of epochs committed after the target snapshot, so their marks must
+    not survive — otherwise mark_applied() silently skips re-applying them
+    and the writes are lost."""
+    wh = _wh(spark, tmp_path)
+    df = _df(spark, [(1, "a"), (2, "b")])
+    wh.create_table("t", df.schema)
+    wh.append("t", df, mark="e0")          # 2 rows
+    wh.append("t", df, mark="e1")          # 4 rows
+    pre_e1 = wh.history("t")[-2]           # snapshot after e0, before e1
+    wh.rollback("t", pre_e1)               # e1's data is gone...
+    assert wh.read("t").count() == 2
+    assert not wh.mark_applied("t", "e1")  # ...and so is its mark
+    assert not wh.mark_applied("t", "e0")  # marks are cleared wholesale
+    wh.append("t", df, mark="e1")          # replaying e1 must apply
+    assert wh.read("t").count() == 4
