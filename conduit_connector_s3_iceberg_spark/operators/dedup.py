@@ -1303,11 +1303,48 @@ def maintain_dedup_state(
     re-reads the manifest AFTER the first commits, sees the new
     generation, and applies its delta on top — both deltas land. The
     manifest CAS inside write_manifest stays as defense-in-depth for
-    writers that bypass the lease."""
+    writers that bypass the lease.
+
+    Auto-compaction: when the commit pushes the live generation width
+    past ``auto_compact_gens`` (manifest-recorded; default
+    ``DEDUP_AUTO_COMPACT_GENS``), compaction runs here, inside the
+    already-held lease — the scheduled job the append path amortizes
+    against becomes part of the append path itself once the reader-side
+    union would grow past the threshold. Space reclaim follows the
+    grace-window rule (see :func:`_expire_dedup_state_locked`): only
+    generations superseded TWO compactions ago are deleted, so a
+    DataFrame returned before the previous compaction still
+    materializes."""
     from ..state import maintenance_lease
 
     with maintenance_lease(root):
-        return _maintain_dedup_state_locked(spark, delta_docs, root, files)
+        out = _maintain_dedup_state_locked(spark, delta_docs, root, files)
+        _auto_compact_dedup_if_wide(spark, root)
+        return out
+
+
+DEDUP_AUTO_COMPACT_GENS = 8
+
+
+def _auto_compact_dedup_if_wide(spark: SparkSession, root: str) -> bool:
+    """Compact + grace-expire when the live generation width exceeds the
+    manifest's threshold. Caller holds the maintenance lease (the locked
+    bodies are called directly — flock is not reentrant across fds)."""
+    man = _state_manifest(root)
+    if man is None:
+        return False
+    thresh = int(man.get("auto_compact_gens", DEDUP_AUTO_COMPACT_GENS))
+    if man["gen"] - man.get("base_gen", 0) + 1 <= thresh:
+        return False
+    # one-cycle grace: generations below the PRE-compaction base were
+    # superseded by the previous compaction and have now survived a full
+    # extra cycle — any DataFrame handed out before that compaction has
+    # had the whole cycle to materialize. Generations superseded by THIS
+    # compaction ([old base, gen]) are kept until the next one.
+    floor_old = int(man.get("base_gen", 0))
+    _compact_dedup_state_locked(spark, root)
+    _expire_dedup_state_locked(root, floor=floor_old)
+    return True
 
 
 def _maintain_dedup_state_locked(
@@ -1361,9 +1398,7 @@ def _maintain_dedup_state_locked(
     )
     if delta.isEmpty():
         if files is not None and files != man.get("files"):
-            _write_state_manifest(
-                root, {"gen": gen, "base_gen": base_gen, "files": files}
-            )
+            _write_state_manifest(root, {**man, "files": files})
         return labels_old
     delta_ids = delta.select("doc_id").localCheckpoint()
 
@@ -1561,6 +1596,7 @@ def _maintain_dedup_state_locked(
     _write_state_manifest(
         root,
         {
+            **man,
             "gen": gen + 1,
             "base_gen": base_gen,
             "files": files if files is not None else man.get("files", {}),
@@ -1618,7 +1654,16 @@ def _compact_dedup_state_locked(spark: SparkSession, root: str) -> None:
     )
     _write_state_manifest(
         root,
-        {"gen": gen + 1, "base_gen": gen + 1, "files": man.get("files", {})},
+        {
+            **man,
+            "gen": gen + 1,
+            "base_gen": gen + 1,
+            # generations [grace_floor, old base) were superseded by the
+            # PREVIOUS compaction and have now survived one full extra
+            # cycle; the next auto-expiry may delete below the new floor
+            "grace_floor": base,
+            "files": man.get("files", {}),
+        },
     )
 
 
@@ -1644,27 +1689,44 @@ def expire_dedup_state(root: str) -> list:
     crashed writer's orphans, and deleting them between its parquet
     write and its manifest commit would publish a manifest pointing at
     missing files."""
+    from ..state import maintenance_lease
+
+    with maintenance_lease(root):
+        return _expire_dedup_state_locked(root)
+
+
+def _expire_dedup_state_locked(root: str, floor: int | None = None) -> list:
+    """Body of :func:`expire_dedup_state`; caller holds the lease.
+
+    ``floor`` widens the keep set downward for the auto-compaction path:
+    index/df-log generations in ``[floor, base_gen)`` — superseded by the
+    MOST RECENT compaction — are kept one extra compaction cycle so a
+    DataFrame returned before that compaction can still materialize
+    lazily; only generations below ``floor`` (superseded two compactions
+    ago) are deleted. ``floor=None`` is the manual aggressive form
+    (keep exactly the manifest-reachable set)."""
     import os
     import re
     import shutil
 
-    from ..state import expire_generations, maintenance_lease
+    from ..state import expire_generations
 
-    with maintenance_lease(root):
-        man = _state_manifest(root)
-        if man is None:
-            raise ValueError(f"no labels state at {root}; nothing to expire")
-        gen = man["gen"]
-        live = set(range(man.get("base_gen", 0), gen + 1))
-        deleted = expire_generations(root, {"index": live, "dfreq": live})
-        flat = re.compile(r"^(labels|pairs)_g(\d+)$")
-        for name in os.listdir(root):
-            m = flat.match(name)
-            if m and int(m.group(2)) not in (0, gen):
-                p = os.path.join(root, name)
-                shutil.rmtree(p, ignore_errors=True)
-                deleted.append(p)
-        return deleted
+    man = _state_manifest(root)
+    if man is None:
+        raise ValueError(f"no labels state at {root}; nothing to expire")
+    gen = man["gen"]
+    lo = man.get("base_gen", 0) if floor is None else min(floor, gen)
+    live = set(range(lo, gen + 1))
+    deleted = expire_generations(root, {"index": live, "dfreq": live})
+    flat = re.compile(r"^(labels|pairs)_g(\d+)$")
+    for name in os.listdir(root):
+        m = flat.match(name)
+        g = int(m.group(2)) if m else None
+        if m and g != 0 and g != gen and not (floor is not None and g >= lo):
+            p = os.path.join(root, name)
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
+    return deleted
 
 
 def ensure_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5125,8 +5125,24 @@ def _ensure_ann_index_locked(
                 "snapshot": snap,
                 "appended": True,
             }
-            write_manifest(root, man)
-            return _read_ann_cells(spark, root, man)
+            man = write_manifest(root, man)
+            out = _read_ann_cells(spark, root, man)
+            # auto-compaction: same policy as the dedup labels state —
+            # when the live cell-generation width exceeds the manifest
+            # threshold, merge inside the already-held lease and expire
+            # only generations superseded two compactions ago (grace
+            # window for lazily-held reader DataFrames)
+            thresh = int(man.get("auto_compact_gens", ANN_AUTO_COMPACT_GENS))
+            if man["gen"] - man.get("base_gen", 0) + 1 > thresh:
+                # one-cycle grace: delete only generations below the
+                # PRE-compaction base (superseded by the previous
+                # compaction, survived one full extra cycle)
+                floor_old = int(man.get("base_gen", 0))
+                _compact_ann_index_locked(spark, root)
+                _expire_ann_state_locked(root, floor=floor_old)
+                man = read_manifest(root)
+                out = _read_ann_cells(spark, root, man)
+            return out
 
     # full (re)build — direct read, NOT load_table: its resolved-relation
     # cache assumes immutable tables, and a rebuild exists precisely
@@ -5152,21 +5168,31 @@ def compact_ann_index(spark: SparkSession, root: str) -> None:
     ``compact_dedup_state``; run ``expire_ann_state`` afterwards to
     reclaim the superseded generation directories. Serializes on the
     root's maintenance lease like every other ANN writer."""
-    from ..state import gen_dir, maintenance_lease, read_manifest, write_manifest
+    from ..state import maintenance_lease
 
     with maintenance_lease(root):
-        man = read_manifest(root)
-        if man is None:
-            raise ValueError(f"no ANN index at {root}; run ensure_ann_index")
-        gen, base = man["gen"], man.get("base_gen", 0)
-        if base == gen:
-            return  # single live generation — nothing to merge
-        _read_ann_cells(spark, root, man).write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(gen_dir(root, "cells", gen + 1))
-        write_manifest(
-            root, {**man, "gen": gen + 1, "base_gen": gen + 1}
-        )
+        return _compact_ann_index_locked(spark, root)
+
+
+ANN_AUTO_COMPACT_GENS = 8
+
+
+def _compact_ann_index_locked(spark: SparkSession, root: str) -> None:
+    from ..state import gen_dir, read_manifest, write_manifest
+
+    man = read_manifest(root)
+    if man is None:
+        raise ValueError(f"no ANN index at {root}; run ensure_ann_index")
+    gen, base = man["gen"], man.get("base_gen", 0)
+    if base == gen:
+        return  # single live generation — nothing to merge
+    _read_ann_cells(spark, root, man).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(gen_dir(root, "cells", gen + 1))
+    write_manifest(
+        root,
+        {**man, "gen": gen + 1, "base_gen": gen + 1, "grace_floor": base},
+    )
 
 
 def expire_ann_state(root: str) -> list:
@@ -5177,14 +5203,25 @@ def expire_ann_state(root: str) -> list:
     indistinguishable from crashed-writer orphans, and deleting them
     between its parquet write and manifest commit would publish a
     manifest pointing at missing files."""
-    from ..state import expire_generations, maintenance_lease, read_manifest
+    from ..state import maintenance_lease
 
     with maintenance_lease(root):
-        man = read_manifest(root)
-        if man is None:
-            raise ValueError(f"no ANN index at {root}; nothing to expire")
-        live = set(range(man.get("base_gen", 0), man["gen"] + 1))
-        return expire_generations(root, {"cells": live})
+        return _expire_ann_state_locked(root)
+
+
+def _expire_ann_state_locked(root: str, floor: int | None = None) -> list:
+    """Body of :func:`expire_ann_state`; caller holds the lease.
+    ``floor`` widens the keep set downward for the auto-compaction path
+    (generations superseded only by the most recent compaction survive
+    one extra cycle — see ``_expire_dedup_state_locked``)."""
+    from ..state import expire_generations, read_manifest
+
+    man = read_manifest(root)
+    if man is None:
+        raise ValueError(f"no ANN index at {root}; nothing to expire")
+    lo = man.get("base_gen", 0) if floor is None else min(floor, man["gen"])
+    live = set(range(lo, man["gen"] + 1))
+    return expire_generations(root, {"cells": live})
 
 
 @query(
