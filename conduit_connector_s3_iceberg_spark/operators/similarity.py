@@ -4996,7 +4996,15 @@ def train_ivf_centroids(
     are this same body repeated (cf. ``emb_kmeans_iterate``)."""
     if seeds is None:
         seeds = seed_ivf_centroids(spark, emb)
-    a0 = _assign_cells(emb, seeds)
+    return _lloyd_step(spark, emb, seeds)
+
+
+def _lloyd_step(spark: SparkSession, emb: DataFrame, cents: list) -> list:
+    """One exact Lloyd update of ``cents`` over ``emb``: broadcast-argmin
+    assignment (narrow map), one (cell, dim) hash agg of SCALED-INTEGER
+    sums, empty cells keep their previous centroid. The K×DIM collect is
+    bounded metadata."""
+    a0 = _assign_cells(emb, cents)
     sums = (
         a0.select("cell", F.posexplode("emb").alias("pos", "x"))
         .select(
@@ -5007,13 +5015,74 @@ def train_ivf_centroids(
         .groupBy("cell", "pos")
         .agg(F.sum("xs").alias("ssum"), F.count(F.lit(1)).alias("n"))
     )
-    trained = [list(c) for c in seeds]  # seed fallback for empty cells
+    trained = [list(c) for c in cents]  # previous-centroid fallback
     for r in sums.collect():  # bounded: K*DIM rows of metadata
         # same association as the oracle: int->double cast, /n, /scale
         trained[r["cell"] - 1][r["pos"]] = (
             float(r["ssum"]) / r["n"] / CENTROID_SCALE
         )
     return trained
+
+
+def _round_half_away(x: float) -> int:
+    """round-half-away-from-zero — DuckDB's round() and Spark's F.round,
+    NOT Python's banker's rounding."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _scaled_movement(prev: list, cur: list) -> int:
+    """Max per-coordinate centroid displacement in CENTROID_SCALE units —
+    an exact integer, so the manifest trace and the SQL audit agree
+    bit-for-bit."""
+    return max(
+        abs(
+            _round_half_away(c * CENTROID_SCALE)
+            - _round_half_away(p * CENTROID_SCALE)
+        )
+        for pv, cv in zip(prev, cur)
+        for p, c in zip(pv, cv)
+    )
+
+
+MAX_TRAIN_ITERS = 5
+# stop when no centroid coordinate moved more than this many scale units
+# (1000 units = 1e-3 in embedding space — below any assignment boundary
+# the synthetic corpora exercise)
+TRAIN_EPS_SCALED = 1000
+
+
+def train_ivf_centroids_multi(
+    spark: SparkSession,
+    emb: DataFrame,
+    seeds: list | None = None,
+    max_iters: int = MAX_TRAIN_ITERS,
+    eps_scaled: int = TRAIN_EPS_SCALED,
+) -> tuple[list, list]:
+    """Iterated Lloyd training (r8 verdict item 5): repeat the exact
+    scaled-integer update until the max centroid movement drops to
+    ``eps_scaled`` scale units or ``max_iters`` is reached. Returns
+    ``(centroids, movement_trace)`` — the trace (one exact integer per
+    iteration) goes into the index manifest so a rebuild is keyed on the
+    full training history, and the convergence is auditable
+    (``sim_multistep_train_audit`` recomputes it in SQL).
+
+    At 100 TB: each iteration is one corpus pass + a K·DIM-key agg;
+    ``max_iters`` bounds the build cost, and the epsilon stop means a
+    well-separated corpus pays only as many passes as it needs."""
+    if seeds is None:
+        seeds = seed_ivf_centroids(spark, emb)
+    cur = [list(c) for c in seeds]
+    trace: list[int] = []
+    for _ in range(max_iters):
+        nxt = _lloyd_step(spark, emb, cur)
+        mv = _scaled_movement(cur, nxt)
+        trace.append(mv)
+        cur = nxt
+        if mv <= eps_scaled:
+            break
+    return cur, trace
 
 
 def _cells_paths(root: str, gen: int, base: int = 0) -> list:
@@ -5148,7 +5217,14 @@ def _ensure_ann_index_locked(
     # cache assumes immutable tables, and a rebuild exists precisely
     # because the corpus changed
     emb = spark.read.parquet(src).select("vec_id", "embedding")
-    cents = train_ivf_centroids(spark, emb) if mode == "trained" else None
+    cents, train_meta = None, {}
+    if mode == "trained":
+        cents = train_ivf_centroids(spark, emb)
+    elif mode == "trained_multi":
+        # iterate-to-epsilon Lloyd (bounded); manifest records the full
+        # convergence history, so rebuild keys and the audit see it
+        cents, trace = train_ivf_centroids_multi(spark, emb)
+        train_meta = {"train_iters": len(trace), "movement_trace": trace}
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     _assign_cells(emb, cents).write.mode("overwrite").partitionBy(
@@ -5157,6 +5233,7 @@ def _ensure_ann_index_locked(
     man = {"gen": 0, "base_gen": 0, "snapshot": snap, "appended": False}
     if cents is not None:
         man["centroids"] = cents
+    man.update(train_meta)
     write_manifest(root, man)
     return _read_ann_cells(spark, root, man)
 
@@ -6051,3 +6128,245 @@ def emb_sign_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("exact_topk_hamming"),
     )
+
+
+# ------------------------------------- multi-step Lloyd training audit -----
+#
+# Round 9 (r8 verdict item 5): the trained index gained iterate-to-
+# epsilon training (train_ivf_centroids_multi; manifest records
+# train_iters + the exact-integer movement_trace). This audit recomputes
+# a FIXED-DEPTH training run (MULTI_AUDIT_ITERS iterations — fixed so the
+# static SQL oracle can chain the same number of CTE rounds) and reports,
+# per iteration: the max centroid movement in CENTROID_SCALE units (an
+# exact integer — bit-identical across engines), recall@TOP_K at the
+# standard NPROBE against exact brute-force truth, and scan_frac. The
+# measured shape on the synthetic corpora: movement collapses by >10x
+# per round while recall moves only within noise (it can DIP slightly —
+# Lloyd optimizes quantization error, not recall-at-fixed-nprobe; the
+# honest win is recall-per-scanned-row) and scan_frac does not regress.
+# That is the evidence that the epsilon stop is safe and extra Lloyd
+# passes are not wasted corpus scans.
+
+MULTI_AUDIT_ITERS = 3
+
+
+def _multi_train_oracle_sql(T: int) -> str:
+    """T chained Lloyd rounds + per-round movement and recall, all in
+    DuckDB SQL with the exact scaled-integer discipline of the Spark
+    trainer (cf. _TRAIN_CTE, which is the T=1 special case)."""
+    parts = [f"""
+    d AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(vec_id + 1 AS INTEGER) AS cell, emb AS c
+      FROM d WHERE vec_id < {N_CENTROIDS}
+    )"""]
+    for s in range(1, T + 1):
+        p = s - 1
+        parts.append(f"""
+    dist{s} AS (
+      SELECT d.vec_id, c{p}.cell, {_SQL_D2_C.format(c=f'c{p}.c')} AS d2
+      FROM d, c{p}
+    ), a{s} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+                 AS rk
+        FROM dist{s}
+      ) WHERE rk = 1
+    ), cs{s} AS (
+      SELECT a{s}.cell, i AS pos,
+             CAST(SUM(CAST(round(d.emb[i] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{s} JOIN d USING (vec_id), generate_series(1, {DIM}) AS t(i)
+      GROUP BY a{s}.cell, pos
+    ), tcv{s} AS (
+      SELECT cell,
+             array_agg(CAST(ssum AS DOUBLE) / n / {CENTROID_SCALE}
+                       ORDER BY pos) AS c
+      FROM cs{s} GROUP BY cell
+    ), c{s} AS (
+      SELECT c{p}.cell, COALESCE(tcv{s}.c, c{p}.c) AS c
+      FROM c{p} LEFT JOIN tcv{s} USING (cell)
+    ), mv{s} AS (
+      SELECT CAST(MAX(ABS(
+               CAST(round(nx.c[i] * {CENTROID_SCALE}) AS BIGINT)
+             - CAST(round(pv.c[i] * {CENTROID_SCALE}) AS BIGINT)))
+             AS BIGINT) AS m
+      FROM c{s} nx JOIN c{p} pv USING (cell),
+           generate_series(1, {DIM}) AS t(i)
+    ), rd{s} AS (
+      SELECT d.vec_id, c{s}.cell, {_SQL_D2_C.format(c=f'c{s}.c')} AS d2
+      FROM d, c{s}
+    ), rr{s} AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM rd{s}
+    ), e{s} AS (
+      SELECT d.vec_id, d.emb, d.nrm, r.cell
+      FROM d JOIN rr{s} r ON r.vec_id = d.vec_id AND r.rk = 1
+    ),{_recall_variant_sql(f'e{s}', f'rr{s}')}""")
+    truth = f"""
+    bq AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM d WHERE vec_id < {RECALL_QUERIES}
+    ), bcand AS (
+      SELECT bq.query_id, d.vec_id,
+             {_sql_dot('bq.qemb', 'd.emb')} / (bq.qnrm * d.nrm) AS cosine
+      FROM bq JOIN d ON d.vec_id <> bq.query_id
+    ), truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM bcand
+      ) WHERE rank <= {TOP_K}
+    )"""
+    rows = "\n      UNION ALL\n".join(
+        f"""
+      SELECT CAST({s} AS INTEGER) AS iter,
+             (SELECT m FROM mv{s}) AS max_move,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM e{s}top JOIN truth USING (query_id, vec_id)) AS hits,
+             (SELECT CAST(COUNT(*) AS DOUBLE)
+              FROM e{s}top JOIN truth USING (query_id, vec_id))
+               / {RECALL_QUERIES * TOP_K}.0 AS recall,
+             (SELECT CAST(tot AS DOUBLE) FROM e{s}scan)
+               / ((SELECT COUNT(*) FROM d) * {RECALL_QUERIES}.0)
+               AS scan_frac"""
+        for s in range(1, T + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + ","
+        + truth
+        + f"\n    SELECT * FROM (\n{rows}\n    ) ORDER BY iter"
+    )
+
+
+@query(
+    "sim_multistep_train_audit",
+    oracle=_multi_train_oracle_sql(MULTI_AUDIT_ITERS),
+    doc=f"Per-iteration convergence audit of multi-step Lloyd training "
+    f"({MULTI_AUDIT_ITERS} fixed rounds so the SQL oracle chains the "
+    "same depth): max centroid movement in exact CENTROID_SCALE integer "
+    f"units plus recall@{TOP_K} at nprobe={NPROBE} against brute-force "
+    "truth, per round. Movement collapsing while recall holds is the "
+    "evidence that train_ivf_centroids_multi's epsilon stop is safe — "
+    "every extra iteration is a full corpus pass at 100 TB, so the stop "
+    "rule IS the build-cost control. The persisted trained_multi index "
+    "(ensure_ann_index mode='trained_multi') stores train_iters and the "
+    "movement_trace in its manifest; this audit recomputes the same "
+    "discipline from scratch in both engines (exact scaled-integer "
+    "sums, seed fallback for empty cells), so the manifest bytes are "
+    "re-verifiable on every sweep.",
+)
+def sim_multistep_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb_d = (
+        emb_raw.select("vec_id", F.expr(_SPARK_EMB_D).alias("emb"))
+        .withColumn(
+            "nrm",
+            F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # brute-force truth over the bounded query set (audit cost by def.)
+    q = emb_d.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    bcand = emb_d.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    truth = (
+        _two_phase_topk(bcand, TOP_K, base=emb_d)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+
+    cur = seed_ivf_centroids(spark, emb_raw)
+    rows = []
+    for s in range(1, MULTI_AUDIT_ITERS + 1):
+        nxt = _lloyd_step(spark, emb_d.select("vec_id", F.col("emb").alias("embedding")), cur)
+        move = _scaled_movement(cur, nxt)
+        cur = nxt
+        dists = _dists_spark_for(cur)
+        probes = (
+            emb_d.filter(F.col("vec_id") < RECALL_QUERIES)
+            .select("vec_id", "emb", "nrm", F.expr(dists).alias("dists"))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("qemb"),
+                F.col("nrm").alias("qnrm"),
+                F.explode(
+                    F.expr(
+                        f"transform(slice(array_sort(dists), 1, {NPROBE}),"
+                        " d -> cast(array_position(dists, d) as int))"
+                    )
+                ).alias("probe_cell"),
+            )
+        )
+        assigned = _assign_cells(
+            emb_d.select("vec_id", F.col("emb").alias("embedding")), cur
+        )
+        vtop = _two_phase_topk(
+            assigned.join(
+                F.broadcast(probes),
+                (F.col("cell") == F.col("probe_cell"))
+                & (assigned.vec_id != F.col("query_id")),
+            ).select(
+                "query_id",
+                assigned.vec_id,
+                (
+                    F.expr(_spark_dot("qemb", "emb"))
+                    / (F.col("qnrm") * F.col("nrm"))
+                ).alias("cosine"),
+            ),
+            TOP_K,
+            base=emb_d,
+        ).select("query_id", "vec_id")
+        hits_df = vtop.join(truth, ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        )
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+        scan = (
+            probes.select("query_id", "probe_cell")
+            .distinct()
+            .join(sizes, F.col("probe_cell") == F.col("cell"))
+            .agg(F.sum("sz").cast("bigint").alias("tot"))
+        )
+        ntot = emb_d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        rows.append(
+            hits_df.crossJoin(F.broadcast(scan))
+            .crossJoin(F.broadcast(ntot))
+            .select(
+                F.lit(s).cast("int").alias("iter"),
+                F.lit(move).cast("bigint").alias("max_move"),
+                F.col("hits"),
+                (
+                    F.col("hits").cast("double")
+                    / F.lit(float(RECALL_QUERIES * TOP_K))
+                ).alias("recall"),
+                (
+                    F.col("tot").cast("double")
+                    / (F.col("n") * F.lit(float(RECALL_QUERIES)))
+                ).alias("scan_frac"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("iter")
