@@ -158,11 +158,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs from the df-capped inverted index —
     the shared engine of dedup_ngram_jaccard and dedup_source_matrix.
-    Both now use materialize=True: relying on runtime ReuseExchange to
-    dedup the static plan's repeated corpus scans proved fragile under
-    load (r4 driver bench regression), while the persisted index keeps
-    corpus reads at O(1) per query."""
-    return jaccard_pairs_for_docs(_docs(spark, sf_dir), materialize=materialize)
+
+    Round 9: the index derives from the PERSISTED shingle-count state
+    (:func:`ensure_shingle_counts`) — the tokenize/shingle/count front
+    end runs once per corpus generation, not once per query; the warm
+    query path reads only the 3-column state table. materialize=True
+    additionally caches the capped index across this query's ~5
+    consumers (r4 lesson: runtime ReuseExchange is not a plan)."""
+    idx, sizes = _capped_index_for(spark, sf_dir, materialize=materialize)
+    return _jaccard_pairs_from_index(idx, sizes)
 
 
 def jaccard_pairs_for_docs(docs: DataFrame, materialize: bool = True) -> DataFrame:
@@ -172,6 +176,10 @@ def jaccard_pairs_for_docs(docs: DataFrame, materialize: bool = True) -> DataFra
     # join/shuffle on an 8-byte xxhash64 of the shingle, not the string
     # (halves shuffle bytes; collision risk ~(n²/2⁶⁵) is negligible)
     idx, sizes = _capped_index(docs, materialize=materialize)
+    return _jaccard_pairs_from_index(idx, sizes)
+
+
+def _jaccard_pairs_from_index(idx: DataFrame, sizes: DataFrame) -> DataFrame:
     a = idx.alias("a")
     b = idx.alias("b")
     pairs = (
@@ -285,7 +293,9 @@ THRESH_QS = [
 )
 def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    idx, sizes = _capped_index(docs)
+    # served from the persisted shingle-count state (round 9): the curve
+    # re-reads the corpus only for the 1-row n_corpus aggregate
+    idx, sizes = _capped_index_for(spark, sf_dir)
     a = idx.alias("a")
     b = idx.alias("b")
     rawpairs = (
@@ -410,20 +420,15 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "set-Jaccard index; admission is an exact integer cross-multiply.",
 )
 def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    # the count table is persisted BEFORE the df cap so the cap's df
-    # aggregation and the join back both read the cache instead of
-    # re-deriving the tokenize/shingle front end (scan_count showed 4
-    # corpus reads in the unpersisted form). The cap itself stays a
-    # hash-agg + join — NOT a count-over-window, which would gather every
+    # Round 9: the count table is the PERSISTED shingle-count state —
+    # tokenize/shingle/count runs once per corpus generation, and this
+    # query's ~4 consumers read the 3-column parquet (cached in-memory
+    # for the run via track_cache). The cap itself stays a hash-agg +
+    # join — NOT a count-over-window, which would gather every
     # occurrence row of a hot shingle type into one window group (the
     # exact straggler the df cap exists to remove; hash aggregation
     # absorbs hot keys map-side)
-    cnts = track_cache(
-        docs.select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"))
-        .groupBy("doc_id", F.xxhash64("shingle").alias("shingle_h"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    cnts = track_cache(ensure_shingle_counts(spark, sf_dir))
     kept = (
         cnts.groupBy("shingle_h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1188,6 +1193,164 @@ def dedup_table_path(sf_dir: str) -> str:
 from ..state import corpus_snapshot as _corpus_snapshot  # noqa: E402
 from ..state import read_manifest as _state_manifest  # noqa: E402
 from ..state import write_manifest as _write_state_manifest  # noqa: E402
+
+
+# ------------------------------------------- persisted shingle counts ------
+#
+# Round 9 (r8 verdict item 6): the four heaviest dedup queries
+# (ngram_jaccard, weighted_jaccard, threshold_curve, edit_verify — plus
+# prefix_filter and source_matrix) each re-derived the tokenize→shingle→
+# hash→count front end from the raw corpus on every run. The labels-table
+# discipline applied to that front end: ONE persisted (doc_id, shingle_h,
+# cnt) table per corpus, built once, appended O(delta) on corpus appends
+# (counts are per-document, so an append only ADDS rows — no cap logic,
+# no recomputation of standing rows), rebuilt on rewrite. The distinct
+# type index every set-Jaccard consumer needs is a projection of it
+# ((doc_id, shingle_h) — the rows ARE the distinct types); weighted
+# consumers read cnt. At 100 TB the tokenize+explode of the raw corpus is
+# the single most expensive map stage in the dedup suite — this makes it
+# a scheduled-maintenance cost instead of a per-query one.
+
+SHINGLE_COUNTS_VERSION = 1
+
+
+def shingle_counts_path(sf_dir: str) -> str:
+    """State root keyed by source path + the shingle definition (same
+    keying discipline as dedup_table_path: definition changes produce a
+    new key, file-level changes are the manifest's job)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha256(
+        f"v{SHINGLE_COUNTS_VERSION}:{os.path.abspath(src)}:"
+        f"{SHINGLES_SPARK}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "spark-warehouse", "shingle_counts", key)
+
+
+def _counts_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle_h, cnt): multiset shingle counts — the uncapped
+    front end. One explode + one hash agg; hot shingle types are absorbed
+    map-side (never a count-over-window)."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    return (
+        docs.select(
+            "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
+        )
+        .groupBy("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def ensure_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the persisted (doc_id, shingle_h, cnt) table, building or
+    O(delta)-appending as the corpus snapshot dictates. Same protocol as
+    the labels/ANN roots: maintenance lease, generation-scoped staging,
+    atomic manifest commit, auto-compaction with one-cycle-grace expiry.
+    """
+    import os
+
+    from ..state import (
+        expire_generations,
+        gen_dir,
+        gen_paths,
+        maintenance_lease,
+        snapshot_delta,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    root = shingle_counts_path(sf_dir)
+
+    def _read(man: dict) -> DataFrame:
+        return spark.read.parquet(
+            *gen_paths(root, "counts", man["gen"], man.get("base_gen", 0))
+        )
+
+    # fast path: no lock taken when the committed state is fresh
+    man = _state_manifest(root)
+    cur = _corpus_snapshot(src)
+    if man is not None and snapshot_delta(man["files"], cur)[0] == "unchanged":
+        return _read(man)
+
+    with maintenance_lease(root):
+        man = _state_manifest(root)  # re-read under the lease
+        cur = _corpus_snapshot(src)
+        if man is not None:
+            kind, new_rel = snapshot_delta(man["files"], cur)
+            if kind == "unchanged":
+                return _read(man)
+            if kind == "appended" and not os.path.isfile(src):
+                gen = man["gen"]
+                delta = spark.read.parquet(
+                    *[os.path.join(src, rel) for rel in new_rel]
+                ).select("doc_id", "text")
+                _counts_of(delta).write.mode("overwrite").parquet(
+                    gen_dir(root, "counts", gen + 1)
+                )
+                man = {**man, "gen": gen + 1, "files": cur}
+                man = _write_state_manifest(root, man)
+                # auto-compaction, same policy as labels/ANN
+                thresh = int(
+                    man.get("auto_compact_gens", DEDUP_AUTO_COMPACT_GENS)
+                )
+                if man["gen"] - man.get("base_gen", 0) + 1 > thresh:
+                    floor_old = int(man.get("base_gen", 0))
+                    _read(man).write.mode("overwrite").parquet(
+                        gen_dir(root, "counts", man["gen"] + 1)
+                    )
+                    man = _write_state_manifest(
+                        root,
+                        {
+                            **man,
+                            "gen": man["gen"] + 1,
+                            "base_gen": man["gen"] + 1,
+                        },
+                    )
+                    expire_generations(
+                        root,
+                        {"counts": set(range(floor_old, man["gen"] + 1))},
+                    )
+                return _read(man)
+        # full (re)build — direct read, not load_table (rebuilds exist
+        # because the corpus changed; the relation cache pins file lists)
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        docs = spark.read.parquet(src).select("doc_id", "text")
+        _counts_of(docs).write.mode("overwrite").parquet(
+            gen_dir(root, "counts", 0)
+        )
+        man = _write_state_manifest(
+            root, {"gen": 0, "base_gen": 0, "files": cur}
+        )
+        return _read(man)
+
+
+def _capped_index_for(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+):
+    """sf_dir-level capped index served FROM the persisted counts table:
+    the corpus text is not touched at query time (warm path) — the df
+    cap and sizes derive from the 3-column state. Same return shape as
+    :func:`_capped_index`."""
+    cnts = ensure_shingle_counts(spark, sf_dir)
+    sh = cnts.select("doc_id", "shingle_h")
+    df_tbl = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+    idx = sh.join(
+        df_tbl.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle_h"),
+        "shingle_h",
+    )
+    if materialize:
+        idx = track_cache(idx)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return idx, sizes
 
 
 def _labels_dir(root: str, gen: int) -> str:
@@ -2515,7 +2678,6 @@ def _capped_index(docs: DataFrame, materialize: bool = True):
         "shrinks it with zero recall loss (Xiao et al., WWW 2008).",
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
     # Set-per-document layout: ONE groupBy folds each document's capped
     # shingle set into a rarest-first-sorted array (carrying df through the
     # cap join so no second df aggregation is needed), and that single
@@ -2523,11 +2685,10 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array slice (no per-doc row_number window over the exploded index),
     # and verification is a per-pair array_intersect (no explode → 3-way
     # join → groupBy re-aggregation, and no separate sizes joins: sz rides
-    # along). The corpus is scanned once; candidate pairs are identical to
-    # the row-oriented formulation.
-    sh = _distinct_shingles(docs).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle_h")
-    )
+    # along). Round 9: the type rows come from the persisted shingle-count
+    # state — the corpus text is never touched; candidate pairs are
+    # identical to the row-oriented formulation.
+    sh = ensure_shingle_counts(spark, sf_dir).select("doc_id", "shingle_h")
     df_tbl = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
     idx = sh.join(
         df_tbl.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle_h"
@@ -2771,8 +2932,7 @@ CONTAINMENT_THRESHOLD = 0.8
         "doc_a).",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    idx, sizes = _capped_index(docs, materialize=True)
+    idx, sizes = _capped_index_for(spark, sf_dir, materialize=True)
     a, b = idx.alias("a"), idx.alias("b")
     pairs = (
         a.join(

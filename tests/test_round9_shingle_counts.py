@@ -1,0 +1,98 @@
+"""Round-9: persisted shingle-count front end (r8 verdict item 6).
+
+The tokenize→shingle→hash→count front end of the Jaccard family is now a
+maintained state table (doc_id, shingle_h, cnt): built once per corpus,
+appended O(delta) on corpus appends (counts are per-document — appends
+only ADD rows), rebuilt on rewrite, auto-compacted. Consumers
+(ngram_jaccard, weighted_jaccard, threshold_curve, prefix_filter,
+containment, source_matrix; edit_verify via ngram) read the 3-column
+state instead of re-deriving from raw text per query.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from conduit_connector_s3_iceberg_spark.operators.dedup import (
+    _counts_of,
+    ensure_shingle_counts,
+    shingle_counts_path,
+)
+from conduit_connector_s3_iceberg_spark.state import read_manifest
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_counts_match_inline_derivation(spark):
+    root = shingle_counts_path(SF001)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    got = ensure_shingle_counts(spark, SF001)
+    docs = spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+    want = _counts_of(docs.select("doc_id", "text"))
+    assert _rows(got) == _rows(want)
+    # warm serve: same bytes, no new generation
+    man1 = read_manifest(root)
+    again = ensure_shingle_counts(spark, SF001)
+    assert read_manifest(root) == man1
+    assert _rows(again) == _rows(want)
+
+
+def test_counts_append_is_o_delta_and_rewrite_rebuilds(spark, tmp_path):
+    sf_dir = str(tmp_path / "sf")
+    corpus = os.path.join(sf_dir, "documents.parquet")
+    os.makedirs(corpus)
+    base = spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+    pdf = base.filter(F.col("doc_id") < 30).toPandas()
+    pdf.to_parquet(os.path.join(corpus, "a.parquet"), index=False)
+
+    root = shingle_counts_path(sf_dir)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    ensure_shingle_counts(spark, sf_dir)
+    assert read_manifest(root)["gen"] == 0
+
+    # append: new generation only, content equals full recompute
+    pdf2 = base.filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 40)
+    ).toPandas()
+    pdf2.to_parquet(os.path.join(corpus, "b.parquet"), index=False)
+    got = ensure_shingle_counts(spark, sf_dir)
+    assert read_manifest(root)["gen"] == 1  # O(delta) append, not rebuild
+    want = _counts_of(
+        spark.read.parquet(corpus).select("doc_id", "text")
+    )
+    assert _rows(got) == _rows(want)
+
+    # rewrite a file -> full rebuild (gen resets, content still exact)
+    pdf.iloc[:10].to_parquet(os.path.join(corpus, "a.parquet"), index=False)
+    got = ensure_shingle_counts(spark, sf_dir)
+    assert read_manifest(root)["gen"] == 0
+    want = _counts_of(
+        spark.read.parquet(corpus).select("doc_id", "text")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_counts_consumers_no_corpus_scan_on_warm_path(spark):
+    """The point of the state: a warm ngram_jaccard run must not read
+    documents.parquet at all — its only file inputs are the persisted
+    3-column counts table (the scan counter still sees those state
+    scans; what must be ZERO is corpus text reads)."""
+    from conduit_connector_s3_iceberg_spark.plans.registry import load_all
+
+    q = load_all()["dedup_ngram_jaccard"]
+    q.build(spark, SF001).collect()  # warm the state
+    df = q.build(spark, SF001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "documents.parquet" not in plan
+    assert "shingle_counts" in plan  # served from the persisted state
