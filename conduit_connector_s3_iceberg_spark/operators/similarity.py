@@ -3844,7 +3844,12 @@ SEMDEDUP_TAU = 0.30
         "Assignment is the shuffle-free broadcast-argmin map, centroids an "
         "exact scaled-integer (cluster, dim) hash agg, and the pair join "
         "never leaves a cluster block (the paper runs ~sqrt(n) clusters to "
-        "bound block size; same plumbing here).",
+        "bound block size; same plumbing here). Scale note (r9 sf1 ladder, "
+        "alpha=1.11): at FIXED K the within-cluster pairs grow N^2/K — "
+        "this audit-scale form needs K to scale with the corpus in "
+        "production; the 100-TB path is the persisted IVF cell machinery "
+        "(balance-audited cell populations, partition-pruned probes) — "
+        "see SCALE.md round 9.",
 )
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
