@@ -2406,3 +2406,147 @@ def corpus_split_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         affinity.alias("affinity"),
         F.sqrt(F.lit(1.0) - affinity).alias("hellinger"),
     )
+
+
+# ------------------------------------------------ UniMax budget allocation -
+#
+# UniMax (Chung et al., 2023): given a token budget and a per-domain
+# repeat cap, allocate the budget as uniformly as possible across
+# domains without exceeding any domain's capped supply — waterfilling.
+# The sequential greedy of the paper has a closed form: sort domains by
+# capped supply s_i ascending; the water level t satisfies
+# sum(min(s_i, t)) = B, i.e. t = (B - prefix_j) / (k - j) for the unique
+# j with s_j <= t < s_(j+1). That is pure window arithmetic over the
+# |domains|-row metadata frame — the corpus-scale work is ONE token
+# count. Budget/cap here: B = 2x total supply, cap 4 epochs (enough to
+# exercise both the capped and waterfilled regimes on the fixture).
+
+UNIMAX_EPOCH_CAP = 4
+UNIMAX_BUDGET_X = 2  # budget = UNIMAX_BUDGET_X * total one-epoch supply
+
+
+@query(
+    "mix_unimax_allocation",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY source
+    ), sup AS (
+      SELECT source, tokens,
+             CAST({UNIMAX_EPOCH_CAP} AS BIGINT) * tokens AS s
+      FROM per
+    ), tot AS (
+      SELECT CAST({UNIMAX_BUDGET_X} AS BIGINT) * SUM(tokens) AS b,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM sup
+    ), ranked AS (
+      -- candidate at row j: domains 1..j-1 fully satisfied, the rest at
+      -- the level -> t_j = (B - prefix_(j-1)) / (k - j + 1), valid on
+      -- [s_(j-1), s_j). Row 1 covers the nobody-satisfied case.
+      SELECT s.*, tot.b, tot.k,
+             ROW_NUMBER() OVER (ORDER BY s, source) AS j,
+             CAST(COALESCE(SUM(s) OVER (ORDER BY s, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS p_prev,
+             LAG(s) OVER (ORDER BY s, source) AS s_prev
+      FROM sup s CROSS JOIN tot
+    ), lvl AS (
+      -- if total capped supply <= budget no row is valid -> Infinity,
+      -- min(s, t) = s for everyone (budget not binding)
+      SELECT COALESCE(MAX(CASE
+               WHEN CAST(b - p_prev AS DOUBLE) / (k - j + 1) < s
+                AND (s_prev IS NULL
+                     OR CAST(b - p_prev AS DOUBLE) / (k - j + 1) >= s_prev)
+               THEN CAST(b - p_prev AS DOUBLE) / (k - j + 1) END),
+             CAST('Infinity' AS DOUBLE)) AS t
+      FROM ranked
+    )
+    SELECT r.source, r.tokens, r.s AS supply_capped,
+           CASE WHEN CAST(r.s AS DOUBLE) < lvl.t
+                THEN CAST(r.s AS DOUBLE) ELSE lvl.t END AS allocation,
+           CASE WHEN CAST(r.s AS DOUBLE) < lvl.t
+                THEN CAST(r.s AS DOUBLE) ELSE lvl.t END / r.tokens
+             AS epochs,
+           lvl.t AS water_level
+    FROM ranked r CROSS JOIN lvl
+    ORDER BY r.source
+    """,
+    doc=f"UniMax token-budget allocation (Chung et al. 2023) in closed "
+        f"form: waterfilling over per-domain capped supplies (cap "
+        f"{UNIMAX_EPOCH_CAP} epochs, budget {UNIMAX_BUDGET_X}x the "
+        "one-epoch supply) via prefix sums on the sorted |domains|-row "
+        "frame — the unique water level t with sum(min(s_i,t)) = budget "
+        "found by window arithmetic, no sequential greedy. Per domain: "
+        "allocation, realized epochs, and the level. Corpus-scale work "
+        "is one token count; everything after is metadata-sized.",
+)
+def mix_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sup = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint"))
+            .cast("bigint")
+            .alias("tokens")
+        )
+        .select(
+            "source",
+            "tokens",
+            (F.lit(UNIMAX_EPOCH_CAP).cast("bigint") * F.col("tokens")).alias(
+                "s"
+            ),
+        )
+    )
+    tot = sup.agg(
+        (F.lit(UNIMAX_BUDGET_X).cast("bigint") * F.sum("tokens")).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    wo = Window.orderBy("s", "source")
+    ranked = (
+        sup.crossJoin(F.broadcast(tot))
+        .withColumn("j", F.row_number().over(wo).cast("bigint"))
+        .withColumn(
+            "p_prev",
+            F.coalesce(
+                F.sum("s").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn("s_prev", F.lag("s").over(wo))
+        .localCheckpoint(eager=False)  # |domains| rows; level + output
+    )
+    # candidate at row j: domains 1..j-1 fully satisfied, rest at level
+    cand = (F.col("b") - F.col("p_prev")).cast("double") / (
+        F.col("k") - F.col("j") + 1
+    )
+    lvl = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (cand < F.col("s"))
+                    & (F.col("s_prev").isNull() | (cand >= F.col("s_prev"))),
+                    cand,
+                )
+            ),
+            F.lit(float("inf")),
+        ).alias("t")
+    )
+    alloc = F.when(
+        F.col("s").cast("double") < F.col("t"), F.col("s").cast("double")
+    ).otherwise(F.col("t"))
+    return (
+        ranked.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            "tokens",
+            F.col("s").alias("supply_capped"),
+            alloc.alias("allocation"),
+            (alloc / F.col("tokens")).alias("epochs"),
+            F.col("t").alias("water_level"),
+        )
+        .orderBy("source")
+    )

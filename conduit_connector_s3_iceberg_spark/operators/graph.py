@@ -1247,3 +1247,124 @@ def graph_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side")
     )
+
+# Mitchell-log weight snippets for Adamic-Adar (imported from lm to keep
+# the libm-free log definition single-sourced)
+from .lm import _mlog2c_q as _aa_mlog_sql  # noqa: E402
+from .lm import _mlog2c_q_spark as _aa_mlog_spark  # noqa: E402
+
+_MLOG_DEG_SQL = _aa_mlog_sql("sdeg")
+_MLOG_DEG_SPARK = _aa_mlog_spark("sdeg")
+
+
+# ------------------------------------------------ Adamic-Adar link scores --
+#
+# The third classic common-neighbor score next to graph_link_jaccard and
+# graph_resource_allocation: AA(u,v) = sum over shared neighbors s of
+# 1/log2(deg s) — softer hub damping than RA's 1/deg. The log is the
+# corrected Mitchell log2 over the INTEGER degree (the lm/graph
+# libm-free discipline), quantized to 1e6, so each part's weight
+# w = round(SCALE*1e6/logq) is one correctly-rounded division of exact
+# integers — engine-identical — and pair scores are exact BIGINT sums.
+# Same q^2-bounded plan as the siblings: hub parts above LINK_DEG_CAP
+# drop, members explode C(q,2) locally per part, top pairs via
+# TakeOrderedAndProject. deg-1 parts connect no pairs (and their log is
+# 0), so the degree filter starts at 2.
+
+AA_SCALE = 1_000_000_000
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), degs AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS sdeg
+      FROM cp GROUP BY s
+      HAVING COUNT(*) BETWEEN 2 AND {LINK_DEG_CAP}
+    ), keep AS (
+      SELECT s, CAST(round({AA_SCALE} * 1000000.0 / {_MLOG_DEG_SQL})
+                     AS BIGINT) AS w
+      FROM degs
+    ), g AS (
+      SELECT cp.c, cp.s, keep.w FROM cp JOIN keep ON cp.s = keep.s
+    ), pairs AS (
+      SELECT a.c AS c1, b.c AS c2,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(a.w) AS BIGINT) AS aa_scaled
+      FROM g a JOIN g b ON a.s = b.s AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT c1, c2, cn, aa_scaled,
+           CAST(aa_scaled AS DOUBLE) / {AA_SCALE} AS adamic_adar
+    FROM pairs
+    ORDER BY aa_scaled DESC, c1, c2
+    LIMIT {LINK_TOP}
+    """,
+    doc="Adamic-Adar link prediction (Adamic & Adar 2003) on the "
+        "customer-part co-purchase graph: shared neighbors weighted "
+        "1/log2(deg) with the corrected Mitchell log2 over integer "
+        "degrees — libm-free, so the per-part weight is one correctly-"
+        "rounded division of exact integers and pair scores are exact "
+        "BIGINT sums (bit-identical across engines). Hub parts above "
+        f"{LINK_DEG_CAP} drop pre-pairing (q^2-bounded local explode); "
+        "top pairs via TakeOrderedAndProject.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
+        .distinct()
+    )
+    keep = (
+        cp.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sdeg"))
+        .filter((F.col("sdeg") >= 2) & (F.col("sdeg") <= LINK_DEG_CAP))
+        .select(
+            "s",
+            F.expr(
+                f"CAST(round({AA_SCALE} * 1000000.0 / {_MLOG_DEG_SPARK})"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    g = cp.join(keep, "s")
+    adj = g.groupBy("s").agg(
+        F.sort_array(F.collect_list("c")).alias("members"),
+        F.max("w").alias("w"),
+    )
+    pairs = (
+        adj.select(
+            "w",
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1),"
+                    " y -> struct(x AS c1, y AS c2))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.c1", "p.c2", "w")
+        .groupBy("c1", "c2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("w").cast("bigint").alias("aa_scaled"),
+        )
+    )
+    return (
+        pairs.select(
+            "c1",
+            "c2",
+            "cn",
+            "aa_scaled",
+            (F.col("aa_scaled").cast("double") / F.lit(AA_SCALE)).alias(
+                "adamic_adar"
+            ),
+        )
+        .orderBy(F.col("aa_scaled").desc(), "c1", "c2")
+        .limit(LINK_TOP)
+    )

@@ -6375,3 +6375,106 @@ def sim_multistep_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("iter")
+
+
+# -------------------------------------------------- linear-kernel MMD ------
+#
+# Distribution distance between label groups: MMD^2 with the linear
+# kernel reduces to ||mean_a - mean_b||^2, so the whole statistic is a
+# per-(label, dim) scaled-integer sum — exact, order-independent, one
+# corpus pass for ALL label pairs. The workhorse screen for "did these
+# two slices come from the same embedding distribution" (domain shift,
+# encoder-version drift) when the full quadratic-kernel MMD is
+# unaffordable. Numerators fold in DECIMAL(38,0): (sa*nb - sb*na)^2
+# reaches ~1e26 at audit scale and n^2-scale beyond.
+
+
+@query(
+    "emb_mmd_linear",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), sums AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(round(emb[i] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e, generate_series(1, {DIM}) AS t(i)
+      GROUP BY label, pos
+    ), pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b, a.pos,
+             a.n AS na, b.n AS nb,
+             CAST(a.s AS DECIMAL(38,0)) * b.n
+               - CAST(b.s AS DECIMAL(38,0)) * a.n AS num
+      FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+    )
+    SELECT label_a, label_b, na AS n_a, nb AS n_b,
+           CAST(SUM(num * num) AS DOUBLE)
+             / (CAST(na AS DOUBLE) * nb * {CENTROID_SCALE}
+                * na * nb * {CENTROID_SCALE}) AS mmd2
+    FROM pairs
+    GROUP BY label_a, label_b, na, nb
+    ORDER BY label_a, label_b
+    """,
+    doc="Linear-kernel MMD^2 between every pair of label groups: "
+        "||mean_a - mean_b||^2 computed entirely from per-(label, dim) "
+        "scaled-integer sums — one corpus pass serves ALL pairs, the "
+        "cross-term (sa*nb - sb*na)^2 folds in DECIMAL(38,0) (exact at "
+        "any n), and the only join runs over the |labels| x DIM metadata "
+        "grid. The affordable distribution-shift screen when quadratic-"
+        "kernel MMD (n^2 kernel evaluations) is off the table at scale.",
+)
+def emb_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    sums = (
+        emb.select("label", F.posexplode("emb").alias("pos0", "x"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("xs").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a, b = sums.alias("a"), sums.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        F.expr(
+            "CAST(a.s AS DECIMAL(38,0)) * b.n - CAST(b.s AS DECIMAL(38,0)) * a.n"
+        ).alias("num"),
+    )
+    return (
+        pairs.groupBy("label_a", "label_b", "na", "nb")
+        .agg(F.expr("CAST(sum(num * num) AS DOUBLE)").alias("ss"))
+        .select(
+            "label_a",
+            "label_b",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            (
+                F.col("ss")
+                / (
+                    F.col("na").cast("double")
+                    * F.col("nb")
+                    * F.lit(float(CENTROID_SCALE))
+                    * F.col("na")
+                    * F.col("nb")
+                    * F.lit(float(CENTROID_SCALE))
+                )
+            ).alias("mmd2"),
+        )
+        .orderBy("label_a", "label_b")
+    )

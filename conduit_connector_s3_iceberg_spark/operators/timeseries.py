@@ -1753,3 +1753,462 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sd / F.lit(1_000_000.0)).alias("sd_gap_s"),
         ((sd - mu) / (sd + mu)).alias("burstiness"),
     ).orderBy("event_type")
+
+
+# ----------------------------------------------- Poisson rate-shift test ---
+#
+# Did each event type's arrival rate change between the first and second
+# half of the observation window? Split the day range at its midpoint,
+# count arrivals and exposure days per half, and score the shift with
+# the standard conditional chi-square (observed vs exposure-proportional
+# expected counts under the pooled rate). Every statistic derives from
+# integer counts and day spans via single divisions — bit-identical
+# across engines. One corpus scan + a type-grain agg; the 1-row date
+# range is the only broadcast.
+
+
+@query(
+    "events_rate_shift_test",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day FROM events
+    ), rng AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1,
+             (MIN(day) + CAST(datediff('day', MIN(day), MAX(day)) // 2
+                              AS INTEGER)) AS mid
+      FROM ev
+    ), g AS (
+      SELECT e.event_type,
+             CASE WHEN e.day <= rng.mid THEN 1 ELSE 0 END AS h1
+      FROM ev e CROSS JOIN rng
+    ), agg AS (
+      SELECT event_type,
+             CAST(SUM(h1) AS BIGINT) AS n_first,
+             CAST(SUM(1 - h1) AS BIGINT) AS n_second
+      FROM g GROUP BY event_type
+    ), spans AS (
+      SELECT CAST(datediff('day', d0, mid) + 1 AS BIGINT) AS days_first,
+             CAST(datediff('day', mid, d1) AS BIGINT) AS days_second
+      FROM rng
+    )
+    SELECT event_type, n_first, n_second, days_first, days_second,
+           CAST(n_first AS DOUBLE) / days_first AS rate_first,
+           CAST(n_second AS DOUBLE) / days_second AS rate_second,
+           (n_first - CAST(n_first + n_second AS DOUBLE) * days_first
+              / (days_first + days_second))
+           * (n_first - CAST(n_first + n_second AS DOUBLE) * days_first
+              / (days_first + days_second))
+           / (CAST(n_first + n_second AS DOUBLE) * days_first
+              / (days_first + days_second))
+           + (n_second - CAST(n_first + n_second AS DOUBLE) * days_second
+              / (days_first + days_second))
+           * (n_second - CAST(n_first + n_second AS DOUBLE) * days_second
+              / (days_first + days_second))
+           / (CAST(n_first + n_second AS DOUBLE) * days_second
+              / (days_first + days_second)) AS chi2
+    FROM agg CROSS JOIN spans
+    ORDER BY event_type
+    """,
+    doc="Poisson rate-shift screen per event type: the observation "
+        "window split at its midpoint day, arrivals vs exposure days per "
+        "half, pooled-rate expected counts, and the conditional "
+        "chi-square (1 df) for the shift. All inputs are exact integer "
+        "counts/day spans; the only floats are final divisions — "
+        "bit-identical across engines. Scale: one map-side half-flag at "
+        "the scan, a |types|-row agg, a 1-row range broadcast.",
+)
+def events_rate_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    rng = ev.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.expr(
+            "date_add(min(day),"
+            " cast(datediff(max(day), min(day)) div 2 as int))"
+        ).alias("mid"),
+    )
+    agg = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_first"),
+            F.sum(F.when(F.col("day") > F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_second"),
+        )
+    )
+    spans = rng.select(
+        (F.datediff("mid", "d0") + 1).cast("bigint").alias("days_first"),
+        F.datediff("d1", "mid").cast("bigint").alias("days_second"),
+    )
+    e1 = (
+        F.col("n_first").cast("double") + F.col("n_second")
+    ) * F.col("days_first") / (F.col("days_first") + F.col("days_second"))
+    e2 = (
+        F.col("n_first").cast("double") + F.col("n_second")
+    ) * F.col("days_second") / (F.col("days_first") + F.col("days_second"))
+    return (
+        agg.crossJoin(F.broadcast(spans))
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            "days_first",
+            "days_second",
+            (F.col("n_first").cast("double") / F.col("days_first")).alias(
+                "rate_first"
+            ),
+            (F.col("n_second").cast("double") / F.col("days_second")).alias(
+                "rate_second"
+            ),
+            (
+                (F.col("n_first") - e1) * (F.col("n_first") - e1) / e1
+                + (F.col("n_second") - e2) * (F.col("n_second") - e2) / e2
+            ).alias("chi2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------------- Benford's-law audit -
+#
+# First-significant-digit distribution of positive event values vs the
+# Benford expectation — the classic screen for fabricated or truncated
+# numeric feeds. The digit comes from the STRING form of floor(value)
+# (no log10: log-of-double leading-digit extraction has ulp-boundary
+# hazards at exact powers of ten; string length of an integer does not).
+# Expected shares are inlined as shared literal constants so both
+# engines carry identical doubles.
+
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+_BENFORD_SQL_VALUES = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD.items())
+
+
+@query(
+    "events_benford_audit",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS s
+      FROM events WHERE floor(value) >= 1
+    ), digits AS (
+      SELECT CAST(substr(s, 1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pos GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM digits
+    ), exp_raw(digit, expected_raw) AS (VALUES {_BENFORD_SQL_VALUES}),
+    exp_t AS (
+      SELECT digit, CAST(expected_raw AS DOUBLE) AS expected FROM exp_raw
+    )
+    SELECT e.digit, COALESCE(d.n, 0) AS n,
+           CAST(COALESCE(d.n, 0) AS DOUBLE) / tot.t AS share,
+           e.expected,
+           (CAST(COALESCE(d.n, 0) AS DOUBLE) / tot.t - e.expected)
+           * (CAST(COALESCE(d.n, 0) AS DOUBLE) / tot.t - e.expected)
+           / e.expected AS chi2_term
+    FROM exp_t e LEFT JOIN digits d ON d.digit = e.digit CROSS JOIN tot
+    ORDER BY e.digit
+    """,
+    doc="Benford first-digit audit of positive event values: observed "
+        "share per leading digit vs the Benford expectation (inlined "
+        "literal constants, identical doubles in both engines) with the "
+        "per-digit chi-square term. Digit extraction is string-based on "
+        "floor(value) — no log10 ulp hazards. Scale: map-side digit at "
+        "the scan, a 9-row agg.",
+)
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    digits = (
+        ev.filter(F.expr("floor(value) >= 1"))
+        .select(
+            F.expr(
+                "cast(substring(cast(cast(floor(value) as bigint) as string),"
+                " 1, 1) as int)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("bigint").alias("t"))
+    exp_t = spark.createDataFrame(
+        sorted(_BENFORD.items()), "digit int, expected double"
+    )
+    share = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("t")
+    return (
+        exp_t.join(digits, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+            share.alias("share"),
+            "expected",
+            (
+                (share - F.col("expected"))
+                * (share - F.col("expected"))
+                / F.col("expected")
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------- Markov entropy rate ---
+#
+# The information rate of the user journey: H = sum_s pi(s) * H(row_s)
+# with pi the power-iteration stationary vector (events_markov_stationary's
+# exact scaled-integer discipline) and H(row) = -sum_d p log2 p computed
+# with the corrected Mitchell log over the SCALED-INTEGER transition
+# probabilities — libm-free, so the per-state entropies and the final
+# rate are bit-identical across engines. A low rate with high stationary
+# mass flags deterministic bot journeys (cf. events_bot_regularity);
+# a uniform-ish rate is organic browsing. Corpus-scale work is the one
+# lag-window transition count; every later frame is |types|-sized.
+
+
+def _ent_oracle() -> str:
+    from .lm import _mlog2c_q
+
+    steps = []
+    for k in range(1, MK_ITERS + 1):
+        p = k - 1
+        steps.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT m.dst AS state,
+             CAST(SUM(r.mass * m.p_scaled) // {MK_SCALE} AS BIGINT) AS mass
+      FROM r{p} r JOIN model m ON m.src = r.state
+      GROUP BY m.dst
+    )""")
+    logp = _mlog2c_q("p_scaled")
+    log_s = _mlog2c_q(f"CAST({MK_SCALE} AS BIGINT)")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), c AS (
+      SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ), rt AS (
+      SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY src
+    ), model AS MATERIALIZED (
+      SELECT c.src, c.dst,
+             CAST(round({MK_SCALE} * c.n / rt.total) AS BIGINT) AS p_scaled
+      FROM c JOIN rt USING (src)
+    ), r0 AS (
+      SELECT src AS state,
+             CAST({MK_SCALE} // (SELECT COUNT(*) FROM rt) AS BIGINT) AS mass
+      FROM rt
+    ),{','.join(steps)},
+    hrow AS (
+      SELECT src AS state,
+             CAST(SUM(p_scaled * ({log_s} - {logp})) AS BIGINT) AS h_num
+      FROM model WHERE p_scaled > 0 GROUP BY src
+    )
+    SELECT h.state,
+           CAST(r.mass AS DOUBLE) / {MK_SCALE} AS stationary,
+           CAST(h.h_num AS DOUBLE) / ({MK_SCALE} * 1000000.0)
+             AS h_row_bits,
+           CAST(SUM(CAST(r.mass AS DECIMAL(38, 0)) * h.h_num)
+                OVER () AS DOUBLE)
+             / (CAST({MK_SCALE} AS DOUBLE) * {MK_SCALE} * 1000000.0)
+             AS entropy_rate_bits
+    FROM hrow h JOIN r{MK_ITERS} r USING (state)
+    ORDER BY h.state
+    """
+
+
+@query(
+    "events_entropy_rate",
+    oracle=_ent_oracle(),
+    doc=f"Markov entropy rate of the user-journey chain: per-state row "
+        f"entropy H(row) = -sum p log2 p over the scaled-integer "
+        f"transition matrix (corrected Mitchell log — libm-free, "
+        f"bit-identical across engines) and the chain rate "
+        f"sum pi(s)H(row_s) with pi the {MK_ITERS}-step power iterate. "
+        "The DECIMAL(38,0) fold keeps the pi x H products exact at any "
+        "state-space size. Low rate + high mass = deterministic bot "
+        "journeys; corpus-scale work is the one lag-window pass.",
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .lm import _mlog2c_q_spark
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = (
+        seq.groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    rt = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("total"))
+    model = (
+        c.join(rt, "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.lit(MK_SCALE) * F.col("n") / F.col("total"))
+            .cast("bigint")
+            .alias("p_scaled"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_states = rt.select(F.count(F.lit(1)).alias("k"))
+    r = rt.crossJoin(F.broadcast(n_states)).select(
+        F.col("src").alias("state"),
+        F.expr(f"{MK_SCALE} div k").cast("bigint").alias("mass"),
+    )
+    for _ in range(MK_ITERS):
+        r = (
+            r.join(model, r.state == model.src)
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.expr(f"CAST(sum(mass * p_scaled) div {MK_SCALE} AS BIGINT)")
+                .alias("mass")
+            )
+        )
+    log_s = _mlog2c_q_spark(f"CAST({MK_SCALE} AS BIGINT)")
+    logp = _mlog2c_q_spark("p_scaled")
+    hrow = (
+        model.filter(F.col("p_scaled") > 0)
+        .groupBy(F.col("src").alias("state"))
+        .agg(
+            F.expr(f"CAST(sum(p_scaled * ({log_s} - {logp})) AS BIGINT)")
+            .alias("h_num")
+        )
+    )
+    joined = hrow.join(r, "state")
+    rate = joined.agg(
+        F.expr(
+            "CAST(sum(CAST(mass AS DECIMAL(38,0)) * h_num) AS DOUBLE)"
+        ).alias("rate_num")
+    )
+    return (
+        joined.crossJoin(F.broadcast(rate))
+        .select(
+            "state",
+            (F.col("mass").cast("double") / F.lit(float(MK_SCALE))).alias(
+                "stationary"
+            ),
+            (
+                F.col("h_num").cast("double")
+                / F.lit(float(MK_SCALE) * 1_000_000.0)
+            ).alias("h_row_bits"),
+            (
+                F.col("rate_num")
+                / F.lit(float(MK_SCALE) * float(MK_SCALE) * 1_000_000.0)
+            ).alias("entropy_rate_bits"),
+        )
+        .orderBy("state")
+    )
+
+
+# ------------------------------------------------------- value-Gini audit --
+#
+# Concentration of event value per type as an EXACT Gini over the
+# cent-quantized value (round(value*100)): group to the (type, cent)
+# grid — bounded by the VALUE DOMAIN, not the corpus — then fold tie
+# blocks with integer rank sums: a block of c copies of value v whose
+# predecessors count k contributes v * (c*k + c(c+1)/2) to the rank-
+# weighted sum regardless of intra-block order, so the statistic is
+# exact under ties and deterministic under any partitioning. Products
+# accumulate in DECIMAL(38,0) (n^2-scale rank sums overflow int64 at
+# corpus scale). The only window runs over the bounded grid.
+
+
+@query(
+    "events_value_gini",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vb
+      FROM events WHERE value >= 0
+    ), grid AS (
+      SELECT event_type, vb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY event_type, vb
+    ), cum AS (
+      SELECT event_type, vb, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type
+               ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS k
+      FROM grid
+    ), agg AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(vb AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(vb AS DECIMAL(38,0))
+                  * (c * k + c * (c + 1) / 2)) AS DECIMAL(38,0)) AS srx
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(sx AS DOUBLE) / 100.0 / n AS mean_value,
+           CASE WHEN sx > 0 THEN
+             (2.0 * CAST(srx AS DOUBLE) - (n + 1.0) * CAST(sx AS DOUBLE))
+               / (n * CAST(sx AS DOUBLE))
+           END AS gini
+    FROM agg ORDER BY event_type
+    """,
+    doc="Exact Gini concentration of event value per type over the "
+        "cent-quantized grid: tie blocks fold with closed-form integer "
+        "rank sums (c*k + c(c+1)/2), so the coefficient is exact under "
+        "ties and independent of partitioning; DECIMAL(38,0) carries the "
+        "n^2-scale products. The only window runs over the (type, cent) "
+        "grid — bounded by the value domain, never the corpus. High "
+        "Gini = a few whale events carry the type's value mass.",
+)
+def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.filter(F.col("value") >= 0)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("vb"),
+        )
+        .groupBy("event_type", "vb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.withColumn(
+        "k", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.expr("CAST(sum(CAST(vb AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))")
+        .alias("sx"),
+        F.expr(
+            "CAST(sum(CAST(vb AS DECIMAL(38,0))"
+            " * (c * k + c * (c + 1) div 2)) AS DECIMAL(38,0))"
+        ).alias("srx"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("sx").cast("double") / 100.0 / F.col("n")).alias("mean_value"),
+        F.when(
+            F.col("sx") > 0,
+            (
+                2.0 * F.col("srx").cast("double")
+                - (F.col("n") + 1.0) * F.col("sx").cast("double")
+            )
+            / (F.col("n") * F.col("sx").cast("double")),
+        ).alias("gini"),
+    ).orderBy("event_type")

@@ -278,6 +278,13 @@ BROADCAST_NONEQUI_OK = {
     "emb_pca_power",
     # 1-row × 1-row crossJoin(broadcast(true_d)) estimate fold — bounded
     "events_hll_estimate",
+    # r9: one-row date-range / span / total / water-level / truth-size
+    # broadcasts — all bounded by design
+    "events_rate_shift_test",
+    "events_benford_audit",
+    "events_entropy_rate",
+    "mix_unimax_allocation",
+    "sim_multistep_train_audit",
     # one-row corpus-total broadcast into the vocab table — bounded
     "text_rarity_score",
     # one-row codebook broadcast (M×K×SUBDIM constants) — bounded

@@ -56,6 +56,14 @@ def _base_rows():
     # family Z: near-dup pair untouched by the delta
     rows.append((400, "red orange yellow green blue indigo violet one"))
     rows.append((401, "red orange yellow green blue indigo violet two"))
+    # inert filler: singleton docs with mutually-unique (incompressible)
+    # tokens — no shared shingles, no pairs; they exist so the staged
+    # parquet exceeds 2x4 KiB and the corruption test can target the
+    # middle region outside the snapshot's fingerprint windows
+    for i in range(300):
+        rows.append(
+            (1000 + i, " ".join(f"fill{i:03d}tok{j:02d}" for j in range(20)))
+        )
     return rows
 
 
@@ -148,7 +156,13 @@ def test_append_never_rereads_base_corpus(spark, tmp_path, monkeypatch):
     ensure_dedup_table. The append path reads only the standing state and
     the NEW files — if any code path touched the base text, the corrupt
     parquet would throw. The result must equal the full recompute done
-    while the bytes were still intact."""
+    while the bytes were still intact.
+
+    r9 update: the snapshot now fingerprints each file's first/last
+    4 KiB, so the corruption targets the MIDDLE region only (the
+    documented bounded-I/O blind spot) — the snapshot still classifies
+    the change as a pure append, which is exactly the scenario this
+    gate exists to protect."""
     stage = str(tmp_path / "stage")
     src = _stage_corpus(spark, stage, _base_rows())
     # state roots are keyed by corpus path — isolate under tmp
@@ -167,12 +181,19 @@ def test_append_never_rereads_base_corpus(spark, tmp_path, monkeypatch):
         )
     )
 
-    # corrupt every base data file: same size, same mtime, garbage bytes
+    # corrupt every base data file's MIDDLE bytes (the 4 KiB fingerprint
+    # windows at both ends stay intact): same size, same mtime, same
+    # snapshot fingerprint — garbage data pages
+    corrupted = 0
     for p in _data_files(src):
         st = os.stat(p)
-        with open(p, "r+b") as fh:
-            fh.write(b"\x00" * st.st_size)
-        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+        if st.st_size > 2 * 4096 + 1:
+            with open(p, "r+b") as fh:
+                fh.seek(4096)
+                fh.write(b"\x00" * (st.st_size - 2 * 4096))
+            os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+            corrupted += 1
+    assert corrupted, "base parquet too small to corrupt outside the windows"
 
     # append the delta as a new file (base files untouched by append)
     _mk_docs(spark, _delta_rows()).coalesce(1).write.mode("append").parquet(src)
