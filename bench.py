@@ -172,6 +172,22 @@ BENCH_EXT4 = [
 # min-of-3: the first fresh-plan run pays 1-7s of Catalyst analysis +
 # whole-stage codegen compile (worst on the dedup self-joins), and JIT can
 # still taint the second — three runs reliably capture steady state.
+# Round-9 additions, reported under "ext5" — prior lists frozen.
+BENCH_EXT5 = [
+    "sim_multistep_train_audit",
+    "events_rate_shift_test",
+    "events_benford_audit",
+    "events_entropy_rate",
+    "events_value_gini",
+    "events_wilson_ci",
+    "emb_mmd_linear",
+    "emb_knn_loo_accuracy",
+    "mix_unimax_allocation",
+    "graph_adamic_adar",
+    "text_hapax_ratio",
+    "lm_interpolation_curve",
+]
+
 RUNS = 3
 
 
@@ -203,6 +219,7 @@ def main() -> None:
     ext2 = run_list(BENCH_EXT2)
     ext3 = run_list(BENCH_EXT3)
     ext4 = run_list(BENCH_EXT4)
+    ext5 = run_list(BENCH_EXT5)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -218,6 +235,8 @@ def main() -> None:
         "ext3_total": round(sum(ext3.values()), 3),
         "ext4": ext4,
         "ext4_total": round(sum(ext4.values()), 3),
+        "ext5": ext5,
+        "ext5_total": round(sum(ext5.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))

@@ -1008,3 +1008,127 @@ def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ------------------------------------------- interpolation-lambda curve ----
+#
+# Cross-entropy of the lambda-interpolated bigram/unigram mixture
+# p(w2|w1) = lam*p_bi + (1-lam)*p_uni at five EXACT-binary lambdas
+# (0, .25, .5, .75, 1): the curve every n-gram LM tunes by hand. Both
+# component probabilities quantize to scaled integers (round(S*c/t) —
+# one correctly-rounded division each), the mixture re-quantizes with
+# exact binary-fraction multipliers (0.25*int is exact in IEEE), and
+# the entropy folds with the corrected Mitchell log2 — end to end
+# libm-free and engine-identical. One bigram explode; each lambda adds
+# a vocabulary-grain fold, not a corpus pass.
+
+LM_INTERP_SCALE = 1_000_000_000
+LM_LAMBDAS = ["0.0", "0.25", "0.5", "0.75", "1.0"]  # exact binary fractions
+
+
+def _interp_oracle() -> str:
+    log_s = _mlog2c_q(f"CAST({LM_INTERP_SCALE} AS BIGINT)")
+    rows = []
+    for lam in LM_LAMBDAS:
+        mix = (
+            f"CAST(round({lam} * p2 + (1.0 - {lam}) * p1) AS BIGINT)"
+        )
+        rows.append(f"""
+      SELECT CAST({lam} AS DOUBLE) AS lam,
+             CAST(SUM(c12 * ({log_s} - {_mlog2c_q(mix)})) AS BIGINT)
+               AS h_scaled,
+             CAST(SUM(c12) AS BIGINT) AS n_bigrams
+      FROM model""")
+    body = "\n      UNION ALL\n".join(rows)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), bg AS (
+      SELECT t[g] AS w1, t[g + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(g)
+    ), bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ), pfc AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bgc GROUP BY w1
+    ), uni AS (
+      SELECT w2, CAST(SUM(c12) AS BIGINT) AS cw FROM bgc GROUP BY w2
+    ), tot AS (
+      SELECT CAST(SUM(c12) AS BIGINT) AS n FROM bgc
+    ), model AS MATERIALIZED (
+      SELECT b.c12,
+             CAST(round({LM_INTERP_SCALE} * b.c12 / p.c1) AS BIGINT) AS p2,
+             CAST(round({LM_INTERP_SCALE} * u.cw / tot.n) AS BIGINT) AS p1
+      FROM bgc b JOIN pfc p USING (w1) JOIN uni u USING (w2) CROSS JOIN tot
+    )
+    SELECT lam, h_scaled, n_bigrams,
+           CAST(h_scaled AS DOUBLE) / n_bigrams / 1000000.0 AS h_bits
+    FROM ({body})
+    ORDER BY lam
+    """
+
+
+@query(
+    "lm_interpolation_curve",
+    oracle=_interp_oracle(),
+    doc="Training-fit cross-entropy of the lambda-interpolated bigram/"
+        "unigram mixture at five exact-binary lambdas — the hand-tuning "
+        "curve of every n-gram LM (lam=1 shows bigram sharpness, lam=0 "
+        "the unigram floor; the in-corpus curve is monotone toward the "
+        "bigram end BY CONSTRUCTION and is a fit diagnostic, not a "
+        "held-out score — see lm_stupid_backoff for the split form). "
+        "Scaled-integer probabilities, exact-binary mixture weights, "
+        "corrected Mitchell log2: libm-free, engine-identical. One "
+        "bigram explode; per-lambda folds are vocabulary-grain.",
+)
+def lm_interpolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(slice({_TOKS_SPARK}, 1, size({_TOKS_SPARK}) - 1), "
+                f"(x, i) -> struct(x AS w1, {_TOKS_SPARK}[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bgc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    ).localCheckpoint(eager=False)  # one explode; feeds pfc/uni/tot/model
+    pfc = bgc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    uni = bgc.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("cw"))
+    tot = bgc.agg(F.sum("c12").cast("bigint").alias("n"))
+    model = (
+        bgc.join(pfc, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c12",
+            F.round(F.lit(LM_INTERP_SCALE) * F.col("c12") / F.col("c1"))
+            .cast("bigint")
+            .alias("p2"),
+            F.round(F.lit(LM_INTERP_SCALE) * F.col("cw") / F.col("n"))
+            .cast("bigint")
+            .alias("p1"),
+        )
+        .localCheckpoint(eager=False)  # consumed once per lambda
+    )
+    log_s = _mlog2c_q_spark(f"CAST({LM_INTERP_SCALE} AS BIGINT)")
+    out = None
+    for lam in LM_LAMBDAS:
+        mix = f"cast(round({lam} * p2 + (1.0 - {lam}) * p1) as bigint)"
+        row = model.agg(
+            F.expr(
+                f"CAST(sum(c12 * ({log_s} - {_mlog2c_q_spark(mix)})) AS BIGINT)"
+            ).alias("h_scaled"),
+            F.sum("c12").cast("bigint").alias("n_bigrams"),
+        ).select(
+            F.lit(float(lam)).alias("lam"),
+            "h_scaled",
+            "n_bigrams",
+            (
+                F.col("h_scaled").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(1_000_000.0)
+            ).alias("h_bits"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lam")

@@ -6478,3 +6478,104 @@ def emb_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ------------------------------------------------ 1-NN label-purity audit --
+#
+# Leave-one-out 1-nearest-neighbor label accuracy over the standard
+# bounded query set: for each probe vector, does its nearest corpus
+# neighbor (cosine, self excluded) carry the same label? The classic
+# embedding-quality smoke test — a collapsed or mis-scaled encoder
+# drops this toward the label prior. Truth is exact brute force over
+# the bounded probe set (audit cost by definition; the serving-path
+# analogue probes the persisted ANN index instead).
+
+
+@query(
+    "emb_knn_loo_accuracy",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, emb AS qemb, nrm AS qnrm
+      FROM d WHERE vec_id < {RECALL_QUERIES}
+    ), nn AS (
+      SELECT query_id, qlabel, vec_id, nlabel FROM (
+        SELECT q.query_id, q.qlabel, d.vec_id, d.label AS nlabel,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_sql_dot('q.qemb', 'd.emb')} / (q.qnrm * d.nrm) DESC,
+                 d.vec_id) AS rk
+        FROM q JOIN d ON d.vec_id <> q.query_id
+      ) WHERE rk = 1
+    )
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) FILTER (WHERE nlabel = qlabel) AS BIGINT)
+             AS n_correct,
+           CAST(COUNT(*) FILTER (WHERE nlabel = qlabel) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM nn GROUP BY qlabel ORDER BY qlabel
+    """,
+    doc=f"Leave-one-out 1-NN label accuracy over the {RECALL_QUERIES}-"
+        "query probe set: nearest cosine neighbor (self excluded) label "
+        "match rate per query label — the standard embedding-quality "
+        "smoke test (collapse/mis-scale drives it to the label prior). "
+        "Exact brute force over the bounded probe set via the two-phase "
+        "top-k (per-partition prune, then global); at serving scale the "
+        "same check probes the persisted IVF index.",
+)
+def emb_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    q = emb.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    # the top-k helper strips to (query_id, vec_id, ...): re-attach both
+    # labels from the (bounded) label projection
+    labels = emb.select("vec_id", "label")
+    nn = (
+        _two_phase_topk(cand, 1, base=emb)
+        .select("query_id", "vec_id")
+        .join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlabel"),
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select("vec_id", F.col("label").alias("nlabel")), "vec_id"
+        )
+    )
+    return (
+        nn.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.count(F.when(F.col("nlabel") == F.col("qlabel"), 1))
+            .cast("bigint")
+            .alias("n_correct"),
+            (
+                F.count(F.when(F.col("nlabel") == F.col("qlabel"), 1))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -2701,3 +2701,67 @@ def text_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_types").cast("double") / F.lit(float(FEATURE_HASH_D))
         ).alias("load_factor"),
     )
+
+
+# ----------------------------------------------------- hapax-ratio audit ---
+#
+# Lexical richness per source: the share of each source's vocabulary
+# that occurs exactly once (hapax legomena) plus the Guiraud index
+# |V|/sqrt(N) — template-stamped or boilerplate-heavy sources collapse
+# both, organic text holds them up. sqrt is IEEE-correctly-rounded, so
+# the index is bit-identical across engines from exact integer inputs.
+# One token pass, a (source, word)-grain agg, a |sources|-row result.
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(trim(lower(text)), ' ')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE) / COUNT(*)
+             AS hapax_ratio,
+           COUNT(*) / sqrt(CAST(SUM(c) AS DOUBLE)) AS guiraud
+    FROM wc GROUP BY source ORDER BY source
+    """,
+    doc="Hapax-legomena ratio + Guiraud lexical-richness index per "
+        "source: share of the source vocabulary occurring exactly once "
+        "and |V|/sqrt(N). Boilerplate/template sources collapse both. "
+        "Exact integer counts; sqrt is correctly rounded IEEE, so the "
+        "index is engine-identical. One token pass, hash aggs only.",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.count(F.when(F.col("c") == 1, 1)).cast("bigint").alias("hapax"),
+            (
+                F.count(F.when(F.col("c") == 1, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hapax_ratio"),
+            (
+                F.count(F.lit(1))
+                / F.sqrt(F.sum("c").cast("double"))
+            ).alias("guiraud"),
+        )
+        .orderBy("source")
+    )

@@ -2212,3 +2212,97 @@ def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sx").cast("double")),
         ).alias("gini"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------ Wilson conversion CI -----
+#
+# Per-event-type conversion proportion with the Wilson 95% score
+# interval — the interval that behaves at small n and extreme p where
+# the Wald CI collapses. Conversion: of the distinct users who emitted
+# the type, the share who ever purchased. All inputs are exact distinct
+# counts; z is a shared literal; sqrt is correctly-rounded IEEE — the
+# bounds are bit-identical across engines. Two distinct-aggs + a
+# |types|-row fold; the purchaser set rides a broadcast semi-join.
+
+WILSON_Z = 1.96
+
+
+@query(
+    "events_wilson_ci",
+    oracle=f"""
+    WITH buyers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), peruser AS (
+      SELECT DISTINCT e.event_type, e.user_id,
+             (b.user_id IS NOT NULL) AS converted
+      FROM events e LEFT JOIN buyers b ON b.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(*) FILTER (WHERE converted) AS BIGINT) AS n_conv
+      FROM peruser GROUP BY event_type
+    )
+    SELECT event_type, n_users, n_conv,
+           CAST(n_conv AS DOUBLE) / n_users AS p,
+           ((CAST(n_conv AS DOUBLE) / n_users)
+              + {WILSON_Z} * {WILSON_Z} / (2.0 * n_users)
+            - {WILSON_Z} * sqrt(
+                (CAST(n_conv AS DOUBLE) / n_users)
+                * (1.0 - CAST(n_conv AS DOUBLE) / n_users) / n_users
+                + {WILSON_Z} * {WILSON_Z}
+                  / (4.0 * n_users * CAST(n_users AS DOUBLE))))
+           / (1.0 + {WILSON_Z} * {WILSON_Z} / n_users) AS wilson_lo,
+           ((CAST(n_conv AS DOUBLE) / n_users)
+              + {WILSON_Z} * {WILSON_Z} / (2.0 * n_users)
+            + {WILSON_Z} * sqrt(
+                (CAST(n_conv AS DOUBLE) / n_users)
+                * (1.0 - CAST(n_conv AS DOUBLE) / n_users) / n_users
+                + {WILSON_Z} * {WILSON_Z}
+                  / (4.0 * n_users * CAST(n_users AS DOUBLE))))
+           / (1.0 + {WILSON_Z} * {WILSON_Z} / n_users) AS wilson_hi
+    FROM agg ORDER BY event_type
+    """,
+    doc="Conversion proportion per event type (distinct users emitting "
+        "the type who ever purchase) with the Wilson 95% score interval "
+        "— well-behaved at small n and extreme p where Wald collapses. "
+        "Exact distinct counts in, correctly-rounded sqrt, shared "
+        "z literal: bounds bit-identical across engines. The purchaser "
+        "set is a semi-join side; everything after is |types| rows.",
+)
+def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    peruser = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("event_type", "user_id")
+        .distinct()
+        .join(
+            F.broadcast(buyers.withColumn("conv", F.lit(True))),
+            "user_id",
+            "left",
+        )
+        .select("event_type", F.coalesce("conv", F.lit(False)).alias("conv"))
+    )
+    agg = peruser.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.when(F.col("conv"), 1)).cast("bigint").alias("n_conv"),
+    )
+    z = F.lit(WILSON_Z)
+    p = F.col("n_conv").cast("double") / F.col("n_users")
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n_users")
+        + z * z / (F.lit(4.0) * F.col("n_users") * F.col("n_users").cast("double"))
+    )
+    denom = F.lit(1.0) + z * z / F.col("n_users")
+    center = p + z * z / (F.lit(2.0) * F.col("n_users"))
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        p.alias("p"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("event_type")
