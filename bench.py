@@ -186,6 +186,8 @@ BENCH_EXT5 = [
     "graph_adamic_adar",
     "text_hapax_ratio",
     "lm_interpolation_curve",
+    "events_exact_quantiles",
+    "dedup_counts_state_audit",
 ]
 
 RUNS = 3

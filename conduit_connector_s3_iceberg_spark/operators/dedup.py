@@ -4746,3 +4746,53 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(EDIT_SIM_MIN_Q) * F.col("max_len")
         ).alias("is_editdup"),
     )
+
+
+# --------------------------------------------- counts-state byte audit -----
+#
+# Re-verify the persisted shingle-count state against a from-scratch
+# recompute on every sweep (the discipline the ANN manifest centroids
+# follow): the Spark side reads ONLY the served state table; the oracle
+# re-derives the same invariants from raw text. The invariants are
+# hash-function-free — DuckDB cannot reproduce xxhash64, so the audit
+# pins everything the hash does not change: per-doc type counts, total
+# occurrences, the cnt histogram moments, and the max multiplicity.
+# Any drift between the persisted bytes and the corpus (a stale serve,
+# a lost generation, a partial append) breaks at least one of them.
+
+
+@query(
+    "dedup_counts_state_audit",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+      FROM documents
+    ), cnts AS (
+      SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM occ GROUP BY doc_id, shingle
+    )
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_type_rows,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_cnt_sq,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt
+    FROM cnts
+    """,
+    doc="Persisted shingle-count state re-verified against a from-"
+        "scratch recompute (the ANN-centroid audit discipline applied "
+        "to the counts table): the Spark side reads ONLY the served "
+        "state; the oracle re-derives hash-free invariants from raw "
+        "text (doc count, type rows, occurrence total, cnt^2 moment, "
+        "max multiplicity — xxhash64 is engine-local, so the audit "
+        "pins what the hash cannot change). A stale serve, lost "
+        "generation, or partial append breaks at least one invariant.",
+)
+def dedup_counts_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnts = ensure_shingle_counts(spark, sf_dir)
+    return cnts.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_type_rows"),
+        F.sum("cnt").cast("bigint").alias("n_occurrences"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_cnt_sq"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )

@@ -2306,3 +2306,93 @@ def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     ).orderBy("event_type")
+
+
+# -------------------------------------------------- exact grid quantiles ---
+#
+# Exact P50/P90/P99 of event value per type WITHOUT a corpus-sized sort:
+# fold to the (type, cent) grid — bounded by the value domain — take
+# cumulative counts over the grid, and pick the smallest cent with
+# cum >= ceil(q*n) (the lower exact quantile, type-7-floor convention).
+# The deterministic, scale-safe alternative to percentile_approx when
+# the value domain is bounded: no sketch error, no global sort, the one
+# window runs over the grid. Quantile ranks are exact integer ceils
+# (ceil(q*n) = (n*num + den - 1) div den with rational q), so both
+# engines pick identical grid cells.
+
+QUANTILE_QS = [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")]
+
+
+@query(
+    "events_exact_quantiles",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vb
+      FROM events WHERE value >= 0
+    ), grid AS (
+      SELECT event_type, vb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY event_type, vb
+    ), cum AS (
+      SELECT event_type, vb, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM grid
+    )
+    SELECT event_type, MAX(n) AS n,
+           {", ".join(
+             f'''CAST(MIN(CASE WHEN cum >= (n * {num} + {den} - 1) // {den}
+                 THEN vb END) AS DOUBLE) / 100.0 AS {name}'''
+             for num, den, name in QUANTILE_QS)}
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact P50/P90/P99 of event value per type from the cent-"
+        "quantized grid: cumulative counts over the (type, cent) frame "
+        "— bounded by the VALUE DOMAIN, never the corpus — and the "
+        "smallest cell reaching ceil(q*n) picked with exact integer "
+        "rank arithmetic. No sketch error, no global sort; the "
+        "deterministic scale-safe alternative to percentile_approx for "
+        "bounded-domain measures (cf. sketch_hist_quantiles for the "
+        "mergeable-sketch form this audits against).",
+)
+def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.filter(F.col("value") >= 0)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("vb"),
+        )
+        .groupBy("event_type", "vb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        "vb",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for num, den, name in QUANTILE_QS:
+        rank = (F.col("n") * num + den - 1).cast("bigint")
+        aggs.append(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n * {num} + {den} - 1) div {den}"),
+                        F.col("vb"),
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias(name)
+        )
+    return cum.groupBy("event_type").agg(*aggs).orderBy("event_type")
