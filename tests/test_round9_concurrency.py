@@ -274,3 +274,44 @@ def test_ensure_dedup_table_rebuilds_on_stealth_rewrite(spark, tmp_path):
     second = ensure_dedup_table(spark, sf_dir)
     fp_b = {r["doc_id"]: r["group_fp"] for r in second.collect()}
     assert fp_a != fp_b  # rebuilt from the new content, not served stale
+
+
+def test_maintenance_lease_excludes_across_processes(tmp_path):
+    """flock is per open-file-description: the thread test above could in
+    principle pass with a same-process-only lock. This pins the real
+    claim — a SECOND PROCESS holding the lease blocks this one."""
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path / "s")
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys; sys.path.insert(0, '.');"
+                "from conduit_connector_s3_iceberg_spark.state import"
+                " maintenance_lease\n"
+                f"with maintenance_lease({root!r}):\n"
+                "    print('HELD', flush=True)\n"
+                "    import time; time.sleep(8)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        assert holder.stdout.readline().strip() == "HELD"
+        t0 = time.monotonic()
+        with pytest.raises(TimeoutError):
+            with maintenance_lease(root, timeout=1.0):
+                pass
+        assert time.monotonic() - t0 >= 0.9  # actually waited on the peer
+    finally:
+        holder.kill()
+        holder.wait()
+    # peer gone -> lease acquires immediately
+    with maintenance_lease(root, timeout=5.0):
+        pass
