@@ -1248,35 +1248,131 @@ def _counts_of(docs: DataFrame) -> DataFrame:
     )
 
 
+def _read_shingle_counts(spark: SparkSession, root: str, man: dict) -> DataFrame:
+    from ..state import gen_paths
+
+    return spark.read.parquet(
+        *gen_paths(root, "counts", man["gen"], man.get("base_gen", 0))
+    )
+
+
+def build_shingle_counts(
+    spark: SparkSession, docs: DataFrame, root: str, files: dict | None = None
+) -> DataFrame:
+    """Full build of the counts state at ``root`` (under the lease)."""
+    from ..state import maintenance_lease
+
+    with maintenance_lease(root):
+        return _build_shingle_counts_locked(spark, docs, root, files)
+
+
+def _build_shingle_counts_locked(
+    spark: SparkSession, docs: DataFrame, root: str, files: dict | None = None
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..state import gen_dir
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    _counts_of(docs.select("doc_id", "text")).write.mode("overwrite").parquet(
+        gen_dir(root, "counts", 0)
+    )
+    man = _write_state_manifest(
+        root, {"gen": 0, "base_gen": 0, "files": files or {}}
+    )
+    return _read_shingle_counts(spark, root, man)
+
+
+def maintain_shingle_counts(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    root: str,
+    files: dict | None = None,
+) -> DataFrame:
+    """Apply an appended document batch to the counts state: O(delta) —
+    counts are per-document, so the delta only ADDS rows. Replay-safe
+    with no epoch sidecar: doc_ids already present in the state are
+    dropped (the labels-table idempotence rule), and a crashed epoch's
+    generation files stay invisible until the manifest commit. Runs
+    under the maintenance lease; auto-compacts past the manifest
+    threshold with one-cycle-grace expiry."""
+    from ..state import maintenance_lease
+
+    with maintenance_lease(root):
+        return _maintain_shingle_counts_locked(spark, delta_docs, root, files)
+
+
+def _maintain_shingle_counts_locked(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    root: str,
+    files: dict | None = None,
+) -> DataFrame:
+    from ..state import expire_generations, gen_dir
+
+    man = _state_manifest(root)
+    if man is None:
+        raise ValueError(f"no counts state at {root}; run build_shingle_counts")
+    standing = _read_shingle_counts(spark, root, man)
+    # replay-drop: a re-delivered epoch's doc_ids are already in the state
+    delta = delta_docs.select("doc_id", "text").join(
+        standing.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    if delta.isEmpty():
+        if files is not None and files != man.get("files"):
+            man = _write_state_manifest(root, {**man, "files": files})
+        return _read_shingle_counts(spark, root, man)
+    gen = man["gen"]
+    _counts_of(delta).write.mode("overwrite").parquet(
+        gen_dir(root, "counts", gen + 1)
+    )
+    man = _write_state_manifest(
+        root,
+        {
+            **man,
+            "gen": gen + 1,
+            "files": files if files is not None else man.get("files", {}),
+        },
+    )
+    # auto-compaction, same policy as labels/ANN
+    thresh = int(man.get("auto_compact_gens", DEDUP_AUTO_COMPACT_GENS))
+    if man["gen"] - man.get("base_gen", 0) + 1 > thresh:
+        floor_old = int(man.get("base_gen", 0))
+        _read_shingle_counts(spark, root, man).write.mode(
+            "overwrite"
+        ).parquet(gen_dir(root, "counts", man["gen"] + 1))
+        man = _write_state_manifest(
+            root,
+            {**man, "gen": man["gen"] + 1, "base_gen": man["gen"] + 1},
+        )
+        expire_generations(
+            root, {"counts": set(range(floor_old, man["gen"] + 1))}
+        )
+    return _read_shingle_counts(spark, root, man)
+
+
 def ensure_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve the persisted (doc_id, shingle_h, cnt) table, building or
     O(delta)-appending as the corpus snapshot dictates. Same protocol as
     the labels/ANN roots: maintenance lease, generation-scoped staging,
     atomic manifest commit, auto-compaction with one-cycle-grace expiry.
+    The streaming twin (``streaming/dedup_stream.maintain_counts_stream``)
+    drives :func:`maintain_shingle_counts` from foreachBatch epochs.
     """
     import os
 
-    from ..state import (
-        expire_generations,
-        gen_dir,
-        gen_paths,
-        maintenance_lease,
-        snapshot_delta,
-    )
+    from ..state import maintenance_lease, snapshot_delta
 
     src = os.path.join(sf_dir, "documents.parquet")
     root = shingle_counts_path(sf_dir)
-
-    def _read(man: dict) -> DataFrame:
-        return spark.read.parquet(
-            *gen_paths(root, "counts", man["gen"], man.get("base_gen", 0))
-        )
 
     # fast path: no lock taken when the committed state is fresh
     man = _state_manifest(root)
     cur = _corpus_snapshot(src)
     if man is not None and snapshot_delta(man["files"], cur)[0] == "unchanged":
-        return _read(man)
+        return _read_shingle_counts(spark, root, man)
 
     with maintenance_lease(root):
         man = _state_manifest(root)  # re-read under the lease
@@ -1284,53 +1380,18 @@ def ensure_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if man is not None:
             kind, new_rel = snapshot_delta(man["files"], cur)
             if kind == "unchanged":
-                return _read(man)
+                return _read_shingle_counts(spark, root, man)
             if kind == "appended" and not os.path.isfile(src):
-                gen = man["gen"]
                 delta = spark.read.parquet(
                     *[os.path.join(src, rel) for rel in new_rel]
                 ).select("doc_id", "text")
-                _counts_of(delta).write.mode("overwrite").parquet(
-                    gen_dir(root, "counts", gen + 1)
+                return _maintain_shingle_counts_locked(
+                    spark, delta, root, files=cur
                 )
-                man = {**man, "gen": gen + 1, "files": cur}
-                man = _write_state_manifest(root, man)
-                # auto-compaction, same policy as labels/ANN
-                thresh = int(
-                    man.get("auto_compact_gens", DEDUP_AUTO_COMPACT_GENS)
-                )
-                if man["gen"] - man.get("base_gen", 0) + 1 > thresh:
-                    floor_old = int(man.get("base_gen", 0))
-                    _read(man).write.mode("overwrite").parquet(
-                        gen_dir(root, "counts", man["gen"] + 1)
-                    )
-                    man = _write_state_manifest(
-                        root,
-                        {
-                            **man,
-                            "gen": man["gen"] + 1,
-                            "base_gen": man["gen"] + 1,
-                        },
-                    )
-                    expire_generations(
-                        root,
-                        {"counts": set(range(floor_old, man["gen"] + 1))},
-                    )
-                return _read(man)
         # full (re)build — direct read, not load_table (rebuilds exist
         # because the corpus changed; the relation cache pins file lists)
-        import shutil
-
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
         docs = spark.read.parquet(src).select("doc_id", "text")
-        _counts_of(docs).write.mode("overwrite").parquet(
-            gen_dir(root, "counts", 0)
-        )
-        man = _write_state_manifest(
-            root, {"gen": 0, "base_gen": 0, "files": cur}
-        )
-        return _read(man)
+        return _build_shingle_counts_locked(spark, docs, root, files=cur)
 
 
 def _capped_index_for(

@@ -524,3 +524,56 @@ def maintain_semantic_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------- counts-table maintenance -----
+#
+# Streaming face of the persisted shingle-count front end (round 9):
+# each micro-batch of appended documents folds its (doc_id, shingle_h,
+# cnt) rows into the counts state via the SAME maintain_shingle_counts
+# the batch path uses — the tokenize/shingle/count map stage every
+# set-Jaccard consumer shares becomes ingest-time work instead of
+# query-time work. Replay-safe twice over with NO epoch sidecar:
+# already-counted doc_ids drop in the state's own anti-join, and a
+# half-applied epoch writes only generation-scoped files invisible
+# until the manifest commit. Auto-compaction bounds the generation
+# union under continuous ingest.
+
+
+def apply_counts_epoch(state_root: str, batch, epoch_id: int) -> None:
+    """One idempotent epoch of counts-state maintenance. Module-level so
+    replay and crash-window semantics are unit-testable."""
+    from ..operators.dedup import maintain_shingle_counts
+
+    if batch.isEmpty():
+        return
+    maintain_shingle_counts(
+        batch.sparkSession, batch.select("doc_id", "text"), state_root
+    )
+
+
+def maintain_counts_stream(
+    stream,
+    state_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously maintain the shingle-count table for an append-only
+    document stream (columns ``doc_id, text``) against the counts state
+    at ``state_root`` (created by ``build_shingle_counts``). Like the
+    labels stream, the state IS the queryable table — nothing lives in
+    the Spark state store, restarts resume from the manifest, and every
+    batch consumer (ngram/weighted Jaccard, threshold curve, prefix
+    filter, containment) shares it."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch_id: apply_counts_epoch(
+                state_root, batch, epoch_id
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

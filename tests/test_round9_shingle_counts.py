@@ -96,3 +96,75 @@ def test_counts_consumers_no_corpus_scan_on_warm_path(spark):
     spark.catalog.clearCache()
     assert "documents.parquet" not in plan
     assert "shingle_counts" in plan  # served from the persisted state
+
+
+def test_maintain_counts_replay_is_idempotent(spark, tmp_path):
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        build_shingle_counts,
+        maintain_shingle_counts,
+    )
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, f"alpha beta gamma delta tok{i} x{i} y{i}") for i in ids],
+            "doc_id bigint, text string",
+        )
+
+    root = str(tmp_path / "counts")
+    build_shingle_counts(spark, docs(range(10)), root)
+    first = maintain_shingle_counts(spark, docs(range(10, 15)), root)
+    n1 = first.count()
+    replay = maintain_shingle_counts(spark, docs(range(10, 15)), root)
+    assert replay.count() == n1  # re-delivered epoch adds nothing
+    want = _counts_of(docs(range(15)))
+    assert _rows(replay) == _rows(want)
+
+
+def test_streaming_counts_equal_batch(spark, tmp_path):
+    """Streaming maintenance (rate-limited file stream -> foreachBatch)
+    converges to exactly the batch-built table over the same corpus."""
+    import os
+
+    from conduit_connector_s3_iceberg_spark.operators.dedup import (
+        build_shingle_counts,
+    )
+    from conduit_connector_s3_iceberg_spark.streaming.dedup_stream import (
+        maintain_counts_stream,
+    )
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+
+    def docs(ids, tag):
+        return spark.createDataFrame(
+            [(i, f"one two three tok{i} {tag}{i}") for i in ids],
+            "doc_id bigint, text string",
+        )
+
+    docs(range(8), "a").coalesce(1).write.mode("append").parquet(src)
+    docs(range(8, 14), "b").coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "counts")
+    build_shingle_counts(
+        spark, spark.createDataFrame([], "doc_id bigint, text string"), root
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_counts_stream(
+        stream, root, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    from conduit_connector_s3_iceberg_spark.state import gen_paths
+
+    man = read_manifest(root)
+    got = _rows(
+        spark.read.parquet(
+            *gen_paths(root, "counts", man["gen"], man.get("base_gen", 0))
+        )
+    )
+    want = _rows(_counts_of(spark.read.parquet(src).select("doc_id", "text")))
+    assert got == want
