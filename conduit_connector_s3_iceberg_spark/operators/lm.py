@@ -1030,8 +1030,14 @@ def _interp_oracle() -> str:
     log_s = _mlog2c_q(f"CAST({LM_INTERP_SCALE} AS BIGINT)")
     rows = []
     for lam in LM_LAMBDAS:
+        # GREATEST(mix, 1): past ~2*LM_INTERP_SCALE bigram tokens a hapax
+        # probability quantizes to 0 and the Mitchell log helper would
+        # silently evaluate bin(0) — clamp to the smallest representable
+        # quantum (identically in the Spark twin) so the entropy stays
+        # finite and engine-identical at any corpus size
         mix = (
-            f"CAST(round({lam} * p2 + (1.0 - {lam}) * p1) AS BIGINT)"
+            f"GREATEST(CAST(round({lam} * p2 + (1.0 - {lam}) * p1)"
+            f" AS BIGINT), 1)"
         )
         rows.append(f"""
       SELECT CAST({lam} AS DOUBLE) AS lam,
@@ -1078,7 +1084,12 @@ def _interp_oracle() -> str:
         "held-out score — see lm_stupid_backoff for the split form). "
         "Scaled-integer probabilities, exact-binary mixture weights, "
         "corrected Mitchell log2: libm-free, engine-identical. One "
-        "bigram explode; per-lambda folds are vocabulary-grain.",
+        "bigram explode; per-lambda folds are vocabulary-grain. The "
+        "quantized mixture clamps to >= 1 scale unit (greatest(mix, 1) "
+        "in both engines): beyond ~2*LM_INTERP_SCALE bigram tokens a "
+        "hapax probability underflows the quantization to 0, and the "
+        "clamp caps its contribution at log2(S) bits instead of feeding "
+        "bin(0) to the log helper.",
 )
 def lm_interpolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1114,7 +1125,11 @@ def lm_interpolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_s = _mlog2c_q_spark(f"CAST({LM_INTERP_SCALE} AS BIGINT)")
     out = None
     for lam in LM_LAMBDAS:
-        mix = f"cast(round({lam} * p2 + (1.0 - {lam}) * p1) as bigint)"
+        # greatest(mix, 1): same quantization-underflow clamp as the oracle
+        mix = (
+            f"greatest(cast(round({lam} * p2 + (1.0 - {lam}) * p1)"
+            f" as bigint), 1)"
+        )
         row = model.agg(
             F.expr(
                 f"CAST(sum(c12 * ({log_s} - {_mlog2c_q_spark(mix)})) AS BIGINT)"

@@ -1793,7 +1793,11 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n_first, n_second, days_first, days_second,
            CAST(n_first AS DOUBLE) / days_first AS rate_first,
-           CAST(n_second AS DOUBLE) / days_second AS rate_second,
+           -- zero-exposure guard: a single-day window makes days_second 0;
+           -- NULLIF keeps both engines on NULL instead of DuckDB IEEE Inf
+           -- vs Spark non-ANSI NULL diverging
+           CAST(n_second AS DOUBLE) / NULLIF(days_second, 0) AS rate_second,
+           CASE WHEN days_second = 0 THEN NULL ELSE
            (n_first - CAST(n_first + n_second AS DOUBLE) * days_first
               / (days_first + days_second))
            * (n_first - CAST(n_first + n_second AS DOUBLE) * days_first
@@ -1805,7 +1809,7 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (n_second - CAST(n_first + n_second AS DOUBLE) * days_second
               / (days_first + days_second))
            / (CAST(n_first + n_second AS DOUBLE) * days_second
-              / (days_first + days_second)) AS chi2
+              / (days_first + days_second)) END AS chi2
     FROM agg CROSS JOIN spans
     ORDER BY event_type
     """,
@@ -1863,12 +1867,16 @@ def events_rate_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_first").cast("double") / F.col("days_first")).alias(
                 "rate_first"
             ),
-            (F.col("n_second").cast("double") / F.col("days_second")).alias(
-                "rate_second"
-            ),
-            (
+            # zero-exposure guard (single-day window → days_second = 0):
+            # explicit NULL in BOTH engines — see the oracle's NULLIF note
+            F.when(
+                F.col("days_second") > 0,
+                F.col("n_second").cast("double") / F.col("days_second"),
+            ).alias("rate_second"),
+            F.when(
+                F.col("days_second") > 0,
                 (F.col("n_first") - e1) * (F.col("n_first") - e1) / e1
-                + (F.col("n_second") - e2) * (F.col("n_second") - e2) / e2
+                + (F.col("n_second") - e2) * (F.col("n_second") - e2) / e2,
             ).alias("chi2"),
         )
         .orderBy("event_type")

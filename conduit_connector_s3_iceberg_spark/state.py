@@ -136,7 +136,8 @@ class ManifestConflict(RuntimeError):
 def maintenance_lease(root: str, timeout: float = 600.0):
     """Exclusive cross-process lease over a state root's maintenance.
 
-    flock on ``<root>/.maintenance.lock`` — held for the duration of a
+    flock on ``<root>.maintenance.lock`` (a sibling of the root, not
+    inside it — see below) — held for the duration of a
     build/maintain/compact so two concurrent maintainers serialize
     instead of interleaving their staging writes (generation dirs are
     keyed by gen number, so two writers staging gen N+1 simultaneously

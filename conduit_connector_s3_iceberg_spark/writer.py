@@ -80,7 +80,7 @@ class ParquetWarehouse:
         table: str,
         version_dir: str,
         mark: str | None = None,
-        clear_marks: bool = False,
+        marks_override: dict | None = None,
     ) -> None:
         """Atomic snapshot pointer swap. ``mark`` is an idempotence token
         (e.g. ``e<epoch>``) recorded IN THE SAME os.replace as the version
@@ -89,16 +89,32 @@ class ParquetWarehouse:
         mid-epoch crash window of multi-table epoch application: each
         table independently remembers whether the epoch's write landed,
         and a replay skips exactly the tables that already committed
-        (see :meth:`append`'s ``mark`` and :func:`mark_epoch_applied`)."""
+        (see :meth:`append`'s ``mark`` and :func:`mark_epoch_applied`).
+
+        ``marks_override`` replaces the carried-forward marks dict wholesale
+        (rollback restores the marks AS OF the target snapshot — see
+        :meth:`rollback`). The final marks state is also persisted inside
+        the version directory as ``_MARKS.json`` (underscore prefix: Spark's
+        parquet reader treats it as hidden, like ``_deletes``), so every
+        snapshot carries the marks that were live when it committed and a
+        later rollback can restore them exactly."""
         marker = os.path.join(self._dir(table), "CURRENT")
-        marks: dict = {}
-        if not clear_marks and os.path.exists(marker):
+        if marks_override is not None:
+            marks = dict(marks_override)
+        elif os.path.exists(marker):
             marks = self._current_state(table).get("marks", {})
+        else:
+            marks = {}
         if mark is not None:
             marks.pop(str(mark), None)  # re-insert at the recent end
             marks[str(mark)] = os.path.basename(version_dir)
             while len(marks) > self.MAX_COMMIT_MARKS:
                 marks.pop(next(iter(marks)))
+        marks_path = os.path.join(version_dir, "_MARKS.json")
+        marks_tmp = marks_path + ".tmp"
+        with open(marks_tmp, "w") as fh:
+            json.dump(marks, fh)
+        os.replace(marks_tmp, marks_path)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
@@ -107,6 +123,16 @@ class ParquetWarehouse:
         os.replace(tmp, marker)  # atomic snapshot pointer swap
         with open(os.path.join(self._dir(table), "LOG"), "a") as fh:
             fh.write(os.path.basename(version_dir) + "\n")
+
+    def _version_marks(self, table: str, version: str) -> dict:
+        """Marks state as of the commit that produced ``version`` (empty for
+        snapshots written before marks persistence — conservative: a replay
+        then re-applies, matching the old clear-all behavior)."""
+        path = os.path.join(self._dir(table), version, "_MARKS.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
 
     def mark_applied(self, table: str, mark: str) -> bool:
         """True if a commit carrying ``mark`` already landed on ``table``
@@ -529,14 +555,19 @@ class ParquetWarehouse:
         path = os.path.join(self._dir(table), version)
         if not os.path.isdir(path):
             raise ValueError(f"unknown or expired version {version!r} of {table!r}")
-        # A rollback discards the writes of every epoch committed after the
-        # target snapshot, so the idempotence marks that recorded those
-        # epochs as applied are now lies: carrying them forward would make
-        # a replay-after-rollback silently skip re-appliable epochs (within
-        # the 64-mark window) and lose their writes. Clear the marks dict —
-        # the next replay re-applies everything, which is exactly right
-        # because the data is back to the pre-epoch state.
-        self._commit(table, path, clear_marks=True)
+        # A rollback discards the writes of every epoch committed AFTER the
+        # target snapshot, so their idempotence marks are now lies: carrying
+        # them forward would make a replay-after-rollback silently skip
+        # re-appliable epochs (within the 64-mark window) and lose their
+        # writes. But epochs committed AT-OR-BEFORE the target have their
+        # writes still in the data — clearing those marks would let a
+        # checkpoint rewound past the target DOUBLE-apply them. Restore the
+        # marks exactly as they were when the target snapshot committed
+        # (persisted per-version as _MARKS.json): post-target epochs lose
+        # their marks and replay, pre-target epochs keep theirs and skip.
+        self._commit(
+            table, path, marks_override=self._version_marks(table, version)
+        )
         return version
 
     # -- named refs (Iceberg tags: immutable snapshot names) ---------------

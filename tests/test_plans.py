@@ -300,6 +300,10 @@ BROADCAST_NONEQUI_OK = {
     # N_QUERIES-row broadcast with label-disagreement predicate — bounded
     # (same shape as sim_topk_bruteforce)
     "sim_hard_negatives",
+    # RECALL_QUERIES-row (50) probe broadcast with <> self-exclusion
+    # predicate — the sim_topk_bruteforce shape; truth side of the
+    # leave-one-out 1-NN audit is exact brute force by definition
+    "emb_knn_loo_accuracy",
     # two one-row totals broadcasts feeding the integer apportionment
     "sample_neyman_allocation",
     # one-row model-totals broadcast into the 1024-bucket weight table

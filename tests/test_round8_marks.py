@@ -138,11 +138,15 @@ def test_summary_delta_mark_prevents_double_merge(spark, tmp_path):
     assert row["n_rows"] == 2 and row["sum_n_tokens"] == 20
 
 
-def test_rollback_clears_marks_so_rolled_back_epochs_reapply(spark, tmp_path):
-    """Replay-after-rollback recovery (r8 ADVICE): rollback() discards the
-    data of epochs committed after the target snapshot, so their marks must
-    not survive — otherwise mark_applied() silently skips re-applying them
-    and the writes are lost."""
+def test_rollback_restores_marks_as_of_target_snapshot(spark, tmp_path):
+    """Replay-after-rollback recovery (r8+r9 ADVICE): rollback() discards
+    the data of epochs committed AFTER the target snapshot, so their marks
+    must not survive — otherwise mark_applied() silently skips re-applying
+    them and the writes are lost. But epochs committed AT-OR-BEFORE the
+    target still have their writes in the data, so their marks MUST survive
+    — otherwise a checkpoint rewound past the target double-applies them.
+    rollback() therefore restores the marks exactly as of the target
+    snapshot (persisted per-version in _MARKS.json)."""
     wh = _wh(spark, tmp_path)
     df = _df(spark, [(1, "a"), (2, "b")])
     wh.create_table("t", df.schema)
@@ -152,6 +156,24 @@ def test_rollback_clears_marks_so_rolled_back_epochs_reapply(spark, tmp_path):
     wh.rollback("t", pre_e1)               # e1's data is gone...
     assert wh.read("t").count() == 2
     assert not wh.mark_applied("t", "e1")  # ...and so is its mark
-    assert not wh.mark_applied("t", "e0")  # marks are cleared wholesale
+    assert wh.mark_applied("t", "e0")      # e0's data remains — mark kept
+    wh.append("t", df, mark="e0")          # rewound-checkpoint replay of e0
+    assert wh.read("t").count() == 2, "e0 must NOT double-apply"
     wh.append("t", df, mark="e1")          # replaying e1 must apply
     assert wh.read("t").count() == 4
+
+
+def test_rollback_to_pre_marks_snapshot_clears_all_marks(spark, tmp_path):
+    """Snapshots written before marks persistence carry no _MARKS.json;
+    rolling back to one conservatively clears all marks (the old
+    clear-wholesale behavior) so every epoch re-applies."""
+    wh = _wh(spark, tmp_path)
+    df = _df(spark, [(1, "a")])
+    wh.create_table("t", df.schema)
+    wh.append("t", df, mark="e0")
+    target = wh.history("t")[-1]
+    os.remove(os.path.join(wh._dir("t"), target, "_MARKS.json"))
+    wh.append("t", df, mark="e1")
+    wh.rollback("t", target)
+    assert not wh.mark_applied("t", "e0")
+    assert not wh.mark_applied("t", "e1")
