@@ -190,6 +190,12 @@ BENCH_EXT5 = [
     "dedup_counts_state_audit",
 ]
 
+# Round-10 additions, reported under "ext6" — prior lists frozen.
+BENCH_EXT6 = [
+    "emb_semdedup_admission",
+    "emb_semdedup_balance_audit",
+]
+
 RUNS = 3
 
 
@@ -222,6 +228,7 @@ def main() -> None:
     ext3 = run_list(BENCH_EXT3)
     ext4 = run_list(BENCH_EXT4)
     ext5 = run_list(BENCH_EXT5)
+    ext6 = run_list(BENCH_EXT6)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -239,6 +246,8 @@ def main() -> None:
         "ext4_total": round(sum(ext4.values()), 3),
         "ext5": ext5,
         "ext5_total": round(sum(ext5.values()), 3),
+        "ext6": ext6,
+        "ext6_total": round(sum(ext6.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))

@@ -3824,6 +3824,50 @@ def _sem_sig_spark() -> str:
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
+def _sem_assigned(emb: DataFrame) -> DataFrame:
+    """(vec_id, emb, nrm) -> + block: the corpus-scaled centered-projection
+    quantizer shared by emb_semdedup, emb_semdedup_admission and (frozen
+    via sem_quantizer_stats) the streaming admission twin."""
+    # 1-row corpus stats: exact scaled-integer per-dim mean + N + nbits
+    stat = (
+        emb.select(F.posexplode("emb").alias("pos", "x"))
+        .select(
+            "pos",
+            F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("xs").alias("ssum"), F.count(F.lit(1)).alias("cnt"))
+        .groupBy()
+        .agg(
+            F.max("cnt").cast("bigint").alias("n"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (
+                            F.col("ssum").cast("double")
+                            / F.col("cnt")
+                            / CENTROID_SCALE
+                        ).alias("m"),
+                    )
+                )
+            ).alias("pm"),
+        )
+        .select(
+            "n",
+            F.expr("transform(pm, s -> s.m)").alias("mu"),
+        )
+        .select("n", "mu", F.expr(_SEM_NBITS_SPARK).alias("nbits"))
+    )
+
+    # narrow sign map against the 1-row (n, mu, nbits) broadcast
+    return (
+        emb.crossJoin(F.broadcast(stat))
+        .select("vec_id", "emb", "nrm", F.expr(_sem_sig_spark()).alias("block"))
+        .localCheckpoint(eager=False)
+    )
+
+
 @query(
     "emb_semdedup",
     oracle=f"""
@@ -3923,45 +3967,8 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SPARK_NORM).alias("nrm"),
     ).localCheckpoint(eager=False)  # scanned by stats, sig, centroid join
 
-    # 1-row corpus stats: exact scaled-integer per-dim mean + N + nbits
-    stat = (
-        emb.select(F.posexplode("emb").alias("pos", "x"))
-        .select(
-            "pos",
-            F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
-        )
-        .groupBy("pos")
-        .agg(F.sum("xs").alias("ssum"), F.count(F.lit(1)).alias("cnt"))
-        .groupBy()
-        .agg(
-            F.max("cnt").cast("bigint").alias("n"),
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "pos",
-                        (
-                            F.col("ssum").cast("double")
-                            / F.col("cnt")
-                            / CENTROID_SCALE
-                        ).alias("m"),
-                    )
-                )
-            ).alias("pm"),
-        )
-        .select(
-            "n",
-            F.expr("transform(pm, s -> s.m)").alias("mu"),
-        )
-        .select("n", "mu", F.expr(_SEM_NBITS_SPARK).alias("nbits"))
-    )
-
-    # narrow sign map against the 1-row (n, mu, nbits) broadcast;
     # feeds both the block-centroid agg and the assigned frame
-    a = (
-        emb.crossJoin(F.broadcast(stat))
-        .select("vec_id", "emb", "nrm", F.expr(_sem_sig_spark()).alias("block"))
-        .localCheckpoint(eager=False)
-    )
+    a = _sem_assigned(emb)
 
     # exact scaled-integer centroid of each block (emb_kmeans_assign's
     # update step) — a (block, dim) hash agg, ~N/TARGET blocks
@@ -4023,6 +4030,286 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_witnesses").isNull().alias("kept"),
         )
         .orderBy("vec_id")
+    )
+
+
+# --------------------------------------- arrival-order semantic admission --
+#
+# The streaming face of SemDeDup: admit a vector iff NO EARLIER-ARRIVED
+# vector in its quantizer block is within TAU cosine (first-arrival wins).
+# Unlike the batch pruner's dominance rule (which needs the full block to
+# pick the most atypical member), admission is MONOTONE in the arrival
+# prefix — v's verdict depends only on the SET of vectors seen before it,
+# never on whether those vectors were themselves admitted — so the result
+# is identical for ANY epoch slicing of the same arrival order. That is
+# the property that makes the batch query below and the streaming twin
+# (streaming/semdedup_stream.py) provably equal, and it is why the
+# standing index keeps every SEEN vector, not just admitted ones.
+# Arrival order here is vec_id (the corpus's ingest key).
+
+
+def sem_quantizer_stats(spark: SparkSession, sf_dir: str) -> tuple:
+    """Freeze the quantizer from a reference corpus: (mu, nbits) — the
+    exact per-dim scaled-integer mean and the corpus-scaled plane depth,
+    identical values to _sem_assigned's in-plan 1-row stats. The collect
+    is bounded metadata (DIM rows). Streaming appends assign against this
+    FROZEN quantizer (trained-IVF append semantics: requantizing is a
+    rebuild decision, never an implicit side effect of ingest)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    rows = (
+        emb.select(F.posexplode("emb").alias("pos", "x"))
+        .select(
+            "pos",
+            F.round(F.col("x") * CENTROID_SCALE).cast("bigint").alias("xs"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("xs").alias("ssum"), F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: DIM rows of metadata
+    )
+    rows.sort(key=lambda r: r["pos"])
+    n = int(rows[0]["cnt"])
+    mu = [float(r["ssum"]) / r["cnt"] / CENTROID_SCALE for r in rows]
+    nbits = SEMDEDUP_MAXBITS
+    for b in range(SEMDEDUP_MAXBITS):
+        if SEMDEDUP_TARGET * (1 << b) >= n:
+            nbits = b
+            break
+    return mu, nbits
+
+
+def sem_block_expr_frozen(mu: list, nbits: int) -> str:
+    """Block signature over an ``emb`` array<double> column with the
+    quantizer (mu, nbits) inlined as literals — the same products in the
+    same order as _sem_sig_spark's in-plan form, so a frozen-quantizer
+    assignment of the SAME corpus reproduces _sem_assigned's blocks
+    bit-for-bit."""
+    muarr = "array(" + ", ".join(f"{v}D" for v in mu) + ")"
+    bits = []
+    for b, w in enumerate(SEM_PLANES[:nbits]):
+        arr = "array(" + ", ".join(f"{v}D" for v in w) + ")"
+        dot = (
+            f"aggregate(zip_with(zip_with(emb, {muarr}, (x, m) -> x - m),"
+            f" {arr}, (d, w) -> d * w), 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(
+            f"(CASE WHEN {dot} >= 0 THEN {1 << b}L ELSE 0L END)"
+        )
+    body = " + ".join(bits) if bits else "0L"
+    return f"CAST({body} AS BIGINT)"
+
+
+@query(
+    "emb_semdedup_admission",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT i AS pos,
+             CAST(SUM(CAST(round(emb[i] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e, generate_series(1, {DIM}) t(i)
+      GROUP BY i
+    ),
+    stat AS (
+      SELECT MAX(cnt) AS n,
+             array_agg(CAST(ssum AS DOUBLE) / cnt / {CENTROID_SCALE}
+                       ORDER BY pos) AS mu
+      FROM dims
+    ),
+    bits AS (
+      SELECT COALESCE(CAST(MIN(b) AS INTEGER), {SEMDEDUP_MAXBITS}) AS nbits
+      FROM stat LEFT JOIN generate_series(0, {SEMDEDUP_MAXBITS - 1}) t(b)
+        ON {SEMDEDUP_TARGET} * (CAST(1 AS BIGINT) << b) >= stat.n
+    ),
+    planes(bit, w) AS (VALUES {_SEM_PLANES_SQL_VALUES}),
+    sig AS MATERIALIZED (
+      SELECT e.vec_id,
+             CAST(COALESCE(SUM(CASE WHEN
+               list_reduce(list_transform(generate_series(1, {DIM}),
+                 i -> (e.emb[i] - s.mu[i]) * (p.w)[i]), (x, y) -> x + y) >= 0
+               THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END), 0)
+               AS BIGINT) AS block
+      FROM e CROSS JOIN stat s CROSS JOIN bits
+      LEFT JOIN planes p ON p.bit < bits.nbits
+      GROUP BY e.vec_id
+    ),
+    b AS (
+      SELECT g.vec_id, g.block, e.emb, e.nrm
+      FROM sig g JOIN e USING (vec_id)
+    ),
+    wit AS (
+      SELECT v.vec_id, CAST(COUNT(*) AS BIGINT) AS n_earlier
+      FROM b u JOIN b v
+        ON u.block = v.block AND u.vec_id < v.vec_id
+       AND {_sql_dot('u.emb', 'v.emb')} / (u.nrm * v.nrm) >= {SEMDEDUP_TAU}
+      GROUP BY v.vec_id
+    )
+    SELECT b.vec_id, b.block AS cluster,
+           COALESCE(wit.n_earlier, 0) AS n_earlier,
+           wit.vec_id IS NULL AS admitted
+    FROM b LEFT JOIN wit USING (vec_id)
+    ORDER BY b.vec_id
+    """,
+    doc="Arrival-order (first-wins) semantic admission over the SemDeDup "
+        "quantizer blocks: a vector is admitted iff no earlier-arrived "
+        "(lower vec_id) vector in its block is within TAU cosine — "
+        "verdicts depend only on the seen-prefix SET, so any epoch "
+        "slicing of the same arrival order yields the same result "
+        "(the equality contract of the streaming twin, "
+        "streaming/semdedup_stream.py). Same corpus-scaled centered-"
+        "projection blocking as emb_semdedup: pair work N*TARGET, "
+        "assignment a narrow map.",
+)
+def emb_semdedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    a = _sem_assigned(emb)
+    u, v = a.alias("u"), a.alias("v")
+    cos = F.expr(_spark_dot("u.emb", "v.emb")) / (
+        F.col("u.nrm") * F.col("v.nrm")
+    )
+    wit = (
+        u.join(
+            v,
+            (F.col("u.block") == F.col("v.block"))
+            & (F.col("u.vec_id") < F.col("v.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .groupBy(F.col("v.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_earlier"))
+    )
+    return (
+        a.join(wit, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("block").alias("cluster"),
+            F.coalesce(F.col("n_earlier"), F.lit(0).cast("bigint")).alias(
+                "n_earlier"
+            ),
+            F.col("n_earlier").isNull().alias("admitted"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ----------------------------------------- semdedup block-balance audit ---
+#
+# The one-row measurement behind emb_semdedup's linearity claim: block
+# population under the corpus-scaled quantizer. Pair work is
+# Sigma|block|^2, so the audit prices it exactly (pair_work column) and
+# exposes the head (max_pop, max_share). Register-domain output; the
+# corpus is touched once by the sign map.
+
+
+@query(
+    "emb_semdedup_balance_audit",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    dims AS (
+      SELECT i AS pos,
+             CAST(SUM(CAST(round(emb[i] * {CENTROID_SCALE}) AS BIGINT))
+                  AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e, generate_series(1, {DIM}) t(i)
+      GROUP BY i
+    ),
+    stat AS (
+      SELECT MAX(cnt) AS n,
+             array_agg(CAST(ssum AS DOUBLE) / cnt / {CENTROID_SCALE}
+                       ORDER BY pos) AS mu
+      FROM dims
+    ),
+    bits AS (
+      SELECT COALESCE(CAST(MIN(b) AS INTEGER), {SEMDEDUP_MAXBITS}) AS nbits
+      FROM stat LEFT JOIN generate_series(0, {SEMDEDUP_MAXBITS - 1}) t(b)
+        ON {SEMDEDUP_TARGET} * (CAST(1 AS BIGINT) << b) >= stat.n
+    ),
+    planes(bit, w) AS (VALUES {_SEM_PLANES_SQL_VALUES}),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(COALESCE(SUM(CASE WHEN
+               list_reduce(list_transform(generate_series(1, {DIM}),
+                 i -> (e.emb[i] - s.mu[i]) * (p.w)[i]), (x, y) -> x + y) >= 0
+               THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END), 0)
+               AS BIGINT) AS block
+      FROM e CROSS JOIN stat s CROSS JOIN bits
+      LEFT JOIN planes p ON p.bit < bits.nbits
+      GROUP BY e.vec_id
+    ),
+    pops AS (
+      SELECT block, CAST(COUNT(*) AS BIGINT) AS pop FROM sig GROUP BY block
+    )
+    SELECT CAST(SUM(pop) AS BIGINT) AS n_vecs,
+           (SELECT nbits FROM bits) AS nbits,
+           CAST({SEMDEDUP_TARGET} AS BIGINT) AS target_pop,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(MAX(pop) AS BIGINT) AS max_pop,
+           CAST(SUM(pop) AS DOUBLE) / COUNT(*) AS mean_pop,
+           CAST(MAX(pop) AS DOUBLE) / SUM(pop) AS max_share,
+           CAST(SUM(pop * pop) AS BIGINT) AS pair_work
+    FROM pops
+    """,
+    doc="Block-balance audit of the SemDeDup quantizer: one row with the "
+        "corpus-scaled depth (nbits), block count, max/mean population, "
+        "the head's corpus share, and Sigma|block|^2 (pair_work) — the "
+        "exact cost of emb_semdedup's pair join, pricing the linearity "
+        "claim (pair_work ~ n_vecs * target_pop when balanced). "
+        "Register-domain output; the corpus is touched once.",
+)
+def emb_semdedup_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    a = _sem_assigned(emb)
+    pops = a.groupBy("block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pop")
+    )
+    # nbits re-derived from the same 1-row stats frame the assignment used
+    nbits = (
+        emb.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy()
+        .agg(F.max("cnt").cast("bigint").alias("n"))
+        .select(F.expr(_SEM_NBITS_SPARK).alias("nbits"))
+    )
+    return (
+        pops.groupBy()
+        .agg(
+            F.sum("pop").cast("bigint").alias("n_vecs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.max("pop").cast("bigint").alias("max_pop"),
+            (F.sum("pop").cast("double") / F.count(F.lit(1))).alias(
+                "mean_pop"
+            ),
+            (F.max("pop").cast("double") / F.sum("pop")).alias("max_share"),
+            F.sum(F.col("pop") * F.col("pop")).cast("bigint").alias(
+                "pair_work"
+            ),
+        )
+        .crossJoin(F.broadcast(nbits))
+        .select(
+            "n_vecs",
+            "nbits",
+            F.lit(SEMDEDUP_TARGET).cast("bigint").alias("target_pop"),
+            "n_blocks",
+            "max_pop",
+            "mean_pop",
+            "max_share",
+            "pair_work",
+        )
     )
 
 

@@ -10,6 +10,7 @@ from .cdc import (
 )
 from .corpus import clean_doc_stream
 from .dedup_stream import apply_dedup_epoch, maintain_dedup_stream
+from .semdedup_stream import apply_semdedup_epoch, maintain_semdedup_stream
 from .ivm import apply_summary_delta, cdc_delta_frame, maintain_summary_stream
 from .joins import enrich_stream, stream_stream_join
 from .stateful import anomaly_flags, running_user_totals
@@ -24,6 +25,8 @@ __all__ = [
     "clean_doc_stream",
     "apply_dedup_epoch",
     "maintain_dedup_stream",
+    "apply_semdedup_epoch",
+    "maintain_semdedup_stream",
     "apply_summary_delta",
     "cdc_delta_frame",
     "maintain_summary_stream",

@@ -304,6 +304,9 @@ BROADCAST_NONEQUI_OK = {
     # predicate — the sim_topk_bruteforce shape; truth side of the
     # leave-one-out 1-NN audit is exact brute force by definition
     "emb_knn_loo_accuracy",
+    # r10: 1-row (nbits) corpus-stats broadcast into the 1-row balance
+    # fold — bounded by design
+    "emb_semdedup_balance_audit",
     # two one-row totals broadcasts feeding the integer apportionment
     "sample_neyman_allocation",
     # one-row model-totals broadcast into the 1024-bucket weight table
