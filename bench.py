@@ -194,6 +194,7 @@ BENCH_EXT5 = [
 BENCH_EXT6 = [
     "emb_semdedup_admission",
     "emb_semdedup_balance_audit",
+    "emb_semdedup_state_audit",
 ]
 
 RUNS = 3

@@ -4100,9 +4100,7 @@ def sem_block_expr_frozen(mu: list, nbits: int) -> str:
     return f"CAST({body} AS BIGINT)"
 
 
-@query(
-    "emb_semdedup_admission",
-    oracle=f"""
+_SEM_ADMISSION_ORACLE = f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
       FROM embeddings
@@ -4154,7 +4152,12 @@ def sem_block_expr_frozen(mu: list, nbits: int) -> str:
            wit.vec_id IS NULL AS admitted
     FROM b LEFT JOIN wit USING (vec_id)
     ORDER BY b.vec_id
-    """,
+    """
+
+
+@query(
+    "emb_semdedup_admission",
+    oracle=_SEM_ADMISSION_ORACLE,
     doc="Arrival-order (first-wins) semantic admission over the SemDeDup "
         "quantizer blocks: a vector is admitted iff no earlier-arrived "
         "(lower vec_id) vector in its block is within TAU cosine — "
@@ -4198,6 +4201,302 @@ def emb_semdedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------ persisted semdedup admission ---
+#
+# The batch state face of semantic admission (the triangle's third side:
+# emb_semdedup_admission is the from-scratch query, semdedup_stream the
+# per-epoch twin, this the persisted corpus state): a block-partitioned
+# seen-vector table carrying each vector's admitted flag, built once per
+# corpus generation and maintained O(delta) under appends. Protocol is
+# the labels/ANN/shingle-counts discipline verbatim: maintenance lease,
+# generation-scoped staging (a generation exists only once the manifest
+# names it), atomic manifest commit, auto-compaction with expiry.
+#
+# Quantizer discipline: (mu, nbits) freeze at BASE build time and live in
+# the manifest — appended vectors assign and admit against the frozen
+# quantizer (trained-IVF append semantics). Because admission is monotone
+# in the seen-prefix set (see emb_semdedup_admission), an append of
+# higher-vec_id rows admits exactly what the from-scratch rule would with
+# the same quantizer — O(delta) maintenance is not an approximation.
+
+SEMDEDUP_STATE_VERSION = 1
+SEMDEDUP_AUTO_COMPACT_GENS = 8
+
+
+def semdedup_state_path(sf_dir: str) -> str:
+    """State root keyed by source path + every definition the persisted
+    bytes depend on (planes, tau, target, dims, scale)."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    qdef = hashlib.md5(
+        repr((SEM_PLANES, SEMDEDUP_TAU, SEMDEDUP_TARGET, DIM,
+              CENTROID_SCALE)).encode()
+    ).hexdigest()
+    key = hashlib.sha256(
+        f"v{SEMDEDUP_STATE_VERSION}:{os.path.abspath(src)}:{qdef}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "spark-warehouse", "semdedup_state", key)
+
+
+def _read_sem_state(spark: SparkSession, root: str, man: dict) -> DataFrame:
+    from ..state import gen_paths
+
+    from functools import reduce
+
+    parts = [
+        spark.read.parquet(p)
+        for p in gen_paths(root, "seen", man["gen"], man.get("base_gen", 0))
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _sem_admit(sel: DataFrame, standing: DataFrame | None) -> DataFrame:
+    """Admission flags for ``sel`` (vec_id, emb, nrm, block): rejected iff
+    an earlier-arrived within-TAU witness exists in the standing state
+    (all earlier) or earlier (lower vec_id) within ``sel`` itself. Adds
+    (n_earlier, admitted)."""
+    u, v = sel.alias("u"), sel.alias("v")
+    cos_b = F.expr(_spark_dot("u.emb", "v.emb")) / (
+        F.col("u.nrm") * F.col("v.nrm")
+    )
+    wit = (
+        u.join(
+            v,
+            (F.col("u.block") == F.col("v.block"))
+            & (F.col("u.vec_id") < F.col("v.vec_id")),
+        )
+        .filter(cos_b >= SEMDEDUP_TAU)
+        .groupBy(F.col("v.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_earlier"))
+    )
+    if standing is not None:
+        probe = sel.select(
+            F.col("vec_id").alias("v_id"),
+            F.col("emb").alias("vemb"),
+            F.col("nrm").alias("vnrm"),
+            F.col("block").alias("vblock"),
+        )
+        cos_s = F.expr(_spark_dot("emb", "vemb")) / (
+            F.col("nrm") * F.col("vnrm")
+        )
+        wit_s = (
+            standing.join(
+                F.broadcast(probe), F.col("block") == F.col("vblock")
+            )
+            .filter(cos_s >= SEMDEDUP_TAU)
+            .groupBy(F.col("v_id").alias("vec_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_earlier"))
+        )
+        wit = (
+            wit.unionByName(wit_s)
+            .groupBy("vec_id")
+            .agg(F.sum("n_earlier").cast("bigint").alias("n_earlier"))
+        )
+    return sel.join(wit, "vec_id", "left").select(
+        "vec_id",
+        "emb",
+        "nrm",
+        "block",
+        F.coalesce(F.col("n_earlier"), F.lit(0).cast("bigint")).alias(
+            "n_earlier"
+        ),
+        F.col("n_earlier").isNull().alias("admitted"),
+    )
+
+
+def ensure_semdedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the persisted (vec_id, emb, nrm, block, n_earlier, admitted)
+    seen-vector table, building or O(delta)-appending as the corpus
+    snapshot dictates."""
+    import os
+
+    from ..state import (
+        corpus_snapshot,
+        maintenance_lease,
+        read_manifest,
+        snapshot_delta,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    root = semdedup_state_path(sf_dir)
+
+    # fast path: no lock taken when the committed state is fresh
+    man = read_manifest(root)
+    cur = corpus_snapshot(src)
+    if man is not None and snapshot_delta(man["files"], cur)[0] == "unchanged":
+        return _read_sem_state(spark, root, man)
+
+    with maintenance_lease(root):
+        man = read_manifest(root)  # re-read under the lease
+        cur = corpus_snapshot(src)
+        if man is not None:
+            kind, new_rel = snapshot_delta(man["files"], cur)
+            if kind == "unchanged":
+                return _read_sem_state(spark, root, man)
+            if kind == "appended" and not os.path.isfile(src):
+                delta = spark.read.parquet(
+                    *[os.path.join(src, rel) for rel in new_rel]
+                ).select("vec_id", "embedding")
+                return _maintain_semdedup_state_locked(
+                    spark, delta, root, files=cur
+                )
+        emb = spark.read.parquet(src).select("vec_id", "embedding")
+        return _build_semdedup_state_locked(spark, sf_dir, emb, root, files=cur)
+
+
+def _sem_prepared(batch: DataFrame, mu: list, nbits: int) -> DataFrame:
+    return batch.select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    ).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.expr(sem_block_expr_frozen(mu, nbits)).alias("block"),
+    )
+
+
+def _build_semdedup_state_locked(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    root: str,
+    files: dict | None = None,
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..state import gen_dir, write_manifest
+
+    mu, nbits = sem_quantizer_stats(spark, sf_dir)
+    sel = _sem_prepared(emb, mu, nbits).localCheckpoint(eager=False)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    _sem_admit(sel, None).write.mode("overwrite").partitionBy(
+        "block"
+    ).parquet(gen_dir(root, "seen", 0))
+    man = write_manifest(
+        root,
+        {"gen": 0, "base_gen": 0, "files": files or {}, "mu": mu,
+         "nbits": nbits},
+    )
+    return _read_sem_state(spark, root, man)
+
+
+def maintain_semdedup_state(
+    spark: SparkSession,
+    delta_emb: DataFrame,
+    root: str,
+    files: dict | None = None,
+) -> DataFrame:
+    """Apply an appended vector batch against the FROZEN manifest
+    quantizer: O(delta x block population) — the standing state is read
+    only at the delta's blocks (partition-pruned isin), never reassigned
+    or rescored. Replay-safe: vec_ids already in the state are dropped,
+    and a crashed epoch's generation files stay invisible until the
+    manifest commit."""
+    from ..state import maintenance_lease
+
+    with maintenance_lease(root):
+        return _maintain_semdedup_state_locked(spark, delta_emb, root, files)
+
+
+def _maintain_semdedup_state_locked(
+    spark: SparkSession,
+    delta_emb: DataFrame,
+    root: str,
+    files: dict | None = None,
+) -> DataFrame:
+    from ..state import (
+        expire_generations,
+        gen_dir,
+        read_manifest,
+        write_manifest,
+    )
+
+    man = read_manifest(root)
+    if man is None:
+        raise ValueError(
+            f"no semdedup state at {root}; run ensure_semdedup_state"
+        )
+    standing = _read_sem_state(spark, root, man)
+    sel = _sem_prepared(
+        delta_emb.select("vec_id", "embedding"),
+        man["mu"],
+        int(man["nbits"]),
+    ).join(  # replay-drop: re-delivered vec_ids are already in the state
+        standing.select("vec_id").distinct(), "vec_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    if sel.isEmpty():
+        if files is not None and files != man.get("files"):
+            man = write_manifest(root, {**man, "files": files})
+        return _read_sem_state(spark, root, man)
+    # bounded metadata collect: the delta's distinct blocks prune the
+    # standing scan to the touched partitions
+    blocks = [
+        int(r["block"]) for r in sel.select("block").distinct().collect()
+    ]
+    pruned = standing.filter(F.col("block").isin(blocks))
+    gen = man["gen"]
+    _sem_admit(sel, pruned).write.mode("overwrite").partitionBy(
+        "block"
+    ).parquet(gen_dir(root, "seen", gen + 1))
+    man = write_manifest(
+        root,
+        {
+            **man,
+            "gen": gen + 1,
+            "files": files if files is not None else man.get("files", {}),
+        },
+    )
+    # auto-compaction, same policy as labels/ANN/counts
+    thresh = int(man.get("auto_compact_gens", SEMDEDUP_AUTO_COMPACT_GENS))
+    if man["gen"] - man.get("base_gen", 0) + 1 > thresh:
+        floor_old = int(man.get("base_gen", 0))
+        _read_sem_state(spark, root, man).write.mode(
+            "overwrite"
+        ).partitionBy("block").parquet(gen_dir(root, "seen", man["gen"] + 1))
+        man = write_manifest(
+            root,
+            {**man, "gen": man["gen"] + 1, "base_gen": man["gen"] + 1},
+        )
+        expire_generations(
+            root, {"seen": set(range(floor_old, man["gen"] + 1))}
+        )
+    return _read_sem_state(spark, root, man)
+
+
+@query(
+    "emb_semdedup_state_audit",
+    oracle=_SEM_ADMISSION_ORACLE,
+    doc="Persisted semantic-admission state served and re-verified: reads "
+        "the block-partitioned seen-vector table (ensure_semdedup_state — "
+        "built once per corpus generation, maintained O(delta) under "
+        "appends against the manifest's frozen quantizer) and emits each "
+        "vector's stored verdict; the oracle recomputes admission from "
+        "scratch, so a hash match proves the persisted bytes equal the "
+        "from-scratch rule (admission is monotone in the seen-prefix set, "
+        "hence append-maintained generations are exact, not approximate). "
+        "Steady-state cost is the manifest check + state scan — the shape "
+        "consumers actually pay (the dedup_counts_state_audit pattern).",
+)
+def emb_semdedup_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = ensure_semdedup_state(spark, sf_dir)
+    return state.select(
+        "vec_id",
+        # block is the hive partition column: discovery infers int32,
+        # the oracle emits BIGINT — cast for the driver's typed hash
+        F.col("block").cast("bigint").alias("cluster"),
+        "n_earlier",
+        "admitted",
+    ).orderBy("vec_id")
 
 
 # ----------------------------------------- semdedup block-balance audit ---
@@ -5472,14 +5771,16 @@ def train_ivf_centroids_multi(
         seeds = seed_ivf_centroids(spark, emb)
     cur = [list(c) for c in seeds]
     trace: list[int] = []
+    history: list[list] = []  # per-iteration snapshots (K x DIM metadata)
     for _ in range(max_iters):
         nxt = _lloyd_step(spark, emb, cur)
         mv = _scaled_movement(cur, nxt)
         trace.append(mv)
         cur = nxt
+        history.append([list(c) for c in cur])
         if mv <= eps_scaled:
             break
-    return cur, trace
+    return cur, trace, history
 
 
 def _cells_paths(root: str, gen: int, base: int = 0) -> list:
@@ -5619,9 +5920,17 @@ def _ensure_ann_index_locked(
         cents = train_ivf_centroids(spark, emb)
     elif mode == "trained_multi":
         # iterate-to-epsilon Lloyd (bounded); manifest records the full
-        # convergence history, so rebuild keys and the audit see it
-        cents, trace = train_ivf_centroids_multi(spark, emb)
-        train_meta = {"train_iters": len(trace), "movement_trace": trace}
+        # convergence history — trace AND per-iteration centroid
+        # snapshots (K x DIM metadata per round), so rebuild keys, the
+        # audit, and state-served re-verification all see it
+        seeds = seed_ivf_centroids(spark, emb)
+        cents, trace, hist = train_ivf_centroids_multi(spark, emb, seeds)
+        train_meta = {
+            "train_iters": len(trace),
+            "movement_trace": trace,
+            "train_history": hist,
+            "train_seeds": seeds,
+        }
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     _assign_cells(emb, cents).write.mode("overwrite").partitionBy(
@@ -6694,16 +7003,39 @@ def sim_multistep_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    cur = seed_ivf_centroids(spark, emb_raw)
-    cents_by_iter: list[list] = []
+    # Serve the training chain from the persisted trained_multi index
+    # (r9 verdict item 5): its manifest stores per-iteration centroid
+    # snapshots produced by the SAME exact scaled-integer discipline, so
+    # reading round s and re-deriving round s are bit-identical — the
+    # audit pays a manifest check instead of MULTI_AUDIT_ITERS sequential
+    # Lloyd corpus passes (measured ~4 s of its 5.4 s at sf0.1).
+    # _lloyd_step runs in-query only for audit rounds beyond the
+    # persisted depth (the epsilon stop can end training early) or when
+    # the manifest predates history.
+    from ..state import read_manifest
+
+    ensure_ann_index(spark, sf_dir, mode="trained_multi")
+    man = read_manifest(ann_index_path(sf_dir, "trained_multi")) or {}
+    cents_by_iter: list[list] = [
+        [list(c) for c in snap]
+        for snap in man.get("train_history", [])[:MULTI_AUDIT_ITERS]
+    ]
     moves: list[int] = []
-    for _ in range(MULTI_AUDIT_ITERS):
+    prev = (
+        [list(c) for c in man["train_seeds"]]
+        if "train_seeds" in man
+        else seed_ivf_centroids(spark, emb_raw)  # bounded K-row collect
+    )
+    for snap in cents_by_iter:
+        moves.append(_scaled_movement(prev, snap))
+        prev = snap
+    while len(cents_by_iter) < MULTI_AUDIT_ITERS:
         nxt = _lloyd_step(
-            spark, emb_d.select("vec_id", F.col("emb").alias("embedding")), cur
+            spark, emb_d.select("vec_id", F.col("emb").alias("embedding")), prev
         )
-        moves.append(_scaled_movement(cur, nxt))
-        cur = nxt
-        cents_by_iter.append(cur)
+        moves.append(_scaled_movement(prev, nxt))
+        prev = nxt
+        cents_by_iter.append(nxt)
 
     # ONE union-tagged probe pass over all iterations (r9 verdict item 5:
     # at 5.3-5.8 s this was the registry's most expensive query, and the
