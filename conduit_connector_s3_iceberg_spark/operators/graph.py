@@ -1368,3 +1368,131 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_scaled").desc(), "c1", "c2")
         .limit(LINK_TOP)
     )
+
+
+# ----------------------------------------------------- seeded PPR ----------
+#
+# Personalized PageRank from a trusted seed set — the TrustRank /
+# harmonic-centrality pattern web-scale pretraining pipelines use to
+# propagate quality from a hand-audited whitelist (Gyöngyi et al.,
+# VLDB'04): restart mass lands ONLY on the seeds, so a node's rank is
+# its weighted proximity to audited-good sources, not its raw
+# popularity. Same scaled-BIGINT discipline as graph_pagerank — the
+# only change is the restart vector: base = SCALE div |seeds| on seed
+# nodes, 0 elsewhere. Seeds here are the three lowest-keyed suppliers
+# (deterministic at every SF); a production run passes any audited id
+# set. Per-iteration cost is identical to PageRank (one edges ⋈ ranks
+# hash join + one hash aggregate, lineage cut per round), so the
+# 1000-executor story carries over unchanged.
+
+PPR_SEED_MAX_KEY = 3  # suppliers s1..s3 — present at every test SF
+
+_PPR_SIZED_SQL = """
+    und AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+    ), nodes AS (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ), snodes AS (
+      SELECT n.id FROM nodes n
+      JOIN supplier ON n.id = 's' || s_suppkey
+      WHERE s_suppkey <= {seed_max}
+    ), sized AS (
+      SELECT n.id, n.outdeg,
+             CASE WHEN s.id IS NOT NULL
+                  THEN CAST({scale} AS BIGINT)
+                       // (SELECT COUNT(*) FROM snodes)
+                  ELSE CAST(0 AS BIGINT) END AS base
+      FROM nodes n LEFT JOIN snodes s USING (id)
+    )
+""".format(scale=PR_SCALE, seed_max=PPR_SEED_MAX_KEY)
+
+_PPR_ORACLE = (
+    "WITH "
+    + _PPR_SIZED_SQL
+    + ", r0 AS (SELECT id, outdeg, base, base AS rank FROM sized)"
+    + "".join(_PR_ITER_SQL.format(i=i, prev=i - 1) for i in range(1, PR_ITERS + 1))
+    + f"""
+    SELECT id, outdeg,
+           CAST(CASE WHEN base > 0 THEN 1 ELSE 0 END AS INT) AS is_seed,
+           rank AS rank_scaled,
+           CAST(rank AS DOUBLE) / {PR_SCALE}.0 AS rank
+    FROM r{PR_ITERS}
+    """
+)
+
+
+@query(
+    "graph_ppr_seeded",
+    oracle=_PPR_ORACLE,
+    doc="Personalized PageRank (d=0.85, 6 fixed iterations) from a "
+        "trusted supplier seed set over the customer↔supplier trade "
+        "graph — the TrustRank quality-propagation pattern: restart "
+        "mass lands only on seeds (base = SCALE div |seeds|), so rank "
+        "measures proximity to audited-good sources. Entirely "
+        "scaled-BIGINT (identical fold to graph_pagerank) ⇒ bit-stable "
+        "under any shuffle order; per-iteration cost is one hash join "
+        "+ one hash aggregate with lineage cuts.",
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= PPR_SEED_MAX_KEY)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("sid"))
+    )
+    marked = deg.join(
+        F.broadcast(seeds), deg.src == seeds.sid, "left"
+    ).select(
+        F.col("src").alias("id"),
+        "outdeg",
+        F.col("sid").isNotNull().cast("int").alias("is_seed"),
+    )
+    k_row = marked.agg(F.sum("is_seed").cast("bigint").alias("k"))
+    # one bounded 1-row broadcast: seeds carry base = SCALE div k, rest 0
+    nodes = (
+        marked.crossJoin(F.broadcast(k_row))
+        .select(
+            "id",
+            "outdeg",
+            "is_seed",
+            F.expr(
+                f"CASE WHEN is_seed = 1 THEN {PR_SCALE} div k ELSE 0L END"
+            ).alias("base"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("id", "outdeg", "base", F.col("base").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .select(F.col("dst").alias("id"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.select("id", "outdeg", "base")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                "outdeg",
+                "base",
+                F.expr("(3 * base + 17 * coalesce(m, 0L)) div 20").alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # cut lineage: O(1) plan per round
+        )
+    return (
+        nodes.select("id", "is_seed")
+        .join(ranks, "id")
+        .select(
+            "id",
+            "outdeg",
+            "is_seed",
+            F.col("rank").alias("rank_scaled"),
+            (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+        )
+    )

@@ -7363,3 +7363,149 @@ def emb_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------- effective-rank (PR) audit --
+#
+# Participation-ratio effective dimensionality of the embedding cloud:
+# PR = tr(C)^2 / ||C||_F^2 over the centered second-moment matrix C —
+# (Σλ)²/Σλ² of the covariance spectrum WITHOUT an eigendecomposition,
+# since tr(C) = Σ C_ii and ||C||_F² = Σ C_ij². The standard collapse
+# detector for learned representations (RankMe/α-ReQ family): a healthy
+# encoder fills many directions (PR → DIM), a collapsed one concentrates
+# variance in a few (PR → 1). One corpus pass builds the DIM×DIM Gram in
+# scaled integers (the emb_pca_power join shape); everything after runs
+# on the 4,096-cell metadata grid. Centering uses the exact identity
+# n·C = n·G − s·sᵀ, and the per-n reduction floors (C + SHIFT·n²)/n − n·SHIFT
+# with SHIFT chosen so the numerator is provably non-negative — truncating
+# and flooring division then agree, so Spark's `div` and DuckDB's `//`
+# produce identical bits. Exactness ceiling: Σ cr² stays inside
+# DECIMAL(38,0) for n ≲ 1e11 vectors; past that, audit a uniform hash
+# sample (PR is a spectral ratio — a sample estimates it).
+
+ER_SCALE = 1_000          # coordinate fixed-point scale
+ER_SHIFT = 2_000_000      # ≥ max |C|/n² = 2·ER_SCALE²·max|x|² (|x| ≤ 1)
+
+
+@query(
+    "emb_effective_rank",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e
+    ), x AS MATERIALIZED (
+      SELECT vec_id, i AS pos,
+             CAST(round(emb[i] * {ER_SCALE}) AS BIGINT) AS xq
+      FROM e, generate_series(1, {DIM}) AS t(i)
+    ), s AS (
+      SELECT pos, CAST(SUM(xq) AS HUGEINT) AS sv FROM x GROUP BY pos
+    ), g AS (
+      SELECT a.pos AS ia, b.pos AS ib,
+             CAST(SUM(CAST(a.xq AS HUGEINT) * b.xq) AS HUGEINT) AS gv
+      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY ia, ib
+    ), c AS (
+      SELECT ia, ib,
+             (SELECT n FROM nn) * gv - sa.sv * sb.sv AS cv
+      FROM g JOIN s sa ON sa.pos = g.ia JOIN s sb ON sb.pos = g.ib
+    ), r AS (
+      SELECT ia, ib,
+             (cv + {ER_SHIFT} * (SELECT n FROM nn) * (SELECT n FROM nn))
+               // (SELECT n FROM nn)
+             - {ER_SHIFT} * (SELECT n FROM nn) AS cr
+      FROM c
+    ), ag AS (
+      SELECT CAST(SUM(CASE WHEN ia = ib THEN cr ELSE 0 END) AS BIGINT) AS tr,
+             CAST(SUM(cr * cr) AS HUGEINT) AS fr
+      FROM r
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+           tr AS trace_scaled,
+           CAST(fr AS DOUBLE) AS frob2,
+           (CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)) / CAST(fr AS DOUBLE)
+             AS effective_rank,
+           (CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)) / CAST(fr AS DOUBLE)
+             / {DIM} AS rank_ratio
+    FROM ag
+    """,
+    doc="Participation-ratio effective rank tr(C)²/||C||_F² of the "
+        "centered embedding covariance — the eigendecomposition-free "
+        "collapse detector (RankMe family): one scaled-integer corpus "
+        "pass builds the DIM×DIM Gram (the emb_pca_power join), the "
+        "centering identity n·C = n·G − s·sᵀ and a shift-then-floor "
+        "per-n reduction keep every intermediate an exact integer both "
+        "engines agree on, and the two spectral sums reduce the 4,096-"
+        "cell metadata grid. Final ratio is exact-input IEEE division.",
+)
+def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
+    )
+    n_row = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    xs = (
+        emb.select("vec_id", F.posexplode("emb").alias("pos", "xv"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("xv") * ER_SCALE).cast("bigint").alias("xq"),
+        )
+        .localCheckpoint(eager=False)  # feeds per-dim sums AND the Gram join
+    )
+    s = xs.groupBy("pos").agg(F.sum("xq").cast("bigint").alias("sv"))
+    a, b = xs.alias("a"), xs.alias("b")
+    g = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.pos").alias("ia"), F.col("b.pos").alias("ib"))
+        .agg(
+            F.sum(
+                F.expr("CAST(a.xq AS DECIMAL(38,0)) * b.xq")
+            ).cast("decimal(38,0)").alias("gv")
+        )
+    )
+    sa = s.select(F.col("pos").alias("ia"), F.col("sv").alias("sva"))
+    sb = s.select(F.col("pos").alias("ib"), F.col("sv").alias("svb"))
+    r = (
+        g.join(sa, "ia")
+        .join(sb, "ib")
+        .crossJoin(F.broadcast(n_row))  # bounded: one 1-row count
+        .select(
+            "ia",
+            "ib",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * gv"
+                " - CAST(sva AS DECIMAL(38,0)) * svb"
+            ).alias("cv"),
+            F.col("n"),
+        )
+        .select(
+            "ia",
+            "ib",
+            F.expr(
+                f"CAST((cv + CAST({ER_SHIFT} AS DECIMAL(38,0)) * n * n)"
+                f" div n AS BIGINT) - {ER_SHIFT} * n"
+            ).alias("cr"),
+            "n",
+        )
+    )
+    ag = r.groupBy("n").agg(
+        F.sum(F.when(F.col("ia") == F.col("ib"), F.col("cr")).otherwise(0))
+        .cast("bigint")
+        .alias("tr"),
+        F.sum(F.expr("CAST(cr AS DECIMAL(38,0)) * cr"))
+        .cast("decimal(38,0)")
+        .alias("fr"),
+    )
+    return ag.select(
+        F.col("n"),
+        F.col("tr").alias("trace_scaled"),
+        F.col("fr").cast("double").alias("frob2"),
+        (
+            F.col("tr").cast("double") * F.col("tr").cast("double")
+            / F.col("fr").cast("double")
+        ).alias("effective_rank"),
+        (
+            F.col("tr").cast("double") * F.col("tr").cast("double")
+            / F.col("fr").cast("double")
+            / F.lit(float(DIM))
+        ).alias("rank_ratio"),
+    )

@@ -2404,3 +2404,204 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(name)
         )
     return cum.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+# ------------------------------------------------ Bradley–Terry strengths --
+#
+# Pairwise-preference strength estimation (Bradley & Terry 1952) — the
+# statistical core of RLHF reward-data analysis: given "A beat B" counts,
+# recover latent strengths p with P(A beats B) = p_a / (p_a + p_b) via the
+# classic MM fixed point p_i' = W_i / Σ_j n_ij/(p_i+p_j) (Hunter 2004).
+# Comparisons here: within each user, event type A "beats" B when A's
+# mean value exceeds B's — decided exactly by the integer cross-multiply
+# s_a·n_b > s_b·n_a on cent-quantized sums (no division, no ties lost to
+# float noise). The distributed work is the per-(user,type) aggregate and
+# the per-user pair generation (≤ |types|² rows per user, |types| is
+# small and fixed); the resulting wins matrix is |types|² METADATA, so
+# the MM iterations run driver-side in arbitrary-precision integers
+# (the bounded-collect discipline of the Lloyd trainer) and the oracle
+# mirrors them in HUGEINT chained CTEs: every step is an exact integer
+# floor-division on non-negative values, so both engines agree
+# bit-for-bit. At 100 TB the matrix is still |types|² rows — the
+# fixed point never touches the corpus again.
+
+BT_ITERS = 8
+BT_PSCALE = 1_000_000            # strength fixed-point scale
+_BT_TP = 10**12                  # T_SCALE * P_SCALE folded into one literal
+
+_BT_BASE_SQL = f"""
+    ut AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), pw AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(SUM(CASE WHEN a.s * b.n > b.s * a.n
+                           THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+             CAST(SUM(CASE WHEN a.s * b.n < b.s * a.n
+                           THEN 1 ELSE 0 END) AS BIGINT) AS wb
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY ta, tb
+    ), m AS MATERIALIZED (
+      SELECT ta AS i, tb AS j, wa + wb AS nij FROM pw WHERE wa + wb > 0
+      UNION ALL
+      SELECT tb, ta, wa + wb FROM pw WHERE wa + wb > 0
+    ), types AS (
+      SELECT DISTINCT i FROM m
+    ), wins AS (
+      SELECT t.i, CAST(COALESCE(SUM(v.w), 0) AS BIGINT) AS w
+      FROM types t LEFT JOIN (
+        SELECT ta AS i, wa AS w FROM pw
+        UNION ALL SELECT tb, wb FROM pw
+      ) v USING (i) GROUP BY t.i
+    ), cmp AS (
+      SELECT i, CAST(SUM(nij) AS BIGINT) AS c FROM m GROUP BY i
+    ), nt AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS nk FROM types
+    ), p0 AS MATERIALIZED (
+      SELECT i, w, CAST({BT_PSCALE} AS HUGEINT) AS p FROM wins
+    )
+"""
+
+_BT_ITER_SQL = f"""
+    , d{{k}} AS MATERIALIZED (
+      SELECT m.i,
+             CAST(SUM((CAST(m.nij AS HUGEINT) * {_BT_TP})
+                      // (pi.p + pj.p)) AS HUGEINT) AS d
+      FROM m JOIN p{{prev}} pi ON pi.i = m.i
+             JOIN p{{prev}} pj ON pj.i = m.j
+      GROUP BY m.i
+    ), raw{{k}} AS MATERIALIZED (
+      SELECT t.i, t.w,
+             CASE WHEN t.w = 0 THEN CAST(0 AS HUGEINT)
+                  ELSE (CAST(t.w AS HUGEINT) * {_BT_TP}) // dd.d
+             END AS pr
+      FROM p{{prev}} t JOIN d{{k}} dd ON dd.i = t.i
+    ), p{{k}} AS MATERIALIZED (
+      SELECT i, w,
+             GREATEST(CAST(1 AS HUGEINT),
+                      (pr * (SELECT nk FROM nt) * {BT_PSCALE})
+                      // SUM(pr) OVER ()) AS p
+      FROM raw{{k}}
+    )
+"""
+
+_BT_ORACLE = (
+    "WITH "
+    + _BT_BASE_SQL
+    + "".join(
+        _BT_ITER_SQL.format(k=k, prev=k - 1) for k in range(1, BT_ITERS + 1)
+    )
+    + f"""
+    SELECT t.i AS event_type,
+           t.w AS wins,
+           CAST(c.c - t.w AS BIGINT) AS losses,
+           c.c AS comparisons,
+           CAST(t.p AS BIGINT) AS strength_scaled,
+           CAST(t.p AS DOUBLE) / {BT_PSCALE} AS strength
+    FROM p{BT_ITERS} t JOIN cmp c ON c.i = t.i
+    ORDER BY event_type
+    """
+)
+
+
+@query(
+    "events_bradley_terry",
+    oracle=_BT_ORACLE,
+    doc="Bradley–Terry preference strengths over event types (the RLHF "
+        "reward-data statistic): per-user mean-value comparisons decided "
+        "by exact integer cross-multiply on cent sums, aggregated to a "
+        "|types|² wins matrix in one distributed pass, then 8 Hunter-MM "
+        "fixed-point rounds in exact integer arithmetic (floor divisions "
+        "on non-negative scaled values — Python bigints on the driver, "
+        "HUGEINT chained CTEs in the oracle, identical bits). The "
+        "corpus-sized work is one aggregate + one bounded per-user pair "
+        "join; the iteration input is metadata.",
+)
+def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pw = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(
+            F.sum(
+                (F.col("a.s") * F.col("b.n") > F.col("b.s") * F.col("a.n"))
+                .cast("bigint")
+            ).alias("wa"),
+            F.sum(
+                (F.col("a.s") * F.col("b.n") < F.col("b.s") * F.col("a.n"))
+                .cast("bigint")
+            ).alias("wb"),
+        )
+    )
+    # bounded collect: the wins matrix is |types|² rows of METADATA
+    # (|types| is the event-type vocabulary, ~5) — the corpus never
+    # feeds the fixed point again.
+    rows = pw.collect()
+    m: dict[tuple[str, str], int] = {}
+    wins: dict[str, int] = {}
+    for r in rows:
+        nij = int(r["wa"]) + int(r["wb"])
+        if nij > 0:
+            m[(r["ta"], r["tb"])] = nij
+            m[(r["tb"], r["ta"])] = nij
+            wins.setdefault(r["ta"], 0)
+            wins.setdefault(r["tb"], 0)
+    for r in rows:
+        if r["ta"] in wins:
+            wins[r["ta"]] += int(r["wa"])
+        if r["tb"] in wins:
+            wins[r["tb"]] += int(r["wb"])
+    types = sorted(wins)
+    nt = len(types)
+    cmp = {i: sum(n for (ii, _), n in m.items() if ii == i) for i in types}
+    p = {i: BT_PSCALE for i in types}
+    for _ in range(BT_ITERS):
+        d = {
+            i: sum(
+                (nij * _BT_TP) // (p[i] + p[j])
+                for (ii, j), nij in m.items()
+                if ii == i
+            )
+            for i in types
+        }
+        raw = {
+            i: 0 if wins[i] == 0 else (wins[i] * _BT_TP) // d[i]
+            for i in types
+        }
+        tot = sum(raw.values())
+        p = {i: max(1, (raw[i] * nt * BT_PSCALE) // tot) for i in types}
+    out = [
+        (
+            i,
+            wins[i],
+            cmp[i] - wins[i],
+            cmp[i],
+            p[i],
+            float(p[i]) / BT_PSCALE,
+        )
+        for i in types
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, wins bigint, losses bigint, comparisons bigint,"
+        " strength_scaled bigint, strength double",
+    ).orderBy("event_type")

@@ -336,6 +336,10 @@ BROADCAST_NONEQUI_OK = {
     "sim_truncated_rerank",
     # one-row node-count broadcast seeding base = SCALE div N — bounded
     "graph_pagerank",
+    # one-row seed-count broadcast seeding base = SCALE div k — bounded
+    "graph_ppr_seeded",
+    # one-row corpus-count broadcast into the DIM×DIM Gram grid — bounded
+    "emb_effective_rank",
     # one-row codebook broadcast + queries×probes table — bounded
     "sim_ann_ivfpq",
     # one-row corpus-stats (N, total tokens) broadcast into the tf table

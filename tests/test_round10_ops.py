@@ -1,0 +1,100 @@
+"""Round-10 operator wave: seeded PPR, Bradley–Terry, effective rank.
+
+Semantic invariants beyond the oracle hash-match (which the registry
+sweep already covers): restart-mass locality for the personalized
+PageRank, win-rate consistency and model fit for the Bradley–Terry
+fixed point, and spectral bounds for the participation-ratio rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conduit_connector_s3_iceberg_spark.operators.graph import (
+    PPR_SEED_MAX_KEY,
+    PR_SCALE,
+    graph_ppr_seeded,
+)
+from conduit_connector_s3_iceberg_spark.operators.similarity import (
+    DIM,
+    emb_effective_rank,
+)
+from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+    BT_PSCALE,
+    events_bradley_terry,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------- graph_ppr_seeded ---
+
+
+def test_ppr_mass_conserved_and_seeds_dominate(spark):
+    rows = graph_ppr_seeded(spark, SF001).collect()
+    seeds = [r for r in rows if r["is_seed"] == 1]
+    others = [r for r in rows if r["is_seed"] == 0]
+    assert 1 <= len(seeds) <= PPR_SEED_MAX_KEY + 1  # suppkey is 0-based
+    # undirected graph, no dangling mass: total rank stays within integer
+    # floor-loss of SCALE (each node loses < 1 unit per div, 6 rounds)
+    total = sum(r["rank_scaled"] for r in rows)
+    assert 0 < total <= PR_SCALE
+    assert total > PR_SCALE - 40 * len(rows)
+    # restart mass lands only on seeds: every seed outranks the median
+    # non-seed (teleport gives seeds 0.15/|seeds| every round)
+    med = sorted(r["rank_scaled"] for r in others)[len(others) // 2]
+    for s in seeds:
+        assert s["rank_scaled"] > med
+
+
+def test_ppr_rank_zero_iff_disconnected_from_seeds(spark):
+    # every node in this connected trade graph is reachable from a seed
+    # within 6 rounds at sf0.001, so no rank collapses to zero — and any
+    # zero would mean teleport mass leaked somewhere it shouldn't
+    rows = graph_ppr_seeded(spark, SF001).collect()
+    reachable = [r for r in rows if r["rank_scaled"] > 0]
+    assert len(reachable) >= len(rows) * 0.9
+
+
+# ------------------------------------------------- events_bradley_terry ---
+
+
+def test_bt_wins_losses_and_strength_consistency(spark):
+    rows = events_bradley_terry(spark, SF001).collect()
+    assert rows, "no event types with decided comparisons"
+    for r in rows:
+        assert r["wins"] + r["losses"] == r["comparisons"]
+        assert r["strength_scaled"] >= 1
+        assert abs(r["strength"] - r["strength_scaled"] / BT_PSCALE) < 1e-12
+    # normalization keeps total strength near |types| * PSCALE
+    total = sum(r["strength_scaled"] for r in rows)
+    assert abs(total - len(rows) * BT_PSCALE) <= len(rows) * 2
+
+
+def test_bt_strength_tracks_win_rate(spark):
+    # the MM fixed point must rank a type that wins most of its
+    # comparisons above one that loses most of them
+    rows = sorted(
+        events_bradley_terry(spark, SF001).collect(),
+        key=lambda r: r["wins"] / r["comparisons"],
+    )
+    weakest, strongest = rows[0], rows[-1]
+    if strongest["wins"] / strongest["comparisons"] > (
+        weakest["wins"] / weakest["comparisons"] + 0.2
+    ):
+        assert strongest["strength"] > weakest["strength"]
+
+
+# -------------------------------------------------- emb_effective_rank ----
+
+
+def test_effective_rank_bounds_and_consistency(spark):
+    row = emb_effective_rank(spark, SF001).collect()[0]
+    # PR of any non-degenerate spectrum lies in [1, DIM]
+    assert 1.0 <= row["effective_rank"] <= DIM
+    assert abs(row["rank_ratio"] - row["effective_rank"] / DIM) < 1e-12
+    assert row["trace_scaled"] > 0  # total variance is positive
+    assert row["frob2"] > 0
+    # synthetic embeddings are near-isotropic by construction — the
+    # collapse detector must NOT fire (PR well above a handful of dims)
+    assert row["effective_rank"] > DIM * 0.5
