@@ -594,3 +594,102 @@ def mm_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ cross-modal alignment ----
+#
+# CLIP-score alignment gating — the LAION-style filter that decides
+# whether an (image, caption) pair belongs in a multimodal training set:
+# embed both modalities, keep pairs whose normalized cosine clears a
+# threshold, and report retention per slice so a curator can see which
+# sources produce misaligned pairs. The pair manifest here is synthetic
+# (adjacent vec_ids stand in for the two modality embeddings of one
+# pair — production swaps in the real (image_emb, text_emb) join), but
+# the plumbing is the real thing: per-pair normalized cosine computed
+# JVM-side with the higher-order-fold dot (no Python in the loop),
+# quantized to exact integers BEFORE any cross-row aggregation so the
+# per-label retention/mean-alignment sums are bit-stable under any
+# partitioning. One equi-join on pair id + one hash agg — linear scale.
+
+MM_ALIGN_SCALE = 1_000_000    # per-pair cosine fixed-point scale
+MM_ALIGN_THRESH = 0           # keep pairs with cosine >= 0.0 (scaled)
+
+
+@query(
+    "mm_clip_alignment_gate",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             {_SQL_NORM_IMPORTED} AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS pair_id, a.label AS label,
+             CAST(round({{dot}} / (a.nrm * b.nrm) * {MM_ALIGN_SCALE})
+                  AS BIGINT) AS cs
+      FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
+      WHERE a.vec_id % 2 = 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN cs >= {MM_ALIGN_THRESH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN cs >= {MM_ALIGN_THRESH} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS retention,
+           CAST(SUM(cs) AS BIGINT) AS align_scaled,
+           CAST(SUM(cs) AS DOUBLE) / COUNT(*) / {MM_ALIGN_SCALE}
+             AS mean_alignment
+    FROM pairs
+    GROUP BY label
+    ORDER BY label
+    """.format(dot="list_reduce(list_transform(generate_series(1, 64),"
+                   " i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)"),
+    doc="CLIP-score alignment gate over (image, caption) embedding pairs "
+        "(LAION-style cosine filtering): per-pair normalized cosine via "
+        "the JVM higher-order-fold dot, quantized to exact integers "
+        "before aggregation, then per-label pair counts / retention above "
+        "threshold / mean alignment. Pair manifest is adjacent vec_ids "
+        "(a deterministic stand-in for the real two-modality join); the "
+        "gate itself is one equi-join + one hash agg — linear at 100 TB.",
+)
+def mm_clip_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _SPARK_EMB_D, _spark_dot
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM_IMPORTED).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.filter(F.col("a.vec_id") % 2 == 0)
+        .join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            F.col("a.label").alias("label"),
+            F.round(
+                F.expr(_spark_dot("a.emb", "b.emb"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+                * MM_ALIGN_SCALE
+            )
+            .cast("bigint")
+            .alias("cs"),
+        )
+    )
+    kept = F.sum(
+        (F.col("cs") >= MM_ALIGN_THRESH).cast("bigint")
+    ).cast("bigint")
+    return (
+        pairs.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            kept.alias("kept"),
+            (kept.cast("double") / F.count(F.lit(1))).alias("retention"),
+            F.sum("cs").cast("bigint").alias("align_scaled"),
+            (
+                F.sum("cs").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(float(MM_ALIGN_SCALE))
+            ).alias("mean_alignment"),
+        )
+        .orderBy("label")
+    )

@@ -2605,3 +2605,167 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, wins bigint, losses bigint, comparisons bigint,"
         " strength_scaled bigint, strength double",
     ).orderBy("event_type")
+
+
+# ------------------------------------------------------- SPRT boundary -----
+#
+# Wald's sequential probability ratio test over the daily event stream —
+# the early-stopping monitor for always-on experimentation: for each
+# event type, accumulate the log-likelihood ratio of "this type's
+# success rate is LIFT× the global rate" (H1) vs "it equals the global
+# rate" (H0) day by day, and report the first day the cumulative LLR
+# crosses ±log(19) (α = β = 0.05) — reject_null (lifted), accept_null
+# (not lifted), or continue. With LIFT = 2 the per-success increment is
+# exactly log2(2) = 1 bit; the per-failure increment
+# log2((1−2p0)/(1−p0)) and the boundary log2(19) use the suite's
+# Mitchell bit-length log over INTEGER totals (libm-free, quantized to
+# 1e6 before the exact BIGINT fold), so the whole trajectory is
+# bit-identical in both engines. Work shape: one daily hash agg, one
+# per-type cumulative window (day grain — bounded rows per type), one
+# final agg. Degenerate guard: GREATEST(·, 1) clamps the H1 failure
+# mass when p0 ≥ 1/2 would make a 2× lift impossible.
+
+SPRT_SUCCESS_CENTS = 25000   # success: cent-quantized value >= this
+_SPRT_BOUND_ARG = "19"       # A = log2(19) ⇒ α = β = 0.05
+
+from .lm import _mlog2_q as _sprt_mlog_sql  # noqa: E402
+from .lm import _mlog2_q_spark as _sprt_mlog_spark  # noqa: E402
+
+_SPRT_L0_SQL = (
+    _sprt_mlog_sql("GREATEST(n0 - 2 * s0, CAST(1 AS BIGINT))")
+    + " - "
+    + _sprt_mlog_sql("GREATEST(n0 - s0, CAST(1 AS BIGINT))")
+)
+_SPRT_L0_SPARK = (
+    _sprt_mlog_spark("greatest(n0 - 2 * s0, cast(1 as bigint))")
+    + " - "
+    + _sprt_mlog_spark("greatest(n0 - s0, cast(1 as bigint))")
+)
+
+
+@query(
+    "events_sprt_boundary",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CASE WHEN round(value * 100) >= {SPRT_SUCCESS_CENTS}
+                  THEN 1 ELSE 0 END AS sc
+      FROM events
+    ), tot AS (
+      SELECT CAST(SUM(sc) AS BIGINT) AS s0,
+             CAST(COUNT(*) AS BIGINT) AS n0 FROM ev
+    ), consts AS (
+      SELECT CAST(1000000 AS BIGINT) AS l1,
+             CAST({_SPRT_L0_SQL} AS BIGINT) AS l0,
+             CAST({_sprt_mlog_sql(_SPRT_BOUND_ARG)} AS BIGINT) AS bound
+      FROM tot
+    ), daily AS (
+      SELECT event_type, d,
+             CAST(SUM(sc) AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY event_type, d
+    ), llr AS (
+      SELECT event_type, d, k, n,
+             SUM(k * (SELECT l1 FROM consts)
+                 + (n - k) * (SELECT l0 FROM consts))
+               OVER (PARTITION BY event_type ORDER BY d) AS cum
+      FROM daily
+    ), x AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(k) AS BIGINT) AS successes,
+             CAST(SUM(n) AS BIGINT) AS trials,
+             MIN(CASE WHEN cum >= (SELECT bound FROM consts)
+                      THEN d END) AS rej_day,
+             MIN(CASE WHEN cum <= -(SELECT bound FROM consts)
+                      THEN d END) AS acc_day,
+             CAST(max_by(cum, d) AS BIGINT) AS llr_final_scaled
+      FROM llr GROUP BY event_type
+    )
+    SELECT event_type, n_days, successes, trials, llr_final_scaled,
+           CAST(llr_final_scaled AS DOUBLE) / 1000000.0 AS llr_final_bits,
+           CASE WHEN rej_day IS NOT NULL
+                     AND (acc_day IS NULL OR rej_day <= acc_day)
+                THEN 'reject_null'
+                WHEN acc_day IS NOT NULL THEN 'accept_null'
+                ELSE 'continue' END AS decision,
+           CASE WHEN rej_day IS NOT NULL
+                     AND (acc_day IS NULL OR rej_day <= acc_day)
+                THEN rej_day ELSE acc_day END AS decision_day
+    FROM x ORDER BY event_type
+    """,
+    doc="Wald SPRT early-stopping monitor per event type: daily "
+        "cumulative log-likelihood ratio of a 2× success-rate lift vs "
+        "the global rate, first crossing of ±log2(19) (α = β = 0.05) "
+        "reported as reject_null / accept_null / continue with the "
+        "decision day. Per-success increment is exactly 1 bit; failure "
+        "increment and boundary use the Mitchell integer log (libm-"
+        "free, 1e6-quantized) so the trajectory is bit-identical across "
+        "engines. One daily agg + one bounded per-type window.",
+)
+def events_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        (F.round(F.col("value") * 100) >= SPRT_SUCCESS_CENTS)
+        .cast("int")
+        .alias("sc"),
+    )
+    tot = ev.agg(
+        F.sum("sc").cast("bigint").alias("s0"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    consts = tot.select(
+        F.lit(1000000).cast("bigint").alias("l1"),
+        F.expr(_SPRT_L0_SPARK).cast("bigint").alias("l0"),
+        F.expr(_sprt_mlog_spark(_SPRT_BOUND_ARG)).cast("bigint").alias("bound"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("sc").cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # one bounded 1-row broadcast: the three LLR constants
+    w = Window.partitionBy("event_type").orderBy("d")
+    llr = (
+        daily.crossJoin(F.broadcast(consts))
+        .select(
+            "event_type",
+            "d",
+            "k",
+            "n",
+            "bound",
+            F.sum(
+                F.col("k") * F.col("l1") + (F.col("n") - F.col("k")) * F.col("l0")
+            )
+            .over(w)
+            .alias("cum"),
+        )
+    )
+    x = llr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("k").cast("bigint").alias("successes"),
+        F.sum("n").cast("bigint").alias("trials"),
+        F.min(F.when(F.col("cum") >= F.col("bound"), F.col("d"))).alias("rej_day"),
+        F.min(F.when(F.col("cum") <= -F.col("bound"), F.col("d"))).alias("acc_day"),
+        F.expr("max_by(cum, d)").cast("bigint").alias("llr_final_scaled"),
+    )
+    rej_first = F.col("rej_day").isNotNull() & (
+        F.col("acc_day").isNull() | (F.col("rej_day") <= F.col("acc_day"))
+    )
+    return x.select(
+        "event_type",
+        "n_days",
+        "successes",
+        "trials",
+        "llr_final_scaled",
+        (F.col("llr_final_scaled").cast("double") / 1000000.0).alias(
+            "llr_final_bits"
+        ),
+        F.when(rej_first, F.lit("reject_null"))
+        .when(F.col("acc_day").isNotNull(), F.lit("accept_null"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.when(rej_first, F.col("rej_day"))
+        .otherwise(F.col("acc_day"))
+        .alias("decision_day"),
+    ).orderBy("event_type")

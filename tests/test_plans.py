@@ -340,6 +340,8 @@ BROADCAST_NONEQUI_OK = {
     "graph_ppr_seeded",
     # one-row corpus-count broadcast into the DIM×DIM Gram grid — bounded
     "emb_effective_rank",
+    # one-row LLR-constants broadcast into the daily grid — bounded
+    "events_sprt_boundary",
     # one-row codebook broadcast + queries×probes table — bounded
     "sim_ann_ivfpq",
     # one-row corpus-stats (N, total tokens) broadcast into the tf table

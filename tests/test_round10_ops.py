@@ -98,3 +98,56 @@ def test_effective_rank_bounds_and_consistency(spark):
     # synthetic embeddings are near-isotropic by construction — the
     # collapse detector must NOT fire (PR well above a handful of dims)
     assert row["effective_rank"] > DIM * 0.5
+
+
+# ---------------------------------------------- mm_clip_alignment_gate ----
+
+
+def test_alignment_gate_counts_and_bounds(spark):
+    from conduit_connector_s3_iceberg_spark.operators.multimodal import (
+        MM_ALIGN_SCALE,
+        mm_clip_alignment_gate,
+    )
+
+    rows = mm_clip_alignment_gate(spark, SF001).collect()
+    assert rows
+    total_pairs = sum(r["n_pairs"] for r in rows)
+    assert total_pairs == 500 // 2  # every adjacent even/odd pair at sf0.001
+    for r in rows:
+        assert 0 <= r["kept"] <= r["n_pairs"]
+        assert abs(r["retention"] - r["kept"] / r["n_pairs"]) < 1e-12
+        # cosine of unit vectors lies in [-1, 1]
+        assert -1.0 <= r["mean_alignment"] <= 1.0
+        assert (
+            abs(
+                r["mean_alignment"]
+                - r["align_scaled"] / r["n_pairs"] / MM_ALIGN_SCALE
+            )
+            < 1e-9
+        )
+
+
+# ------------------------------------------------ events_sprt_boundary ----
+
+
+def test_sprt_decisions_consistent(spark):
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        events_sprt_boundary,
+    )
+
+    rows = events_sprt_boundary(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    decided = 0
+    for r in rows:
+        assert r["successes"] <= r["trials"]
+        assert r["decision"] in ("reject_null", "accept_null", "continue")
+        if r["decision"] == "continue":
+            assert r["decision_day"] is None
+        else:
+            assert r["decision_day"] is not None
+            decided += 1
+        # a decided-down type must have accumulated strongly negative LLR
+        if r["decision"] == "accept_null":
+            assert r["llr_final_bits"] < 0
+    # at sf0.01 the global-vs-type rate spread decides at least one type
+    assert decided >= 1
