@@ -195,6 +195,14 @@ BENCH_EXT6 = [
     "emb_semdedup_admission",
     "emb_semdedup_balance_audit",
     "emb_semdedup_state_audit",
+    "graph_ppr_seeded",
+    "events_bradley_terry",
+    "emb_effective_rank",
+    "mm_clip_alignment_gate",
+    "events_sprt_boundary",
+    "lm_transfer_matrix",
+    "sample_pps_systematic",
+    "emb_triplet_margin_audit",
 ]
 
 RUNS = 3

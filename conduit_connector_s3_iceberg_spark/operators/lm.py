@@ -1147,3 +1147,146 @@ def lm_interpolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lam")
+
+
+# ------------------------------------------------ transfer (CE) matrix -----
+#
+# Source-to-source cross-entropy transfer matrix — the data-mixing
+# signal behind DoReMi-style domain reweighting: CE(a, b) is the bits
+# per token source ``a`` costs under source ``b``'s add-one-smoothed
+# unigram model, and the regret CE(a, b) − CE(a, a) is exactly the
+# excess loss of modeling a domain with another domain's statistics
+# (zero on the diagonal, larger = less transferable). The smoothing
+# makes missing words cost log2(n_b + V) − 0, so the identity
+#   CEq(a,b) = n_a·L(n_b + V) − Σ_{w ∈ a∩b} c_aw·L(c_bw + 1)
+# reduces the whole matrix to ONE vocab-keyed sw ⋈ sw join (shared
+# words only — absent words contribute through the closed-form base
+# term) plus a |sources|² metadata grid. L is the corrected Mitchell
+# log2 (libm-free, 1e6-quantized, same as lm_source_kl) so both
+# engines fold identical integers; the two final divisions are
+# exact-input IEEE.
+
+
+@query(
+    "lm_transfer_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+    ), sw AS MATERIALIZED (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, w
+    ), st AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sw GROUP BY source
+    ), vv AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM sw
+    ), shared AS MATERIALIZED (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(SUM(a.c * {_mlog2c_q('(b.c + 1)')}) AS BIGINT) AS hit
+      FROM sw a JOIN sw b ON a.w = b.w
+      GROUP BY sa, sb
+    ), grid AS (
+      SELECT sa.source AS sa, sb.source AS sb, sa.n AS na,
+             CAST(sa.n * {_mlog2c_q('(sb.n + vv.v)')} AS BIGINT) AS base
+      FROM st sa CROSS JOIN st sb CROSS JOIN vv
+    ), ce AS MATERIALIZED (
+      SELECT g.sa, g.sb, g.na,
+             g.base - COALESCE(s.hit, CAST(0 AS BIGINT)) AS ceq
+      FROM grid g LEFT JOIN shared s ON s.sa = g.sa AND s.sb = g.sb
+    )
+    SELECT c1.sa AS source_a, c1.sb AS source_b,
+           c1.na AS n_tokens_a,
+           CAST(c1.ceq AS DOUBLE) / (c1.na * 1000000.0) AS ce_bits,
+           CAST(c1.ceq AS DOUBLE) / (c1.na * 1000000.0)
+             - CAST(c2.ceq AS DOUBLE) / (c2.na * 1000000.0)
+             AS transfer_regret_bits
+    FROM ce c1 JOIN ce c2 ON c2.sa = c1.sa AND c2.sb = c1.sa
+    ORDER BY source_a, source_b
+    """,
+    doc="Source×source cross-entropy transfer matrix under add-one-"
+        "smoothed unigram models (the DoReMi-style domain-reweighting "
+        "signal), with per-pair regret over the diagonal. Smoothing "
+        "collapses absent-word cost into a closed-form base term, so "
+        "the data-sized work is ONE vocab-keyed sw ⋈ sw join over "
+        "shared words + per-source totals; the |sources|² grid is "
+        "metadata. Corrected Mitchell log2, exact BIGINT folds, two "
+        "IEEE divisions at emission.",
+)
+def lm_transfer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.expr(_TOKS_SPARK)).alias("w")
+    )
+    sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # feeds totals, vocab AND the pair join
+    st = sw.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    vv = sw.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    a, b = sw.alias("a"), sw.alias("b")
+    shared = (
+        a.join(b, "w")
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(
+            F.sum(
+                F.col("a.c") * F.expr(_mlog2c_q_spark("(b.c + 1)"))
+            )
+            .cast("bigint")
+            .alias("hit")
+        )
+    )
+    sta = st.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    stb = st.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    # |sources|² metadata grid: crossJoin of two |sources|-row frames
+    # plus the 1-row vocab count — all bounded by design
+    grid = (
+        sta.crossJoin(stb)
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "sa",
+            "sb",
+            "na",
+            F.expr(_mlog2c_q_spark("(nb + v)"))
+            .alias("lsm"),
+        )
+        .select(
+            "sa",
+            "sb",
+            "na",
+            (F.col("na") * F.col("lsm")).cast("bigint").alias("base"),
+        )
+    )
+    ce = (
+        grid.join(shared, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            "na",
+            (
+                F.col("base")
+                - F.coalesce(F.col("hit"), F.lit(0).cast("bigint"))
+            ).alias("ceq"),
+        )
+        .localCheckpoint(eager=False)  # read twice: full grid + diagonal
+    )
+    diag = ce.filter(F.col("sa") == F.col("sb")).select(
+        F.col("sa").alias("dsa"),
+        F.col("na").alias("dna"),
+        F.col("ceq").alias("dceq"),
+    )
+    return (
+        ce.join(diag, ce.sa == diag.dsa)
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("na").alias("n_tokens_a"),
+            (
+                F.col("ceq").cast("double") / (F.col("na") * 1000000.0)
+            ).alias("ce_bits"),
+            (
+                F.col("ceq").cast("double") / (F.col("na") * 1000000.0)
+                - F.col("dceq").cast("double") / (F.col("dna") * 1000000.0)
+            ).alias("transfer_regret_bits"),
+        )
+        .orderBy("source_a", "source_b")
+    )

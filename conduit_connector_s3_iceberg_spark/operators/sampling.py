@@ -1642,3 +1642,161 @@ def sample_decayed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k")
     )
+
+
+# ------------------------------------------- PPS systematic sampling -------
+#
+# Probability-proportional-to-size systematic sampling — the survey-
+# statistics workhorse (Madow 1949) a token-budgeted corpus draw wants:
+# lay all items on a line scaled by weight (here n_chars), walk it with
+# a fixed step T/k from the deterministic half-step anchor, and select
+# every item whose weight interval contains an anchor. Selection count
+# per item is EXACTLY floor-counting the odd multiples of T/(2k) inside
+# [2k·c_i, 2k·(c_i+w_i)) — pure BIGINT div arithmetic on the weight
+# prefix sums, so both engines agree bit-for-bit and Σ hits = k by
+# construction (asserted in the output). Items heavier than the step
+# are selected multiple times (certainty items — exactly the PPS
+# semantics). Work shape: an exact DISTRIBUTED global weight prefix
+# sum (range partition + per-partition running sums + broadcast
+# partition offsets — the _global_rank discipline, no single-task
+# window) + one hash agg; the oracle's plain global window is the spec
+# being matched.
+
+PPS_K = 200  # anchors drawn per corpus
+
+
+@query(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+             CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS c
+      FROM documents
+    ), tt AS (
+      SELECT CAST(SUM(wt) AS BIGINT) AS t FROM w
+    ), hits AS (
+      SELECT doc_id, source, wt,
+             CASE WHEN o_hi >= o_lo THEN (o_hi - o_lo) // 2 + 1
+                  ELSE CAST(0 AS BIGINT) END AS m
+      FROM (
+        SELECT doc_id, source, wt,
+               olo + CASE WHEN olo % 2 = 0 THEN 1 ELSE 0 END AS o_lo,
+               ohi - CASE WHEN ohi % 2 = 0 THEN 1 ELSE 0 END AS o_hi
+        FROM (
+          SELECT doc_id, source, wt,
+                 (2 * {PPS_K} * c + t - 1) // t AS olo,
+                 (2 * {PPS_K} * (c + wt) - 1) // t AS ohi
+          FROM w CROSS JOIN tt
+        )
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_certainty,
+           CAST(SUM(m) AS BIGINT) AS hits,
+           CAST(SUM(wt) AS BIGINT) AS weight,
+           CAST(SUM(CASE WHEN m > 0 THEN wt ELSE 0 END) AS BIGINT)
+             AS sel_weight
+    FROM hits
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Madow systematic PPS sampling over documents weighted by "
+        f"n_chars: {PPS_K} deterministic half-step anchors walk the "
+        "weight line, per-item hit counts fall out of exact BIGINT "
+        "floor-counting of odd step multiples inside each weight "
+        "interval (Σ hits = k by construction; heavy items hit "
+        "multiple times = certainty selections). The weight prefix sum "
+        "is distributed (range partition + broadcast offsets, no "
+        "single-task window); per-source selection/certainty/weight "
+        "coverage report.",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("wt")
+    )
+    # exact global weight prefix sum WITHOUT a single-task window (the
+    # _global_rank shape): range partition on doc_id, per-partition
+    # running sum, broadcast per-partition weight offsets — the only
+    # unpartitioned window runs over <= |partitions| offset rows
+    rp = docs.repartitionByRange("doc_id")
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    with_local = rp.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lc", F.coalesce(F.sum("wt").over(local), F.lit(0)).cast("bigint")
+    )
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        with_local.groupBy("_pid")
+        .agg(F.sum("wt").cast("bigint").alias("_wsum"))
+        .withColumn(
+            "_off",
+            F.coalesce(F.sum("_wsum").over(woff), F.lit(0)).cast("bigint"),
+        )
+        .select("_pid", "_off")
+    )
+    w = (
+        with_local.join(F.broadcast(offs), "_pid")
+        .select(
+            "doc_id",
+            "source",
+            "wt",
+            (F.col("_off") + F.col("_lc")).cast("bigint").alias("c"),
+        )
+    )
+    tt = docs.agg(F.sum("wt").cast("bigint").alias("t"))
+    # one bounded 1-row broadcast: the total weight
+    bounds = (
+        w.crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            "source",
+            "wt",
+            F.expr(f"(2 * {PPS_K} * c + t - 1) div t").alias("olo"),
+            F.expr(f"(2 * {PPS_K} * (c + wt) - 1) div t").alias("ohi"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "wt",
+            F.expr("olo + CASE WHEN olo % 2 = 0 THEN 1 ELSE 0 END").alias(
+                "o_lo"
+            ),
+            F.expr("ohi - CASE WHEN ohi % 2 = 0 THEN 1 ELSE 0 END").alias(
+                "o_hi"
+            ),
+        )
+    )
+    hits = bounds.select(
+        "doc_id",
+        "source",
+        "wt",
+        F.expr(
+            "CASE WHEN o_hi >= o_lo THEN (o_hi - o_lo) div 2 + 1"
+            " ELSE 0L END"
+        ).alias("m"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum((F.col("m") > 0).cast("bigint")).cast("bigint").alias(
+                "n_selected"
+            ),
+            F.sum((F.col("m") > 1).cast("bigint")).cast("bigint").alias(
+                "n_certainty"
+            ),
+            F.sum("m").cast("bigint").alias("hits"),
+            F.sum("wt").cast("bigint").alias("weight"),
+            F.sum(F.when(F.col("m") > 0, F.col("wt")).otherwise(0))
+            .cast("bigint")
+            .alias("sel_weight"),
+        )
+        .orderBy("source")
+    )

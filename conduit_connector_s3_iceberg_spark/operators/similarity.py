@@ -7374,8 +7374,10 @@ def emb_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # detector for learned representations (RankMe/α-ReQ family): a healthy
 # encoder fills many directions (PR → DIM), a collapsed one concentrates
 # variance in a few (PR → 1). One corpus pass builds the DIM×DIM Gram in
-# scaled integers (the emb_pca_power join shape); everything after runs
-# on the 4,096-cell metadata grid. Centering uses the exact identity
+# scaled integers — upper triangle only (the matrix is symmetric), each
+# row emitting its DIM·(DIM+1)/2 products in-row via the slice pattern
+# (no self-join; map-side combine collapses them before the shuffle);
+# everything after runs on the 2,080-cell metadata grid. Centering uses the exact identity
 # n·C = n·G − s·sᵀ, and the per-n reduction floors (C + SHIFT·n²)/n − n·SHIFT
 # with SHIFT chosen so the numerator is provably non-negative — truncating
 # and flooring division then agree, so Spark's `div` and DuckDB's `//`
@@ -7401,9 +7403,11 @@ ER_SHIFT = 2_000_000      # ≥ max |C|/n² = 2·ER_SCALE²·max|x|² (|x| ≤ 1
     ), s AS (
       SELECT pos, CAST(SUM(xq) AS HUGEINT) AS sv FROM x GROUP BY pos
     ), g AS (
+      -- symmetric Gram: generate only the upper triangle (ia <= ib)
       SELECT a.pos AS ia, b.pos AS ib,
              CAST(SUM(CAST(a.xq AS HUGEINT) * b.xq) AS HUGEINT) AS gv
-      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY ia, ib
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY ia, ib
     ), c AS (
       SELECT ia, ib,
              (SELECT n FROM nn) * gv - sa.sv * sb.sv AS cv
@@ -7416,7 +7420,8 @@ ER_SHIFT = 2_000_000      # ≥ max |C|/n² = 2·ER_SCALE²·max|x|² (|x| ≤ 1
       FROM c
     ), ag AS (
       SELECT CAST(SUM(CASE WHEN ia = ib THEN cr ELSE 0 END) AS BIGINT) AS tr,
-             CAST(SUM(cr * cr) AS HUGEINT) AS fr
+             CAST(SUM(CASE WHEN ia = ib THEN cr * cr
+                           ELSE 2 * cr * cr END) AS HUGEINT) AS fr
       FROM r
     )
     SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
@@ -7431,35 +7436,57 @@ ER_SHIFT = 2_000_000      # ≥ max |C|/n² = 2·ER_SCALE²·max|x|² (|x| ≤ 1
     doc="Participation-ratio effective rank tr(C)²/||C||_F² of the "
         "centered embedding covariance — the eigendecomposition-free "
         "collapse detector (RankMe family): one scaled-integer corpus "
-        "pass builds the DIM×DIM Gram (the emb_pca_power join), the "
-        "centering identity n·C = n·G − s·sᵀ and a shift-then-floor "
-        "per-n reduction keep every intermediate an exact integer both "
-        "engines agree on, and the two spectral sums reduce the 4,096-"
-        "cell metadata grid. Final ratio is exact-input IEEE division.",
+        "pass builds the upper triangle of the symmetric Gram in-row "
+        "(slice pattern, no self-join, map-side combine), the centering "
+        "identity n·C = n·G − s·sᵀ and a shift-then-floor per-n "
+        "reduction keep every intermediate an exact integer both "
+        "engines agree on, and the two spectral sums (off-diagonal "
+        "cells doubled) reduce the 2,080-cell metadata grid. Final "
+        "ratio is exact-input IEEE division.",
 )
 def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
-    )
-    n_row = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    xs = (
-        emb.select("vec_id", F.posexplode("emb").alias("pos", "xv"))
+    # spread the per-row DIM²/2 product generation across cores: the
+    # embeddings table is small enough to arrive as few input splits, but
+    # the Gram map stage is DIM²-heavy per row — repartition first so the
+    # explode+combine runs wide (a no-op on a many-split 100-TB source)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(n_part)
         .select(
             "vec_id",
-            "pos",
-            F.round(F.col("xv") * ER_SCALE).cast("bigint").alias("xq"),
+            F.expr(
+                f"transform({_SPARK_EMB_D},"
+                f" x -> cast(round(x * {ER_SCALE}) as bigint))"
+            ).alias("xq"),
         )
-        .localCheckpoint(eager=False)  # feeds per-dim sums AND the Gram join
+        .localCheckpoint(eager=False)  # feeds per-dim sums AND the Gram pass
     )
-    s = xs.groupBy("pos").agg(F.sum("xq").cast("bigint").alias("sv"))
-    a, b = xs.alias("a"), xs.alias("b")
+    n_row = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = (
+        emb.select(F.posexplode("xq").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum("x").cast("bigint").alias("sv"))
+    )
+    # symmetric Gram, upper triangle only, generated in-row by the slice
+    # pattern — no self-join, one hash agg with map-side combine
     g = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("a.pos").alias("ia"), F.col("b.pos").alias("ib"))
+        emb.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xq, (x, i) ->"
+                    f" transform(slice(xq, i + 1, {DIM} - i),"
+                    " (y, j) -> struct(i AS ia, i + j AS ib,"
+                    " x * y AS p))))"
+                )
+            ).alias("t")
+        )
+        .select("t.ia", "t.ib", "t.p")
+        .groupBy("ia", "ib")
         .agg(
-            F.sum(
-                F.expr("CAST(a.xq AS DECIMAL(38,0)) * b.xq")
-            ).cast("decimal(38,0)").alias("gv")
+            F.sum(F.expr("CAST(p AS DECIMAL(38,0))"))
+            .cast("decimal(38,0)")
+            .alias("gv")
         )
     )
     sa = s.select(F.col("pos").alias("ia"), F.col("sv").alias("sva"))
@@ -7491,7 +7518,12 @@ def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ia") == F.col("ib"), F.col("cr")).otherwise(0))
         .cast("bigint")
         .alias("tr"),
-        F.sum(F.expr("CAST(cr AS DECIMAL(38,0)) * cr"))
+        F.sum(
+            F.expr(
+                "CASE WHEN ia = ib THEN CAST(cr AS DECIMAL(38,0)) * cr"
+                " ELSE CAST(2 AS DECIMAL(38,0)) * cr * cr END"
+            )
+        )
         .cast("decimal(38,0)")
         .alias("fr"),
     )
@@ -7508,4 +7540,126 @@ def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("fr").cast("double")
             / F.lit(float(DIM))
         ).alias("rank_ratio"),
+    )
+
+
+# ---------------------------------------------- triplet-margin audit -------
+#
+# Metric-learning health check over the standard bounded probe set: for
+# each probe, the margin between its hardest positive (best same-label
+# cosine) and hardest negative (best other-label cosine). A healthy
+# contrastively-trained space keeps margins positive; violations
+# (negative margin — some other label's vector sits closer than every
+# same-label one) are exactly the triplet-loss failures a curator
+# re-mines. Truth is brute force over the bounded RECALL_QUERIES
+# broadcast (the sim_topk_bruteforce shape — audit cost by definition);
+# per-probe cosines are per-row IEEE, MAX is order-independent, and the
+# margin is quantized to an exact integer BEFORE the per-label fold so
+# the report is bit-stable under any partitioning.
+
+
+@query(
+    "emb_triplet_margin_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, emb AS qemb, nrm AS qnrm
+      FROM d WHERE vec_id < {RECALL_QUERIES}
+    ), cos AS (
+      SELECT q.query_id, q.qlabel, d.label AS nlabel,
+             {_sql_dot('q.qemb', 'd.emb')} / (q.qnrm * d.nrm) AS cosine
+      FROM q JOIN d ON d.vec_id <> q.query_id
+    ), m AS (
+      SELECT query_id, qlabel,
+             MAX(CASE WHEN nlabel = qlabel THEN cosine END) AS cpos,
+             MAX(CASE WHEN nlabel <> qlabel THEN cosine END) AS cneg
+      FROM cos GROUP BY query_id, qlabel
+    ), t AS (
+      SELECT query_id, qlabel,
+             CAST(round((cpos - cneg) * 1000000) AS BIGINT) AS mq
+      FROM m WHERE cpos IS NOT NULL AND cneg IS NOT NULL
+    )
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN mq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           CAST(SUM(mq) AS BIGINT) AS margin_scaled,
+           CAST(SUM(mq) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_margin
+    FROM t
+    GROUP BY qlabel
+    ORDER BY qlabel
+    """,
+    doc="Triplet-margin audit over the bounded probe set: hardest-"
+        "positive minus hardest-negative cosine per probe (brute-force "
+        "truth, the sim_topk_bruteforce broadcast shape), margins "
+        "quantized to exact integers before the per-label fold; "
+        "violation counts are the triplet-loss failures a hard-negative "
+        "re-mining pass consumes. Per-row IEEE cosines, order-"
+        "independent MAX, bit-stable report.",
+)
+def emb_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = d.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = (
+        d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("label").alias("nlabel"),
+            (
+                F.expr(_spark_dot("qemb", "emb"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    m = cos.groupBy("query_id", "qlabel").agg(
+        F.max(
+            F.when(F.col("nlabel") == F.col("qlabel"), F.col("cosine"))
+        ).alias("cpos"),
+        F.max(
+            F.when(F.col("nlabel") != F.col("qlabel"), F.col("cosine"))
+        ).alias("cneg"),
+    )
+    t = m.filter(
+        F.col("cpos").isNotNull() & F.col("cneg").isNotNull()
+    ).select(
+        "qlabel",
+        F.round((F.col("cpos") - F.col("cneg")) * 1000000)
+        .cast("bigint")
+        .alias("mq"),
+    )
+    return (
+        t.groupBy("qlabel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum((F.col("mq") < 0).cast("bigint"))
+            .cast("bigint")
+            .alias("violations"),
+            F.sum("mq").cast("bigint").alias("margin_scaled"),
+            (
+                F.sum("mq").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0
+            ).alias("mean_margin"),
+        )
+        .select(
+            F.col("qlabel").alias("label"),
+            "n_probes",
+            "violations",
+            "margin_scaled",
+            "mean_margin",
+        )
+        .orderBy("label")
     )

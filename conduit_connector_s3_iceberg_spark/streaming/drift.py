@@ -94,3 +94,94 @@ def cusum_drift_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------- streaming SPRT -------
+#
+# Streaming twin of the batch ``events_sprt_boundary``: Wald's
+# sequential test is BORN sequential — the monitoring pipeline feeds
+# daily (k successes, n trials) per series and the per-key state carries
+# the cumulative LLR plus the latched decision (SPRT stops at the first
+# boundary crossing; later days keep reporting the frozen verdict).
+# The LLR constants (l1 per success, l0 per failure, the ±bound) are
+# batch-trained from the frozen global totals and passed in — same
+# operational split as the CUSUM reference mean. Integer arithmetic is
+# identical to the batch oracle, so on a bounded input the stream's
+# latched per-series verdicts equal the batch query's rows (asserted in
+# tests/test_round10_ops.py across a two-epoch checkpoint restart).
+# State: one BIGINT + the latched verdict per series.
+
+SPRT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.DateType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cum_scaled", T.LongType()),
+        T.StructField("decision", T.StringType()),
+        T.StructField("decision_day", T.DateType()),
+    ]
+)
+
+SPRT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.LongType()),
+        T.StructField("dec", T.StringType()),
+        T.StructField("dday", T.DateType()),
+    ]
+)
+
+
+def sprt_stream(
+    daily: DataFrame, l1: int, l0: int, bound: int
+) -> DataFrame:
+    """daily(event_type, day, k, n) stream → per-day SPRT rows with the
+    latched decision, state = (cum LLR, verdict, decision day) per
+    series. ``l1``/``l0``/``bound`` are the 1e6-scaled Mitchell-log LLR
+    constants from the frozen batch totals."""
+
+    def update(key, pdfs, state):
+        (event_type,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout in tests
+            state.remove()
+            return
+        if state.exists:
+            s, dec, dday = state.get
+        else:
+            s, dec, dday = 0, "continue", None
+        cols = {k: [] for k in ("day", "k", "n", "cum", "dec", "dday")}
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("day").iterrows():
+                k, n = int(row["k"]), int(row["n"])
+                s = s + k * l1 + (n - k) * l0
+                if dec == "continue":
+                    if s >= bound:
+                        dec, dday = "reject_null", row["day"]
+                    elif s <= -bound:
+                        dec, dday = "accept_null", row["day"]
+                cols["day"].append(row["day"])
+                cols["k"].append(k)
+                cols["n"].append(n)
+                cols["cum"].append(s)
+                cols["dec"].append(dec)
+                cols["dday"].append(dday)
+        state.update((s, dec, dday))
+        yield pd.DataFrame(
+            {
+                "event_type": event_type,
+                "day": cols["day"],
+                "k": cols["k"],
+                "n": cols["n"],
+                "cum_scaled": cols["cum"],
+                "decision": cols["dec"],
+                "decision_day": cols["dday"],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -342,6 +342,15 @@ BROADCAST_NONEQUI_OK = {
     "emb_effective_rank",
     # one-row LLR-constants broadcast into the daily grid — bounded
     "events_sprt_boundary",
+    # RECALL_QUERIES-row probe broadcast, <> self-exclusion predicate —
+    # the sim_topk_bruteforce shape; triplet truth is brute force by
+    # definition
+    "emb_triplet_margin_audit",
+    # |sources|-row × |sources|-row CE grid + one-row vocab broadcast —
+    # metadata-sized by design
+    "lm_transfer_matrix",
+    # one-row total-weight broadcast into the anchor-count arithmetic
+    "sample_pps_systematic",
     # one-row codebook broadcast + queries×probes table — bounded
     "sim_ann_ivfpq",
     # one-row corpus-stats (N, total tokens) broadcast into the tf table

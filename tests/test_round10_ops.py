@@ -151,3 +151,154 @@ def test_sprt_decisions_consistent(spark):
             assert r["llr_final_bits"] < 0
     # at sf0.01 the global-vs-type rate spread decides at least one type
     assert decided >= 1
+
+
+# ------------------------------------------------------- sprt_stream ------
+
+
+def test_sprt_stream_matches_batch_across_restart(spark, tmp_path):
+    """The stream's latched per-series verdict (decision, decision day,
+    final LLR) equals the batch events_sprt_boundary rows when the same
+    daily history is replayed over TWO epochs with a checkpoint restart
+    between them — the CUSUM-twin protocol."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        SPRT_SUCCESS_CENTS,
+        _SPRT_BOUND_ARG,
+        _SPRT_L0_SPARK,
+        _sprt_mlog_spark,
+        events_sprt_boundary,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+    from conduit_connector_s3_iceberg_spark.streaming.drift import sprt_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.round(F.col("value") * 100) >= SPRT_SUCCESS_CENTS)
+        .cast("int")
+        .alias("sc"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("sc").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # frozen LLR constants: same Mitchell-log expressions as the batch op
+    consts = (
+        ev.agg(
+            F.sum("sc").cast("bigint").alias("s0"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+        .select(
+            F.expr(_SPRT_L0_SPARK).cast("bigint").alias("l0"),
+            F.expr(_sprt_mlog_spark(_SPRT_BOUND_ARG))
+            .cast("bigint")
+            .alias("bound"),
+        )
+        .collect()[0]
+    )
+    l1, l0, bound = 1_000_000, int(consts["l0"]), int(consts["bound"])
+
+    def add_epoch_file(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        [part] = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(part, str(src_dir / f"{name}.parquet"))
+
+    days = sorted({r["day"] for r in daily.select("day").distinct().collect()})
+    cut = days[len(days) // 2]
+    src_dir = tmp_path / "sprt_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "sprt_out")
+    ckpt = str(tmp_path / "ckpt_sprt")
+
+    def run_epoch():
+        q = (
+            sprt_stream(
+                spark.readStream.schema(daily.schema).parquet(str(src_dir)),
+                l1,
+                l0,
+                bound,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    add_epoch_file(daily.filter(F.col("day") <= F.lit(cut)), "e0")
+    run_epoch()
+    add_epoch_file(daily.filter(F.col("day") > F.lit(cut)), "e1")
+    run_epoch()
+
+    got_rows = (
+        spark.read.schema(
+            "event_type string, day date, k long, n long, cum_scaled long,"
+            " decision string, decision_day date"
+        )
+        .parquet(out_dir)
+        .collect()
+    )
+    latest = {}
+    for r in got_rows:
+        if r["event_type"] not in latest or r["day"] > latest[r["event_type"]]["day"]:
+            latest[r["event_type"]] = r
+    batch = {r["event_type"]: r for r in events_sprt_boundary(spark, sf).collect()}
+    assert set(latest) == set(batch)
+    for t, b in batch.items():
+        s = latest[t]
+        assert s["cum_scaled"] == b["llr_final_scaled"], t
+        assert s["decision"] == b["decision"], t
+        assert s["decision_day"] == b["decision_day"], t
+
+
+# --------------------------------------------- sample_pps_systematic ------
+
+
+def test_pps_systematic_invariants(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        PPS_K,
+        sample_pps_systematic,
+    )
+
+    rows = sample_pps_systematic(spark, SF001).collect()
+    # Σ hits = k by construction — the Madow systematic-sampling identity
+    assert sum(r["hits"] for r in rows) == PPS_K
+    for r in rows:
+        assert r["n_selected"] <= r["n_items"]
+        assert r["n_certainty"] <= r["n_selected"]
+        assert r["sel_weight"] <= r["weight"]
+    # selection tracks weight share: every source with weight share
+    # >= 2/k must receive at least one hit (its interval spans a step)
+    total_w = sum(r["weight"] for r in rows)
+    for r in rows:
+        if r["weight"] / total_w >= 2 / PPS_K:
+            assert r["hits"] >= 1, r["source"]
+
+
+# ------------------------------------------- emb_triplet_margin_audit -----
+
+
+def test_triplet_margin_probe_partition(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        RECALL_QUERIES,
+        emb_triplet_margin_audit,
+    )
+
+    rows = emb_triplet_margin_audit(spark, SF001).collect()
+    # every probe with both a positive and a negative lands in exactly
+    # one label row; sf0.001 has all labels populated so none drop
+    assert sum(r["n_probes"] for r in rows) == RECALL_QUERIES
+    for r in rows:
+        assert 0 <= r["violations"] <= r["n_probes"]
+        assert abs(
+            r["mean_margin"] - r["margin_scaled"] / r["n_probes"] / 1e6
+        ) < 1e-9
