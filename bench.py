@@ -203,6 +203,7 @@ BENCH_EXT6 = [
     "lm_transfer_matrix",
     "sample_pps_systematic",
     "emb_triplet_margin_audit",
+    "events_uplift_qini",
 ]
 
 RUNS = 3

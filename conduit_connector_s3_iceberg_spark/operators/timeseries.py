@@ -2769,3 +2769,174 @@ def events_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("acc_day"))
         .alias("decision_day"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------------ uplift / Qini ------
+#
+# Uplift-modeling decile diagnostics (Radcliffe's Qini): rank users by a
+# targeting score, split them into deciles, and ask where the TREATED
+# conversion lift over control concentrates — the standard report for
+# "did the targeting model find the persuadables, or just the sure
+# things". Honest temporal design: the score is PRE-period activity
+# (events before the data midpoint), the outcome is a POST-period
+# purchase, and treatment is a deterministic 50% hash split — no
+# leakage between score and outcome windows. Deciles come from the
+# distributed exact global rank (_global_rank + _ntile_from_rank — no
+# single-task window; the oracle's plain ntile over the same total
+# order is the spec). Cumulative Qini = Ct − Cc·Nt/Nc and cumulative
+# uplift are exact-integer-input IEEE divisions, NULLIF-guarded for
+# empty control cells in BOTH engines.
+
+QINI_Q = 10
+_QINI_SALT = "qini-v1:"
+
+
+@query(
+    "events_uplift_qini",
+    oracle=f"""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ), mid AS (
+      SELECT d0 + CAST((datediff('day', d0, d1) + 1) // 2 AS INTEGER) AS m
+      FROM span
+    ), pre AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score
+      FROM events WHERE CAST(ts AS DATE) < (SELECT m FROM mid)
+      GROUP BY user_id
+    ), post AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(ts AS DATE) >= (SELECT m FROM mid)
+    ), u AS (
+      SELECT p.user_id, p.score,
+             CASE WHEN substr(md5('{_QINI_SALT}' || p.user_id::VARCHAR),
+                              1, 1) < '8'
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN po.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM pre p LEFT JOIN post po USING (user_id)
+    ), dec AS (
+      SELECT user_id, treated, conv,
+             ntile({QINI_Q}) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM u
+    ), agg AS (
+      SELECT decile,
+             CAST(SUM(treated) AS BIGINT) AS n_t,
+             CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+             CAST(SUM(treated * conv) AS BIGINT) AS conv_t,
+             CAST(SUM((1 - treated) * conv) AS BIGINT) AS conv_c
+      FROM dec GROUP BY decile
+    ), cum AS (
+      SELECT decile, n_t, n_c, conv_t, conv_c,
+             SUM(n_t) OVER w AS cnt, SUM(n_c) OVER w AS cnc,
+             SUM(conv_t) OVER w AS cct, SUM(conv_c) OVER w AS ccc
+      FROM agg WINDOW w AS (ORDER BY decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS INT) AS decile, n_t, n_c, conv_t, conv_c,
+           CAST(cct AS DOUBLE)
+             - CAST(ccc AS DOUBLE) * cnt / NULLIF(cnc, 0) AS qini_cum,
+           CAST(cct AS DOUBLE) / NULLIF(cnt, 0)
+             - CAST(ccc AS DOUBLE) / NULLIF(cnc, 0) AS uplift_cum
+    FROM cum ORDER BY decile
+    """,
+    doc="Qini decile report for uplift targeting: pre-period activity "
+        "score, post-period purchase outcome, deterministic 50% hash "
+        "treatment split (temporal firewall between score and outcome "
+        "windows). Deciles from the distributed exact global rank (no "
+        "single-task window; the oracle's ntile over the same total "
+        "order is the spec); cumulative Qini and uplift are exact-"
+        "integer-input IEEE divisions with NULLIF guards in both "
+        "engines.",
+)
+def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("d")
+    )
+    span = ev.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).select(
+        F.expr("date_add(d0, cast((datediff(d1, d0) + 1) div 2 as int))").alias("m")
+    )
+    # one bounded 1-row broadcast: the period midpoint
+    evm = ev.crossJoin(F.broadcast(span))
+    pre = (
+        evm.filter(F.col("d") < F.col("m"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("score"))
+    )
+    post = (
+        evm.filter(
+            (F.col("event_type") == "purchase") & (F.col("d") >= F.col("m"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("conv1", F.lit(1))
+    )
+    u = (
+        pre.join(post, "user_id", "left")
+        .select(
+            "user_id",
+            "score",
+            (
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(_QINI_SALT), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8"
+            )
+            .cast("int")
+            .alias("treated"),
+            F.coalesce(F.col("conv1"), F.lit(0)).alias("conv"),
+        )
+    )
+    n_row = u.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = _global_rank(
+        u, (F.col("score").desc(), F.col("user_id"))
+    ).crossJoin(F.broadcast(n_row))
+    dec = ranked.withColumn(
+        "decile", _ntile_from_rank("_grank", "_n", QINI_Q)
+    )
+    agg = dec.groupBy("decile").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.col("treated") * F.col("conv")).cast("bigint").alias("conv_t"),
+        F.sum((1 - F.col("treated")) * F.col("conv"))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # QINI_Q rows — bounded by construction
+    cum = agg.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.sum("n_t").over(wc).alias("cnt"),
+        F.sum("n_c").over(wc).alias("cnc"),
+        F.sum("conv_t").over(wc).alias("cct"),
+        F.sum("conv_c").over(wc).alias("ccc"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(
+            "CAST(cct AS DOUBLE)"
+            " - CAST(ccc AS DOUBLE) * cnt / NULLIF(cnc, 0)"
+        ).alias("qini_cum"),
+        F.expr(
+            "CAST(cct AS DOUBLE) / NULLIF(cnt, 0)"
+            " - CAST(ccc AS DOUBLE) / NULLIF(cnc, 0)"
+        ).alias("uplift_cum"),
+    ).orderBy("decile")

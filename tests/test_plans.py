@@ -351,6 +351,8 @@ BROADCAST_NONEQUI_OK = {
     "lm_transfer_matrix",
     # one-row total-weight broadcast into the anchor-count arithmetic
     "sample_pps_systematic",
+    # one-row period-midpoint + one-row user-count broadcasts — bounded
+    "events_uplift_qini",
     # one-row codebook broadcast + queries×probes table — bounded
     "sim_ann_ivfpq",
     # one-row corpus-stats (N, total tokens) broadcast into the tf table
