@@ -204,6 +204,7 @@ BENCH_EXT6 = [
     "sample_pps_systematic",
     "emb_triplet_margin_audit",
     "events_uplift_qini",
+    "mm_scene_cuts",
 ]
 
 RUNS = 3

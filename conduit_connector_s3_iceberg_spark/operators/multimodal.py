@@ -693,3 +693,83 @@ def mm_clip_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ------------------------------------------------------ scene detection ----
+#
+# Video scene segmentation over the synthetic frame codec: one signature
+# byte per fixed-stride frame (the mm_frame_sample convention — a real
+# pipeline swaps in a per-frame perceptual hash), a cut wherever
+# consecutive signatures jump by more than SCENE_TAU, and per-clip shot
+# statistics (cut count, mean shot length) — the pre-filter a video
+# training set runs to drop static screencasts and strobing junk before
+# expensive frame extraction. Entirely JVM-side higher-order functions
+# on the payload (sequence → transform → filter): no Python, no
+# shuffle, embarrassingly parallel narrow map at 100 TB.
+
+SCENE_TAU = 32  # signature jump (0-255 scale) that counts as a cut
+
+
+@query(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             GREATEST(CAST(ceil(strlen(text) / {FRAME_STRIDE}.0) AS BIGINT),
+                      1) AS nf,
+             list_transform(
+               generate_series(0,
+                 CAST(GREATEST(ceil(strlen(text) / {FRAME_STRIDE}.0), 1)
+                      AS BIGINT) - 1),
+               p -> ord(substr(text, CAST(p * {FRAME_STRIDE} + 1 AS INTEGER),
+                               1))) AS sigs
+      FROM documents
+    )
+    SELECT doc_id, nf AS n_frames,
+           CAST(len(list_filter(generate_series(2, nf),
+                i -> abs(sigs[i] - sigs[i - 1]) > {SCENE_TAU}))
+                AS BIGINT) AS n_cuts,
+           CAST(nf AS DOUBLE)
+             / (len(list_filter(generate_series(2, nf),
+                  i -> abs(sigs[i] - sigs[i - 1]) > {SCENE_TAU})) + 1)
+             AS mean_shot_frames
+    FROM f
+    """,
+    doc="Scene-cut detection over binary media payloads: per-frame "
+        "signature bytes at the fixed decode stride (deterministic "
+        "stand-in for a per-frame perceptual hash), a cut where "
+        f"consecutive signatures jump by more than {SCENE_TAU}, per-clip "
+        "cut count + mean shot length. Pure JVM higher-order functions "
+        "(sequence/transform/filter) over the payload — no Python, no "
+        "shuffle, narrow map.",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nf = (
+        f"greatest(cast(ceil(length(text) / {FRAME_STRIDE}.0) as bigint),"
+        " 1L)"
+    )
+    f = docs.select(
+        "doc_id",
+        F.expr(nf).alias("nf"),
+        F.expr(
+            f"transform(sequence(0L, {nf} - 1),"
+            f" p -> ascii(substr(text, cast(p * {FRAME_STRIDE} + 1 as int),"
+            " 1)))"
+        ).alias("sigs"),
+    )
+    # nf = 1 guard: Spark's sequence(2, 1) DESCENDS instead of being
+    # empty (DuckDB's generate_series(2, 1) is empty) — gate the filter
+    cuts = F.expr(
+        "case when nf < 2 then 0L else"
+        " cast(size(filter(sequence(2L, nf),"
+        f" i -> abs(element_at(sigs, cast(i as int))"
+        f" - element_at(sigs, cast(i as int) - 1)) > {SCENE_TAU})) as bigint)"
+        " end"
+    )
+    return f.select(
+        "doc_id",
+        F.col("nf").alias("n_frames"),
+        cuts.cast("bigint").alias("n_cuts"),
+        (F.col("nf").cast("double") / (cuts + 1)).alias("mean_shot_frames"),
+    )

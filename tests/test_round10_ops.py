@@ -302,3 +302,51 @@ def test_triplet_margin_probe_partition(spark):
         assert abs(
             r["mean_margin"] - r["margin_scaled"] / r["n_probes"] / 1e6
         ) < 1e-9
+
+
+# ---------------------------------------------------- events_uplift_qini --
+
+
+def test_qini_deciles_consistent(spark):
+    from conduit_connector_s3_iceberg_spark.operators.timeseries import (
+        QINI_Q,
+        events_uplift_qini,
+    )
+
+    rows = events_uplift_qini(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == QINI_Q
+    cnt = cnc = cct = ccc = 0
+    for r in sorted(rows, key=lambda r: r["decile"]):
+        assert r["conv_t"] <= r["n_t"] and r["conv_c"] <= r["n_c"]
+        cnt += r["n_t"]; cnc += r["n_c"]; cct += r["conv_t"]; ccc += r["conv_c"]
+        if cnc > 0:
+            want = cct - ccc * cnt / cnc
+            assert abs(r["qini_cum"] - want) < 1e-9
+    # the hash split is ~50/50 over the user universe
+    assert 0.3 < cnt / (cnt + cnc) < 0.7
+
+
+# ----------------------------------------------------------- mm_scene_cuts
+
+
+def test_scene_cuts_consistency(spark):
+    from conduit_connector_s3_iceberg_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        mm_scene_cuts,
+    )
+    from conduit_connector_s3_iceberg_spark.sources.tables import load_table
+
+    rows = {r["doc_id"]: r for r in mm_scene_cuts(spark, SF001).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF001, "documents").collect()
+    }
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        r = rows[doc_id]
+        want_nf = max(-(-len(text) // FRAME_STRIDE), 1)
+        assert r["n_frames"] == want_nf, doc_id
+        assert 0 <= r["n_cuts"] <= max(r["n_frames"] - 1, 0)
+        assert abs(
+            r["mean_shot_frames"] - r["n_frames"] / (r["n_cuts"] + 1)
+        ) < 1e-12
