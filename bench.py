@@ -205,6 +205,8 @@ BENCH_EXT6 = [
     "emb_triplet_margin_audit",
     "events_uplift_qini",
     "mm_scene_cuts",
+    "sketch_ams_f2",
+    "sim_lsh_multiprobe_recall",
 ]
 
 RUNS = 3

@@ -7663,3 +7663,239 @@ def emb_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------- multiprobe LSH recall ------
+#
+# Multiprobe LSH (Lv et al., VLDB'07): instead of adding tables to raise
+# recall (each table = another full copy of the bucket index in memory),
+# probe the buckets a near-miss query would land in — flip the query's
+# LEAST-CONFIDENT sign bits (smallest |hyperplane dot|, the planes the
+# query sits closest to) and read those buckets too. At 100 TB this is
+# the memory lever: probe_level 1–2 buys the recall of many extra
+# tables while the stored index stays at L tables. This audit measures
+# exactly that tradeoff on the standard query set: recall@k and scanned
+# candidate fraction at probe levels 0 (base buckets only), 1 (+ flip
+# the least-confident bit per table), 2 (+ flip the second-least) —
+# same deterministic planes as sim_ann_lsh, truth = exact brute force,
+# perturbation choice broken by (|dot|, bit) so both engines pick
+# identical probes.
+
+
+@query(
+    "sim_lsh_multiprobe_recall",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), planes(tbl, bit, w) AS (VALUES {_lsh_planes_values()}),
+    sig AS MATERIALIZED (
+      SELECT e.vec_id, p.tbl,
+             CAST(SUM(CASE WHEN list_reduce(list_transform(
+                    generate_series(1, {DIM}), i -> (p.w)[i] * (e.emb)[i]),
+                    (x, y) -> x + y) >= 0
+                  THEN (1 << p.bit) ELSE 0 END) AS INTEGER) AS bkt
+      FROM e, planes p GROUP BY e.vec_id, p.tbl
+    ), qd AS (
+      SELECT e.vec_id AS query_id, p.tbl, p.bit,
+             abs(list_reduce(list_transform(
+                    generate_series(1, {DIM}), i -> (p.w)[i] * (e.emb)[i]),
+                    (x, y) -> x + y)) AS ad
+      FROM e, planes p WHERE e.vec_id < {N_QUERIES}
+    ), pert AS (
+      SELECT query_id, tbl, bit,
+             ROW_NUMBER() OVER (PARTITION BY query_id, tbl
+                                ORDER BY ad, bit) AS rn
+      FROM qd
+    ), probes AS MATERIALIZED (
+      SELECT s.vec_id AS query_id, s.tbl, 0 AS lvl, s.bkt AS pbkt
+      FROM sig s WHERE s.vec_id < {N_QUERIES}
+      UNION ALL
+      SELECT s.vec_id, s.tbl, p.rn,
+             CAST(xor(s.bkt, 1 << p.bit) AS INTEGER)
+      FROM sig s JOIN pert p
+        ON p.query_id = s.vec_id AND p.tbl = s.tbl AND p.rn <= 2
+      WHERE s.vec_id < {N_QUERIES}
+    ), cand AS MATERIALIZED (
+      SELECT p.query_id, es.vec_id, CAST(MIN(p.lvl) AS INTEGER) AS mlvl
+      FROM probes p
+      JOIN sig es ON es.tbl = p.tbl AND es.bkt = p.pbkt
+                 AND es.vec_id <> p.query_id
+      GROUP BY p.query_id, es.vec_id
+    ), scored AS MATERIALIZED (
+      SELECT c.query_id, c.vec_id, c.mlvl,
+             {_sql_dot('qe.emb', 'e.emb')} / (qe.nrm * e.nrm) AS cosine
+      FROM cand c
+      JOIN e ON e.vec_id = c.vec_id
+      JOIN e qe ON qe.vec_id = c.query_id
+    ), truth AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_dot('q.emb', 'e.emb')} / (q.nrm * e.nrm)
+                          DESC, e.vec_id
+               ) AS rank
+        FROM e q JOIN e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ), levels(lvl) AS (VALUES (0), (1), (2)),
+    ranked AS MATERIALIZED (
+      SELECT l.lvl, s.query_id, s.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY l.lvl, s.query_id
+                                ORDER BY s.cosine DESC, s.vec_id) AS rank
+      FROM levels l JOIN scored s ON s.mlvl <= l.lvl
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+    )
+    SELECT l.lvl AS probe_level,
+           CAST(COUNT(DISTINCT (s.query_id, s.vec_id)) AS BIGINT)
+             AS candidates,
+           CAST((SELECT COUNT(*) FROM ranked r
+                 JOIN truth t ON t.query_id = r.query_id
+                             AND t.vec_id = r.vec_id
+                 WHERE r.lvl = l.lvl AND r.rank <= {TOP_K}) AS BIGINT)
+             AS hits,
+           CAST((SELECT COUNT(*) FROM ranked r
+                 JOIN truth t ON t.query_id = r.query_id
+                             AND t.vec_id = r.vec_id
+                 WHERE r.lvl = l.lvl AND r.rank <= {TOP_K}) AS DOUBLE)
+             / ({N_QUERIES} * {TOP_K}) AS recall,
+           CAST(COUNT(DISTINCT (s.query_id, s.vec_id)) AS DOUBLE)
+             / ({N_QUERIES}.0 * ((SELECT n FROM nn) - 1)) AS scan_frac
+    FROM levels l JOIN scored s ON s.mlvl <= l.lvl
+    GROUP BY l.lvl
+    ORDER BY probe_level
+    """,
+    doc="Multiprobe LSH recall/scan tradeoff (Lv et al.): probe levels "
+        "0/1/2 flip the query's least-confident sign bits per table "
+        "(smallest |hyperplane dot|, ties by bit index — identical "
+        "perturbation choice in both engines) and re-rank the union of "
+        "probed buckets; recall@k vs exact brute force and candidate "
+        "scan fraction per level. The 100-TB memory lever: probing "
+        "buys extra-table recall without storing extra tables.",
+)
+def sim_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+        _sig_spark().alias("sig"),
+    ).localCheckpoint(eager=False)  # corpus signatures feed probe + truth
+    n_row = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qbase = emb.filter(F.col("vec_id") < N_QUERIES)
+    # per-(query, table, bit) |dot| — N_QUERIES × L × k rows of metadata
+    dots = []
+    for t, planes in enumerate(BAND_PLANES):
+        for b, w in enumerate(planes):
+            arr = "array(" + ", ".join(f"{v}D" for v in w) + ")"
+            dots.append(
+                f"struct({t + 1} AS tbl, {b} AS bit,"
+                f" abs({_spark_dot('emb', arr)}) AS ad)"
+            )
+    qd = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr("array(" + ", ".join(dots) + ")")).alias("d"),
+    ).select("query_id", "d.tbl", "d.bit", "d.ad")
+    wp = Window.partitionBy("query_id", "tbl").orderBy("ad", "bit")
+    pert = qd.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= 2
+    )
+    qsig = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("sig").alias("tbl0", "bkt"),
+    ).select("query_id", (F.col("tbl0") + 1).alias("tbl"), "bkt")
+    probes = qsig.select(
+        "query_id", "tbl", F.lit(0).alias("lvl"), F.col("bkt").alias("pbkt")
+    ).union(
+        qsig.join(pert, ["query_id", "tbl"]).select(
+            "query_id",
+            "tbl",
+            F.col("rn").alias("lvl"),
+            F.expr("CAST(bkt ^ shiftleft(1, bit) AS INT)").alias("pbkt"),
+        )
+    )
+    csig = emb.select(
+        "vec_id", F.posexplode("sig").alias("ctbl0", "cbkt")
+    ).select("vec_id", (F.col("ctbl0") + 1).alias("ctbl"), "cbkt")
+    cand = (
+        csig.join(
+            F.broadcast(probes),
+            (F.col("ctbl") == F.col("tbl"))
+            & (F.col("cbkt") == F.col("pbkt"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.min("lvl").cast("int").alias("mlvl"))
+    )
+    qe = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "emb", "nrm"), "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "mlvl",
+            (
+                F.expr(_spark_dot("qemb", "emb"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)  # feeds 3 level rankings + counts
+    )
+    truth = (
+        emb.select("vec_id", "emb", "nrm")
+        .join(F.broadcast(qe), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_spark_dot("qemb", "emb"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    truth_k = _two_phase_topk(truth, TOP_K, base=emb).select(
+        "query_id", F.col("vec_id").alias("tvec")
+    )
+    levels = spark.createDataFrame([(0,), (1,), (2,)], "lvl int")
+    lev = F.broadcast(levels).join(scored, F.col("mlvl") <= F.col("lvl"))
+    wr = Window.partitionBy("lvl", "query_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    ranked = lev.withColumn("rank", F.row_number().over(wr))
+    hits = (
+        ranked.filter(F.col("rank") <= TOP_K)
+        .join(
+            truth_k,
+            (ranked.query_id == truth_k.query_id)
+            & (F.col("vec_id") == F.col("tvec")),
+        )
+        .groupBy("lvl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    counts = lev.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("candidates")
+    )
+    return (
+        counts.join(hits, "lvl", "left")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("lvl").alias("probe_level"),
+            "candidates",
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.lit(float(N_QUERIES * TOP_K))
+            ).alias("recall"),
+            (
+                F.col("candidates").cast("double")
+                / (F.lit(float(N_QUERIES)) * (F.col("n") - 1))
+            ).alias("scan_frac"),
+        )
+        .orderBy("probe_level")
+    )

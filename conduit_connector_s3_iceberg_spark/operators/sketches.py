@@ -1347,3 +1347,109 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_overestimate"),
         )
     )
+
+
+# --------------------------------------------------------- AMS F2 sketch ---
+#
+# Alon–Matias–Szegedy second frequency moment: F2 = Σ_v c_v² (the
+# self-join size of a key column — the planner statistic behind skew
+# detection and join-size estimation) estimated by K independent
+# sign-hash counters Z_k = Σ_v c_v·s_k(v), s_k(v) ∈ {±1}, with
+# E[Z_k²] = F2. Each counter is ONE integer accumulated in a single
+# pass — constant memory regardless of key cardinality, mergeable
+# across partitions/epochs by plain addition (the property that makes
+# it a sketch). Signs come from md5 bits (engine-identical, unlike the
+# engines' native hash functions), estimators are averaged in exact
+# integer arithmetic, and the audit compares against the exact F2 from
+# a full hash agg. Complements sketch_cms_join_size (CM upper bound)
+# with the classic unbiased estimator.
+
+AMS_K = 16  # independent sign-hash estimators
+
+
+def _ams_sign_sql(k: int, col: str) -> str:
+    """±1 sign from one md5 hex nibble — identical text in both engines
+    (DuckDB substr/md5 match Spark's for ASCII inputs)."""
+    return (
+        f"CASE WHEN substr(md5('ams{k}:' || CAST({col} AS VARCHAR)), 1, 1)"
+        " < '8' THEN 1 ELSE -1 END"
+    )
+
+
+def _ams_sign_spark(k: int, col: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(concat('ams{k}:', CAST({col} AS STRING))),"
+        " 1, 1) < '8' THEN 1L ELSE -1L END"
+    )
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH z AS (
+      SELECT {", ".join(
+        f"CAST(SUM({_ams_sign_sql(k, 'user_id')}) AS BIGINT) AS z{k}"
+        for k in range(AMS_K)
+      )}
+      FROM events
+    ), est AS (
+      SELECT {" + ".join(
+        f"CAST(z{k} AS HUGEINT) * z{k}" for k in range(AMS_K)
+      )} AS ssum
+      FROM z
+    ), ex AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id)
+    )
+    SELECT CAST({AMS_K} AS BIGINT) AS k_estimators,
+           CAST(ssum // {AMS_K} AS DOUBLE) AS f2_estimate,
+           CAST((SELECT f2 FROM ex) AS DOUBLE) AS f2_exact,
+           CAST(ssum // {AMS_K} AS DOUBLE)
+             / CAST((SELECT f2 FROM ex) AS DOUBLE) AS ratio
+    FROM est
+    """,
+    doc="AMS second-frequency-moment sketch over the events key column: "
+        f"{AMS_K} independent ±1 sign-hash counters (md5 bits — engine-"
+        "identical), each ONE integer per pass, mergeable by addition; "
+        "the averaged Z² estimates the self-join size F2 and the audit "
+        "pins it against the exact hash-agg Σc². Constant sketch memory "
+        "at any key cardinality — the skew/join-size statistic a planner "
+        "keeps per column at 100 TB.",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    z = ev.agg(
+        *[
+            F.sum(F.expr(_ams_sign_spark(k, "user_id")))
+            .cast("bigint")
+            .alias(f"z{k}")
+            for k in range(AMS_K)
+        ]
+    )
+    est = z.select(
+        F.expr(
+            " + ".join(
+                f"CAST(z{k} AS DECIMAL(38,0)) * z{k}" for k in range(AMS_K)
+            )
+        ).alias("ssum")
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c"))
+            .cast("decimal(38,0)")
+            .alias("f2")
+        )
+    )
+    # 1-row × 1-row: both sides bounded by construction
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.lit(AMS_K).cast("bigint").alias("k_estimators"),
+        F.expr(f"CAST(ssum div {AMS_K} AS DOUBLE)").alias("f2_estimate"),
+        F.col("f2").cast("double").alias("f2_exact"),
+        (
+            F.expr(f"CAST(ssum div {AMS_K} AS DOUBLE)")
+            / F.col("f2").cast("double")
+        ).alias("ratio"),
+    )

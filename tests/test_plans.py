@@ -353,6 +353,11 @@ BROADCAST_NONEQUI_OK = {
     "sample_pps_systematic",
     # one-row period-midpoint + one-row user-count broadcasts — bounded
     "events_uplift_qini",
+    # composes the brute-force truth broadcast (sim_topk_bruteforce
+    # shape) with the bounded probe-bucket equi-join
+    "sim_lsh_multiprobe_recall",
+    # 1-row sketch-sum × 1-row exact-F2 fold — bounded by design
+    "sketch_ams_f2",
     # one-row codebook broadcast + queries×probes table — bounded
     "sim_ann_ivfpq",
     # one-row corpus-stats (N, total tokens) broadcast into the tf table

@@ -350,3 +350,43 @@ def test_scene_cuts_consistency(spark):
         assert abs(
             r["mean_shot_frames"] - r["n_frames"] / (r["n_cuts"] + 1)
         ) < 1e-12
+
+
+# --------------------------------------------- sim_lsh_multiprobe_recall --
+
+
+def test_multiprobe_recall_monotone(spark):
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        sim_lsh_multiprobe_recall,
+    )
+
+    rows = sorted(
+        sim_lsh_multiprobe_recall(spark, SF001).collect(),
+        key=lambda r: r["probe_level"],
+    )
+    assert [r["probe_level"] for r in rows] == [0, 1, 2]
+    # probing strictly widens the candidate set and never hurts recall
+    for a, b in zip(rows, rows[1:]):
+        assert b["candidates"] >= a["candidates"]
+        assert b["recall"] >= a["recall"]
+        assert b["scan_frac"] >= a["scan_frac"]
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0.0 < r["scan_frac"] <= 1.0
+
+
+# ------------------------------------------------------- sketch_ams_f2 ----
+
+
+def test_ams_f2_estimator_sane(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sketches import (
+        AMS_K,
+        sketch_ams_f2,
+    )
+
+    row = sketch_ams_f2(spark, SF001).collect()[0]
+    assert row["k_estimators"] == AMS_K
+    assert row["f2_exact"] > 0
+    # K=16 averaged estimators: relative stderr ~ sqrt(2/K) ~ 0.35 —
+    # a 3-sigma band is the sane-estimate envelope, not a tight bound
+    assert 0.0 < row["ratio"] < 2.5
