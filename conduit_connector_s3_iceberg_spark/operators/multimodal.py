@@ -28,6 +28,7 @@ from ..plans.registry import query
 from ..sources.tables import load_table
 from .similarity import _SPARK_NORM as _SPARK_NORM_IMPORTED
 from .similarity import _SQL_NORM as _SQL_NORM_IMPORTED
+from .similarity import _sql_dot as _sql_dot_imported
 
 N_BYTE_FEATURES = 4
 
@@ -641,8 +642,9 @@ MM_ALIGN_THRESH = 0           # keep pairs with cosine >= 0.0 (scaled)
     FROM pairs
     GROUP BY label
     ORDER BY label
-    """.format(dot="list_reduce(list_transform(generate_series(1, 64),"
-                   " i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)"),
+    """.format(dot=_sql_dot_imported("a.emb", "b.emb")),  # DIM-interpolated:
+    # the oracle dot always covers the full embedding width, never a
+    # hardcoded 64 that would silently truncate if DIM changed
     doc="CLIP-score alignment gate over (image, caption) embedding pairs "
         "(LAION-style cosine filtering): per-pair normalized cosine via "
         "the JVM higher-order-fold dot, quantized to exact integers "
@@ -714,12 +716,16 @@ SCENE_TAU = 32  # signature jump (0-255 scale) that counts as a cut
     "mm_scene_cuts",
     oracle=f"""
     WITH f AS (
+      -- CHARACTER convention on both sides: length (chars, not strlen
+      -- bytes) + ord == Spark's length + ascii (both return the full
+      -- code point, verified incl. astral plane) — byte/char divergence
+      -- on non-ASCII text was ADVICE r10's finding
       SELECT doc_id,
-             GREATEST(CAST(ceil(strlen(text) / {FRAME_STRIDE}.0) AS BIGINT),
+             GREATEST(CAST(ceil(length(text) / {FRAME_STRIDE}.0) AS BIGINT),
                       1) AS nf,
              list_transform(
                generate_series(0,
-                 CAST(GREATEST(ceil(strlen(text) / {FRAME_STRIDE}.0), 1)
+                 CAST(GREATEST(ceil(length(text) / {FRAME_STRIDE}.0), 1)
                       AS BIGINT) - 1),
                p -> ord(substr(text, CAST(p * {FRAME_STRIDE} + 1 AS INTEGER),
                                1))) AS sigs

@@ -1720,35 +1720,14 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("wt")
     )
-    # exact global weight prefix sum WITHOUT a single-task window (the
-    # _global_rank shape): range partition on doc_id, per-partition
-    # running sum, broadcast per-partition weight offsets — the only
-    # unpartitioned window runs over <= |partitions| offset rows
-    rp = docs.repartitionByRange("doc_id")
-    local = Window.partitionBy(F.spark_partition_id()).orderBy(
-        "doc_id"
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    with_local = rp.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_lc", F.coalesce(F.sum("wt").over(local), F.lit(0)).cast("bigint")
-    )
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        with_local.groupBy("_pid")
-        .agg(F.sum("wt").cast("bigint").alias("_wsum"))
-        .withColumn(
-            "_off",
-            F.coalesce(F.sum("_wsum").over(woff), F.lit(0)).cast("bigint"),
-        )
-        .select("_pid", "_off")
-    )
-    w = (
-        with_local.join(F.broadcast(offs), "_pid")
-        .select(
-            "doc_id",
-            "source",
-            "wt",
-            (F.col("_off") + F.col("_lc")).cast("bigint").alias("c"),
-        )
+    # exact global weight prefix sum WITHOUT a single-task window: the
+    # shared _global_prefix_sum helper (range partition on doc_id,
+    # per-partition running sum, broadcast per-partition weight offsets —
+    # the only unpartitioned window runs over <= |partitions| offset rows)
+    from .timeseries import _global_prefix_sum
+
+    w = _global_prefix_sum(docs, ["doc_id"], "wt", "c").select(
+        "doc_id", "source", "wt", "c"
     )
     tt = docs.agg(F.sum("wt").cast("bigint").alias("t"))
     # one bounded 1-row broadcast: the total weight

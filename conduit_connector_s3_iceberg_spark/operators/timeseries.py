@@ -1544,32 +1544,53 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the ranked key — same plan Spark's ntile already compiles to); the
 # report is Q³ rows.
 
-def _global_rank(df, order) -> DataFrame:
-    """Exact global rank over a total order WITHOUT a single-task window:
-    range partition on the order columns (global order across partitions),
-    row_number within each partition, plus broadcast per-partition row
-    offsets. The only unpartitioned window runs over the <= |partitions|
-    offset rows. Rank is exact wherever the range boundaries fall, so the
-    range partitioner's sampling cannot perturb the result; the order must
-    be a total order (tie-break included) for determinism."""
+def _global_prefix_sum(df, order, col, out: str) -> DataFrame:
+    """Exact EXCLUSIVE global running sum of ``col`` over a total order
+    WITHOUT a single-task window: range partition on the order columns
+    (global order across partitions), per-partition exclusive running sum,
+    plus broadcast per-partition sum offsets. The only unpartitioned
+    window runs over the <= |partitions| offset rows. The sum is exact
+    wherever the range boundaries fall, so the range partitioner's
+    sampling cannot perturb the result; the order must be a total order
+    (tie-break included) for determinism. ``col`` may be a column name or
+    Column expression with exact-integer values (the sum is folded in
+    BIGINT). Shared by :func:`_global_rank` (col = 1 ⇒ rank − 1) and the
+    PPS weight prefix sum (``sampling.sample_pps_systematic``)."""
+    c = F.col(col) if isinstance(col, str) else col
     rp = df.repartitionByRange(*order)
-    local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        *order
+    ).rowsBetween(Window.unboundedPreceding, -1)
     with_local = rp.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_lrk", F.row_number().over(local).cast("bigint")
+        "_lc", F.coalesce(F.sum(c).over(local), F.lit(0)).cast("bigint")
     )
     woff = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )  # <= |partitions| rows: bounded by construction
     offs = (
         with_local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)))
+        .agg(F.sum(c).cast("bigint").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).cast("bigint"),
+        )
         .select("_pid", "_off")
     )
     return (
         with_local.join(F.broadcast(offs), "_pid")
-        .withColumn("_grank", (F.col("_off") + F.col("_lrk")).cast("bigint"))
-        .drop("_pid", "_lrk", "_off", "_cnt")
+        .withColumn(out, (F.col("_off") + F.col("_lc")).cast("bigint"))
+        .drop("_pid", "_lc", "_off", "_cnt")
+    )
+
+
+def _global_rank(df, order) -> DataFrame:
+    """Exact global rank (row_number over a total order) as the exclusive
+    prefix COUNT + 1 — see :func:`_global_prefix_sum` for the
+    no-single-task-window machinery."""
+    return (
+        _global_prefix_sum(df, order, F.lit(1), "_gpre")
+        .withColumn("_grank", (F.col("_gpre") + 1).cast("bigint"))
+        .drop("_gpre")
     )
 
 
@@ -2481,9 +2502,10 @@ _BT_ITER_SQL = f"""
       FROM p{{prev}} t JOIN d{{k}} dd ON dd.i = t.i
     ), p{{k}} AS MATERIALIZED (
       SELECT i, w,
-             GREATEST(CAST(1 AS HUGEINT),
-                      (pr * (SELECT nk FROM nt) * {BT_PSCALE})
-                      // SUM(pr) OVER ()) AS p
+             CASE WHEN SUM(pr) OVER () = 0 THEN CAST({BT_PSCALE} AS HUGEINT)
+                  ELSE GREATEST(CAST(1 AS HUGEINT),
+                                (pr * (SELECT nk FROM nt) * {BT_PSCALE})
+                                // SUM(pr) OVER ()) END AS p
       FROM raw{{k}}
     )
 """
@@ -2588,7 +2610,14 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in types
         }
         tot = sum(raw.values())
-        p = {i: max(1, (raw[i] * nt * BT_PSCALE) // tot) for i in types}
+        # Degenerate all-ties guard: tot == 0 with nonempty types cannot
+        # happen (any m entry has nij > 0, i.e. a strict win, so some
+        # wins[i] > 0 ⇒ some raw[i] > 0), but guard anyway — uniform
+        # strengths instead of ZeroDivisionError; oracle mirrors it.
+        if tot == 0:
+            p = {i: BT_PSCALE for i in types}
+        else:
+            p = {i: max(1, (raw[i] * nt * BT_PSCALE) // tot) for i in types}
     out = [
         (
             i,

@@ -65,14 +65,22 @@ def cusum_drift_stream(
         s = state.get[0] if state.exists else 0
         ref = int(ref_scaled.get(event_type, 0))
         out_day, out_x, out_s, out_flag = [], [], [], []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("day").iterrows():
-                x = int(row["x"])
-                s = max(0, s + x * CUSUM_SCALE - ref)
-                out_day.append(row["day"])
-                out_x.append(x)
-                out_s.append(s)
-                out_flag.append(s > CUSUM_H * ref)
+        # Buffer EVERY Arrow chunk for the key before sorting: a key whose
+        # epoch rows span multiple batches must fold in day order, not
+        # arrival order — per-chunk sorts would interleave the CUSUM fold.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            pd.concat(chunks, ignore_index=True).sort_values("day")
+            if chunks
+            else pd.DataFrame(columns=["day", "x"])
+        )
+        for _, row in rows.iterrows():
+            x = int(row["x"])
+            s = max(0, s + x * CUSUM_SCALE - ref)
+            out_day.append(row["day"])
+            out_x.append(x)
+            out_s.append(s)
+            out_flag.append(s > CUSUM_H * ref)
         state.update((s,))
         yield pd.DataFrame(
             {
@@ -150,21 +158,31 @@ def sprt_stream(
         else:
             s, dec, dday = 0, "continue", None
         cols = {k: [] for k in ("day", "k", "n", "cum", "dec", "dday")}
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("day").iterrows():
-                k, n = int(row["k"]), int(row["n"])
-                s = s + k * l1 + (n - k) * l0
-                if dec == "continue":
-                    if s >= bound:
-                        dec, dday = "reject_null", row["day"]
-                    elif s <= -bound:
-                        dec, dday = "accept_null", row["day"]
-                cols["day"].append(row["day"])
-                cols["k"].append(k)
-                cols["n"].append(n)
-                cols["cum"].append(s)
-                cols["dec"].append(dec)
-                cols["dday"].append(dday)
+        # Buffer all chunks, then ONE day-ordered fold: SPRT's verdict is
+        # latched at the first boundary crossing, so a key spanning
+        # multiple Arrow batches in one epoch must not fold chunks in
+        # arrival order — that could latch a different decision day than
+        # the batch events_sprt_boundary this stream promises equality to.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            pd.concat(chunks, ignore_index=True).sort_values("day")
+            if chunks
+            else pd.DataFrame(columns=["day", "k", "n"])
+        )
+        for _, row in rows.iterrows():
+            k, n = int(row["k"]), int(row["n"])
+            s = s + k * l1 + (n - k) * l0
+            if dec == "continue":
+                if s >= bound:
+                    dec, dday = "reject_null", row["day"]
+                elif s <= -bound:
+                    dec, dday = "accept_null", row["day"]
+            cols["day"].append(row["day"])
+            cols["k"].append(k)
+            cols["n"].append(n)
+            cols["cum"].append(s)
+            cols["dec"].append(dec)
+            cols["dday"].append(dday)
         state.update((s, dec, dday))
         yield pd.DataFrame(
             {
