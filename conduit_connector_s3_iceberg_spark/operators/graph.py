@@ -116,19 +116,11 @@ _PR_ORACLE = (
 )
 
 
-@query(
-    "graph_pagerank",
-    oracle=_PR_ORACLE,
-    doc="PageRank (d=0.85, 6 fixed iterations) over the undirected "
-        "customer↔supplier trade graph, entirely in scaled-BIGINT "
-        "arithmetic (rank·10^12; damping as 3/20 + 17/20 integer folds) so "
-        "every engine and every shuffle order produces identical bits. "
-        "Per iteration: one edges⋈ranks hash join + one hash aggregate, "
-        "lineage cut per round — the Pregel-as-DataFrame shape that holds "
-        "at 1000 executors. Undirected graph ⇒ no dangling mass.",
-)
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+def _pagerank_from_edges(edges: DataFrame) -> DataFrame:
+    """The PageRank fixpoint over an already-extracted directed edge
+    list (both directions, string ids) — shared by the from-scratch path
+    and the persisted-state refresh (``graph_state._refresh_fixpoints``),
+    so the state-served bytes are the same exact scaled-BIGINT fold."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_row = deg.agg(F.count(F.lit(1)).alias("n"))
     # one bounded 1-row broadcast: every node carries base = SCALE div N
@@ -167,6 +159,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("rank_scaled"),
         (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle=_PR_ORACLE,
+    doc="PageRank (d=0.85, 6 fixed iterations) over the undirected "
+        "customer↔supplier trade graph, entirely in scaled-BIGINT "
+        "arithmetic (rank·10^12; damping as 3/20 + 17/20 integer folds) so "
+        "every engine and every shuffle order produces identical bits. "
+        "Per iteration: one edges⋈ranks hash join + one hash aggregate, "
+        "lineage cut per round — the Pregel-as-DataFrame shape that holds "
+        "at 1000 executors. Undirected graph ⇒ no dangling mass. Served "
+        "from the persisted graph state (graph_state.py): warm queries "
+        "read the materialized rank table with zero corpus scans, and the "
+        "fixpoint reruns only when the corpus snapshot changes — this "
+        "oracle therefore re-audits the persisted bytes against a full "
+        "from-scratch recomputation on every sweep.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_state import serve_pagerank
+
+    return serve_pagerank(spark, sf_dir)
 
 
 _TRI_EDGES_SQL = f"""
@@ -630,20 +644,10 @@ _LPA_ORACLE = (
 )
 
 
-@query(
-    "graph_label_propagation",
-    oracle=_LPA_ORACLE,
-    doc="Synchronous label propagation (Raghavan et al. 2007), 4 fixed "
-        "rounds over the customer-supplier trade graph: every node adopts "
-        "its neighbors' most frequent label, ties to the smallest label. "
-        "Communities = dense sub-clusters inside components (template "
-        "farms, coordinated source groups). Per round: one edges-labels "
-        "hash join + two hash aggregates — the argmax is "
-        "min(struct(-count, label)), never a per-node sort window; "
-        "lineage cut per round, label state one row per node.",
-)
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+def _lpa_from_edges(edges: DataFrame) -> DataFrame:
+    """The synchronous-LPA fixpoint over an already-extracted directed
+    edge list — shared by the from-scratch path and the persisted-state
+    refresh."""
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -667,6 +671,27 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "community", "community_size")
         .orderBy("id")
     )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_LPA_ORACLE,
+    doc="Synchronous label propagation (Raghavan et al. 2007), 4 fixed "
+        "rounds over the customer-supplier trade graph: every node adopts "
+        "its neighbors' most frequent label, ties to the smallest label. "
+        "Communities = dense sub-clusters inside components (template "
+        "farms, coordinated source groups). Per round: one edges-labels "
+        "hash join + two hash aggregates — the argmax is "
+        "min(struct(-count, label)), never a per-node sort window; "
+        "lineage cut per round, label state one row per node. Served from "
+        "the persisted graph state (graph_state.py) — warm queries read "
+        "the materialized community table, zero corpus scans; the oracle "
+        "re-audits the persisted bytes from scratch every sweep.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_state import serve_lpa
+
+    return serve_lpa(spark, sf_dir)
 
 
 # ---------------------------------------------------- SALSA hubs/authorities
@@ -1379,13 +1404,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its weighted proximity to audited-good sources, not its raw
 # popularity. Same scaled-BIGINT discipline as graph_pagerank — the
 # only change is the restart vector: base = SCALE div |seeds| on seed
-# nodes, 0 elsewhere. Seeds here are the three lowest-keyed suppliers
+# nodes, 0 elsewhere. Seeds here are the four lowest-keyed suppliers
 # (deterministic at every SF); a production run passes any audited id
 # set. Per-iteration cost is identical to PageRank (one edges ⋈ ranks
 # hash join + one hash aggregate, lineage cut per round), so the
 # 1000-executor story carries over unchanged.
 
-PPR_SEED_MAX_KEY = 3  # suppliers s1..s3 — present at every test SF
+PPR_SEED_MAX_KEY = 3  # suppliers s0..s3 (0-based keys) — every test SF
 
 _PPR_SIZED_SQL = """
     und AS (
@@ -1425,32 +1450,22 @@ _PPR_ORACLE = (
 )
 
 
-@query(
-    "graph_ppr_seeded",
-    oracle=_PPR_ORACLE,
-    doc="Personalized PageRank (d=0.85, 6 fixed iterations) from a "
-        "trusted supplier seed set over the customer↔supplier trade "
-        "graph — the TrustRank quality-propagation pattern: restart "
-        "mass lands only on seeds (base = SCALE div |seeds|), so rank "
-        "measures proximity to audited-good sources. Entirely "
-        "scaled-BIGINT (identical fold to graph_pagerank) ⇒ bit-stable "
-        "under any shuffle order; per-iteration cost is one hash join "
-        "+ one hash aggregate with lineage cuts.",
-)
-def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+def _ppr_from_edges(edges: DataFrame) -> DataFrame:
+    """The seeded-PPR fixpoint over an already-extracted directed edge
+    list — shared by the from-scratch path and the persisted-state
+    refresh. Seed membership is decided on node ids ('s0'..'s{k}'): a
+    supplier node exists in the graph iff some lineitem references it,
+    and FK integrity guarantees the supplier row exists, so this is
+    exactly the oracle's nodes ⋈ supplier seed set without re-reading
+    the supplier table on the state path."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    seeds = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") <= PPR_SEED_MAX_KEY)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("sid"))
-    )
-    marked = deg.join(
-        F.broadcast(seeds), deg.src == seeds.sid, "left"
-    ).select(
+    # supplier keys are 0-based in this warehouse: s_suppkey <= MAX_KEY
+    # is the seed set {s0..s{MAX_KEY}} — MAX_KEY+1 seeds
+    seed_ids = [f"s{k}" for k in range(PPR_SEED_MAX_KEY + 1)]
+    marked = deg.select(
         F.col("src").alias("id"),
         "outdeg",
-        F.col("sid").isNotNull().cast("int").alias("is_seed"),
+        F.col("src").isin(seed_ids).cast("int").alias("is_seed"),
     )
     k_row = marked.agg(F.sum("is_seed").cast("bigint").alias("k"))
     # one bounded 1-row broadcast: seeds carry base = SCALE div k, rest 0
@@ -1494,5 +1509,123 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_seed",
             F.col("rank").alias("rank_scaled"),
             (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+        )
+    )
+
+
+@query(
+    "graph_ppr_seeded",
+    oracle=_PPR_ORACLE,
+    doc="Personalized PageRank (d=0.85, 6 fixed iterations) from a "
+        "trusted supplier seed set over the customer↔supplier trade "
+        "graph — the TrustRank quality-propagation pattern: restart "
+        "mass lands only on seeds (base = SCALE div |seeds|), so rank "
+        "measures proximity to audited-good sources. Entirely "
+        "scaled-BIGINT (identical fold to graph_pagerank) ⇒ bit-stable "
+        "under any shuffle order; per-iteration cost is one hash join "
+        "+ one hash aggregate with lineage cuts. Served from the "
+        "persisted graph state (graph_state.py) — warm queries read the "
+        "materialized rank table, zero corpus scans; the oracle "
+        "re-audits the persisted bytes from scratch every sweep.",
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_state import serve_ppr
+
+    return serve_ppr(spark, sf_dir)
+
+
+# ----------------------------------------------- graph-state byte audit ----
+#
+# Re-verify the persisted graph state against a from-scratch recompute on
+# every sweep (the dedup_counts_state_audit discipline): the Spark side
+# reads ONLY the served state artifacts — and deliberately DIFFERENT ones
+# per invariant (edge counts from the edges generations, node/degree mass
+# from the materialized PageRank table, seed count from the PPR table,
+# community stats from the LPA table, order-map size from the okc map) —
+# so any incoherence BETWEEN artifacts (a fixpoint refresh that missed an
+# edge generation, a lost okc append, a stale fix_gen pointer) breaks a
+# cross-check that no single-artifact read would. The oracle re-derives
+# every number from the raw fact tables, including the LPA chain for the
+# community stats. The per-node rank BYTES are already fully audited by
+# the graph_pagerank / graph_ppr_seeded / graph_label_propagation oracles
+# themselves (state-served Spark rows vs from-scratch DuckDB recompute,
+# hash-matched every sweep); this audit pins the structural invariants
+# and cross-artifact coherence.
+
+_AUDIT_SEED_LIST = ", ".join(  # 0-based supplier keys: s0..s{MAX_KEY}
+    f"'s{k}'" for k in range(PPR_SEED_MAX_KEY + 1)
+)
+
+_GRAPH_AUDIT_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL
+    + ", l0 AS (SELECT id, id AS label FROM sized)"
+    + "".join(
+        _LPA_ITER_SQL.format(i=i, prev=i - 1) for i in range(1, LPA_ITERS + 1)
+    )
+    + f"""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_und_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders_mapped,
+           (SELECT CAST(SUM(outdeg) AS BIGINT) FROM nodes) AS degree_mass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes
+             WHERE id IN ({_AUDIT_SEED_LIST})) AS n_seeds,
+           (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM l{LPA_ITERS})
+             AS n_communities,
+           (SELECT CAST(MAX(c) AS BIGINT) FROM (
+              SELECT COUNT(*) AS c FROM l{LPA_ITERS} GROUP BY label))
+             AS largest_community
+    """
+)
+
+
+@query(
+    "graph_state_audit",
+    oracle=_GRAPH_AUDIT_ORACLE,
+    doc="Persisted graph state re-verified against a from-scratch "
+        "recompute: each invariant is read from a DIFFERENT state "
+        "artifact (edge count from the edge generations, node count + "
+        "degree mass from the materialized PageRank table, seed count "
+        "from the PPR table, community count/max from the LPA table, "
+        "order-map size from the okc map) while the oracle re-derives "
+        "all of them from the raw fact tables — a stale fix_gen, lost "
+        "generation, or partial append breaks a cross-artifact check. "
+        "Rank bytes themselves are audited per-node by the three served "
+        "queries' own oracles every sweep.",
+)
+def graph_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_state import serve_edges, serve_lpa, serve_okc, serve_pagerank, serve_ppr
+
+    e = serve_edges(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_und_edges")
+    )
+    pr = serve_pagerank(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("outdeg").cast("bigint").alias("degree_mass"),
+    )
+    okc = serve_okc(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders_mapped")
+    )
+    ppr = serve_ppr(spark, sf_dir).agg(
+        F.sum("is_seed").cast("bigint").alias("n_seeds")
+    )
+    lpa = serve_lpa(spark, sf_dir).agg(
+        F.countDistinct("community").cast("bigint").alias("n_communities"),
+        F.max("community_size").cast("bigint").alias("largest_community"),
+    )
+    # five bounded 1-row aggregates — the crossJoins combine metadata
+    return (
+        e.crossJoin(F.broadcast(pr))
+        .crossJoin(F.broadcast(okc))
+        .crossJoin(F.broadcast(ppr))
+        .crossJoin(F.broadcast(lpa))
+        .select(
+            "n_und_edges",
+            "n_nodes",
+            "n_orders_mapped",
+            "degree_mass",
+            "n_seeds",
+            "n_communities",
+            "largest_community",
         )
     )
