@@ -461,3 +461,232 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="query_id long, vec_id long, relevance double, "
         "mmr_score double, mmr_rank int",
     )
+
+
+# ------------------------------------------------- graded nDCG@K / MRR -----
+#
+# The standard acceptance metrics for a retrieval stack (r10 verdict
+# item #5): the recall@k audits elsewhere in the suite check AGAINST
+# SELF-TRUTH (did the ANN find the brute-force top-k?); nDCG@K and MRR
+# check against GRADED HUMAN-STYLE JUDGMENTS (did the ranking put the
+# most relevant things first?). The qrels fixture is deterministic (the
+# RECALL_QUERIES discipline): for query q and candidate d,
+# rel = 3 if labels match and d ≡ q (mod 5), 2 on label match alone,
+# 1 on the mod-5 bucket alone, else 0 — a graded structure the cosine
+# ranking genuinely correlates with (embeddings cluster by label), so
+# the metric is informative, not saturated.
+#
+# Determinism: DCG's log2 discount is transcendental, so the per-rank
+# discounts are precomputed ONCE in Python as integer literals
+# (round(1e9 / log2(r+1)), r = 1..K) and inlined into BOTH engines'
+# expressions; gains (2^rel − 1 ∈ {0,1,3,7}) are integers. DCG and
+# IDCG are therefore exact BIGINT sums — bit-stable under any shuffle
+# order — and nDCG/MRR are ONE final IEEE division each. IDCG needs no
+# sort: the ideal ranking is determined by the per-grade qrel COUNTS
+# (fill K slots greedily by grade), a K-term CASE fold over (n3,n2,n1).
+#
+# Scale: the run is the gated two-phase top-K (bounded merge input);
+# qrel counts are one labels-only broadcast-join pass over the corpus
+# (the same cost class as the scoring pass); everything downstream is
+# |queries|-sized metadata.
+
+RETR_K = 10                       # evaluation depth (nDCG@10 / MRR@10)
+_NDCG_SCALE = 1_000_000_000
+import math as _math  # noqa: E402  (stdlib, used once at import time)
+
+_DISC = [
+    round(_NDCG_SCALE / _math.log2(r + 1)) for r in range(1, RETR_K + 1)
+]
+_GAIN_CASE = (  # BIGINT literals: gain*discount reaches 7e9 > int32
+    "CASE rel WHEN 3 THEN CAST(7 AS BIGINT) WHEN 2 THEN CAST(3 AS BIGINT)"
+    " WHEN 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+)
+_DISC_CASE = (
+    "CASE rank "
+    + " ".join(f"WHEN {r} THEN {w}" for r, w in enumerate(_DISC, start=1))
+    + " ELSE 0 END"
+)
+
+
+def _rel_expr(q: str, d: str, ql: str, dl: str) -> str:
+    """Graded qrel: shared verbatim by both engines."""
+    return (
+        f"CASE WHEN {dl} = {ql} THEN"
+        f" (CASE WHEN {d} % 5 = {q} % 5 THEN 3 ELSE 2 END)"
+        f" ELSE (CASE WHEN {d} % 5 = {q} % 5 THEN 1 ELSE 0 END) END"
+    )
+
+
+_IDCG_TERMS = " + ".join(
+    f"(CASE WHEN {r} <= n3 THEN {7 * w}"
+    f" WHEN {r} <= n3 + n2 THEN {3 * w}"
+    f" WHEN {r} <= n3 + n2 + n1 THEN {w} ELSE 0 END)"
+    for r, w in enumerate(_DISC, start=1)
+)
+
+
+@query(
+    "retrieval_ndcg_mrr",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {N_QUERIES}
+    ), run AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, e.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm)
+                            DESC, e.vec_id
+               ) AS BIGINT) AS rank
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rank <= {RETR_K}
+    ), judged AS (
+      SELECT r.query_id, r.rank,
+             {_rel_expr('r.query_id', 'r.vec_id', 'q.qlabel', 'e.label')}
+               AS rel
+      FROM run r
+      JOIN e ON e.vec_id = r.vec_id
+      JOIN q ON q.query_id = r.query_id
+    ), dcg AS (
+      SELECT query_id,
+             CAST(SUM(({_GAIN_CASE}) * ({_DISC_CASE})) AS BIGINT)
+               AS dcg_scaled,
+             MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank
+      FROM judged GROUP BY query_id
+    ), qrels AS (
+      SELECT q.query_id,
+             CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM (
+        SELECT q.query_id, q.qlabel,
+               {_rel_expr('q.query_id', 'e.vec_id', 'q.qlabel', 'e.label')}
+                 AS rel
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) j JOIN q ON q.query_id = j.query_id
+      GROUP BY q.query_id
+    ), ideal AS (
+      SELECT query_id, n3 + n2 + n1 AS n_rel,
+             CAST({_IDCG_TERMS} AS BIGINT) AS idcg_scaled
+      FROM qrels
+    )
+    SELECT i.query_id,
+           i.n_rel,
+           COALESCE(d.dcg_scaled, CAST(0 AS BIGINT)) AS dcg_scaled,
+           i.idcg_scaled,
+           CASE WHEN i.idcg_scaled = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(COALESCE(d.dcg_scaled, 0) AS DOUBLE)
+                     / CAST(i.idcg_scaled AS DOUBLE) END AS ndcg,
+           CAST(d.first_rel_rank AS BIGINT) AS first_rel_rank,
+           CASE WHEN d.first_rel_rank IS NULL THEN CAST(0 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE) / CAST(d.first_rel_rank AS DOUBLE)
+                END AS rr
+    FROM ideal i LEFT JOIN dcg d ON d.query_id = i.query_id
+    ORDER BY i.query_id
+    """,
+    doc=f"Graded-relevance retrieval evaluation — nDCG@{RETR_K} and "
+        "MRR of the brute-force cosine ranking against a deterministic "
+        "graded qrels fixture (label match + mod-5 bucket ⇒ grades "
+        "0–3). Per-rank log2 discounts are precomputed integer literals "
+        "inlined into both engines, gains are 2^rel − 1, so DCG and the "
+        "count-derived IDCG (no sort: fill K slots by per-grade counts) "
+        "are exact BIGINT sums; nDCG and RR are one final IEEE division "
+        "each. Run = gated two-phase top-K; qrel counts = one "
+        "labels-only broadcast pass; the rest is |queries|-sized "
+        "metadata.",
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    run = _two_phase_topk(scored, RETR_K, base=e).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+    judged = (
+        run.join(e.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(q.select("query_id", "qlabel")), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            F.expr(
+                _rel_expr("query_id", "vec_id", "qlabel", "label")
+            ).alias("rel"),
+        )
+    )
+    dcg = judged.groupBy("query_id").agg(
+        F.sum(F.expr(f"({_GAIN_CASE}) * ({_DISC_CASE})"))
+        .cast("bigint")
+        .alias("dcg_scaled"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias(
+            "first_rel_rank"
+        ),
+    )
+    # qrel grade counts: one labels-only broadcast pass over the corpus
+    qrels = (
+        e.select("vec_id", "label")
+        .join(
+            F.broadcast(q.select("query_id", "qlabel")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.expr(
+                _rel_expr("query_id", "vec_id", "qlabel", "label")
+            ).alias("rel"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("rel") == 3).cast("int")).cast("bigint").alias("n3"),
+            F.sum((F.col("rel") == 2).cast("int")).cast("bigint").alias("n2"),
+            F.sum((F.col("rel") == 1).cast("int")).cast("bigint").alias("n1"),
+        )
+    )
+    ideal = qrels.select(
+        "query_id",
+        (F.col("n3") + F.col("n2") + F.col("n1")).alias("n_rel"),
+        F.expr(_IDCG_TERMS).cast("bigint").alias("idcg_scaled"),
+    )
+    return (
+        ideal.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("dcg_scaled", F.lit(0)).cast("bigint").alias(
+                "dcg_scaled"
+            ),
+            "idcg_scaled",
+            F.when(F.col("idcg_scaled") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("dcg_scaled", F.lit(0)).cast("double")
+                / F.col("idcg_scaled").cast("double")
+            )
+            .alias("ndcg"),
+            F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("first_rel_rank").cast("double"))
+            .alias("rr"),
+        )
+        .orderBy("query_id")
+    )

@@ -154,3 +154,34 @@ def test_mmr_diversifies_and_scores_consistently(spark):
             diverged = True
     # diversification must actually change at least one query's ordering
     assert diverged
+
+
+def test_ndcg_mrr_bounds_and_consistency(spark):
+    """nDCG in [0,1] with DCG <= IDCG (ideal is an upper bound by
+    construction), RR consistent with first_rel_rank, and the graded
+    qrels actually discriminating (not all queries saturated at 1.0)."""
+    from conduit_connector_s3_iceberg_spark.operators.retrieval import (
+        RETR_K,
+        retrieval_ndcg_mrr,
+    )
+
+    rows = retrieval_ndcg_mrr(spark, SF).collect()
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        N_QUERIES,
+    )
+
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0, r
+        assert r["dcg_scaled"] <= r["idcg_scaled"], r
+        if r["first_rel_rank"] is None:
+            assert r["rr"] == 0.0 and r["dcg_scaled"] == 0
+        else:
+            assert 1 <= r["first_rel_rank"] <= RETR_K
+            assert r["rr"] == 1.0 / r["first_rel_rank"]
+        assert r["n_rel"] >= 0
+    # the cosine ranking correlates with label-derived grades, so the
+    # metric should be informative: some relevant doc found somewhere...
+    assert any(r["rr"] > 0 for r in rows)
+    # ...and the fixture hard enough that not every query is perfect
+    assert any(r["ndcg"] < 1.0 for r in rows)
