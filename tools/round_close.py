@@ -32,6 +32,18 @@ def main() -> int:
         print(__doc__)
         return 2
     rnd = int(sys.argv[1])
+    # r10 verdict hygiene item: ADVICE.md must reflect the close HEAD —
+    # every advice item re-adjudicated (FIXED with a test pointer, or
+    # explicitly open) under a current-round status header.
+    advice = os.path.join(REPO, "ADVICE.md")
+    with open(advice) as fh:
+        if f"round-{rnd} close" not in fh.read():
+            print(
+                f"[round-close] ADVICE.md lacks a 'round-{rnd} close' "
+                "status header — re-adjudicate the advice items at HEAD "
+                "before snapshotting"
+            )
+            return 3
     env = dict(os.environ)
     env["CORRECTNESS_JSON_OUT"] = os.path.join(
         REPO, f"CORRECTNESS_LOCAL_r{rnd}.json"
