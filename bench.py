@@ -209,6 +209,20 @@ BENCH_EXT6 = [
     "sim_lsh_multiprobe_recall",
 ]
 
+# Round-11 additions, reported under "ext7" — prior lists frozen. The
+# graph fixpoint queries already trended in ext/ext3/ext6 now serve from
+# the persisted graph state (their old names keep their trend rows and
+# show the state win); these are the genuinely new operators.
+BENCH_EXT7 = [
+    "graph_state_audit",
+    "retrieval_ndcg_mrr",
+    "graph_harmonic_seeded",
+    "retrieval_avg_precision",
+    "retrieval_rbo",
+    "events_mh_odds_ratio",
+    "text_flesch_readability",
+]
+
 RUNS = 3
 
 
@@ -242,6 +256,7 @@ def main() -> None:
     ext4 = run_list(BENCH_EXT4)
     ext5 = run_list(BENCH_EXT5)
     ext6 = run_list(BENCH_EXT6)
+    ext7 = run_list(BENCH_EXT7)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -261,6 +276,8 @@ def main() -> None:
         "ext5_total": round(sum(ext5.values()), 3),
         "ext6": ext6,
         "ext6_total": round(sum(ext6.values()), 3),
+        "ext7": ext7,
+        "ext7_total": round(sum(ext7.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))

@@ -1534,6 +1534,113 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_ppr(spark, sf_dir)
 
 
+# ------------------------------------------ seeded harmonic centrality -----
+#
+# Multi-source BFS distance from the trusted seed set + harmonic score
+# 1/dist — the DISTANCE companion to graph_ppr_seeded's random-walk
+# proximity (TrustRank uses the walk; link-spam radius audits use hop
+# distance: a node >H hops from every audited-good source is crawl
+# frontier, not core). Fixed BFS_ROUNDS rounds of the frontier
+# relaxation d' = min(d, min_in-neighbors d+1) — one edges⋈dist hash
+# join + one min hash-agg per round (min is associative ⇒ map-side
+# combine absorbs hubs), lineage cut per round; unreached-within-H
+# nodes keep NULL dist and harmonic 0. All distances are small exact
+# integers; harmonic = 1/d is ONE exact-input IEEE division. The edge
+# list comes from the PERSISTED graph state (serve_edges) — this query
+# demonstrates a NEW consumer reading the extracted graph with zero
+# corpus scans, the reuse the state exists for.
+
+BFS_ROUNDS = 6
+
+_BFS_ROUND_SQL = """
+    , d{i} AS (
+      SELECT id, MIN(d) AS d FROM (
+        SELECT id, d FROM d{prev}
+        UNION ALL
+        SELECT e.dst AS id, p.d + 1 AS d
+        FROM d{prev} p JOIN edges e ON e.src = p.id
+        WHERE p.d IS NOT NULL
+      ) GROUP BY id
+    )
+"""
+
+_HARMONIC_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL
+    + """, d0 AS (
+      SELECT id, CASE WHEN id IN ({seeds})
+                      THEN CAST(0 AS BIGINT) END AS d
+      FROM nodes
+    )"""
+    + "".join(
+        _BFS_ROUND_SQL.format(i=i, prev=i - 1)
+        for i in range(1, BFS_ROUNDS + 1)
+    )
+    + f"""
+    SELECT id, CAST(d AS BIGINT) AS dist,
+           CASE WHEN d > 0 THEN CAST(1 AS DOUBLE) / CAST(d AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS harmonic
+    FROM d{BFS_ROUNDS}
+    ORDER BY id
+    """
+)
+
+
+@query(
+    "graph_harmonic_seeded",
+    oracle=_HARMONIC_ORACLE.format(
+        seeds=", ".join(f"'s{k}'" for k in range(PPR_SEED_MAX_KEY + 1))
+    ),
+    doc=f"Seeded harmonic centrality: multi-source BFS hop distance from "
+        "the trusted supplier seed set (s0..s3 — graph_ppr_seeded's seed "
+        f"set) over the trade graph, {BFS_ROUNDS} unrolled frontier-"
+        "relaxation rounds (min is associative ⇒ map-side combine; "
+        "lineage cut per round), harmonic = 1/dist as one exact-input "
+        "IEEE division, unreached nodes NULL/0. Reads the edge list from "
+        "the PERSISTED graph state — a new consumer with zero corpus "
+        "scans. The hop-radius audit that complements PPR's walk "
+        "proximity.",
+)
+def graph_harmonic_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_state import _directed_edges, serve_edges
+
+    edges = _directed_edges(serve_edges(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    seed_ids = [f"s{k}" for k in range(PPR_SEED_MAX_KEY + 1)]
+    dist = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id").isin(seed_ids), F.lit(0).cast("bigint")).alias(
+                "d"
+            ),
+        )
+    )
+    for _ in range(BFS_ROUNDS):
+        prop = (
+            edges.join(
+                dist.filter(F.col("d").isNotNull()), edges.src == dist.id
+            )
+            .select(F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.select("id", "d")
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)  # cut lineage: O(1) plan per round
+        )
+    return dist.select(
+        "id",
+        F.col("d").cast("bigint").alias("dist"),
+        F.when(F.col("d") > 0, F.lit(1.0) / F.col("d").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("harmonic"),
+    ).orderBy("id")
+
+
 # ----------------------------------------------- graph-state byte audit ----
 #
 # Re-verify the persisted graph state against a from-scratch recompute on

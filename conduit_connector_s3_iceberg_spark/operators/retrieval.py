@@ -690,3 +690,312 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _run_and_qrels_sql() -> str:
+    """Shared oracle CTE prefix: embeddings + query set + cosine top-K
+    run (the retrieval_ndcg_mrr shapes, reused by AP)."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {N_QUERIES}
+    ), run AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, e.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm)
+                            DESC, e.vec_id
+               ) AS BIGINT) AS rank
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rank <= {RETR_K}
+    )"""
+
+
+# Average precision's per-term P@k = relcnt_k / k is quantized to the
+# 1e9 grid via ONE correctly-rounded double division of exact integers
+# (relcnt*SCALE < 2^53 ⇒ the cast is exact, round() is engine-identical
+# — the RA-weight discipline), then summed in BIGINT; AP is one final
+# IEEE division. No cross-row float accumulation anywhere.
+_AP_SCALE = 1_000_000_000
+
+
+@query(
+    "retrieval_avg_precision",
+    oracle=_run_and_qrels_sql()
+    + f""", judged AS (
+      SELECT r.query_id, r.rank,
+             CASE WHEN {_rel_expr('r.query_id', 'r.vec_id',
+                                  'q.qlabel', 'e.label')} > 0
+                  THEN 1 ELSE 0 END AS is_rel
+      FROM run r
+      JOIN e ON e.vec_id = r.vec_id
+      JOIN q ON q.query_id = r.query_id
+    ), cum AS (
+      SELECT query_id, rank, is_rel,
+             CAST(SUM(is_rel) OVER (
+               PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS relcnt
+      FROM judged
+    ), terms AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN is_rel = 1 THEN
+               CAST(round(CAST(relcnt * {_AP_SCALE} AS DOUBLE) / rank)
+                    AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS ap_num_scaled,
+             CAST(SUM(is_rel) AS BIGINT) AS n_rel_at_k
+      FROM cum GROUP BY query_id
+    ), nrel AS (
+      SELECT q.query_id,
+             CAST(SUM(CASE WHEN {_rel_expr('q.query_id', 'e.vec_id',
+                                           'q.qlabel', 'e.label')} > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+      FROM q JOIN e ON e.vec_id <> q.query_id
+      GROUP BY q.query_id
+    )
+    SELECT n.query_id, n.n_rel, t.n_rel_at_k, t.ap_num_scaled,
+           CASE WHEN LEAST(n.n_rel, {RETR_K}) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(t.ap_num_scaled AS DOUBLE)
+                     / ({_AP_SCALE}.0 * LEAST(n.n_rel, {RETR_K}))
+                END AS avg_precision
+    FROM nrel n JOIN terms t ON t.query_id = n.query_id
+    ORDER BY n.query_id
+    """,
+    doc=f"Average precision @ {RETR_K} (binary relevance from the graded "
+        "qrels fixture, rel > 0): each hit contributes P@k = relcnt/k "
+        "quantized to the 1e9 grid by one correctly-rounded division of "
+        "exact integers, summed in BIGINT; AP normalizes by min(n_rel, "
+        "K) in one final IEEE division. The cumulative relevant count is "
+        "a bounded per-query window (K rows). MAP's per-query rows — "
+        "complements nDCG (graded) and MRR (first hit).",
+)
+def retrieval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    run = _two_phase_topk(scored, RETR_K, base=e).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+    judged = (
+        run.join(e.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(q.select("query_id", "qlabel")), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            (
+                F.expr(_rel_expr("query_id", "vec_id", "qlabel", "label"))
+                > 0
+            )
+            .cast("int")
+            .alias("is_rel"),
+        )
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = judged.withColumn(
+        "relcnt", F.sum("is_rel").over(w).cast("bigint")
+    )
+    terms = cum.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("is_rel") == 1,
+                F.expr(
+                    f"CAST(round(CAST(relcnt * {_AP_SCALE} AS DOUBLE)"
+                    " / rank) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("ap_num_scaled"),
+        F.sum("is_rel").cast("bigint").alias("n_rel_at_k"),
+    )
+    nrel = (
+        e.select("vec_id", "label")
+        .join(
+            F.broadcast(q.select("query_id", "qlabel")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (
+                    F.expr(
+                        _rel_expr("query_id", "vec_id", "qlabel", "label")
+                    )
+                    > 0
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_rel")
+        )
+    )
+    denom = F.least(F.col("n_rel"), F.lit(RETR_K))
+    return (
+        nrel.join(terms, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "n_rel_at_k",
+            "ap_num_scaled",
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(
+                F.col("ap_num_scaled").cast("double")
+                / (F.lit(float(_AP_SCALE)) * denom)
+            )
+            .alias("avg_precision"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between the
+# cosine and euclidean rankings — the list-similarity diagnostic a
+# hybrid-search stack runs before fusing (near-1 RBO ⇒ fusion adds
+# nothing; low RBO ⇒ the rankers disagree and fusion/diversification
+# has room to help). Truncated RBO@K = (1−p)·Σ_{{d≤K}} p^{{d−1}}·|A_d ∩
+# B_d|/d telescopes per matched doc: a doc at ranks (ra, rb) joins
+# every prefix overlap from depth max(ra, rb) on, so its contribution
+# is the SUFFIX SUM of the per-depth weights — precomputed once in
+# Python as integer literals (the nDCG discount discipline) and folded
+# as one exact BIGINT sum per query; the emitted RBO is one final IEEE
+# division.
+RBO_P = 0.9
+_RBO_W = [
+    round(_NDCG_SCALE * (1 - RBO_P) * RBO_P ** (d - 1) / d)
+    for d in range(1, RETR_K + 1)
+]
+_RBO_SUFFIX = [sum(_RBO_W[m:]) for m in range(RETR_K)]  # suffix from depth m+1
+_RBO_SUFFIX_CASE = (
+    "CASE m "
+    + " ".join(
+        f"WHEN {m} THEN CAST({w} AS BIGINT)"
+        for m, w in enumerate(_RBO_SUFFIX, start=1)
+    )
+    + " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+@query(
+    "retrieval_rbo",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine,
+             (q.qnrm * q.qnrm) + (e.nrm * e.nrm)
+               - (CAST(2 AS DOUBLE) * {_sql_dot('q.qemb', 'e.emb')}) AS dist2
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ), r_cos AS (
+      SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS BIGINT) AS ra
+      FROM scored QUALIFY ra <= {RETR_K}
+    ), r_l2 AS (
+      SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dist2 ASC, vec_id
+      ) AS BIGINT) AS rb
+      FROM scored QUALIFY rb <= {RETR_K}
+    ), matched AS (
+      SELECT c.query_id, GREATEST(c.ra, l.rb) AS m
+      FROM r_cos c JOIN r_l2 l
+        ON c.query_id = l.query_id AND c.vec_id = l.vec_id
+    )
+    SELECT q.query_id,
+           CAST(COUNT(m.m) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM({_RBO_SUFFIX_CASE}), 0) AS BIGINT)
+             AS rbo_scaled,
+           CAST(COALESCE(SUM({_RBO_SUFFIX_CASE}), 0) AS DOUBLE)
+             / {_NDCG_SCALE}.0 AS rbo
+    FROM q LEFT JOIN matched m ON m.query_id = q.query_id
+    GROUP BY q.query_id
+    ORDER BY q.query_id
+    """,
+    doc=f"Rank-biased overlap (Webber et al. 2010, p={RBO_P}, truncated "
+        f"@ {RETR_K}) between the cosine and euclidean rankings — the "
+        "ranker-agreement diagnostic run before fusion. Telescoped per "
+        "matched doc: contribution = precomputed integer suffix-weight "
+        "at depth max(rank_cos, rank_l2), folded as one exact BIGINT "
+        "sum; RBO is one final IEEE division. Both rankings ride the "
+        "gated two-phase top-k.",
+)
+def retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = _spark_dot("qemb", "emb")
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (F.expr(dot) / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+        (
+            (F.col("qnrm") * F.col("qnrm"))
+            + (F.col("nrm") * F.col("nrm"))
+            - (F.lit(2.0) * F.expr(dot))
+        ).alias("dist2"),
+    ).localCheckpoint(eager=False)  # feeds both rankers
+    r_cos = _two_phase_topk(
+        scored, RETR_K, base=emb, score_col="cosine"
+    ).select("query_id", "vec_id", F.col("rank").cast("bigint").alias("ra"))
+    r_l2 = _two_phase_topk(
+        scored, RETR_K, base=emb, score_col="dist2", ascending=True
+    ).select("query_id", "vec_id", F.col("rank").cast("bigint").alias("rb"))
+    matched = r_cos.join(r_l2, ["query_id", "vec_id"]).select(
+        "query_id", F.greatest("ra", "rb").alias("m")
+    )
+    qs = q.select("query_id")
+    return (
+        qs.join(matched, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("m").cast("bigint").alias("n_matched"),
+            F.coalesce(F.sum(F.expr(_RBO_SUFFIX_CASE)), F.lit(0))
+            .cast("bigint")
+            .alias("rbo_scaled"),
+            (
+                F.coalesce(F.sum(F.expr(_RBO_SUFFIX_CASE)), F.lit(0)).cast(
+                    "double"
+                )
+                / F.lit(float(_NDCG_SCALE))
+            ).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )

@@ -2765,3 +2765,76 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------- Flesch readability ---
+#
+# Flesch reading ease (Flesch 1948) — the classic prose-difficulty score
+# a quality-filtering pipeline reports next to the Gopher rules: 206.835
+# − 1.015·(words/sentences) − 84.6·(syllables/words). Syllables are the
+# standard vowel-group approximation (maximal [aeiouy]+ runs — verified
+# engine-identical regexp semantics for this class); sentences are
+# terminal-punctuation runs. All three counts are exact per-row
+# integers (regexp_count / len(regexp_extract_all) agree), the score is
+# ONE fixed per-row IEEE expression tree over exact inputs — no float
+# accumulation, bit-stable across engines. Zero-word/zero-sentence rows
+# clamp the denominators to 1 (documented, mirrored). Narrow per-row
+# map: embarrassingly parallel at any corpus size.
+
+_FLESCH = (
+    "CAST(206.835 AS DOUBLE)"
+    " - CAST(1.015 AS DOUBLE)"
+    "   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+    " - CAST(84.6 AS DOUBLE)"
+    "   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+)
+
+
+@query(
+    "text_flesch_readability",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, source,
+             GREATEST(CAST(len(string_split(trim(lower(text)), ' '))
+                           AS BIGINT), 1) AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                           AS BIGINT), 1) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, source, n_words, n_sentences, n_syllables,
+           {_FLESCH} AS flesch
+    FROM counts
+    """,
+    doc="Flesch reading ease per document: vowel-group syllable "
+        "approximation, terminal-punctuation sentence runs, whitespace "
+        "words (all exact per-row integers, engine-identical regexp "
+        "classes), score = one fixed IEEE expression tree — no float "
+        "accumulation. The prose-difficulty signal next to the Gopher "
+        "rules in a quality-filter stack; narrow per-row map.",
+)
+def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.size(F.split(F.trim(F.lower("text")), " ")).cast("bigint"),
+            F.lit(1),
+        ).alias("n_words"),
+        F.greatest(
+            F.expr("regexp_count(text, '[.!?]+')").cast("bigint"), F.lit(1)
+        ).alias("n_sentences"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')")
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    return counts.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(_FLESCH).alias("flesch"),
+    )

@@ -2969,3 +2969,122 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(ccc AS DOUBLE) / NULLIF(cnc, 0)"
         ).alias("uplift_cum"),
     ).orderBy("decile")
+
+
+# ------------------------------------------ Mantel-Haenszel pooled OR ------
+#
+# The Mantel-Haenszel common odds ratio (Mantel & Haenszel 1959) — the
+# stratified-experiment estimator that answers "does click expose a
+# higher success rate than view, CONTROLLING for day?" without the
+# Simpson's-paradox trap a pooled 2x2 walks into. Strata are days; per
+# stratum the 2x2 is (exposure = click vs view) x (success = value
+# cents >= the SPRT threshold); OR_MH = sum_i(a_i*d_i/n_i) /
+# sum_i(b_i*c_i/n_i).
+#
+# Determinism: each stratum term a*d/n is quantized to the 1e6 grid by
+# ONE correctly-rounded division of exact integers (a*d*SCALE computed
+# in BIGINT stays exact in the double cast while a,d <= ~3e7 cells —
+# the per-day cell bound; finer strata keep cells bounded at larger
+# corpora, the standard CMH practice), then summed in BIGINT; the
+# emitted OR is one final IEEE division. Work shape: one filtered scan
+# + one (day)-keyed hash agg + one |days|-row fold — nothing
+# corpus-sized after the first aggregate.
+
+MH_SUCCESS_CENTS = SPRT_SUCCESS_CENTS
+MH_SCALE = 1_000_000
+
+
+@query(
+    "events_mh_odds_ratio",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                       AND round(value * 100) >= {MH_SUCCESS_CENTS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                       AND round(value * 100) < {MH_SUCCESS_CENTS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                       AND round(value * 100) >= {MH_SUCCESS_CENTS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                       AND round(value * 100) < {MH_SUCCESS_CENTS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY CAST(ts AS DATE)
+    ), terms AS (
+      SELECT CAST(round(CAST(a * d_ * {MH_SCALE} AS DOUBLE)
+                        / (a + b + c + d_)) AS BIGINT) AS t_ad,
+             CAST(round(CAST(b * c * {MH_SCALE} AS DOUBLE)
+                        / (a + b + c + d_)) AS BIGINT) AS t_bc,
+             a, b, c, d_
+      FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(a) AS BIGINT) AS exposed_success,
+           CAST(SUM(b) AS BIGINT) AS exposed_fail,
+           CAST(SUM(t_ad) AS BIGINT) AS sum_ad_scaled,
+           CAST(SUM(t_bc) AS BIGINT) AS sum_bc_scaled,
+           CASE WHEN SUM(t_bc) = 0 THEN NULL
+                ELSE CAST(SUM(t_ad) AS DOUBLE) / CAST(SUM(t_bc) AS DOUBLE)
+                END AS mh_odds_ratio
+    FROM terms
+    """,
+    doc="Mantel-Haenszel pooled odds ratio across day strata (click vs "
+        "view exposure, cent-threshold success): per-stratum a*d/n and "
+        "b*c/n quantized to the 1e6 grid by one correctly-rounded "
+        "division of exact integers, folded as BIGINT sums; OR is one "
+        "final IEEE division. The Simpson-safe effect estimate the "
+        "always-on experimentation layer reports next to the SPRT "
+        "monitor. One filtered scan + day-keyed hash agg; everything "
+        "after is |days|-sized.",
+)
+def events_mh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.to_date("ts").alias("d"),
+            (F.col("event_type") == "click").alias("exp"),
+            (F.round(F.col("value") * 100) >= MH_SUCCESS_CENTS).alias("suc"),
+        )
+    )
+    cells = ev.groupBy("d").agg(
+        F.sum((F.col("exp") & F.col("suc")).cast("int"))
+        .cast("bigint")
+        .alias("a"),
+        F.sum((F.col("exp") & ~F.col("suc")).cast("int"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((~F.col("exp") & F.col("suc")).cast("int"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((~F.col("exp") & ~F.col("suc")).cast("int"))
+        .cast("bigint")
+        .alias("d_"),
+    )
+    terms = cells.select(
+        "a",
+        "b",
+        F.expr(
+            f"CAST(round(CAST(a * d_ * {MH_SCALE} AS DOUBLE)"
+            " / (a + b + c + d_)) AS BIGINT)"
+        ).alias("t_ad"),
+        F.expr(
+            f"CAST(round(CAST(b * c * {MH_SCALE} AS DOUBLE)"
+            " / (a + b + c + d_)) AS BIGINT)"
+        ).alias("t_bc"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("exposed_success"),
+        F.sum("b").cast("bigint").alias("exposed_fail"),
+        F.sum("t_ad").cast("bigint").alias("sum_ad_scaled"),
+        F.sum("t_bc").cast("bigint").alias("sum_bc_scaled"),
+        F.when(F.sum("t_bc") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.sum("t_ad").cast("double") / F.sum("t_bc").cast("double")
+        )
+        .alias("mh_odds_ratio"),
+    )
