@@ -7665,6 +7665,178 @@ def emb_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------- IVF-served triplet margin (scale path)
+#
+# The routine-monitoring twin of emb_triplet_margin_audit (r10 verdict
+# optional item #8): margins computed over candidates read from the
+# PERSISTED IVF index's probed cells instead of the full corpus — the
+# per-probe scan drops from N to ~NPROBE/N_CENTROIDS of it, which is
+# the path a daily metric-health dashboard runs; the brute-force audit
+# stays available as the exact calibration (its own query). Probes
+# whose probed cells contain no same-label or no other-label candidate
+# are excluded (mirrored in the oracle) — exactly the coverage the
+# dashboard trades for the cheaper scan, and the delta vs the brute
+# audit's counts IS the approximation cost, visible side by side. The
+# oracle recomputes cell assignment from the static VALUES centroids,
+# so every sweep re-verifies the persisted cell bytes through this
+# query too.
+
+
+@query(
+    "emb_triplet_margin_ivf",
+    oracle=f"""
+    WITH cent(cell, c) AS (
+      VALUES {_CENT_VALUES_SQL}
+    ), d AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), dist AS (
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (d.emb[i] - cent.c[i]) * (d.emb[i] - cent.c[i])),
+               (x, y) -> x + y) AS d2
+      FROM d, cent
+    ), ranked AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM dist
+    ), e AS (
+      SELECT d.vec_id, d.label, d.emb, d.nrm, r.cell
+      FROM d JOIN ranked r ON r.vec_id = d.vec_id AND r.rk = 1
+    ), q AS (
+      SELECT d.vec_id AS query_id, d.label AS qlabel,
+             d.emb AS qemb, d.nrm AS qnrm, p.cell AS probe_cell
+      FROM d JOIN ranked p ON p.vec_id = d.vec_id AND p.rk <= {NPROBE}
+      WHERE d.vec_id < {RECALL_QUERIES}
+    ), cos AS (
+      SELECT q.query_id, q.qlabel, e.label AS nlabel,
+             {_sql_dot('q.qemb', 'e.emb')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.cell = q.probe_cell AND e.vec_id <> q.query_id
+    ), m AS (
+      SELECT query_id, qlabel,
+             MAX(CASE WHEN nlabel = qlabel THEN cosine END) AS cpos,
+             MAX(CASE WHEN nlabel <> qlabel THEN cosine END) AS cneg
+      FROM cos GROUP BY query_id, qlabel
+    ), t AS (
+      SELECT qlabel,
+             CAST(round((cpos - cneg) * 1000000) AS BIGINT) AS mq
+      FROM m WHERE cpos IS NOT NULL AND cneg IS NOT NULL
+    )
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN mq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           CAST(SUM(mq) AS BIGINT) AS margin_scaled,
+           CAST(SUM(mq) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_margin
+    FROM t
+    GROUP BY qlabel
+    ORDER BY qlabel
+    """,
+    doc="Triplet-margin monitor served from the PERSISTED IVF index: "
+        "per-probe hardest positive/negative taken over the probed "
+        "cells only (NPROBE/N_CENTROIDS of the corpus instead of a "
+        "full scan — the daily-dashboard path; emb_triplet_margin_audit "
+        "remains the exact brute calibration). Probes lacking a "
+        "same-label or other-label candidate in the probed cells drop "
+        "(mirrored); the margin delta vs the brute audit is the "
+        "approximation cost, visible side by side. The oracle "
+        "recomputes cell assignment from the static centroids, so the "
+        "persisted cell bytes are re-verified through this query every "
+        "sweep.",
+)
+def emb_triplet_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ann_index(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    qsrc = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < RECALL_QUERIES
+    ).select("vec_id", "label", F.expr(_SPARK_EMB_D).alias("emb"))
+    qf = qsrc.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))").alias(
+            "nrm"
+        ),
+        F.expr(_DISTS_SPARK).alias("dists"),
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.expr(
+            f"transform(slice(array_sort(dists), 1, {NPROBE}),"
+            " d -> cast(array_position(dists, d) as int))"
+        ).alias("probes"),
+    )
+    q = qf.select(
+        "query_id",
+        "qlabel",
+        "qemb",
+        "qnrm",
+        F.explode("probes").alias("probe_cell"),
+    )
+    probe_cells = sorted(
+        {r["probe_cell"] for r in q.select("probe_cell").collect()}
+    )  # bounded: <= RECALL_QUERIES * NPROBE ints — pruning literals
+    cos = (
+        idx.filter(F.col("cell").isin(probe_cells))
+        .join(labels, "vec_id")  # label-projection hash join, no vectors
+        .join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("label").alias("nlabel"),
+            (
+                F.expr(_spark_dot("qemb", "emb"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    m = cos.groupBy("query_id", "qlabel").agg(
+        F.max(
+            F.when(F.col("nlabel") == F.col("qlabel"), F.col("cosine"))
+        ).alias("cpos"),
+        F.max(
+            F.when(F.col("nlabel") != F.col("qlabel"), F.col("cosine"))
+        ).alias("cneg"),
+    )
+    t = m.filter(
+        F.col("cpos").isNotNull() & F.col("cneg").isNotNull()
+    ).select(
+        "qlabel",
+        F.round((F.col("cpos") - F.col("cneg")) * 1000000)
+        .cast("bigint")
+        .alias("mq"),
+    )
+    return (
+        t.groupBy("qlabel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum((F.col("mq") < 0).cast("bigint"))
+            .cast("bigint")
+            .alias("violations"),
+            F.sum("mq").cast("bigint").alias("margin_scaled"),
+            (
+                F.sum("mq").cast("double") / F.count(F.lit(1)) / 1000000.0
+            ).alias("mean_margin"),
+        )
+        .select(
+            F.col("qlabel").alias("label"),
+            "n_probes",
+            "violations",
+            "margin_scaled",
+            "mean_margin",
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------- multiprobe LSH recall ------
 #
 # Multiprobe LSH (Lv et al., VLDB'07): instead of adding tables to raise

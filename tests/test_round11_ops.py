@@ -106,3 +106,24 @@ def test_flesch_counts_and_formula(spark):
         assert w >= 1 and s >= 1 and y >= 0
         expect = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
         assert r["flesch"] == expect
+
+
+def test_triplet_margin_ivf_subset_of_brute(spark):
+    """The IVF-served margins are computed over a candidate SUBSET of the
+    brute audit's, so per-probe cpos/cneg can only be <= the brute ones;
+    at the per-label report level: probe counts can only shrink (probes
+    may lose coverage in the probed cells), and both reports share the
+    same label domain subset."""
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        emb_triplet_margin_audit,
+        emb_triplet_margin_ivf,
+    )
+
+    brute = {
+        r["label"]: r for r in emb_triplet_margin_audit(spark, SF).collect()
+    }
+    ivf = {r["label"]: r for r in emb_triplet_margin_ivf(spark, SF).collect()}
+    assert ivf and set(ivf) <= set(brute)
+    for lbl, r in ivf.items():
+        assert 1 <= r["n_probes"] <= brute[lbl]["n_probes"]
+        assert 0 <= r["violations"] <= r["n_probes"]
