@@ -221,6 +221,9 @@ BENCH_EXT7 = [
     "retrieval_rbo",
     "events_mh_odds_ratio",
     "text_flesch_readability",
+    "emb_triplet_margin_ivf",
+    "sample_neyman_allocation",
+    "mm_audio_vad_segments",
 ]
 
 RUNS = 3

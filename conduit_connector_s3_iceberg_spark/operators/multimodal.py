@@ -779,3 +779,111 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuts.cast("bigint").alias("n_cuts"),
         (F.col("nf").cast("double") / (cuts + 1)).alias("mean_shot_frames"),
     )
+
+
+# -------------------------------------------------- audio VAD segments -----
+#
+# Voice-activity detection over audio payloads, the frame-energy
+# run-length pre-filter an audio training pipeline runs before
+# expensive ASR: one energy signature per fixed-stride frame (the
+# mm_frame_sample codec convention — a real pipeline swaps in RMS
+# energy per hop), frames above VAD_THRESH are "voiced", and the
+# per-clip report is voiced-frame count, segment count, and the
+# longest voiced segment — dropping silence-only and wall-of-noise
+# clips. Segment structure falls out of boundary positions (starts =
+# voiced with unvoiced predecessor, ends = voiced with unvoiced
+# successor; k-th start pairs with k-th end), all JVM-side higher-order
+# functions over the payload: no Python, no shuffle, narrow map at any
+# corpus size. Character convention on both engines (length + ord ==
+# length + ascii — the mm_scene_cuts discipline).
+
+VAD_THRESH = 96  # signature >= this counts as voiced (lowercase band)
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             GREATEST(CAST(ceil(length(text) / {FRAME_STRIDE}.0) AS BIGINT),
+                      1) AS nf,
+             list_transform(
+               generate_series(0,
+                 CAST(GREATEST(ceil(length(text) / {FRAME_STRIDE}.0), 1)
+                      AS BIGINT) - 1),
+               p -> ord(substr(text, CAST(p * {FRAME_STRIDE} + 1 AS INTEGER),
+                               1)) >= {VAD_THRESH}) AS v
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, nf,
+             CAST(len(list_filter(generate_series(1, nf),
+                  i -> v[i])) AS BIGINT) AS n_voiced,
+             list_filter(generate_series(1, nf),
+               i -> v[i] AND (i = 1 OR NOT v[i - 1])) AS starts,
+             list_filter(generate_series(1, nf),
+               i -> v[i] AND (i = nf OR NOT v[i + 1])) AS ends
+      FROM f
+    )
+    SELECT doc_id, nf AS n_frames, n_voiced,
+           CAST(len(starts) AS BIGINT) AS n_segments,
+           CAST(COALESCE(list_max(list_transform(
+                  generate_series(1, len(starts)),
+                  k -> ends[k] - starts[k] + 1)), 0) AS BIGINT)
+             AS longest_segment,
+           CAST(n_voiced AS DOUBLE) / nf AS voiced_ratio
+    FROM seg
+    """,
+    doc="Audio VAD run-length report over binary media payloads: "
+        "per-frame energy signatures at the fixed decode stride, voiced "
+        f"= signature >= {VAD_THRESH}, segments from boundary-position "
+        "pairing (k-th start with k-th end — pure higher-order "
+        "functions, no fold state), longest voiced segment + voiced "
+        "ratio per clip. The silence/noise pre-filter before ASR; "
+        "no Python, no shuffle, narrow map.",
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nf = (
+        f"greatest(cast(ceil(length(text) / {FRAME_STRIDE}.0) as bigint),"
+        " 1L)"
+    )
+    f = docs.select(
+        "doc_id",
+        F.expr(nf).alias("nf"),
+        F.expr(
+            f"transform(sequence(0L, {nf} - 1),"
+            f" p -> ascii(substr(text, cast(p * {FRAME_STRIDE} + 1 as int),"
+            f" 1)) >= {VAD_THRESH})"
+        ).alias("v"),
+    )
+    el = "element_at(v, cast(i as int))"
+    el_prev = "element_at(v, cast(i as int) - 1)"
+    el_next = "element_at(v, cast(i as int) + 1)"
+    seg = f.select(
+        "doc_id",
+        "nf",
+        F.expr(
+            f"cast(size(filter(sequence(1L, nf), i -> {el})) as bigint)"
+        ).alias("n_voiced"),
+        F.expr(
+            f"filter(sequence(1L, nf),"
+            f" i -> {el} and (i = 1 or not {el_prev}))"
+        ).alias("starts"),
+        F.expr(
+            f"filter(sequence(1L, nf),"
+            f" i -> {el} and (i = nf or not {el_next}))"
+        ).alias("ends"),
+    )
+    return seg.select(
+        "doc_id",
+        F.col("nf").alias("n_frames"),
+        "n_voiced",
+        F.expr("cast(size(starts) as bigint)").alias("n_segments"),
+        F.expr(
+            "cast(coalesce(array_max(zip_with(ends, starts,"
+            " (e, s) -> e - s + 1)), 0L) as bigint)"
+        ).alias("longest_segment"),
+        (F.col("n_voiced").cast("double") / F.col("nf")).alias(
+            "voiced_ratio"
+        ),
+    )

@@ -127,3 +127,44 @@ def test_triplet_margin_ivf_subset_of_brute(spark):
     for lbl, r in ivf.items():
         assert 1 <= r["n_probes"] <= brute[lbl]["n_probes"]
         assert 0 <= r["violations"] <= r["n_probes"]
+
+
+def test_neyman_allocation_partitions_budget_exactly(spark):
+    from conduit_connector_s3_iceberg_spark.operators.sampling import (
+        NEYMAN_K,
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, SF).collect()
+    assert rows
+    assert sum(r["alloc"] for r in rows) == NEYMAN_K
+    for r in rows:
+        assert r["alloc"] in (r["alloc_base"], r["alloc_base"] + 1)
+        assert r["std_chars"] >= 0.0
+        assert r["weight_scaled"] >= 0
+
+
+def test_audio_vad_segment_structure(spark):
+    from conduit_connector_s3_iceberg_spark.operators.multimodal import (
+        mm_audio_vad_segments,
+    )
+
+    rows = mm_audio_vad_segments(spark, SF).collect()
+    assert rows
+    saw_multi = False
+    for r in rows:
+        assert 0 <= r["n_voiced"] <= r["n_frames"]
+        assert 0 <= r["n_segments"] <= r["n_voiced"]
+        assert r["longest_segment"] <= r["n_voiced"]
+        if r["n_segments"] > 0:
+            assert r["longest_segment"] >= 1
+            # pigeonhole: longest run >= ceil(voiced / segments)
+            assert (
+                r["longest_segment"]
+                >= -(-r["n_voiced"] // r["n_segments"])
+            )
+        else:
+            assert r["n_voiced"] == 0 and r["longest_segment"] == 0
+        assert r["voiced_ratio"] == r["n_voiced"] / r["n_frames"]
+        saw_multi = saw_multi or r["n_segments"] > 1
+    assert saw_multi, "fixture should produce multi-segment clips"
