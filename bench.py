@@ -222,7 +222,6 @@ BENCH_EXT7 = [
     "events_mh_odds_ratio",
     "text_flesch_readability",
     "emb_triplet_margin_ivf",
-    "sample_neyman_allocation",
     "mm_audio_vad_segments",
 ]
 

@@ -1779,134 +1779,3 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-
-
-# ------------------------------------------------ Neyman allocation --------
-#
-# Neyman-optimal stratified sample allocation (Neyman 1934): given a
-# total budget K, allocate n_h proportional to N_h * S_h — strata that
-# are big AND internally variable get more samples, which minimizes the
-# variance of the stratified mean. The budgeting step every
-# token-budgeted corpus draw runs before the actual sampling
-# (sample_pps_systematic et al. then draw within strata).
-#
-# Exactness: per-stratum moments (n, sum x, sum x^2) are exact BIGINTs;
-# the std is ONE fixed IEEE chain over them (sqrt is correctly rounded
-# by IEEE-754, engine-identical); the Neyman weight quantizes N_h*S_h
-# to the 1e6 grid (one rounded product) and EVERYTHING after is exact
-# BIGINT arithmetic: base_h = (K*w_h) div W, remainder = (K*w_h) mod W,
-# and the largest-remainder top-up ranks the <= |strata| remainder rows
-# (a bounded metadata window, the qini-decile pattern) so that
-# sum(n_h) == K EXACTLY — the allocation is a partition of the budget,
-# not an approximation. Magnitude bounds documented inline (n*s2 and
-# K*w_h stay far below 2^63 through sf1; wider corpora lift to
-# DECIMAL(38,0), the emb_isotropy discipline).
-
-NEYMAN_K = 1_000       # total sample budget to allocate
-NEYMAN_WSCALE = 1_000_000
-
-
-@query(
-    "sample_neyman_allocation",
-    oracle=f"""
-    WITH mom AS (
-      SELECT source,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
-             CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
-                  AS BIGINT) AS s2
-      FROM documents GROUP BY source
-    ), wq AS (
-      SELECT source, n,
-             sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
-                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_chars,
-             CAST(round(CAST(n AS DOUBLE)
-                        * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
-                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-                        * {NEYMAN_WSCALE}) AS BIGINT) AS w
-      FROM mom
-    ), tot AS (
-      SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wq
-    ), based AS (
-      SELECT source, n, std_chars, w,
-             ({NEYMAN_K} * w) // t.tw AS alloc_base,
-             ({NEYMAN_K} * w) % t.tw AS rem
-      FROM wq CROSS JOIN tot t
-    ), bs AS (
-      SELECT CAST(SUM(alloc_base) AS BIGINT) AS base_sum FROM based
-    ), ranked AS (
-      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
-                     AS BIGINT) AS rrank
-      FROM based
-    )
-    SELECT source, n AS n_items, std_chars, w AS weight_scaled,
-           CAST(alloc_base AS BIGINT) AS alloc_base,
-           CAST(alloc_base + CASE WHEN rrank <= {NEYMAN_K} - bs.base_sum
-                                  THEN 1 ELSE 0 END AS BIGINT) AS alloc
-    FROM ranked CROSS JOIN bs
-    ORDER BY source
-    """,
-    doc=f"Neyman-optimal stratified allocation of a {NEYMAN_K}-item "
-        "budget across sources: n_h ∝ N_h·S_h from exact BIGINT moments "
-        "(std = one IEEE chain, sqrt correctly rounded), Neyman weights "
-        "quantized to the 1e6 grid, then EXACT integer largest-remainder "
-        "apportionment (div/mod in BIGINT, remainder rank over the "
-        "bounded |strata| rows) so Σ n_h == K exactly. One corpus "
-        "hash-agg; everything after is |strata|-sized metadata.",
-)
-def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", F.col("n_chars").cast("bigint").alias("x")
-    )
-    mom = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
-    )
-    std = (
-        "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)"
-        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
-    )
-    wq = mom.select(
-        "source",
-        "n",
-        F.expr(std).alias("std_chars"),
-        F.expr(
-            f"CAST(round(CAST(n AS DOUBLE) * {std} * {NEYMAN_WSCALE})"
-            " AS BIGINT)"
-        ).alias("w"),
-    )
-    tot = wq.agg(F.sum("w").cast("bigint").alias("tw"))
-    based = wq.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n",
-        "std_chars",
-        "w",
-        F.expr(f"({NEYMAN_K} * w) div tw").alias("alloc_base"),
-        F.expr(f"({NEYMAN_K} * w) % tw").alias("rem"),
-    )
-    base_sum = based.agg(
-        F.sum("alloc_base").cast("bigint").alias("base_sum")
-    )
-    # bounded metadata window: <= |strata| remainder rows (documented)
-    wnd = Window.orderBy(F.col("rem").desc(), "source")
-    return (
-        based.crossJoin(F.broadcast(base_sum))
-        .withColumn("rrank", F.row_number().over(wnd).cast("bigint"))
-        .select(
-            "source",
-            F.col("n").alias("n_items"),
-            "std_chars",
-            F.col("w").alias("weight_scaled"),
-            F.col("alloc_base").cast("bigint").alias("alloc_base"),
-            (
-                F.col("alloc_base")
-                + (F.col("rrank") <= NEYMAN_K - F.col("base_sum")).cast(
-                    "bigint"
-                )
-            )
-            .cast("bigint")
-            .alias("alloc"),
-        )
-        .orderBy("source")
-    )

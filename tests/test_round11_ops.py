@@ -129,21 +129,6 @@ def test_triplet_margin_ivf_subset_of_brute(spark):
         assert 0 <= r["violations"] <= r["n_probes"]
 
 
-def test_neyman_allocation_partitions_budget_exactly(spark):
-    from conduit_connector_s3_iceberg_spark.operators.sampling import (
-        NEYMAN_K,
-        sample_neyman_allocation,
-    )
-
-    rows = sample_neyman_allocation(spark, SF).collect()
-    assert rows
-    assert sum(r["alloc"] for r in rows) == NEYMAN_K
-    for r in rows:
-        assert r["alloc"] in (r["alloc_base"], r["alloc_base"] + 1)
-        assert r["std_chars"] >= 0.0
-        assert r["weight_scaled"] >= 0
-
-
 def test_audio_vad_segment_structure(spark):
     from conduit_connector_s3_iceberg_spark.operators.multimodal import (
         mm_audio_vad_segments,
