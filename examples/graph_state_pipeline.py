@@ -1,0 +1,95 @@
+"""Persisted graph-state walkthrough (round 11): build the trade-graph
+state once, serve the rank/community/centrality queries warm, maintain
+it O(delta) from a streamed order slice, and re-audit — the full
+lifecycle the state exists for.
+
+Run from the repo root (takes ~1-2 min on local[8]):
+
+    python examples/graph_state_pipeline.py [sf_dir]
+
+Stages:
+
+  1. build+serve — the first query triggers the snapshot-keyed build
+     (edge extraction = the only corpus scan); every later query reads
+     the materialized artifacts in ~0.1 s;
+  2. consume     — a NEW consumer (seeded harmonic centrality) reads the
+                   extracted edge list with zero corpus scans;
+  3. maintain    — a CDC-shaped order slice streamed through
+                   foreachBatch appends edges O(delta) and refreshes the
+                   fixpoints over the state-resident graph;
+  4. audit       — the cross-artifact structural audit re-verifies the
+                   served bytes (every oracle sweep does the per-node
+                   rank audit as well).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from conduit_connector_s3_iceberg_spark.plans.registry import load_all  # noqa: E402
+from conduit_connector_s3_iceberg_spark.session import build_session  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+SERVE = [
+    ("PageRank (state-served)", "graph_pagerank"),
+    ("Seeded PPR / TrustRank (state-served)", "graph_ppr_seeded"),
+    ("Label-propagation communities (state-served)", "graph_label_propagation"),
+    ("Seeded harmonic centrality (state consumer)", "graph_harmonic_seeded"),
+    ("Cross-artifact state audit", "graph_state_audit"),
+]
+
+
+def main() -> None:
+    spark = build_session(shuffle_partitions=8)
+    registry = load_all()
+
+    print("=== 1-2. build on first touch, then warm serves ===")
+    for title, qname in SERVE:
+        t0 = time.perf_counter()
+        df = registry[qname].build(spark, SF_DIR)
+        n = df.count()
+        print(f"  {title} [{qname}]: {n} rows in "
+              f"{time.perf_counter() - t0:.2f}s")
+
+    print("\n=== 3. O(delta) maintenance from a CDC order slice ===")
+    from pyspark.sql import functions as F
+
+    from conduit_connector_s3_iceberg_spark.operators.graph_state import (
+        ensure_graph_state,
+        maintain_graph_delta,
+        serve_edges,
+    )
+
+    root, man = ensure_graph_state(spark, SF_DIR)
+    before = serve_edges(spark, SF_DIR).count()
+    # a replayed slice: already-present orders/lineitems — the state's
+    # anti-joins drop every row, proving idempotent epochs
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(20)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(40)
+    man2 = maintain_graph_delta(
+        spark,
+        orders.select(
+            F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("ck")
+        ),
+        li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("sk")
+        ),
+        root,
+    )
+    after = serve_edges(spark, SF_DIR).count()
+    print(f"  edges before={before} after={after} "
+          f"(replay dropped: {before == after}), "
+          f"gen {man['gen']} -> {man2['gen']}, "
+          f"fix_gen stayed {man2['fix_gen']} (no new edges => no refresh)")
+
+    print("\n=== 4. audit ===")
+    registry["graph_state_audit"].build(spark, SF_DIR).show(truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
