@@ -68,11 +68,11 @@ from ..state import (
     write_manifest,
 )
 
-GRAPH_STATE_VERSION = 1
+GRAPH_STATE_VERSION = 2  # v2: harmonic-centrality artifact added
 GRAPH_AUTO_COMPACT_GENS = 8  # same policy as the dedup/ANN roots
 
 # artifact kinds rewritten per fixpoint refresh (single live generation)
-_FIX_KINDS = ("ranks_pr", "ranks_ppr", "labels_lpa")
+_FIX_KINDS = ("ranks_pr", "ranks_ppr", "labels_lpa", "harmonic")
 # artifact kinds appended per maintenance (generations base_gen..gen)
 _APPEND_KINDS = ("edges", "okc")
 
@@ -158,6 +158,7 @@ def _refresh_fixpoints(
     commit names ``fix_gen = man_gen``). Zero corpus scans: the input is
     the state-resident (ck, sk) pair list."""
     from .graph import (
+        _harmonic_from_edges,
         _lpa_from_edges,
         _pagerank_from_edges,
         _ppr_from_edges,
@@ -172,6 +173,9 @@ def _refresh_fixpoints(
     )
     _lpa_from_edges(edges).write.mode("overwrite").parquet(
         gen_dir(root, "labels_lpa", man_gen)
+    )
+    _harmonic_from_edges(edges).write.mode("overwrite").parquet(
+        gen_dir(root, "harmonic", man_gen)
     )
 
 
@@ -396,6 +400,11 @@ def serve_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def serve_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, man = ensure_graph_state(spark, sf_dir)
     return _read_fix_kind(spark, root, man, "labels_lpa").orderBy("id")
+
+
+def serve_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root, man = ensure_graph_state(spark, sf_dir)
+    return _read_fix_kind(spark, root, man, "harmonic").orderBy("id")
 
 
 def serve_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

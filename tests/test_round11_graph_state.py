@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from conduit_connector_s3_iceberg_spark.operators import graph_state as gs
 from conduit_connector_s3_iceberg_spark.operators.graph import (
     _cs_edges,
+    _harmonic_from_edges,
     _lpa_from_edges,
     _pagerank_from_edges,
     _ppr_from_edges,
@@ -76,6 +77,7 @@ def _scratch(spark, sf_dir):
         sorted(map(tuple, _pagerank_from_edges(edges).collect())),
         sorted(map(tuple, _ppr_from_edges(edges).collect())),
         sorted(map(tuple, _lpa_from_edges(edges).collect())),
+        sorted(map(tuple, _harmonic_from_edges(edges).collect())),
     )
 
 
@@ -84,6 +86,7 @@ def _served(spark, sf_dir):
         sorted(map(tuple, gs.serve_pagerank(spark, sf_dir).collect())),
         sorted(map(tuple, gs.serve_ppr(spark, sf_dir).collect())),
         sorted(map(tuple, gs.serve_lpa(spark, sf_dir).collect())),
+        sorted(map(tuple, gs.serve_harmonic(spark, sf_dir).collect())),
     )
 
 
@@ -253,16 +256,11 @@ def test_stream_twin_equals_batch_across_restart(
 
     # the streamed state now covers the whole original corpus
     man = read_manifest(root)
-    served = (
+    served = tuple(
         sorted(map(tuple, spark.read.parquet(
-            os.path.join(root, "ranks_pr", f"gen_{man['fix_gen']}")
-        ).collect())),
-        sorted(map(tuple, spark.read.parquet(
-            os.path.join(root, "ranks_ppr", f"gen_{man['fix_gen']}")
-        ).collect())),
-        sorted(map(tuple, spark.read.parquet(
-            os.path.join(root, "labels_lpa", f"gen_{man['fix_gen']}")
-        ).collect())),
+            os.path.join(root, kind, f"gen_{man['fix_gen']}")
+        ).collect()))
+        for kind in ("ranks_pr", "ranks_ppr", "labels_lpa", "harmonic")
     )
     assert served == _scratch(spark, SF)
 
@@ -279,3 +277,23 @@ def test_row_level_maintain_rejects_orphans(spark, tmp_path, isolated_root):
         gs.maintain_graph_delta(spark, empty_o, orphan_l, root)
     # the failed epoch staged nothing visible: manifest unchanged
     assert read_manifest(root)["gen"] == 0
+
+
+def test_warm_serve_reads_only_state_files(spark, tmp_path, isolated_root):
+    """The warm path's input files are all under the state root — zero
+    corpus scans (the shingle-counts warm-plan discipline)."""
+    sf_dir, _, _ = _stage_corpus(spark, tmp_path)
+    gs.ensure_graph_state(spark, sf_dir)
+    root = gs.graph_state_path(sf_dir)
+    for df in (
+        gs.serve_pagerank(spark, sf_dir),
+        gs.serve_ppr(spark, sf_dir),
+        gs.serve_lpa(spark, sf_dir),
+        gs.serve_harmonic(spark, sf_dir),
+        gs.serve_edges(spark, sf_dir),
+    ):
+        files = df.inputFiles()
+        assert files, "state tables must be non-empty"
+        for f in files:
+            assert root in f, f
+            assert "corpus" not in f, f
