@@ -431,54 +431,34 @@ LINK_TOP = 100
         "(never all-pairs), hub parts above LINK_DEG_CAP excluded from "
         "graph and degrees alike (q^2 fan-out bound, hubs are "
         "Jaccard-noise), top pairs by score via TakeOrderedAndProject. "
-        "Integer intersection/degree counts + one final IEEE division.",
+        "Integer intersection/degree counts + one final IEEE division. "
+        "Served from the persisted co-purchase state (graph_state.py "
+        "cp_pairs/cp_cdeg): the corpus edge extraction AND the pair "
+        "explode run at state-refresh time, so a warm query folds the "
+        "grouped pair table and joins customer degrees — this oracle "
+        "therefore re-audits the persisted pair bytes against a full "
+        "from-scratch recomputation on every sweep.",
 )
 def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
-        .distinct()
-    )
-    keep = cp.groupBy("s").agg(F.count(F.lit(1)).alias("sdeg")).filter(
-        F.col("sdeg") <= LINK_DEG_CAP
-    ).select("s")
-    g = cp.join(keep, "s")
-    deg = g.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    # attach each customer's degree to the edge list BEFORE pair generation
-    # (one customer-keyed shuffle of the edge list) so the q^2-sized pairs
-    # frame never joins anything afterwards. Pair generation is LOCAL per
-    # part: the capped member list (<= LINK_DEG_CAP structs) is collected
-    # per part and its C(q,2) combinations exploded in place — one shuffle
-    # on s instead of a self-join's exchange + sort + join (measured 1.8x
-    # faster at sf0.1, bitwise-identical output). Neither deg nor the pair
-    # frame is broadcastable at 100 TB; this shape needs neither.
-    gd = g.join(deg, "c")
-    adj = gd.groupBy("s").agg(
-        F.sort_array(F.collect_list(F.struct("c", "deg"))).alias("members")
-    )
+    from .graph_state import ensure_graph_state, read_artifact
+
+    root, man = ensure_graph_state(spark, sf_dir)
     pairs = (
-        adj.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) ->"
-                    " transform(slice(members, i + 2, size(members) - i - 1),"
-                    " y -> struct(x.c AS c1, y.c AS c2,"
-                    " x.deg AS deg1, y.deg AS deg2))))"
-                )
-            ).alias("p")
-        )
-        .select("p.c1", "p.c2", "p.deg1", "p.deg2")
+        read_artifact(spark, root, man, "cp_pairs")
         .groupBy("c1", "c2")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.max("deg1").alias("deg1"),
-            F.max("deg2").alias("deg2"),
-        )
+        .agg(F.sum("cnt").cast("bigint").alias("cn"))
     )
+    deg = read_artifact(spark, root, man, "cp_cdeg")
     return (
-        pairs.select(
+        pairs.join(
+            deg.select(F.col("c").alias("c1"), F.col("deg").alias("deg1")),
+            "c1",
+        )
+        .join(
+            deg.select(F.col("c").alias("c2"), F.col("deg").alias("deg2")),
+            "c2",
+        )
+        .select(
             "c1",
             "c2",
             "cn",
@@ -867,50 +847,29 @@ RA_SCALE = 1_000_000_000
     "list explodes its C(q,2) pairs locally per part, and pair scores "
     "are exact BIGINT sums of the carried weights; top pairs via "
     "TakeOrderedAndProject. 1/deg needs no log, so the whole score is "
-    "integer-exact — no transcendental to disagree across engines.",
+    "integer-exact — no transcendental to disagree across engines. "
+    "Served from the persisted co-purchase state (cp_pairs): the weight "
+    "w = round(SCALE/sdeg) is one correctly-rounded division applied to "
+    "the grouped pair table's sdeg column, and the sum cnt*w is the "
+    "same exact BIGINT fold as summing per-part weights — this oracle "
+    "re-audits the persisted bytes from scratch on every sweep.",
 )
 def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
-        .distinct()
-    )
-    # per-part weight fused into the degree-cap filter: one part-keyed agg
-    keep = (
-        cp.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("sdeg"))
-        .filter(F.col("sdeg") <= LINK_DEG_CAP)
-        .select(
-            "s",
-            F.round(F.lit(RA_SCALE) / F.col("sdeg")).cast("bigint").alias("w"),
-        )
-    )
-    g = cp.join(keep, "s")
-    # pair generation local per part (the graph_link_jaccard shape): the
-    # capped member list explodes C(q,2) combinations in place; the part's
-    # weight rides along on every emitted pair
-    adj = g.groupBy("s").agg(
-        F.sort_array(F.collect_list("c")).alias("members"),
-        F.max("w").alias("w"),
-    )
+    from .graph_state import ensure_graph_state, read_artifact
+
+    root, man = ensure_graph_state(spark, sf_dir)
+    # per-(c1,c2,sdeg) grouped pair counts from state: sum cnt*w(sdeg)
+    # is integer-identical to summing the per-part weights directly
     pairs = (
-        adj.select(
+        read_artifact(spark, root, man, "cp_pairs")
+        .withColumn(
             "w",
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) ->"
-                    " transform(slice(members, i + 2, size(members) - i - 1),"
-                    " y -> struct(x AS c1, y AS c2))))"
-                )
-            ).alias("p"),
+            F.round(F.lit(RA_SCALE) / F.col("sdeg")).cast("bigint"),
         )
-        .select("p.c1", "p.c2", "w")
         .groupBy("c1", "c2")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum("w").cast("bigint").alias("ra_scaled"),
+            F.sum("cnt").cast("bigint").alias("cn"),
+            F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("ra_scaled"),
         )
     )
     return (
@@ -1335,49 +1294,30 @@ AA_SCALE = 1_000_000_000
         "rounded division of exact integers and pair scores are exact "
         "BIGINT sums (bit-identical across engines). Hub parts above "
         f"{LINK_DEG_CAP} drop pre-pairing (q^2-bounded local explode); "
-        "top pairs via TakeOrderedAndProject.",
+        "top pairs via TakeOrderedAndProject. Served from the persisted "
+        "co-purchase state (cp_pairs): the Mitchell-log weight is one "
+        "exact-integer expression over the grouped table's sdeg column "
+        "(2..LINK_DEG_CAP by construction), and sum cnt*w(sdeg) is the "
+        "identical BIGINT fold — the oracle re-audits the persisted "
+        "bytes from scratch every sweep.",
 )
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
-        .distinct()
-    )
-    keep = (
-        cp.groupBy("s")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("sdeg"))
-        .filter((F.col("sdeg") >= 2) & (F.col("sdeg") <= LINK_DEG_CAP))
-        .select(
-            "s",
+    from .graph_state import ensure_graph_state, read_artifact
+
+    root, man = ensure_graph_state(spark, sf_dir)
+    pairs = (
+        read_artifact(spark, root, man, "cp_pairs")
+        .withColumn(
+            "w",
             F.expr(
                 f"CAST(round({AA_SCALE} * 1000000.0 / {_MLOG_DEG_SPARK})"
                 " AS BIGINT)"
-            ).alias("w"),
+            ),
         )
-    )
-    g = cp.join(keep, "s")
-    adj = g.groupBy("s").agg(
-        F.sort_array(F.collect_list("c")).alias("members"),
-        F.max("w").alias("w"),
-    )
-    pairs = (
-        adj.select(
-            "w",
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) ->"
-                    " transform(slice(members, i + 2, size(members) - i - 1),"
-                    " y -> struct(x AS c1, y AS c2))))"
-                )
-            ).alias("p"),
-        )
-        .select("p.c1", "p.c2", "w")
         .groupBy("c1", "c2")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum("w").cast("bigint").alias("aa_scaled"),
+            F.sum("cnt").cast("bigint").alias("cn"),
+            F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("aa_scaled"),
         )
     )
     return (
@@ -1679,6 +1619,19 @@ _GRAPH_AUDIT_ORACLE = (
         _LPA_ITER_SQL.format(i=i, prev=i - 1) for i in range(1, LPA_ITERS + 1)
     )
     + f"""
+    , cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), cpdeg AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS sdeg FROM cp GROUP BY s
+    ), cpkept AS (
+      SELECT cp.c, cp.s, cpdeg.sdeg
+      FROM cp JOIN cpdeg USING (s) WHERE sdeg <= {LINK_DEG_CAP}
+    ), cppairs AS (
+      SELECT a.c AS c1, b.c AS c2, a.sdeg
+      FROM cpkept a JOIN cpkept b ON a.s = b.s AND a.c < b.c
+      WHERE a.sdeg >= 2
+    )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_und_edges,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders_mapped,
@@ -1689,7 +1642,13 @@ _GRAPH_AUDIT_ORACLE = (
              AS n_communities,
            (SELECT CAST(MAX(c) AS BIGINT) FROM (
               SELECT COUNT(*) AS c FROM l{LPA_ITERS} GROUP BY label))
-             AS largest_community
+             AS largest_community,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cp) AS n_cp_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cpkept) AS cp_degree_mass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cppairs) AS cp_pair_mass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT DISTINCT c1, c2, sdeg FROM cppairs))
+             AS n_cp_pair_groups
     """
 )
 
@@ -1702,38 +1661,63 @@ _GRAPH_AUDIT_ORACLE = (
         "artifact (edge count from the edge generations, node count + "
         "degree mass from the materialized PageRank table, seed count "
         "from the PPR table, community count/max from the LPA table, "
-        "order-map size from the okc map) while the oracle re-derives "
-        "all of them from the raw fact tables — a stale fix_gen, lost "
-        "generation, or partial append breaks a cross-artifact check. "
-        "Rank bytes themselves are audited per-node by the three served "
-        "queries' own oracles every sweep.",
+        "order-map size from the okc map, co-purchase raw edge count "
+        "from the cp_edges generations, capped degree mass from cp_cdeg, "
+        "pair mass + group count from cp_pairs) while the oracle "
+        "re-derives all of them from the raw fact tables — a stale "
+        "fix_gen/cp_fix_gen, lost generation, or partial append breaks "
+        "a cross-artifact check. Rank and pair bytes themselves are "
+        "audited per-row by the served queries' own oracles every sweep.",
 )
 def graph_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graph_state import serve_edges, serve_lpa, serve_okc, serve_pagerank, serve_ppr
+    from .graph_state import ensure_graph_state, read_artifact
 
-    e = serve_edges(spark, sf_dir).agg(
+    # resolve (root, manifest) ONCE and read all artifacts through the
+    # pinned manifest: five independent serve_* calls could mix fix
+    # generations if a concurrent maintainer committed between them
+    # (readers take no lease by design), producing a spurious
+    # cross-artifact mismatch.
+    root, man = ensure_graph_state(spark, sf_dir)
+    e = read_artifact(spark, root, man, "edges").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_und_edges")
     )
-    pr = serve_pagerank(spark, sf_dir).agg(
+    pr = read_artifact(spark, root, man, "ranks_pr").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.sum("outdeg").cast("bigint").alias("degree_mass"),
     )
-    okc = serve_okc(spark, sf_dir).agg(
+    okc = read_artifact(spark, root, man, "okc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders_mapped")
     )
-    ppr = serve_ppr(spark, sf_dir).agg(
+    ppr = read_artifact(spark, root, man, "ranks_ppr").agg(
         F.sum("is_seed").cast("bigint").alias("n_seeds")
     )
-    lpa = serve_lpa(spark, sf_dir).agg(
+    lpa = read_artifact(spark, root, man, "labels_lpa").agg(
         F.countDistinct("community").cast("bigint").alias("n_communities"),
         F.max("community_size").cast("bigint").alias("largest_community"),
     )
-    # five bounded 1-row aggregates — the crossJoins combine metadata
+    # co-purchase invariants, each from a DIFFERENT cp artifact: raw
+    # edge count from the cp_edges generations, capped degree mass from
+    # cp_cdeg, pair mass + group count from cp_pairs — a cp refresh that
+    # missed an edge generation breaks a cross-check here.
+    cpe = read_artifact(spark, root, man, "cp_edges").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cp_edges")
+    )
+    cpd = read_artifact(spark, root, man, "cp_cdeg").agg(
+        F.sum("deg").cast("bigint").alias("cp_degree_mass")
+    )
+    cpp = read_artifact(spark, root, man, "cp_pairs").agg(
+        F.sum("cnt").cast("bigint").alias("cp_pair_mass"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cp_pair_groups"),
+    )
+    # bounded 1-row aggregates — the crossJoins combine metadata
     return (
         e.crossJoin(F.broadcast(pr))
         .crossJoin(F.broadcast(okc))
         .crossJoin(F.broadcast(ppr))
         .crossJoin(F.broadcast(lpa))
+        .crossJoin(F.broadcast(cpe))
+        .crossJoin(F.broadcast(cpd))
+        .crossJoin(F.broadcast(cpp))
         .select(
             "n_und_edges",
             "n_nodes",
@@ -1742,5 +1726,9 @@ def graph_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_seeds",
             "n_communities",
             "largest_community",
+            "n_cp_edges",
+            "cp_degree_mass",
+            "cp_pair_mass",
+            "n_cp_pair_groups",
         )
     )

@@ -19,12 +19,21 @@ counts front end, and the ANN/IVF manifests) to the trade graph:
   lineitem slice joins the ORDER-KEYED STATE, never the standing
   lineitem table, so the corpus fact tables are read only for their new
   files.
-* ``ranks_pr`` / ``ranks_ppr`` / ``labels_lpa`` — the materialized
-  fixpoint outputs, rewritten on every maintenance that changed the
-  edge set.  The fixpoints rerun over the state-resident edge list
-  (graph-sized, orders of magnitude smaller than the corpus), with ZERO
-  corpus scans on the refresh path — the honest at-scale contract:
-  edge extraction O(delta), rank refresh O(graph).
+* ``ranks_pr`` / ``ranks_ppr`` / ``labels_lpa`` / ``harmonic`` — the
+  materialized fixpoint outputs, rewritten on every maintenance that
+  changed the edge set.  The fixpoints rerun over the state-resident
+  edge list (graph-sized, orders of magnitude smaller than the corpus),
+  with ZERO corpus scans on the refresh path — the honest at-scale
+  contract: edge extraction O(delta), rank refresh O(graph).
+* ``cp_edges`` (round-12, verdict item #1) — distinct (c, s)
+  customer–part co-purchase pairs, appended in disjoint generations
+  exactly like ``edges``; plus two derived artifacts ``cp_pairs`` /
+  ``cp_cdeg`` (rewritten when the cp edge set grows, manifest key
+  ``cp_fix_gen``) that serve the link-prediction trio
+  (``graph_link_jaccard`` / ``graph_resource_allocation`` /
+  ``graph_adamic_adar``): the per-query corpus re-extraction AND the
+  q²-bounded pair explode both move to refresh time, so a warm query is
+  one read of the grouped (c1, c2, sdeg, cnt) table + an integer fold.
 
 FK-integrity premise (audited, not assumed): a delta lineitem references
 an order in the delta or in the standing okc map — TPC-H/CDC appends
@@ -68,13 +77,26 @@ from ..state import (
     write_manifest,
 )
 
-GRAPH_STATE_VERSION = 2  # v2: harmonic-centrality artifact added
+GRAPH_STATE_VERSION = 3  # v3: customer–part co-purchase artifacts (cp_*)
 GRAPH_AUTO_COMPACT_GENS = 8  # same policy as the dedup/ANN roots
 
-# artifact kinds rewritten per fixpoint refresh (single live generation)
+# customer–supplier artifact kinds rewritten per fixpoint refresh
+# (single live generation, named by manifest ``fix_gen``)
 _FIX_KINDS = ("ranks_pr", "ranks_ppr", "labels_lpa", "harmonic")
+# customer–part co-purchase derived artifacts, rewritten when the
+# cp edge set grows (single live generation, named by ``cp_fix_gen``):
+#   cp_pairs — (c1, c2, sdeg, cnt): candidate customer pairs generated
+#     through shared parts of degree sdeg (2..LINK_DEG_CAP), grouped by
+#     the part degree so all three link-prediction weight schemes
+#     (Jaccard's count, RA's 1/deg, AA's 1/log2 deg) are exact BIGINT
+#     folds over ONE table — the q²-bounded explode runs at refresh
+#     time, never per query.
+#   cp_cdeg  — (c, deg): customer degree over hub-capped edges
+#     (sdeg <= LINK_DEG_CAP, including degree-1 parts), Jaccard's
+#     denominator input.
+_CP_FIX_KINDS = ("cp_pairs", "cp_cdeg")
 # artifact kinds appended per maintenance (generations base_gen..gen)
-_APPEND_KINDS = ("edges", "okc")
+_APPEND_KINDS = ("edges", "okc", "cp_edges")
 
 _SOURCES = ("orders", "lineitem", "supplier")
 
@@ -84,7 +106,14 @@ def graph_state_path(sf_dir: str) -> str:
     bytes depend on (fixpoint constants, seed set) — the dedup_table_path
     keying discipline: definition changes yield a new key; file-level
     changes are the manifest's job."""
-    from .graph import LPA_ITERS, PPR_SEED_MAX_KEY, PR_ITERS, PR_SCALE
+    from .graph import (
+        BFS_ROUNDS,
+        LINK_DEG_CAP,
+        LPA_ITERS,
+        PPR_SEED_MAX_KEY,
+        PR_ITERS,
+        PR_SCALE,
+    )
 
     srcs = ":".join(
         os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
@@ -92,7 +121,8 @@ def graph_state_path(sf_dir: str) -> str:
     )
     key = hashlib.sha256(
         f"v{GRAPH_STATE_VERSION}:{srcs}:{PR_SCALE}:{PR_ITERS}:"
-        f"{LPA_ITERS}:{PPR_SEED_MAX_KEY}".encode()
+        f"{LPA_ITERS}:{PPR_SEED_MAX_KEY}:{BFS_ROUNDS}:"
+        f"{LINK_DEG_CAP}".encode()
     ).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -133,7 +163,24 @@ def _read_append_kind(
 def _read_fix_kind(
     spark: SparkSession, root: str, man: dict, kind: str
 ) -> DataFrame:
-    return spark.read.parquet(gen_dir(root, kind, man["fix_gen"]))
+    gen = man["cp_fix_gen"] if kind in _CP_FIX_KINDS else man["fix_gen"]
+    return spark.read.parquet(gen_dir(root, kind, gen))
+
+
+def read_artifact(
+    spark: SparkSession, root: str, man: dict, kind: str
+) -> DataFrame:
+    """Read one state artifact through a PINNED manifest. Multi-artifact
+    consumers (the cross-artifact audit) resolve (root, manifest) once
+    via :func:`ensure_graph_state` and read every artifact through that
+    manifest — five independent ``serve_*`` calls could otherwise mix
+    artifacts from different fix generations when a concurrent maintainer
+    commits between them (readers take no lease by design)."""
+    if kind in _FIX_KINDS or kind in _CP_FIX_KINDS:
+        return _read_fix_kind(spark, root, man, kind)
+    if kind in _APPEND_KINDS:
+        return _read_append_kind(spark, root, man, kind)
+    raise ValueError(f"unknown graph-state artifact kind: {kind}")
 
 
 def _directed_edges(und: DataFrame) -> DataFrame:
@@ -179,6 +226,53 @@ def _refresh_fixpoints(
     )
 
 
+def _refresh_cp(
+    spark: SparkSession, root: str, man_gen: int, cp: DataFrame
+) -> None:
+    """Recompute the co-purchase derived artifacts from the state cp
+    edge set and stage them under generation ``man_gen`` (invisible
+    until the manifest names ``cp_fix_gen = man_gen``). Zero corpus
+    scans: input is the state-resident (c, s) pair list. The q²-bounded
+    local pair explode (hub parts above LINK_DEG_CAP dropped, members
+    exploded C(q,2) per part — ``graph.py``'s link-prediction shape)
+    runs HERE, once per edge-set change, instead of once per query."""
+    from .graph import LINK_DEG_CAP
+
+    deg = cp.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sdeg")
+    )
+    kept = cp.join(
+        deg.filter(F.col("sdeg") <= LINK_DEG_CAP), "s"
+    ).localCheckpoint(eager=False)  # feeds cdeg AND the pair explode
+    kept.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).write.mode("overwrite").parquet(gen_dir(root, "cp_cdeg", man_gen))
+    adj = (
+        kept.filter(F.col("sdeg") >= 2)
+        .groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list("c")).alias("members"),
+            F.max("sdeg").alias("sdeg"),
+        )
+    )
+    pairs = (
+        adj.select(
+            "sdeg",
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1),"
+                    " y -> struct(x AS c1, y AS c2))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.c1", "p.c2", "sdeg")
+        .groupBy("c1", "c2", "sdeg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pairs.write.mode("overwrite").parquet(gen_dir(root, "cp_pairs", man_gen))
+
+
 def _commit_and_expire(root: str, man: dict) -> dict:
     """Commit the manifest, then expire every generation directory it no
     longer reaches (old fixpoint gens, compacted-away append gens)."""
@@ -188,6 +282,7 @@ def _commit_and_expire(root: str, man: dict) -> dict:
         for k in _APPEND_KINDS
     }
     keep.update({k: {man["fix_gen"]} for k in _FIX_KINDS})
+    keep.update({k: {man["cp_fix_gen"]} for k in _CP_FIX_KINDS})
     expire_generations(root, keep)
     return man
 
@@ -195,8 +290,9 @@ def _commit_and_expire(root: str, man: dict) -> dict:
 def _build_locked(
     spark: SparkSession, sf_dir: str, root: str, files: dict
 ) -> dict:
-    """Full rebuild: okc + distinct edges from the corpus, fixpoints,
-    gen 0 manifest."""
+    """Full rebuild: okc + distinct customer–supplier and customer–part
+    edges from the corpus, fixpoints + co-purchase derivations, gen 0
+    manifest."""
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -206,23 +302,39 @@ def _build_locked(
         F.col("o_custkey").cast("bigint").alias("ck"),
     )
     okc.write.mode("overwrite").parquet(gen_dir(root, "okc", 0))
+    okc_state = spark.read.parquet(gen_dir(root, "okc", 0))
+    li_keyed = li.select(
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.col("l_suppkey").cast("bigint").alias("sk"),
+        F.col("l_partkey").cast("bigint").alias("pk"),
+    ).localCheckpoint(eager=False)  # one corpus scan feeds both edge sets
     und = (
-        spark.read.parquet(gen_dir(root, "okc", 0))
-        .join(
-            li.select(
-                F.col("l_orderkey").cast("bigint").alias("okey"),
-                F.col("l_suppkey").cast("bigint").alias("sk"),
-            ),
-            "okey",
-        )
+        okc_state.join(li_keyed.select("okey", "sk"), "okey")
         .select("ck", "sk")
         .distinct()
     )
     und.write.mode("overwrite").parquet(gen_dir(root, "edges", 0))
-    und_state = spark.read.parquet(gen_dir(root, "edges", 0))
-    _refresh_fixpoints(spark, root, 0, und_state)
+    cp = (
+        okc_state.join(li_keyed.select("okey", "pk"), "okey")
+        .select(F.col("ck").alias("c"), F.col("pk").alias("s"))
+        .distinct()
+    )
+    cp.write.mode("overwrite").parquet(gen_dir(root, "cp_edges", 0))
+    _refresh_fixpoints(
+        spark, root, 0, spark.read.parquet(gen_dir(root, "edges", 0))
+    )
+    _refresh_cp(
+        spark, root, 0, spark.read.parquet(gen_dir(root, "cp_edges", 0))
+    )
     return _commit_and_expire(
-        root, {"gen": 0, "base_gen": 0, "fix_gen": 0, "files": files}
+        root,
+        {
+            "gen": 0,
+            "base_gen": 0,
+            "fix_gen": 0,
+            "cp_fix_gen": 0,
+            "files": files,
+        },
     )
 
 
@@ -233,23 +345,49 @@ def _apply_graph_delta_locked(
     d_okc: DataFrame,
     d_li: DataFrame,
     files: dict,
-) -> dict | None:
+) -> tuple[dict | None, str | None]:
     """O(delta) append (caller holds the lease): new okc rows from the
     delta orders, new edges from delta lineitems joined against the
     ORDER-KEYED STATE (never a standing lineitem table), fixpoint refresh
     only if the edge set grew. Replay-safe: both appends anti-join the
-    standing state, and a crashed maintenance's generation files stay
-    invisible until the manifest commit (the retry overwrites them).
-    Returns the committed manifest, or None when the FK audit found delta
-    lineitems that resolve through no order — the caller decides whether
-    to degrade to a full rebuild (file path) or to raise (stream path,
-    which has no corpus to rebuild from)."""
+    standing state, duplicate delta rows collapse before staging, and a
+    crashed maintenance's generation files stay invisible until the
+    manifest commit (the retry overwrites them).
+    Returns ``(manifest, None)`` on success or ``(None, reason)`` when a
+    premise broke — an FK orphan (delta lineitems resolving through no
+    order) or an update-shaped order row (one okey carrying two distinct
+    ck values, within the delta or vs the standing map: the okc state is
+    insert-only, so a changed FK cannot be appended). The caller decides
+    whether to degrade to a full rebuild (file path) or to raise (stream
+    path, which has no corpus to rebuild from)."""
     gen = man["gen"] + 1
 
     standing_okc = _read_append_kind(spark, root, man, "okc")
-    new_okc = d_okc.select("okey", "ck").join(
-        standing_okc.select("okey"), "okey", "left_anti"
-    )
+    # full-row dedup first (re-delivered rows within one batch), then an
+    # O(delta) audit: an okey left with >1 row carries CONFLICTING ck
+    # values — an update-shaped event the insert-only okc map cannot
+    # absorb (it would permanently fan out every future delta join).
+    d0 = d_okc.select("okey", "ck").dropDuplicates()
+    if not d0.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n")
+    ).filter("n > 1").isEmpty():
+        return None, (
+            "update-shaped delta: one okey carries two distinct ck values "
+            "within the batch — the okc map is insert-only"
+        )
+    joined = d0.join(
+        standing_okc.select("okey", F.col("ck").alias("old_ck")),
+        "okey",
+        "left",
+    ).localCheckpoint(eager=False)  # one join feeds audit + staging
+    if not joined.filter(
+        F.col("old_ck").isNotNull() & (F.col("old_ck") != F.col("ck"))
+    ).isEmpty():
+        return None, (
+            "update-shaped delta: an okey matches the standing okc map "
+            "with a DIFFERENT ck — the okc state is insert-only"
+        )
+    new_okc = joined.filter(F.col("old_ck").isNull()).select("okey", "ck")
     new_okc.write.mode("overwrite").parquet(gen_dir(root, "okc", gen))
     okc_all = standing_okc.unionByName(
         spark.read.parquet(gen_dir(root, "okc", gen))
@@ -260,19 +398,40 @@ def _apply_graph_delta_locked(
     if not d_li.select("okey", "sk").join(
         okc_all, "okey", "left_anti"
     ).isEmpty():
-        return None
+        return None, (
+            "delta lineitems reference orders in neither the delta nor "
+            "the standing okc map — graph maintenance requires "
+            "FK-complete slices"
+        )
 
+    # one delta join against the order-keyed state feeds BOTH edge sets
+    d_li_keyed = (
+        d_li.select("okey", "sk", "pk")
+        .join(okc_all, "okey")
+        .localCheckpoint(eager=False)
+    )
     standing_edges = _read_append_kind(spark, root, man, "edges")
     new_edges = (
-        d_li.select("okey", "sk")
-        .join(okc_all, "okey")
-        .select("ck", "sk")
+        d_li_keyed.select("ck", "sk")
         .distinct()
         .join(standing_edges, ["ck", "sk"], "left_anti")
     )
     new_edges.write.mode("overwrite").parquet(gen_dir(root, "edges", gen))
     edges_grew = not spark.read.parquet(
         gen_dir(root, "edges", gen)
+    ).isEmpty()
+
+    standing_cp = _read_append_kind(spark, root, man, "cp_edges")
+    new_cp = (
+        d_li_keyed.select(
+            F.col("ck").alias("c"), F.col("pk").alias("s")
+        )
+        .distinct()
+        .join(standing_cp, ["c", "s"], "left_anti")
+    )
+    new_cp.write.mode("overwrite").parquet(gen_dir(root, "cp_edges", gen))
+    cp_grew = not spark.read.parquet(
+        gen_dir(root, "cp_edges", gen)
     ).isEmpty()
 
     man = dict(man)
@@ -283,6 +442,12 @@ def _apply_graph_delta_locked(
         )
         _refresh_fixpoints(spark, root, gen, und_state)
         man["fix_gen"] = gen
+    if cp_grew:
+        cp_state = standing_cp.unionByName(
+            spark.read.parquet(gen_dir(root, "cp_edges", gen))
+        )
+        _refresh_cp(spark, root, gen, cp_state)
+        man["cp_fix_gen"] = gen
     man = _commit_and_expire(root, man)
 
     # auto-compaction: merge append generations past the threshold (the
@@ -296,7 +461,7 @@ def _apply_graph_delta_locked(
         man = dict(man)
         man.update({"gen": ngen, "base_gen": ngen})
         man = _commit_and_expire(root, man)
-    return man
+    return man, None
 
 
 def _maintain_locked(
@@ -308,8 +473,10 @@ def _maintain_locked(
     new_rel: list[str],
 ) -> dict:
     """File-driven maintenance: read ONLY the appended corpus files,
-    then apply the row-level delta. FK-audit failure degrades to a
-    correctness-preserving full rebuild."""
+    then apply the row-level delta. Audit failure (FK orphan or an
+    update-shaped order row) degrades to a correctness-preserving full
+    rebuild — the rebuild reproduces exactly what the from-scratch
+    oracles compute over the same corpus bytes."""
     delta = _delta_files(sf_dir, new_rel)
     standing_okc = _read_append_kind(spark, root, man, "okc")
     if delta["orders"]:
@@ -323,11 +490,12 @@ def _maintain_locked(
         d_li = spark.read.parquet(*delta["lineitem"]).select(
             F.col("l_orderkey").cast("bigint").alias("okey"),
             F.col("l_suppkey").cast("bigint").alias("sk"),
+            F.col("l_partkey").cast("bigint").alias("pk"),
         )
     else:
-        d_li = spark.createDataFrame([], "okey bigint, sk bigint")
-    out = _apply_graph_delta_locked(spark, root, man, d_okc, d_li, files)
-    if out is None:
+        d_li = spark.createDataFrame([], "okey bigint, sk bigint, pk bigint")
+    out, err = _apply_graph_delta_locked(spark, root, man, d_okc, d_li, files)
+    if err is not None:
         return _build_locked(spark, sf_dir, root, files)
     return out
 
@@ -340,26 +508,24 @@ def maintain_graph_delta(
 ) -> dict:
     """Row-level O(delta) maintenance — the streaming-twin entry point
     (``streaming/graph_stream.py`` drives it from foreachBatch epochs).
-    ``delta_orders``: (okey, ck); ``delta_lineitems``: (okey, sk).
-    Replay-safe (anti-joins drop re-delivered rows). Raises ValueError
-    on orphan lineitems: a stream has no corpus to rebuild from, so the
-    FK-complete-slice contract is enforced, not degraded."""
+    ``delta_orders``: (okey, ck); ``delta_lineitems``: (okey, sk, pk).
+    Replay-safe (anti-joins drop re-delivered rows; duplicate rows within
+    a batch collapse). Raises ValueError on orphan lineitems or on
+    update-shaped order rows (same okey, changed ck): a stream has no
+    corpus to rebuild from, so the insert-only FK-complete-slice contract
+    is enforced, not degraded."""
     with maintenance_lease(root):
         man = read_manifest(root)
         if man is None:
             raise ValueError(
                 f"no graph state at {root}; run ensure_graph_state first"
             )
-        out = _apply_graph_delta_locked(
+        out, err = _apply_graph_delta_locked(
             spark, root, man, delta_orders, delta_lineitems,
             man.get("files", {}),
         )
-        if out is None:
-            raise ValueError(
-                "delta lineitems reference orders in neither the delta "
-                "nor the standing okc map — graph maintenance requires "
-                "FK-complete slices"
-            )
+        if err is not None:
+            raise ValueError(err)
         return out
 
 
@@ -417,3 +583,25 @@ def serve_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def serve_okc(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, man = ensure_graph_state(spark, sf_dir)
     return _read_append_kind(spark, root, man, "okc")
+
+
+def serve_cp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (c, s) customer–part co-purchase edge state
+    (uncapped — the raw edge set the derivations are refreshed from)."""
+    root, man = ensure_graph_state(spark, sf_dir)
+    return _read_append_kind(spark, root, man, "cp_edges")
+
+
+def serve_cp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c1, c2, sdeg, cnt): co-purchase candidate pairs grouped by the
+    shared part's degree — the one table all three link-prediction
+    weight schemes fold over (see _CP_FIX_KINDS)."""
+    root, man = ensure_graph_state(spark, sf_dir)
+    return _read_fix_kind(spark, root, man, "cp_pairs")
+
+
+def serve_cp_cdeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c, deg): customer degree over hub-capped co-purchase edges —
+    Jaccard's denominator input."""
+    root, man = ensure_graph_state(spark, sf_dir)
+    return _read_fix_kind(spark, root, man, "cp_cdeg")

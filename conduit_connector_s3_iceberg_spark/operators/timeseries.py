@@ -2981,17 +2981,33 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cents >= the SPRT threshold); OR_MH = sum_i(a_i*d_i/n_i) /
 # sum_i(b_i*c_i/n_i).
 #
-# Determinism: each stratum term a*d/n is quantized to the 1e6 grid by
-# ONE correctly-rounded division of exact integers (a*d*SCALE computed
-# in BIGINT stays exact in the double cast while a,d <= ~3e7 cells —
-# the per-day cell bound; finer strata keep cells bounded at larger
-# corpora, the standard CMH practice), then summed in BIGINT; the
-# emitted OR is one final IEEE division. Work shape: one filtered scan
-# + one (day)-keyed hash agg + one |days|-row fold — nothing
-# corpus-sized after the first aggregate.
+# Determinism: each stratum term a*d/n is quantized to the 1e6 grid in
+# DOUBLE — the product a*d*SCALE is computed as an IEEE double chain
+# (never a BIGINT multiply, which wraps silently in non-ANSI Spark but
+# errors in DuckDB once a*d exceeds ~9.2e12, i.e. cells past ~3e6), so
+# it is overflow-free at ANY cell size and exactly rounded while
+# a*d*SCALE < 2^53 (cells to ~9.4e4 per day-stratum; past that the
+# double multiply rounds deterministically and IDENTICALLY in both
+# engines — the term is already a 1e6-grid quantization, so the
+# estimator's contract is unchanged). The rounded terms are then summed
+# in BIGINT; the emitted OR is one final IEEE division. Work shape: one
+# filtered scan + one (day)-keyed hash agg + one |days|-row fold —
+# nothing corpus-sized after the first aggregate.
 
 MH_SUCCESS_CENTS = SPRT_SUCCESS_CENTS
 MH_SCALE = 1_000_000
+
+
+def _mh_term(x: str, y: str) -> str:
+    """Stratum term ``round(x*y*SCALE/n)`` with the product chained in
+    DOUBLE (overflow-free; exactly rounded while x*y*SCALE < 2^53, and
+    deterministically IEEE-rounded identically in both engines beyond) —
+    one shared string so the Spark plan and the DuckDB oracle evaluate
+    the byte-identical expression."""
+    return (
+        f"CAST(round(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) * {MH_SCALE}"
+        " / (a + b + c + d_)) AS BIGINT)"
+    )
 
 
 @query(
@@ -3014,10 +3030,8 @@ MH_SCALE = 1_000_000
       FROM events WHERE event_type IN ('click', 'view')
       GROUP BY CAST(ts AS DATE)
     ), terms AS (
-      SELECT CAST(round(CAST(a * d_ * {MH_SCALE} AS DOUBLE)
-                        / (a + b + c + d_)) AS BIGINT) AS t_ad,
-             CAST(round(CAST(b * c * {MH_SCALE} AS DOUBLE)
-                        / (a + b + c + d_)) AS BIGINT) AS t_bc,
+      SELECT {_mh_term("a", "d_")} AS t_ad,
+             {_mh_term("b", "c")} AS t_bc,
              a, b, c, d_
       FROM cells
     )
@@ -3033,8 +3047,9 @@ MH_SCALE = 1_000_000
     """,
     doc="Mantel-Haenszel pooled odds ratio across day strata (click vs "
         "view exposure, cent-threshold success): per-stratum a*d/n and "
-        "b*c/n quantized to the 1e6 grid by one correctly-rounded "
-        "division of exact integers, folded as BIGINT sums; OR is one "
+        "b*c/n quantized to the 1e6 grid with the product chained in "
+        "DOUBLE (overflow-free at any cell size; identical IEEE chain "
+        "in both engines), folded as BIGINT sums; OR is one "
         "final IEEE division. The Simpson-safe effect estimate the "
         "always-on experimentation layer reports next to the SPRT "
         "monitor. One filtered scan + day-keyed hash agg; everything "
@@ -3067,14 +3082,8 @@ def events_mh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = cells.select(
         "a",
         "b",
-        F.expr(
-            f"CAST(round(CAST(a * d_ * {MH_SCALE} AS DOUBLE)"
-            " / (a + b + c + d_)) AS BIGINT)"
-        ).alias("t_ad"),
-        F.expr(
-            f"CAST(round(CAST(b * c * {MH_SCALE} AS DOUBLE)"
-            " / (a + b + c + d_)) AS BIGINT)"
-        ).alias("t_bc"),
+        F.expr(_mh_term("a", "d_")).alias("t_ad"),
+        F.expr(_mh_term("b", "c")).alias("t_bc"),
     )
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_strata"),

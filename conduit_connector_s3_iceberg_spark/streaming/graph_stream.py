@@ -10,13 +10,18 @@ every batch consumer (``graph_pagerank`` / ``graph_ppr_seeded`` /
 ``graph_label_propagation`` / ``graph_state_audit``) shares the result.
 
 Stream schema is the union CDC shape a single order-slice topic carries:
-``kind string ('order' | 'lineitem'), okey bigint, ck bigint, sk bigint``
-('order' rows populate ck, 'lineitem' rows populate sk). Epochs must be
-FK-complete order slices (a lineitem's order is in the same epoch or
+``kind string ('order' | 'lineitem'), okey bigint, ck bigint, sk bigint,
+pk bigint`` ('order' rows populate ck, 'lineitem' rows populate sk +
+pk — the part key feeds the co-purchase edge state). Epochs must be
+FK-complete INSERT slices (a lineitem's order is in the same epoch or
 already in the state) — the row-level maintain enforces it and an epoch
 replay after a crash is dropped by the state's anti-joins, so
 end-to-end exactly-once falls out of idempotence (the CDC ack
-discipline of ``streaming/cdc.py``).
+discipline of ``streaming/cdc.py``). Only insert/append events are
+supported: an update-shaped order row (same okey, changed ck) is
+DETECTED by the maintain's okc audit and raises like the FK-orphan
+case — the insert-only okc map cannot absorb a changed FK, and
+silently keeping the old customer would corrupt the edge set.
 
 Batch == stream equality across a checkpoint restart is asserted in
 ``tests/test_round11_graph_state.py``: streaming the tail of a corpus
@@ -28,7 +33,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-GRAPH_STREAM_SCHEMA = "kind string, okey bigint, ck bigint, sk bigint"
+GRAPH_STREAM_SCHEMA = (
+    "kind string, okey bigint, ck bigint, sk bigint, pk bigint"
+)
 
 
 def apply_graph_epoch(state_root: str, batch, epoch_id: int) -> None:
@@ -41,7 +48,9 @@ def apply_graph_epoch(state_root: str, batch, epoch_id: int) -> None:
     maintain_graph_delta(
         batch.sparkSession,
         batch.filter(F.col("kind") == "order").select("okey", "ck"),
-        batch.filter(F.col("kind") == "lineitem").select("okey", "sk"),
+        batch.filter(F.col("kind") == "lineitem").select(
+            "okey", "sk", "pk"
+        ),
         state_root,
     )
 

@@ -158,7 +158,8 @@ def test_fk_orphan_degrades_to_rebuild(spark, tmp_path, isolated_root):
     root = gs.graph_state_path(sf_dir)
     # lineitems referencing an order that exists nowhere
     orphan = spark.createDataFrame(
-        [(10_000_000, 0)], "l_orderkey bigint, l_suppkey bigint"
+        [(10_000_000, 0, 0)],
+        "l_orderkey bigint, l_suppkey bigint, l_partkey bigint",
     )
     _move_parts(orphan, os.path.join(sf_dir, "lineitem.parquet"), "orphan")
     got = _served(spark, sf_dir)
@@ -222,12 +223,14 @@ def test_stream_twin_equals_batch_across_restart(
             F.col("o_orderkey").alias("okey"),
             F.col("o_custkey").alias("ck"),
             F.lit(None).cast("bigint").alias("sk"),
+            F.lit(None).cast("bigint").alias("pk"),
         )
         l = d_li.filter(pred.replace("o_orderkey", "l_orderkey")).select(
             F.lit("lineitem").alias("kind"),
             F.col("l_orderkey").alias("okey"),
             F.lit(None).cast("bigint").alias("ck"),
             F.col("l_suppkey").alias("sk"),
+            F.col("l_partkey").alias("pk"),
         )
         return o.unionByName(l)
 
@@ -271,7 +274,7 @@ def test_row_level_maintain_rejects_orphans(spark, tmp_path, isolated_root):
     root = gs.graph_state_path(sf_dir)
     empty_o = spark.createDataFrame([], "okey bigint, ck bigint")
     orphan_l = spark.createDataFrame(
-        [(10_000_000, 0)], "okey bigint, sk bigint"
+        [(10_000_000, 0, 0)], "okey bigint, sk bigint, pk bigint"
     )
     with pytest.raises(ValueError, match="FK-complete"):
         gs.maintain_graph_delta(spark, empty_o, orphan_l, root)
@@ -291,6 +294,9 @@ def test_warm_serve_reads_only_state_files(spark, tmp_path, isolated_root):
         gs.serve_lpa(spark, sf_dir),
         gs.serve_harmonic(spark, sf_dir),
         gs.serve_edges(spark, sf_dir),
+        gs.serve_cp_edges(spark, sf_dir),
+        gs.serve_cp_pairs(spark, sf_dir),
+        gs.serve_cp_cdeg(spark, sf_dir),
     ):
         files = df.inputFiles()
         assert files, "state tables must be non-empty"

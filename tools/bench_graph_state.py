@@ -90,14 +90,26 @@ def bench_one(spark, sf_dir: str, work: str) -> dict:
             t0 = time.perf_counter()
             gs.serve_pagerank(spark, corpus).collect()
             best = min(best, time.perf_counter() - t0)
+        # warm link-prediction serve (round 12): the full adamic-adar
+        # query over the persisted cp_pairs artifact
+        from conduit_connector_s3_iceberg_spark.plans.registry import load_all
+        aa = load_all()["graph_adamic_adar"]
+        best_link = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            aa.build(spark, corpus).collect()
+            best_link = min(best_link, time.perf_counter() - t0)
         n_edges = gs.serve_edges(spark, corpus).count()
+        n_cp = gs.serve_cp_edges(spark, corpus).count()
     finally:
         gs.graph_state_path = real_path
     return {
         "build_s": round(build_s, 3),
         "maintain_s": round(maintain_s, 3),
         "warm_serve_s": round(best, 3),
+        "warm_link_s": round(best_link, 3),
         "n_und_edges": n_edges,
+        "n_cp_edges": n_cp,
     }
 
 
@@ -117,7 +129,7 @@ def main() -> int:
             result[label] = bench_one(spark, sf_dir, work)
         finally:
             shutil.rmtree(work, ignore_errors=True)
-    for phase in ("build_s", "maintain_s", "warm_serve_s"):
+    for phase in ("build_s", "maintain_s", "warm_serve_s", "warm_link_s"):
         t_s, t_b = result["sf0.1"][phase], result["sf1"][phase]
         result[f"alpha_{phase.removesuffix('_s')}"] = round(
             math.log10(max(t_b, 1e-9) / max(t_s, 1e-9)), 3
