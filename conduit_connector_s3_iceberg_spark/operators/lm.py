@@ -36,9 +36,11 @@ from ..sources.tables import load_table
 
 LM_SCALE = 1_000_000_000
 
-# token array (lowercased, space-split) — identical in both engines
-_TOKS_SPARK = "split(trim(lower(text)), ' ')"
-_TOKS_SQL = "string_split(trim(lower(text)), ' ')"
+# token array (lowercased, space-split) — identical in both engines and
+# shared with the persisted counts state (ONE definition, so the state
+# key covers every consumer's tokenizer)
+from .lm_state import TOKS_SPARK as _TOKS_SPARK  # noqa: E402
+from .lm_state import TOKS_SQL as _TOKS_SQL  # noqa: E402
 
 
 @query(
@@ -77,28 +79,20 @@ _TOKS_SQL = "string_split(trim(lower(text)), ' ')"
         "accumulation after that is exact integers — bit-stable under any "
         "shuffle order. The doc-side join input is pre-aggregated "
         "(doc, bigram, count), so the model join moves distinct pairs, "
-        "not raw token positions.",
+        "not raw token positions. Served from the persisted token-counts "
+        "state (lm_state.py): the corpus tokenize+explode runs at state-"
+        "maintenance time, and the query reads the (doc, bigram, count) "
+        "table — sum(cnt) regroupings are the same exact integers as the "
+        "raw explode, so this oracle re-audits the persisted bytes "
+        "against a from-scratch recomputation on every sweep.",
 )
 def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # bigram structs, JVM-side: transform over the leading slice pairs each
-    # token with its successor ([] is 0-based, slice() is 1-based)
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(slice({_TOKS_SPARK}, 1, size({_TOKS_SPARK}) - 1), "
-                f"(x, i) -> struct(x AS w1, {_TOKS_SPARK}[i + 1] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    # the bigram explode feeds the model build (bgc → pfc → model) AND the
-    # doc-side counts: materialize it once (the shared-index discipline from
-    # lm_stupid_backoff's train split; a scratch table on a cluster) instead
-    # of re-scanning the corpus per consumer
-    bg = bg.localCheckpoint(eager=False)
+    from .lm_state import serve_bi
 
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # (doc_id, w1, w2, cnt) from the persisted counts state — this IS the
+    # docbg frame; the corpus-level model derives from it by regrouping
+    docbg = serve_bi(spark, sf_dir).localCheckpoint(eager=False)
+    bgc = docbg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
     pfc = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     model = bgc.join(pfc, "w1").select(
         "w1",
@@ -107,7 +101,6 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p_scaled"),
     )
-    docbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         docbg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
@@ -485,16 +478,12 @@ def _mlog2_q_spark(col: str) -> str:
         "vocabulary-sized hash aggs after the bigram explode.",
 )
 def lm_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        F.explode(
-            F.expr(
-                f"transform(slice({_TOKS_SPARK}, 1, size({_TOKS_SPARK}) - 1), "
-                f"(x, i) -> struct(x AS w1, {_TOKS_SPARK}[i + 1] AS w2))"
-            )
-        ).alias("b")
-    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    from .lm_state import serve_bi
+
+    # corpus bigram counts regrouped from the persisted per-doc counts
+    bgc = serve_bi(spark, sf_dir).groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("bigint").alias("c12")
+    )
     pfc = bgc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     terms = bgc.join(pfc, "w1").select(
         "c12",
@@ -860,23 +849,19 @@ def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantization keeps every intermediate under 2^53, so the score "
         "is bit-stable under any shuffle order. Model is self-trained, so "
         "every doc bigram is in-vocabulary (the backoff term covers the "
-        "discount mass, not OOV). Same shared one-materialization bigram "
-        "front end and pre-aggregated doc-side join as lm_bigram_score.",
+        "discount mass, not OOV). Served from the persisted token-counts "
+        "state (lm_state.py): the (doc, bigram, count) table IS the "
+        "doc-side join input, and every model count is an exact-integer "
+        "regrouping of it — the oracle's from-scratch recomputation "
+        "re-audits the persisted bytes on every sweep.",
 )
 def lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(slice({_TOKS_SPARK}, 1, size({_TOKS_SPARK}) - 1), "
-                f"(x, i) -> struct(x AS w1, {_TOKS_SPARK}[i + 1] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    bg = bg.localCheckpoint(eager=False)  # one corpus explode, three consumers
+    from .lm_state import serve_bi
 
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    docbg = serve_bi(spark, sf_dir).localCheckpoint(eager=False)
+    bgc = docbg.groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("bigint").alias("c2")
+    )
     bgc = bgc.localCheckpoint(eager=False)  # feeds pfc, sfc, btot, model
     pfc = bgc.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).cast("bigint").alias("n1r")
@@ -906,9 +891,6 @@ def lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("p_scaled"),
         )
-    )
-    docbg = bg.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     return (
         docbg.join(model, ["w1", "w2"])
@@ -965,11 +947,13 @@ def lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-independent, engine-identical.",
 )
 def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from .lm_state import serve_uni
+
+    # corpus unigram counts regrouped from the persisted per-doc counts
     uni = (
-        docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("w"))
+        serve_uni(spark, sf_dir)
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .agg(F.sum("cnt").cast("bigint").alias("r"))
     )
     cc = uni.groupBy("r").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types")
@@ -1092,18 +1076,13 @@ def _interp_oracle() -> str:
         "bin(0) to the log helper.",
 )
 def lm_interpolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        F.explode(
-            F.expr(
-                f"transform(slice({_TOKS_SPARK}, 1, size({_TOKS_SPARK}) - 1), "
-                f"(x, i) -> struct(x AS w1, {_TOKS_SPARK}[i + 1] AS w2))"
-            )
-        ).alias("b")
-    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    bgc = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12")
-    ).localCheckpoint(eager=False)  # one explode; feeds pfc/uni/tot/model
+    from .lm_state import serve_bi
+
+    # corpus bigram counts by regrouping the persisted per-doc counts —
+    # no tokenize/explode at query time (lm_state.py)
+    bgc = serve_bi(spark, sf_dir).groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("bigint").alias("c12")
+    ).localCheckpoint(eager=False)  # feeds pfc/uni/tot/model
     pfc = bgc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     uni = bgc.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("cw"))
     tot = bgc.agg(F.sum("c12").cast("bigint").alias("n"))

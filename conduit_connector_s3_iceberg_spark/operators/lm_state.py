@@ -1,0 +1,310 @@
+"""Persisted per-document token/bigram counts (round-12 verdict item #4).
+
+The lm/text token-statistics family (``lm_bigram_score``,
+``lm_score_buckets``, ``lm_perplexity_gate``, ``lm_kneser_ney``,
+``lm_interpolation_curve``, ``lm_conditional_entropy``,
+``lm_good_turing``, ``text_dsir_weights``) re-tokenized and re-counted
+the documents corpus on every query — the same per-query corpus
+re-extraction the shingle-counts state (``dedup.ensure_shingle_counts``)
+already eliminated for shingles. This module applies the identical
+protocol (``state.py``: maintenance lease, generation-scoped staging,
+atomic manifest commit, snapshot-keyed freshness, replay-drop by
+doc_id, auto-compaction with expiry) to the whitespace-token front end:
+
+* ``uni`` — (doc_id, w, cnt): per-document unigram counts.  Corpus
+  unigram counts are ``groupBy(w).sum(cnt)`` — the same exact integers
+  as counting the raw explode, because per-document counts partition
+  the token multiset.
+* ``bi``  — (doc_id, w1, w2, cnt): per-document bigram counts — this IS
+  the ``docbg`` frame every scoring query joins its model against, and
+  corpus bigram counts (``bgc``) are its (w1, w2) re-aggregation.
+
+Both artifacts are per-document, so an append only ADDS rows (no cap
+logic, no recomputation of standing rows) — maintenance is O(delta) by
+construction. At 100 TB the tokenize+explode of the raw corpus is the
+single most expensive map stage in the lm suite; this makes it a
+scheduled-maintenance cost instead of a per-query one, exactly as the
+shingle-counts front end did for dedup (round 9).
+
+Exactness: every downstream model quantity is an integer fold over
+counts, and ``sum(cnt)`` grouped at any level equals the raw explode's
+``count(*)`` at that level — the state-served queries are bit-identical
+to the from-scratch formulations, so their unchanged DuckDB oracles
+re-audit the persisted bytes on every sweep. ``lm_counts_state_audit``
+additionally pins the structural invariants cross-artifact.
+
+Reference scope note: the reference connector (~900 LoC Java CDC →
+Iceberg destination, ``SparkDestinationStream.java``) has no text
+surface; this is north-star extension machinery on the engine's own
+state protocol.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..state import (
+    corpus_snapshot,
+    expire_generations,
+    gen_dir,
+    gen_paths,
+    maintenance_lease,
+    read_manifest,
+    snapshot_delta,
+    write_manifest,
+)
+
+TOKEN_COUNTS_VERSION = 1
+TOKEN_AUTO_COMPACT_GENS = 8  # same policy as the dedup/ANN/graph roots
+
+# token array (lowercased, space-split) — the ONE definition every
+# consumer shares; part of the state key (lm.py / text.py import these)
+TOKS_SPARK = "split(trim(lower(text)), ' ')"
+TOKS_SQL = "string_split(trim(lower(text)), ' ')"
+
+_KINDS = ("uni", "bi")
+
+
+def token_counts_path(sf_dir: str) -> str:
+    """State root keyed by source path + the tokenizer definition (the
+    dedup_table_path keying discipline: definition changes yield a new
+    key; file-level changes are the manifest's job)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha256(
+        f"v{TOKEN_COUNTS_VERSION}:{os.path.abspath(src)}:"
+        f"{TOKS_SPARK}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "spark-warehouse", "token_counts", key)
+
+
+def _uni_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, cnt): per-document unigram counts — one explode + one
+    hash agg, hot types absorbed map-side."""
+    return (
+        docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _bi_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, cnt): per-document bigram counts — the docbg
+    frame of every lm scoring query (transform over the leading slice
+    pairs each token with its successor, JVM-side)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice({TOKS_SPARK}, 1,"
+                    f" size({TOKS_SPARK}) - 1), "
+                    f"(x, i) -> struct(x AS w1, {TOKS_SPARK}[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _read_kind(
+    spark: SparkSession, root: str, man: dict, kind: str
+) -> DataFrame:
+    return spark.read.parquet(
+        *gen_paths(root, kind, man["gen"], man.get("base_gen", 0))
+    )
+
+
+def _stage_gen(spark: SparkSession, docs: DataFrame, root: str, gen: int):
+    docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
+    _uni_of(docs).write.mode("overwrite").parquet(gen_dir(root, "uni", gen))
+    _bi_of(docs).write.mode("overwrite").parquet(gen_dir(root, "bi", gen))
+
+
+def _build_locked(
+    spark: SparkSession, docs: DataFrame, root: str, files: dict
+) -> dict:
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    _stage_gen(spark, docs, root, 0)
+    return write_manifest(root, {"gen": 0, "base_gen": 0, "files": files})
+
+
+def _maintain_locked(
+    spark: SparkSession, delta_docs: DataFrame, root: str, files: dict | None
+) -> dict:
+    man = read_manifest(root)
+    if man is None:
+        raise ValueError(f"no token-counts state at {root}")
+    standing_ids = _read_kind(spark, root, man, "uni").select(
+        "doc_id"
+    ).distinct()
+    # replay-drop: a re-delivered epoch's doc_ids are already in the state
+    delta = delta_docs.select("doc_id", "text").join(
+        standing_ids, "doc_id", "left_anti"
+    )
+    if delta.isEmpty():
+        if files is not None and files != man.get("files"):
+            man = write_manifest(root, {**man, "files": files})
+        return man
+    gen = man["gen"] + 1
+    _stage_gen(spark, delta, root, gen)
+    man = write_manifest(
+        root,
+        {
+            **man,
+            "gen": gen,
+            "files": files if files is not None else man.get("files", {}),
+        },
+    )
+    # auto-compaction with expiry via the committed-manifest keep set
+    if man["gen"] - man.get("base_gen", 0) + 1 > TOKEN_AUTO_COMPACT_GENS:
+        ngen = man["gen"] + 1
+        for kind in _KINDS:
+            _read_kind(spark, root, man, kind).write.mode(
+                "overwrite"
+            ).parquet(gen_dir(root, kind, ngen))
+        man = write_manifest(root, {**man, "gen": ngen, "base_gen": ngen})
+        expire_generations(
+            root, {k: set(range(man["base_gen"], man["gen"] + 1))
+                   for k in _KINDS}
+        )
+    return man
+
+
+def maintain_token_counts(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    root: str,
+    files: dict | None = None,
+) -> dict:
+    """Row-level O(delta) maintenance (streaming foreachBatch entry
+    point): per-document counts mean the delta only adds rows;
+    replay-safe via the doc_id anti-join."""
+    with maintenance_lease(root):
+        return _maintain_locked(spark, delta_docs, root, files)
+
+
+def ensure_token_counts(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Serve the token-counts state root for ``sf_dir``, building or
+    O(delta)-appending as the corpus snapshot dictates. Returns (root,
+    manifest); fast path takes no lock when the committed state is
+    fresh."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    root = token_counts_path(sf_dir)
+    man = read_manifest(root)
+    cur = corpus_snapshot(src)
+    if man is not None and snapshot_delta(man["files"], cur)[0] == "unchanged":
+        return root, man
+    with maintenance_lease(root):
+        man = read_manifest(root)  # re-read under the lease
+        cur = corpus_snapshot(src)
+        if man is not None:
+            kind, new_rel = snapshot_delta(man["files"], cur)
+            if kind == "unchanged":
+                return root, man
+            if kind == "appended" and not os.path.isfile(src):
+                delta = spark.read.parquet(
+                    *[os.path.join(src, rel) for rel in new_rel]
+                )
+                return root, _maintain_locked(spark, delta, root, cur)
+        # full (re)build — direct read, not load_table (the relation
+        # cache pins file lists and the corpus just changed)
+        docs = spark.read.parquet(src)
+        return root, _build_locked(
+            spark, docs.select("doc_id", "text"), root, cur
+        )
+
+
+def serve_uni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, cnt) per-document unigram counts, state-served."""
+    root, man = ensure_token_counts(spark, sf_dir)
+    return _read_kind(spark, root, man, "uni")
+
+
+def serve_bi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, cnt) per-document bigram counts (the docbg
+    frame), state-served."""
+    root, man = ensure_token_counts(spark, sf_dir)
+    return _read_kind(spark, root, man, "bi")
+
+
+# ---------------------------------------------- counts-state byte audit ----
+#
+# The dedup_counts_state_audit discipline: structural invariants of the
+# persisted counts re-derived from the raw corpus on every sweep, each
+# from a different artifact (doc/token/vocab mass from uni, bigram
+# row/mass/type counts from bi) — a lost generation or partial append
+# breaks a cross-check. The per-row bytes themselves are audited by the
+# consumers' own oracles (every lm query recomputes its model from raw
+# text in DuckDB and must hash-match the state-served Spark result).
+
+
+@query(
+    "lm_counts_state_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS_SQL} AS t FROM documents
+    ), uni AS (
+      SELECT doc_id, u.w FROM toks, UNNEST(t) AS u(w)
+    ), bg AS (
+      SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(g)
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM uni)
+             AS n_docs_tokenized,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS n_tokens,
+           (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM uni) AS n_vocab,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT DISTINCT doc_id, w1, w2 FROM bg)) AS n_bi_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bg) AS n_bigrams,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT DISTINCT w1, w2 FROM bg)) AS n_bigram_types
+    """,
+    doc="Persisted token/bigram counts state re-verified against a "
+        "from-scratch tokenization: doc/token/vocab mass read from the "
+        "uni artifact, bigram row/instance/type counts from the bi "
+        "artifact, while the oracle re-derives all six from the raw "
+        "corpus — a lost generation, duplicate append, or partial "
+        "maintenance breaks a cross-artifact invariant. Per-row bytes "
+        "are audited by every consumer query's own oracle each sweep.",
+)
+def lm_counts_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root, man = ensure_token_counts(spark, sf_dir)
+    uni = _read_kind(spark, root, man, "uni")
+    bi = _read_kind(spark, root, man, "bi")
+    u = uni.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_tokenized"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("n_vocab"),
+    )
+    b = bi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bi_rows"),
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+    )
+    bt = bi.select("w1", "w2").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigram_types")
+    )
+    # three bounded 1-row aggregates combined as metadata
+    return (
+        u.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "n_docs_tokenized",
+            "n_tokens",
+            "n_vocab",
+            "n_bi_rows",
+            "n_bigrams",
+            "n_bigram_types",
+        )
+    )

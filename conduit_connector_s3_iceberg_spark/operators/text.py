@@ -1525,8 +1525,10 @@ DSIR_B = 1024                # hashed feature buckets
 DSIR_RSCALE = 1 << 20        # ratio quantization; log2 = exactly 20
 DSIR_WSCALE = 1_000_000      # per-bucket weight quantization
 
-_BG_TOKS_SPARK = "split(trim(lower(text)), ' ')"
-_BG_TOKS_SQL = "string_split(trim(lower(text)), ' ')"
+# same tokenizer as the lm family — imported from the counts state so
+# the persisted-state key covers this consumer's definition too
+from .lm_state import TOKS_SPARK as _BG_TOKS_SPARK  # noqa: E402
+from .lm_state import TOKS_SQL as _BG_TOKS_SQL  # noqa: E402
 
 
 _DSIR_CORE_SQL = f"""toks AS (
@@ -1589,16 +1591,51 @@ _DSIR_CORE_SQL = f"""toks AS (
     "the identical value without a libm ln; per-bucket weights quantized "
     "to BIGINT once in a 1024-row broadcast table, per-doc sums exact "
     "integers. dsir_logw > 0 means the doc looks more like the target "
-    "domain than the raw corpus; resample with weights 2^dsir_logw.",
+    "domain than the raw corpus; resample with weights 2^dsir_logw. "
+    "Served from the persisted token-counts state (lm_state.py): the "
+    "hashed feature buckets derive from the (doc, bigram, count) table "
+    "(one md5 per DISTINCT per-doc bigram instead of per instance — "
+    "identical counts), with lang joined from a text-free column scan.",
 )
 def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dsir_log_weights(docs).orderBy("doc_id")
+    from .lm_state import serve_bi
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docb = (
+        serve_bi(spark, sf_dir)
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("w1"), F.lit(" "), F.col("w2")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % DSIR_B
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "b", "cnt")
+        .localCheckpoint(eager=False)
+    )
+    return _dsir_from_docb(docb).orderBy("doc_id")
 
 
 def dsir_log_weights(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, n_feat, dsir_logw) — the library form of
-    text_dsir_weights, reused by the resampler in sampling.py."""
+    """(doc_id, lang, n_feat, dsir_logw) — the library form over an
+    arbitrary documents frame (no persisted state assumed), reused by
+    the resampler in sampling.py."""
     bg = docs.select(
         "doc_id",
         "lang",
@@ -1627,6 +1664,12 @@ def dsir_log_weights(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=False)
     )
+    return _dsir_from_docb(docb)
+
+
+def _dsir_from_docb(docb: DataFrame) -> DataFrame:
+    """DSIR scoring tail over a pre-aggregated (doc_id, lang, b, cnt)
+    frame — shared by the state-served query and the library form."""
     raw = docb.groupBy("b").agg(F.sum("cnt").cast("long").alias("n_raw"))
     tgt = (
         docb.filter(F.col("lang") == "en")

@@ -96,6 +96,7 @@ def load_all() -> dict[str, Query]:
         joins,
         layout,
         lm,
+        lm_state,
         multimodal,
         retrieval,
         sampling,

@@ -486,13 +486,18 @@ BROADCAST_NONEQUI_OK = {
     # 1-row split-totals broadcast into the 1-row affinity fold
     "corpus_split_hellinger",
     # round 11 bounded broadcasts:
-    # five 1-row state-aggregate broadcasts crossJoined into the single
-    # audit row (each read from a different persisted artifact)
+    # eight 1-row state-aggregate broadcasts crossJoined into the single
+    # audit row (each read from a different persisted artifact; the cp_*
+    # invariants joined the audit in round 12)
     "graph_state_audit",
     # N_QUERIES-row query broadcast against the corpus scan (bruteforce
     # shape) for both the run and the labels-only qrel-count pass
     "retrieval_ndcg_mrr",
     "retrieval_avg_precision",
+    # round 12 bounded broadcasts:
+    # two 1-row state-aggregate broadcasts crossJoined into the single
+    # counts-audit row (uni vs bi artifacts)
+    "lm_counts_state_audit",
 }
 
 
