@@ -225,6 +225,15 @@ BENCH_EXT7 = [
     "mm_audio_vad_segments",
 ]
 
+# Round-12 additions, reported under "ext8" — prior lists frozen. The
+# link-prediction trio (already trending in ext/ext4/ext5) and the lm
+# token family (ext2/ext4/ext5) now serve from persisted state; their
+# old names keep their trend rows and show the state win. These are the
+# genuinely new operators.
+BENCH_EXT8 = [
+    "lm_counts_state_audit",
+]
+
 RUNS = 3
 
 
@@ -259,6 +268,7 @@ def main() -> None:
     ext5 = run_list(BENCH_EXT5)
     ext6 = run_list(BENCH_EXT6)
     ext7 = run_list(BENCH_EXT7)
+    ext8 = run_list(BENCH_EXT8)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -280,6 +290,8 @@ def main() -> None:
         "ext6_total": round(sum(ext6.values()), 3),
         "ext7": ext7,
         "ext7_total": round(sum(ext7.values()), 3),
+        "ext8": ext8,
+        "ext8_total": round(sum(ext8.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))

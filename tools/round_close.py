@@ -11,11 +11,14 @@ Regenerates, in order:
 Usage:
 
     python tools/round_close.py <round-number>   # e.g. 5
+    python tools/round_close.py --check          # post-commit clean gate
 
 Exits non-zero if any query fails its oracle — a failing round must not
 snapshot. After it succeeds: review `git diff PLANS.md`, update the
-COVERAGE.md snapshot paragraph, and commit everything together as the
-final commit of the round.
+COVERAGE.md snapshot paragraph, commit everything together as the final
+commit of the round, then run `--check` (exits non-zero on a dirty
+tree — r11 hygiene item #5: the close commit must leave `git status`
+clean).
 """
 
 from __future__ import annotations
@@ -28,6 +31,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    if len(sys.argv) == 2 and sys.argv[1] == "--check":
+        return check_clean()
     if len(sys.argv) != 2 or not sys.argv[1].isdigit():
         print(__doc__)
         return 2
@@ -70,9 +75,32 @@ def main() -> int:
         return rc
     print(
         "[round-close] done. Review `git diff PLANS.md`, refresh the "
-        "COVERAGE.md snapshot paragraph, then commit as the round's final "
-        "commit."
+        "COVERAGE.md snapshot paragraph, commit as the round's final "
+        "commit, then run `python tools/round_close.py --check` — the "
+        "ritual is not finished until that passes."
     )
+    return 0
+
+
+def check_clean() -> int:
+    """Post-commit gate (r11 verdict hygiene item #5): the close commit
+    must leave a CLEAN working tree. Round 11 left a stale
+    BENCH_LOCAL_latest.json modified at HEAD (a bad-boot log newer than
+    the committed best boot), which misleads anyone diffing the close
+    state. Run this as the literal last step of the ritual."""
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if dirty:
+        print(
+            "[round-close --check] WORKING TREE DIRTY at close — commit "
+            "or discard before the round ends:\n" + dirty
+        )
+        return 4
+    print("[round-close --check] clean tree — close complete")
     return 0
 
 
