@@ -232,6 +232,7 @@ BENCH_EXT7 = [
 # genuinely new operators.
 BENCH_EXT8 = [
     "lm_counts_state_audit",
+    "retrieval_pr_curve",
 ]
 
 RUNS = 3

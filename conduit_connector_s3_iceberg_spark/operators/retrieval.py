@@ -873,6 +873,165 @@ def retrieval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-query precision–recall curve points (round-12, r11 verdict
+# optional item #8): one row per (query, depth 1..K) over the SAME
+# graded qrels fixture — precision@k = relcnt/k and recall@k =
+# relcnt/n_rel, each quantized to the 1e9 grid by ONE correctly-rounded
+# division of exact integers (the AP-term discipline), so the curve is
+# bit-identical across engines; the emitted doubles are exact-input
+# divisions of the already-rounded integers. This is the artifact an
+# operating-point choice is made against (where AP/nDCG compress it to
+# a scalar), and it exercises the gated two-phase top-K at every depth.
+
+
+@query(
+    "retrieval_pr_curve",
+    oracle=_run_and_qrels_sql()
+    + f""", judged AS (
+      SELECT r.query_id, r.rank,
+             CASE WHEN {_rel_expr('r.query_id', 'r.vec_id',
+                                  'q.qlabel', 'e.label')} > 0
+                  THEN 1 ELSE 0 END AS is_rel
+      FROM run r
+      JOIN e ON e.vec_id = r.vec_id
+      JOIN q ON q.query_id = r.query_id
+    ), cum AS (
+      SELECT query_id, rank, is_rel,
+             CAST(SUM(is_rel) OVER (
+               PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS relcnt
+      FROM judged
+    ), nrel AS (
+      SELECT q.query_id,
+             CAST(SUM(CASE WHEN {_rel_expr('q.query_id', 'e.vec_id',
+                                           'q.qlabel', 'e.label')} > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+      FROM q JOIN e ON e.vec_id <> q.query_id
+      GROUP BY q.query_id
+    )
+    SELECT c.query_id, c.rank, CAST(c.is_rel AS BIGINT) AS is_rel,
+           c.relcnt, n.n_rel,
+           CAST(round(CAST(c.relcnt * {_AP_SCALE} AS DOUBLE) / c.rank)
+                AS BIGINT) AS prec_scaled,
+           CASE WHEN n.n_rel = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(CAST(c.relcnt * {_AP_SCALE} AS DOUBLE)
+                                / n.n_rel) AS BIGINT) END AS recall_scaled,
+           CAST(round(CAST(c.relcnt * {_AP_SCALE} AS DOUBLE) / c.rank)
+                AS DOUBLE) / {_AP_SCALE}.0 AS precision_at_k,
+           CASE WHEN n.n_rel = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(round(CAST(c.relcnt * {_AP_SCALE} AS DOUBLE)
+                                / n.n_rel) AS DOUBLE) / {_AP_SCALE}.0
+                END AS recall_at_k
+    FROM cum c JOIN nrel n ON n.query_id = c.query_id
+    ORDER BY c.query_id, c.rank
+    """,
+    doc=f"Per-query precision–recall curve points at depths 1..{RETR_K} "
+        "over the graded qrels fixture (binary rel > 0): precision@k = "
+        "relcnt/k, recall@k = relcnt/n_rel, each quantized to the 1e9 "
+        "grid by one correctly-rounded division of exact integers — the "
+        "curve AP/nDCG compress to a scalar, emitted as the operating-"
+        "point table. Run = gated two-phase top-K; recall denominator = "
+        "one labels-only broadcast pass; the cumulative count is a "
+        "bounded per-query window (K rows).",
+)
+def retrieval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_EMB_D).alias("emb"),
+        F.expr(_SPARK_NORM).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    run = _two_phase_topk(scored, RETR_K, base=e).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+    judged = (
+        run.join(e.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(q.select("query_id", "qlabel")), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            (
+                F.expr(_rel_expr("query_id", "vec_id", "qlabel", "label"))
+                > 0
+            )
+            .cast("int")
+            .alias("is_rel"),
+        )
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = judged.withColumn(
+        "relcnt", F.sum("is_rel").over(w).cast("bigint")
+    )
+    nrel = (
+        e.select("vec_id", "label")
+        .join(
+            F.broadcast(q.select("query_id", "qlabel")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (
+                    F.expr(
+                        _rel_expr("query_id", "vec_id", "qlabel", "label")
+                    )
+                    > 0
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_rel")
+        )
+    )
+    prec = F.expr(
+        f"CAST(round(CAST(relcnt * {_AP_SCALE} AS DOUBLE) / rank) AS BIGINT)"
+    )
+    recall = F.when(F.col("n_rel") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            f"CAST(round(CAST(relcnt * {_AP_SCALE} AS DOUBLE) / n_rel)"
+            " AS BIGINT)"
+        )
+    )
+    return (
+        cum.join(F.broadcast(nrel), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            F.col("is_rel").cast("bigint").alias("is_rel"),
+            "relcnt",
+            "n_rel",
+            prec.alias("prec_scaled"),
+            recall.alias("recall_scaled"),
+            (prec.cast("double") / F.lit(float(_AP_SCALE))).alias(
+                "precision_at_k"
+            ),
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .otherwise(recall.cast("double") / F.lit(float(_AP_SCALE)))
+            .alias("recall_at_k"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between the
 # cosine and euclidean rankings — the list-similarity diagnostic a
 # hybrid-search stack runs before fusing (near-1 RBO ⇒ fusion adds

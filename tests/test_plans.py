@@ -494,6 +494,7 @@ BROADCAST_NONEQUI_OK = {
     # shape) for both the run and the labels-only qrel-count pass
     "retrieval_ndcg_mrr",
     "retrieval_avg_precision",
+    "retrieval_pr_curve",
     # round 12 bounded broadcasts:
     # two 1-row state-aggregate broadcasts crossJoined into the single
     # counts-audit row (uni vs bi artifacts)

@@ -185,3 +185,43 @@ def test_ndcg_mrr_bounds_and_consistency(spark):
     assert any(r["rr"] > 0 for r in rows)
     # ...and the fixture hard enough that not every query is perfect
     assert any(r["ndcg"] < 1.0 for r in rows)
+
+
+def test_pr_curve_invariants(spark):
+    """Round-12: per-query PR points — precision consistent with the
+    cumulative count, recall monotone in rank, precision*k == relcnt on
+    the quantization grid, and the curve consistent with the AP rows
+    computed over the same run."""
+    from conduit_connector_s3_iceberg_spark.operators.retrieval import (
+        _AP_SCALE,
+        RETR_K,
+        retrieval_avg_precision,
+        retrieval_pr_curve,
+    )
+    from conduit_connector_s3_iceberg_spark.operators.similarity import (
+        N_QUERIES,
+    )
+
+    rows = retrieval_pr_curve(spark, SF).collect()
+    assert len(rows) == N_QUERIES * RETR_K
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    ap_rows = {
+        r["query_id"]: r for r in retrieval_avg_precision(spark, SF).collect()
+    }
+    for qid, pts in by_q.items():
+        pts.sort(key=lambda r: r["rank"])
+        assert [p["rank"] for p in pts] == list(range(1, RETR_K + 1))
+        prev_recall = -1
+        for p in pts:
+            assert p["prec_scaled"] == round(
+                p["relcnt"] * _AP_SCALE / p["rank"]
+            )
+            assert 0 <= p["precision_at_k"] <= 1.0
+            assert 0 <= p["recall_at_k"] <= 1.0
+            assert p["recall_scaled"] >= prev_recall  # monotone in rank
+            prev_recall = p["recall_scaled"]
+            assert p["n_rel"] == ap_rows[qid]["n_rel"]
+        # relcnt at depth K == the AP row's n_rel_at_k over the same run
+        assert pts[-1]["relcnt"] == ap_rows[qid]["n_rel_at_k"]
