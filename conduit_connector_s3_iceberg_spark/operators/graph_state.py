@@ -77,7 +77,7 @@ from ..state import (
     write_manifest,
 )
 
-GRAPH_STATE_VERSION = 3  # v3: customer–part co-purchase artifacts (cp_*)
+GRAPH_STATE_VERSION = 4  # v4: materialized link-prediction results (cp_top_*)
 GRAPH_AUTO_COMPACT_GENS = 8  # same policy as the dedup/ANN roots
 
 # customer–supplier artifact kinds rewritten per fixpoint refresh
@@ -94,7 +94,19 @@ _FIX_KINDS = ("ranks_pr", "ranks_ppr", "labels_lpa", "harmonic")
 #   cp_cdeg  — (c, deg): customer degree over hub-capped edges
 #     (sdeg <= LINK_DEG_CAP, including degree-1 parts), Jaccard's
 #     denominator input.
-_CP_FIX_KINDS = ("cp_pairs", "cp_cdeg")
+#   cp_top_jaccard / cp_top_ra / cp_top_aa — the three link-prediction
+#     queries' MATERIALIZED top-LINK_TOP result tables (the ranks_pr
+#     treatment applied to query results): the pairs-table fold — linear
+#     in the pair mass, the measured α≈0.94 cost at sf1 — runs once per
+#     cp refresh, and a warm query reads O(result) rows. The queries'
+#     unchanged from-scratch oracles re-audit these bytes every sweep.
+_CP_FIX_KINDS = (
+    "cp_pairs",
+    "cp_cdeg",
+    "cp_top_jaccard",
+    "cp_top_ra",
+    "cp_top_aa",
+)
 # artifact kinds appended per maintenance (generations base_gen..gen)
 _APPEND_KINDS = ("edges", "okc", "cp_edges")
 
@@ -107,12 +119,16 @@ def graph_state_path(sf_dir: str) -> str:
     keying discipline: definition changes yield a new key; file-level
     changes are the manifest's job."""
     from .graph import (
+        _MLOG_DEG_SPARK,
+        AA_SCALE,
         BFS_ROUNDS,
         LINK_DEG_CAP,
+        LINK_TOP,
         LPA_ITERS,
         PPR_SEED_MAX_KEY,
         PR_ITERS,
         PR_SCALE,
+        RA_SCALE,
     )
 
     srcs = ":".join(
@@ -122,7 +138,8 @@ def graph_state_path(sf_dir: str) -> str:
     key = hashlib.sha256(
         f"v{GRAPH_STATE_VERSION}:{srcs}:{PR_SCALE}:{PR_ITERS}:"
         f"{LPA_ITERS}:{PPR_SEED_MAX_KEY}:{BFS_ROUNDS}:"
-        f"{LINK_DEG_CAP}".encode()
+        f"{LINK_DEG_CAP}:{LINK_TOP}:{RA_SCALE}:{AA_SCALE}:"
+        f"{_MLOG_DEG_SPARK}".encode()
     ).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -271,6 +288,28 @@ def _refresh_cp(
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     pairs.write.mode("overwrite").parquet(gen_dir(root, "cp_pairs", man_gen))
+
+    # materialize the three link-prediction results (top-LINK_TOP rows)
+    # from the just-written pair groups: the pair-mass-linear fold runs
+    # HERE, once per refresh, so a warm query reads O(result) rows — the
+    # ranks_pr treatment applied to query results
+    from .graph import (
+        _link_aa_from_state,
+        _link_jaccard_from_state,
+        _link_ra_from_state,
+    )
+
+    pairs_state = spark.read.parquet(gen_dir(root, "cp_pairs", man_gen))
+    cdeg_state = spark.read.parquet(gen_dir(root, "cp_cdeg", man_gen))
+    _link_jaccard_from_state(pairs_state, cdeg_state).write.mode(
+        "overwrite"
+    ).parquet(gen_dir(root, "cp_top_jaccard", man_gen))
+    _link_ra_from_state(pairs_state).write.mode("overwrite").parquet(
+        gen_dir(root, "cp_top_ra", man_gen)
+    )
+    _link_aa_from_state(pairs_state).write.mode("overwrite").parquet(
+        gen_dir(root, "cp_top_aa", man_gen)
+    )
 
 
 def _commit_and_expire(root: str, man: dict) -> dict:
