@@ -233,6 +233,7 @@ BENCH_EXT7 = [
 BENCH_EXT8 = [
     "lm_counts_state_audit",
     "retrieval_pr_curve",
+    "lm_oov_rate",
 ]
 
 RUNS = 3

@@ -308,3 +308,78 @@ def lm_counts_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigram_types",
         )
     )
+
+
+# ------------------------------------------------------ OOV-rate gate ------
+#
+# Out-of-vocabulary rate against a train-half vocabulary — the coverage
+# gate a pipeline runs before committing a tokenizer/LM vocabulary: train
+# the vocab on the EVEN doc_id half (the lm_stupid_backoff split
+# discipline, so the gate actually fires on unseen words), score every
+# ODD document by the share of its token MASS that falls outside the
+# vocab. High-OOV documents are the mojibake/language-mix tail a
+# vocabulary-bound model cannot represent. Served entirely from the
+# persisted uni counts: the train vocab is a distinct projection, the
+# score side a vocab-keyed hash join + per-doc integer fold — no corpus
+# text scan, no float accumulation (one final division per doc).
+
+
+@query(
+    "lm_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS_SQL} AS t FROM documents
+    ), uni AS (
+      SELECT doc_id, u.w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(t) AS u(w) GROUP BY doc_id, u.w
+    ), vocab AS (
+      SELECT DISTINCT w FROM uni WHERE doc_id % 2 = 0
+    )
+    SELECT u.doc_id,
+           CAST(SUM(u.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN u.cnt ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN u.cnt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(u.cnt) AS BIGINT) AS oov_rate
+    FROM uni u LEFT JOIN vocab v ON u.w = v.w
+    WHERE u.doc_id % 2 = 1
+    GROUP BY u.doc_id
+    ORDER BY u.doc_id
+    """,
+    doc="Out-of-vocabulary token-mass rate of each held-out (odd doc_id) "
+        "document against the even-half training vocabulary — the "
+        "coverage gate run before committing a tokenizer/LM vocab; "
+        "high-OOV docs are the mojibake/language-mix tail. Served from "
+        "the persisted uni counts state: vocab = one distinct "
+        "projection, scoring = one vocab-keyed hash join + exact "
+        "per-doc BIGINT folds, one final IEEE division per doc.",
+)
+def lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uni = serve_uni(spark, sf_dir)
+    vocab = (
+        uni.filter(F.col("doc_id") % 2 == 0)
+        .select("w")
+        .distinct()
+        .withColumn("in_vocab", F.lit(1))
+    )
+    held = uni.filter(F.col("doc_id") % 2 == 1)
+    return (
+        held.join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "oov_tokens",
+            (
+                F.col("oov_tokens").cast("double")
+                / F.col("n_tokens")
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -216,3 +216,18 @@ def test_warm_serve_reads_only_state_files(spark):
         assert files
         for f in files:
             assert root in f, f
+
+
+def test_oov_rate_invariants(spark):
+    """Held-out docs only; oov_tokens <= n_tokens; a doc whose every
+    token appears in some even doc has rate 0; rate matches the ratio."""
+    from conduit_connector_s3_iceberg_spark.operators.lm_state import (
+        lm_oov_rate,
+    )
+
+    _fresh_root(SF001)
+    rows = lm_oov_rate(spark, SF001).collect()
+    assert rows and all(r["doc_id"] % 2 == 1 for r in rows)
+    for r in rows:
+        assert 0 <= r["oov_tokens"] <= r["n_tokens"]
+        assert r["oov_rate"] == r["oov_tokens"] / r["n_tokens"]
