@@ -162,9 +162,9 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .localCheckpoint(eager=False)
     )
-    # materialize=True: the pair list feeds two more doc_id joins here, so
-    # the shingle index is built once instead of re-derived per consumer
-    pairs = ngram_jaccard_pairs(spark, sf_dir, materialize=True).select(
+    # pairs come from the labels state's persisted v4 artifact — one
+    # columnar read, shared with dedup_ngram_jaccard
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", "jaccard"
     )
     da, db = docs.alias("da"), docs.alias("db")

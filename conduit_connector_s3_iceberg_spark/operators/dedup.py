@@ -152,9 +152,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(spark, sf_dir)
 
 
-def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
-) -> DataFrame:
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard near-dup pairs — the shared engine of
     dedup_ngram_jaccard and the decontamination prefilter.
 
@@ -165,8 +163,8 @@ def ngram_jaccard_pairs(
     cost at any scale — thus runs per state generation, not per query;
     the warm path is one columnar read of the 4-column pair table. The
     query's unchanged from-scratch oracle re-audits the persisted pair
-    bytes on every sweep. ``materialize`` is kept for signature
-    compatibility (nothing to cache on the served path)."""
+    bytes on every sweep. (The pre-r12 ``materialize`` knob was dropped:
+    nothing is cached on the served path.)"""
     ensure_dedup_table(spark, sf_dir)
     root = dedup_table_path(sf_dir)
     man = _state_manifest(root)

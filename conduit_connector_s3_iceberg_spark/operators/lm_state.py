@@ -167,18 +167,29 @@ def _maintain_locked(
             "files": files if files is not None else man.get("files", {}),
         },
     )
-    # auto-compaction with expiry via the committed-manifest keep set
-    if man["gen"] - man.get("base_gen", 0) + 1 > TOKEN_AUTO_COMPACT_GENS:
+    # auto-compaction with one-cycle grace expiry (the ANN index's
+    # _expire_ann_state_locked discipline): readers are lock-free by
+    # design — ensure_token_counts' fast path returns (root, manifest)
+    # without the lease and _read_kind reads lazily — so a reader
+    # holding a pre-compaction manifest could hit deleted paths if we
+    # expired the just-superseded generations immediately. Instead,
+    # delete only generations below the PREVIOUS compaction's base
+    # (recorded as grace_floor); the immediately-superseded gens
+    # survive one full extra compaction cycle.
+    thresh = int(man.get("auto_compact_gens", TOKEN_AUTO_COMPACT_GENS))
+    if man["gen"] - man.get("base_gen", 0) + 1 > thresh:
+        floor_old = man.get("base_gen", 0)
         ngen = man["gen"] + 1
         for kind in _KINDS:
             _read_kind(spark, root, man, kind).write.mode(
                 "overwrite"
             ).parquet(gen_dir(root, kind, ngen))
-        man = write_manifest(root, {**man, "gen": ngen, "base_gen": ngen})
-        expire_generations(
-            root, {k: set(range(man["base_gen"], man["gen"] + 1))
-                   for k in _KINDS}
+        man = write_manifest(
+            root,
+            {**man, "gen": ngen, "base_gen": ngen, "grace_floor": floor_old},
         )
+        keep = set(range(floor_old, ngen + 1))
+        expire_generations(root, {k: keep for k in _KINDS})
     return man
 
 
