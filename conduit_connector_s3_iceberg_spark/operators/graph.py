@@ -442,7 +442,7 @@ LINK_TOP = 100
 def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph_state import ensure_graph_state, read_artifact
 
-    root, man = ensure_graph_state(spark, sf_dir)
+    root, man = ensure_graph_state(spark, sf_dir, need=("cp_top",))
     return read_artifact(spark, root, man, "cp_top_jaccard").orderBy(
         F.col("jaccard").desc(), "c1", "c2"
     )
@@ -863,7 +863,7 @@ RA_SCALE = 1_000_000_000
 def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph_state import ensure_graph_state, read_artifact
 
-    root, man = ensure_graph_state(spark, sf_dir)
+    root, man = ensure_graph_state(spark, sf_dir, need=("cp_top",))
     return read_artifact(spark, root, man, "cp_top_ra").orderBy(
         F.col("ra_scaled").desc(), "c1", "c2"
     )
@@ -1318,7 +1318,7 @@ AA_SCALE = 1_000_000_000
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph_state import ensure_graph_state, read_artifact
 
-    root, man = ensure_graph_state(spark, sf_dir)
+    root, man = ensure_graph_state(spark, sf_dir, need=("cp_top",))
     return read_artifact(spark, root, man, "cp_top_aa").orderBy(
         F.col("aa_scaled").desc(), "c1", "c2"
     )
@@ -1699,7 +1699,7 @@ def graph_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generations if a concurrent maintainer committed between them
     # (readers take no lease by design), producing a spurious
     # cross-artifact mismatch.
-    root, man = ensure_graph_state(spark, sf_dir)
+    root, man = ensure_graph_state(spark, sf_dir, need=("fix", "cp_top"))
     e = read_artifact(spark, root, man, "edges").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_und_edges")
     )

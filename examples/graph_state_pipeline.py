@@ -76,7 +76,9 @@ def main() -> None:
             F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("ck")
         ),
         li.select(
-            F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("sk")
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_suppkey").alias("sk"),
+            F.col("l_partkey").alias("pk"),
         ),
         root,
     )

@@ -257,8 +257,17 @@ def test_stream_twin_equals_batch_across_restart(
     )
     run_epoch()  # restart from the checkpoint
 
+    # round 13: epochs are O(delta)+O(touched) — they record staleness
+    # instead of refreshing the fixpoints, so after two growth epochs
+    # the fix pointer still sits at the build's generation
+    man = read_manifest(root)
+    assert man["fix_gen"] == 0 and man["edges_grew_gen"] == man["gen"]
+    # the cadence call freshens everything stale under the lease
+    gs.refresh_graph_state(spark, root)
+
     # the streamed state now covers the whole original corpus
     man = read_manifest(root)
+    assert man["fix_gen"] == man["gen"]
     served = tuple(
         sorted(map(tuple, spark.read.parquet(
             os.path.join(root, kind, f"gen_{man['fix_gen']}")

@@ -124,9 +124,16 @@ def test_append_refreshes_cp_artifacts(spark, tmp_path, isolated_root):
     )
     man = read_manifest(root)
     assert man["gen"] == 1, "append must maintain, not rebuild"
-    assert man["cp_fix_gen"] == 1, "cp growth must refresh cp artifacts"
+    assert man["cp_grew_gen"] == 1, "cp growth must be recorded"
+    # round 13: the pair artifact is EXACTLY maintained by the touched-
+    # part adjustment generation — fresh immediately, no refresh needed
     _, _, pairs = _cp_scratch(spark, sf_dir)
     assert got == _rows(pairs)
+    # the top-K result tables are deferred: still at the build's
+    # generation until a link query (or the cadence call) reads them
+    assert man["cp_fix_gen"] == 0
+    graph_link_jaccard(spark, sf_dir).collect()
+    assert read_manifest(root)["cp_fix_gen"] == 1
 
 
 def test_cp_only_growth_skips_cs_fixpoint_refresh(
@@ -153,8 +160,14 @@ def test_cp_only_growth_skips_cs_fixpoint_refresh(
     gs.maintain_graph_delta(spark, d_orders, d_li, root)
     man = read_manifest(root)
     assert man["gen"] == 1
+    assert man["edges_grew_gen"] == 0, "no new cs edge"
+    assert man["cp_grew_gen"] == 1, "new cp edge recorded"
+    # deferred refresh: a link query freshens cp_top only; the cs
+    # fixpoints stay at gen 0 because the cs edge set never grew
+    graph_link_jaccard(spark, sf_dir).collect()
+    man = read_manifest(root)
     assert man["fix_gen"] == 0, "no new cs edge => no fixpoint refresh"
-    assert man["cp_fix_gen"] == 1, "new cp edge => cp refresh"
+    assert man["cp_fix_gen"] == 1, "new cp edge => cp_top refresh on read"
     assert (
         gs.serve_cp_edges(spark, sf_dir)
         .filter((F.col("c") == ck) & (F.col("s") == new_pk))

@@ -1,17 +1,21 @@
-"""Scale ladder for the persisted graph state (round-11 verdict item #1
-"Done" criterion): measure the FULL BUILD, the O(delta) MAINTAIN of a
-~4% FK-complete append, and the WARM SERVE at sf0.1 and sf1, and report
-per-phase scaling exponents (alpha = log10(t_big / t_small), ladder is
-10x).
+"""Scale ladder for the persisted graph state (round-13 verdict item #1
+"Done" criterion): measure the FULL BUILD, the O(delta)+O(touched)
+MAINTAIN of a ~4% FK-complete append, the DEFERRED REFRESH (the first
+stale read's fixpoint + top-K recompute), and the WARM SERVE at sf0.1
+and sf1, and report per-phase scaling exponents
+(alpha = log10(t_big / t_small), ladder is 10x).
 
 Expected shape (the honest at-scale contract documented in
 operators/graph_state.py):
 
-* build   — corpus-linear (edge extraction reads orders+lineitem once);
-* maintain — delta extraction is O(delta) (reads ONLY the appended
-  files + the okc/edges state), but the fixpoint refresh is O(graph):
-  alpha should track the GRAPH's growth, strictly below the build's
-  corpus alpha once the corpus outgrows its distinct-edge set;
+* build    — corpus-linear (edge extraction reads orders+lineitem once);
+* maintain — O(delta) edge/okc appends + O(touched) cp adjustments
+  (the per-part pair explode runs over the delta's parts only);
+  MUST be far below build cost — this is the round-13 fix for the
+  r12 finding that maintain cost ~90% of a rebuild;
+* refresh  — the deferred O(graph) cost: 4 exact fixpoints over the
+  state edge set + one pair-mass-linear top-K fold, paid ONCE per
+  staleness epoch (K appends + 1 read = 1 refresh, not K);
 * warm serve — O(result): near-flat alpha (parquet read of the
   materialized rank table).
 
@@ -85,6 +89,11 @@ def bench_one(spark, sf_dir: str, work: str) -> dict:
         gs.ensure_graph_state(spark, corpus)
         maintain_s = time.perf_counter() - t0
 
+        # deferred refresh: the one-per-staleness-epoch O(graph) cost
+        t0 = time.perf_counter()
+        gs.refresh_graph_state(spark, root_holder)
+        refresh_s = time.perf_counter() - t0
+
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -106,6 +115,7 @@ def bench_one(spark, sf_dir: str, work: str) -> dict:
     return {
         "build_s": round(build_s, 3),
         "maintain_s": round(maintain_s, 3),
+        "refresh_s": round(refresh_s, 3),
         "warm_serve_s": round(best, 3),
         "warm_link_s": round(best_link, 3),
         "n_und_edges": n_edges,
@@ -129,7 +139,8 @@ def main() -> int:
             result[label] = bench_one(spark, sf_dir, work)
         finally:
             shutil.rmtree(work, ignore_errors=True)
-    for phase in ("build_s", "maintain_s", "warm_serve_s", "warm_link_s"):
+    for phase in ("build_s", "maintain_s", "refresh_s", "warm_serve_s",
+                  "warm_link_s"):
         t_s, t_b = result["sf0.1"][phase], result["sf1"][phase]
         result[f"alpha_{phase.removesuffix('_s')}"] = round(
             math.log10(max(t_b, 1e-9) / max(t_s, 1e-9)), 3
