@@ -236,6 +236,15 @@ BENCH_EXT8 = [
     "lm_oov_rate",
 ]
 
+# Round-13 additions, reported under "ext9" — prior lists frozen. The
+# recall-audit / retrieval-eval / collocations families (already
+# trending in earlier lists) now serve from the persisted ground-truth
+# and cased token-counts artifacts; their old names keep their trend
+# rows and show the state win. The genuinely new operator:
+BENCH_EXT9 = [
+    "sim_gt_topk_audit",
+]
+
 RUNS = 3
 
 
@@ -271,6 +280,7 @@ def main() -> None:
     ext6 = run_list(BENCH_EXT6)
     ext7 = run_list(BENCH_EXT7)
     ext8 = run_list(BENCH_EXT8)
+    ext9 = run_list(BENCH_EXT9)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -294,6 +304,8 @@ def main() -> None:
         "ext7_total": round(sum(ext7.values()), 3),
         "ext8": ext8,
         "ext8_total": round(sum(ext8.values()), 3),
+        "ext9": ext9,
+        "ext9_total": round(sum(ext9.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))

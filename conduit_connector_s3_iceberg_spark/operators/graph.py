@@ -56,6 +56,33 @@ PR_ITERS = 6                  # final double emission is exact-input)
 TRI_BUCKET_CAP = 128
 
 
+def _und_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (ck, sk) trade pairs served from the persisted graph
+    state's edge artifact (round 13): the orders ⋈ lineitem extraction —
+    the dominant scan every graph query used to start with — runs at
+    state build/maintain time, and the warm query reads the deduped
+    pair list. The state's own cross-artifact audit plus every consumer
+    query's from-scratch oracle re-verify the edge bytes each sweep."""
+    from .graph_state import ensure_graph_state, read_artifact
+
+    root, man = ensure_graph_state(spark, sf_dir)
+    return read_artifact(spark, root, man, "edges")
+
+
+def _cs_edges_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-served form of :func:`_cs_edges` (directed, 'c'/'s'
+    prefixed) — the query-side edge frame. ``_cs_edges`` itself stays a
+    from-scratch corpus derivation so tests can compare state-served
+    results against an independent recompute."""
+    e = _und_state(spark, sf_dir).select(
+        F.concat(F.lit("c"), F.col("ck")).alias("src"),
+        F.concat(F.lit("s"), F.col("sk")).alias("dst"),
+    )
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def _cs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer↔supplier trade edges (both directions) from
     orders ⋈ lineitem, with node ids prefixed 'c'/'s' so the two key
@@ -358,7 +385,7 @@ _KCORE_ORACLE = (
     "extractor for bot-ring / boilerplate-farm flagging.",
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cs_edges_state(spark, sf_dir).localCheckpoint(eager=False)
     alive = edges.select(F.col("src").alias("id")).distinct()
     deg = None
     for _ in range(KCORE_PEELS):
@@ -537,7 +564,7 @@ def _link_jaccard_from_state(pairs: DataFrame, cdeg: DataFrame) -> DataFrame:
         "both emitted sums let the oracle prove it.",
 )
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cs_edges_state(spark, sf_dir).localCheckpoint(eager=False)
     dega = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
@@ -758,12 +785,9 @@ _SALSA_ORACLE = (
         "into sampling.",
 )
 def graph_salsa_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     und = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        _und_state(spark, sf_dir)
+        .select(F.col("ck").alias("c"), F.col("sk").alias("s"))
         .localCheckpoint(eager=False)
     )
     cd = und.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
@@ -966,12 +990,9 @@ HITS_SCALE = 1_000_000  # 10^6 fixed point: the norm multiply score*SCALE
     "ranking triad a crawl/source-weighting pipeline chooses from.",
 )
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     und = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        _und_state(spark, sf_dir)
+        .select(F.col("ck").alias("c"), F.col("sk").alias("s"))
         .localCheckpoint(eager=False)
     )
 
@@ -1080,16 +1101,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|nations|-sized.",
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    und = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-    )
+    und = _und_state(spark, sf_dir)
     lab = (
         und.join(cust, und.ck == cust.c_custkey)
         .join(F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"),
@@ -1194,14 +1209,9 @@ PL_XMIN = 2  # tail threshold: degree-1 nodes carry no tail information
 def graph_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .lm import _mlog2c_q_spark
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    und = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds both degree sides
-    )
+    und = _und_state(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # feeds both degree sides
     deg = (
         und.groupBy(F.col("ck").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))

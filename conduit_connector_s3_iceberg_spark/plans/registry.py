@@ -93,6 +93,7 @@ def load_all() -> dict[str, Query]:
         corpus,
         dedup,
         graph,
+        gt_topk,
         joins,
         layout,
         lm,

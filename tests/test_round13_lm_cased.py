@@ -113,3 +113,87 @@ def test_audit_pins_cross_tokenizer_invariants(spark):
     # case folding can only merge vocab entries / bigram types
     assert row["n_vocab_cased"] >= row["n_vocab"]
     assert row["n_bigram_types_cased"] >= row["n_bigram_types"]
+
+
+def test_oov_gate_serves_from_streamed_state(spark, tmp_path):
+    """Round-13 item #4: the OOV admission gate served from a state
+    maintained ENTIRELY by the streaming twin (with a checkpoint restart
+    between epochs) equals the from-scratch formulation over the full
+    corpus — the batch==stream discipline applied to the gate a
+    streaming ingest pipeline actually runs."""
+    from conduit_connector_s3_iceberg_spark.operators.lm_state import (
+        lm_oov_rate,
+    )
+    from conduit_connector_s3_iceberg_spark.streaming.lm_stream import (
+        TOKEN_STREAM_SCHEMA,
+        maintain_token_counts_stream,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    corpus = os.path.join(sf_dir, "documents.parquet")
+    os.makedirs(corpus)
+    base = spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+    base.filter(F.col("doc_id") % 3 == 0).toPandas().to_parquet(
+        os.path.join(corpus, "a.parquet"), index=False
+    )
+    root = _fresh_root(sf_dir)
+    ls.ensure_token_counts(spark, sf_dir)
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_tok")
+
+    def run_epoch():
+        q = maintain_token_counts_stream(
+            spark.readStream.schema(TOKEN_STREAM_SCHEMA).parquet(
+                str(src_dir)
+            ),
+            root,
+            ckpt,
+        )
+        q.awaitTermination(180)
+
+    for i, pred in enumerate(("doc_id % 3 = 1", "doc_id % 3 = 2")):
+        base.filter(F.expr(pred)).select("doc_id", "text").toPandas(
+        ).to_parquet(os.path.join(str(src_dir), f"e{i}.parquet"),
+                     index=False)
+        run_epoch()  # second call restarts from the checkpoint
+
+    # stage the streamed docs as corpus files so the freshness check
+    # sees the same snapshot the stream delivered
+    base.filter(F.col("doc_id") % 3 != 0).toPandas().to_parquet(
+        os.path.join(corpus, "b.parquet"), index=False
+    )
+    got = _rows(lm_oov_rate(spark, sf_dir))
+
+    # from-scratch: vocab from even docs, OOV mass of odd docs
+    uni = ls._uni_of(base.select("doc_id", "text"))
+    vocab = (
+        uni.filter(F.col("doc_id") % 2 == 0)
+        .select("w")
+        .distinct()
+        .withColumn("in_vocab", F.lit(1))
+    )
+    want = _rows(
+        uni.filter(F.col("doc_id") % 2 == 1)
+        .join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "oov_tokens",
+            (F.col("oov_tokens").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+    assert got == want
