@@ -69,6 +69,14 @@ _SQL_NORM = (
 )
 
 
+# Optimization r13, measured and kept as-is: these aggregate/zip_with folds
+# are the fastest exact form on Spark 4.1. An experiment replaced them with
+# unrolled left-associated element_at chains (on the theory that higher-
+# order functions being CodegenFallback makes them slow); a controlled A/B
+# (400k rows × DIM=64, warm JVM) showed fold 0.83 s vs unrolled 2.2 s, and
+# the 16-centroid unrolled distance array regressed sim_ann_trained_recall
+# ~4 s → ~26 s (giant expression trees walk the interpreted evaluator once
+# per node and defeat codegen method limits). Do not unroll.
 def _spark_dot(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 

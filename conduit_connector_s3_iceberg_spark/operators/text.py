@@ -683,25 +683,59 @@ GOPHER_DUP_TRI_MAX_Q = 300_000  # duplicated-trigram mass <= 0.30
         "doc grain; corpus-linear at 100 TB.",
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    bi = docs.select("doc_id", F.explode(F.expr(BIGRAMS_SPARK)).alias("g"))
-    bc = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
-    bagg = bc.groupBy("doc_id").agg(
-        F.sum("cnt").cast("bigint").alias("n_bigrams"),
-        F.max("cnt").cast("bigint").alias("top_bigram_count"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
-        .cast("bigint")
-        .alias("dup_bigram_mass"),
+    # Zero-shuffle form (optimization r13, guide §2.4): every output column
+    # is a per-document statistic of the gram multiset, so the explode +
+    # two-level hash-agg chains + doc-grain join (2 corpus scans, 4
+    # exchanges) collapse into ONE narrow projection over the sorted gram
+    # arrays — n = array size, top count = longest equal run, duplicated
+    # mass = elements with an equal sorted neighbor. Identical integers by
+    # construction (multiset counting == sorted-run counting; the per-row
+    # verdict form gopher_pass_col has asserted this equivalence since r8);
+    # the two doubles divide the same BIGINTs as before. The null-text
+    # filter preserves the original inner-join semantics (explode of a null
+    # token array dropped such docs).
+    # fan the single-file scan out first: ALL the cost is per-row array
+    # work now, and one parquet file = one task otherwise (the
+    # _distinct_shingles discipline; the guard never fires at 100 TB
+    # where the scan is naturally many-splits)
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+
+    def dup_mass(arr: str) -> str:
+        # occurrences belonging to gram types with multiplicity >= 2
+        return (
+            f"size(filter(sequence(1, size({arr})), i ->"
+            f" (i > 1 AND element_at({arr}, i) = element_at({arr}, i - 1))"
+            f" OR (i < size({arr})"
+            f" AND element_at({arr}, i) = element_at({arr}, i + 1))))"
+        )
+
+    top_bi = (
+        "aggregate(sbarr,"
+        " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(acc.prev <=> x, acc.run + 1, 1),"
+        "   'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1, 1))),"
+        " acc -> acc.best)"
     )
-    tri = docs.select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("g"))
-    tc = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
-    tagg = tc.groupBy("doc_id").agg(
-        F.sum("cnt").cast("bigint").alias("n_trigrams"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
-        .cast("bigint")
-        .alias("dup_trigram_mass"),
+    # sort once per gram kind: each array column is consumed 2-3 times
+    # below, which keeps CollapseProject from inlining (re-sorting)
+    arrs = docs.select(
+        "doc_id",
+        F.expr(f"array_sort({BIGRAMS_SPARK})").alias("sbarr"),
+        F.expr(f"array_sort({SHINGLES_SPARK})").alias("starr"),
     )
-    return bagg.join(tagg, "doc_id").select(
+    return arrs.select(
+        "doc_id",
+        F.expr("cast(size(sbarr) as bigint)").alias("n_bigrams"),
+        F.expr(f"cast({top_bi} as bigint)").alias("top_bigram_count"),
+        F.expr(f"cast({dup_mass('sbarr')} as bigint)").alias("dup_bigram_mass"),
+        F.expr("cast(size(starr) as bigint)").alias("n_trigrams"),
+        F.expr(f"cast({dup_mass('starr')} as bigint)").alias("dup_trigram_mass"),
+    ).select(
         "doc_id",
         "n_bigrams",
         "top_bigram_count",

@@ -32,6 +32,20 @@ def main() -> int:
     spark = build_session(app_name="opt_probe", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if mode == "time":
+        # C2-warm the session the way a long bench run is warm: cold-JVM
+        # min-of-3 numbers are 1.5-3x off and produced false regressions
+        # (measured r13) — always warm before timing.
+        for w in (
+            "q01_pricing_summary",
+            "q03_shipping_priority",
+            "text_quality_score",
+            "lm_stupid_backoff",
+            "sketch_kmv_jaccard",
+        ):
+            for _ in range(2):
+                registry[w].build(spark, sf_dir).collect()
+                spark.catalog.clearCache()
 
     if mode == "plan":
         tag = sys.argv[2]
