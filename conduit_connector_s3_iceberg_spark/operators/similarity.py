@@ -2887,21 +2887,15 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SPARK_EMB_D).alias("emb"),
         F.expr(_SPARK_NORM).alias("nrm"),
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    scored = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        (
-            F.expr(
-                "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y),"
-                " 0.0D, (acc, x) -> acc + x)"
-            )
-            / (F.col("a.nrm") * F.col("b.nrm"))
-        ).alias("cosine"),
+    # salted block pair scoring (dedup._salted_cosine_pairs, optimization
+    # r13): same ordered pair set, but the Σ|block|² cosine work is spread
+    # over (label, salt) buckets instead of one task per label
+    from .dedup import _salted_cosine_pairs
+
+    scored = _salted_cosine_pairs(emb, ordered=False).select(
+        F.col("vec_a").alias("src"),
+        F.col("vec_b").alias("dst"),
+        "cosine",
     )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
     topk = (
