@@ -26,6 +26,7 @@ from ..plans.registry import query
 from ..sources.tables import load_table
 from .dedup import (
     _SIMHASH_FP,
+    _fanned_out,
     _simhash_vote_sql,
     JACCARD_THRESHOLD,
     MAX_SHINGLE_DF,
@@ -978,9 +979,15 @@ def corpus_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index is the persisted big side, eval probes stream through it.",
 )
 def corpus_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", _split_col().alias("split")
-    ).filter(F.col("split").isin("train", "test"))
+    # fanned out: the exploded shingle frame below is localCheckpointed and
+    # consumed by the signature agg, sizes, and both verify legs — a
+    # one-split scan pins ALL of them to a single task (measured: five
+    # concurrent ~2 s single-task stages)
+    docs = _fanned_out(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", _split_col().alias("split"))
+        .filter(F.col("split").isin("train", "test"))
+    )
     sh = docs.select(
         "doc_id",
         "split",

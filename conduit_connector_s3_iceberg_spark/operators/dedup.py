@@ -46,19 +46,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def _distinct_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id × distinct shingle (exploded inverted-index input).
+def _fanned_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Fan a narrow scan out to the cluster's slots — ONLY when it has fewer
+    splits than slots. One parquet file at small SF is ONE task, and every
+    per-row pipeline above it (explodes, md5 signatures, HOF folds) plus
+    every consumer of a localCheckpoint taken there inherits that single
+    partition (measured r13: five concurrent ~2 s single-task stages in
+    one query). At 100 TB the scan is naturally many-splits and this
+    repartition of the raw corpus must not fire."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, key)
+    return df
 
-    The warehouse table is one parquet file at small SF, which would pin the
-    whole explode+hash pipeline to a single task — so fan out ONLY when the
-    scan has fewer splits than the cluster has slots. At 100 TB the scan is
-    naturally many-splits and the repartition (a full shuffle of the raw
-    corpus before every dedup query) must not fire.
-    """
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism, "doc_id")
-    return docs.select(
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id × distinct shingle (exploded inverted-index input), fanned
+    out per :func:`_fanned_out`."""
+    return _fanned_out(docs).select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("shingle"),
     )
@@ -798,9 +803,7 @@ def _salted_cosine_pairs(emb: DataFrame, ordered: bool) -> DataFrame:
     task, and with the replicated side broadcast the whole Σ|block|² cosine
     projection would run on that single task (measured: 3.3 s of a 4.2 s
     query on one core). The guard never fires on many-split scans."""
-    sc = emb.sparkSession.sparkContext
-    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
-        emb = emb.repartition(sc.defaultParallelism, "vec_id")
+    emb = _fanned_out(emb, "vec_id")
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("blk_n"))
     n_salts = F.expr(f"cast(ceil(blk_n / {PAIR_SALT_CAP}.0) as int)")
     with_n = emb.join(F.broadcast(sizes), "label").withColumn(

@@ -5571,11 +5571,25 @@ def ann_index_path(sf_dir: str, mode: str = "static") -> str:
     return os.path.join(repo_root, "spark-warehouse", "ann_index", key)
 
 
+def _fanned_out(df: DataFrame, key: str = "vec_id") -> DataFrame:
+    """Fan a narrow scan out to the cluster's slots — ONLY when it has
+    fewer splits than slots (one parquet file at sandbox SF otherwise pins
+    heavy per-row folds like the K×DIM distance array to a single task;
+    the guard never fires on many-split scans). Same discipline as
+    dedup._fanned_out."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, key)
+    return df
+
+
 def _assign_cells(df: DataFrame, cents: list | None = None) -> DataFrame:
     """(vec_id, embedding) -> (vec_id, emb, nrm, cell): the deterministic
     index row. Same expressions as sim_ann_ivf's inline assignment;
-    ``cents`` overrides the static seed centroids (trained mode)."""
+    ``cents`` overrides the static seed centroids (trained mode). Fanned
+    out: the K×DIM fold per row is the whole cost."""
     dists = _DISTS_SPARK if cents is None else _dists_spark_for(cents)
+    df = _fanned_out(df)
     return df.select(
         "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
     ).select(
@@ -6377,7 +6391,10 @@ def sim_ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    emb_d = emb_raw.select(
+    # fanned out: the checkpointed frame feeds three per-variant probe
+    # pipelines, each computing a 16×64 distance fold per row — a
+    # one-split scan pins all of them to single tasks
+    emb_d = _fanned_out(emb_raw).select(
         "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
     ).withColumn(
         "nrm", F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))")
@@ -6931,8 +6948,11 @@ def sim_multistep_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    # fanned out: every per-iteration probe pipeline below folds a K×DIM
+    # distance array per row of this checkpointed frame
     emb_d = (
-        emb_raw.select("vec_id", F.expr(_SPARK_EMB_D).alias("emb"))
+        _fanned_out(emb_raw)
+        .select("vec_id", F.expr(_SPARK_EMB_D).alias("emb"))
         .withColumn(
             "nrm",
             F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))"),
@@ -7895,7 +7915,10 @@ def emb_triplet_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buys extra-table recall without storing extra tables.",
 )
 def sim_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # fanned out: the L×k plane-dot signature per row is the map cost
+    emb = _fanned_out(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(
         "vec_id",
         F.expr(_SPARK_EMB_D).alias("emb"),
         F.expr(_SPARK_NORM).alias("nrm"),

@@ -694,14 +694,12 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two doubles divide the same BIGINTs as before. The null-text
     # filter preserves the original inner-join semantics (explode of a null
     # token array dropped such docs).
+    from .dedup import _fanned_out
+
     # fan the single-file scan out first: ALL the cost is per-row array
-    # work now, and one parquet file = one task otherwise (the
-    # _distinct_shingles discipline; the guard never fires at 100 TB
-    # where the scan is naturally many-splits)
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    sc = spark.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    # work now, and one parquet file = one task otherwise (the guard
+    # never fires at 100 TB where the scan is naturally many-splits)
+    docs = _fanned_out(_docs(spark, sf_dir).filter(F.col("text").isNotNull()))
 
     def dup_mass(arr: str) -> str:
         # occurrences belonging to gram types with multiplicity >= 2
@@ -1484,7 +1482,11 @@ def _bloom_pos_sql(j: int) -> str:
         "one doc-grain agg.",
 )
 def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    from .dedup import _fanned_out
+
+    # fanned out: the checkpointed explode otherwise pins the filter build
+    # AND the whole md5 probe pass to the one-split scan's single task
+    docs = _fanned_out(_docs(spark, sf_dir))
     sh = docs.select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({_SH_SPARK})")).alias("shingle"),

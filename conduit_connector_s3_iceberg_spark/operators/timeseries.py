@@ -1673,16 +1673,30 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days", F.datediff(F.col("ref_day"), F.col("last_day"))
     )
     n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    # optimization r13: the three exact-ntile ranks used to CHAIN (each
+    # _global_rank consumed the previous one's join output), serializing
+    # three range-sample + shuffle + window + offset-join pipelines and
+    # dragging all prior columns through each shuffle. Computed as three
+    # independent branches over `base` they produce the identical scores
+    # (each rank is a function of base alone) and the scheduler runs
+    # their stages concurrently; the 3-way user_id join at the end is
+    # over one row per user.
+    base = base.localCheckpoint(eager=False)  # feeds 3 rank branches
     scored = base
     for col_name, order in (
         ("r_score", (F.col("recency_days"), F.col("user_id"))),
         ("f_score", (F.col("freq").desc(), F.col("user_id"))),
         ("m_score", (F.col("monetary_c").desc(), F.col("user_id"))),
     ):
-        ranked = _global_rank(scored, order).crossJoin(F.broadcast(n_row))
-        scored = ranked.withColumn(
-            col_name, _ntile_from_rank("_grank", "_n", RFM_Q)
-        ).drop("_grank", "_n")
+        branch = (
+            _global_rank(base, order)
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "user_id",
+                _ntile_from_rank("_grank", "_n", RFM_Q).alias(col_name),
+            )
+        )
+        scored = scored.join(branch, "user_id")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

@@ -1992,7 +1992,12 @@ def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
     # band fan-out = session duration in hours; the session frame feeds
-    # both join sides — materialize once
+    # both join sides — materialize once. Spread by band first: AQE
+    # coalesces the tiny session aggregate to ~1 partition, which would
+    # pin the quadratic per-band self-join below to a single task
+    # (measured r13: 1.7 s of a 3.2 s query on one core); the band key is
+    # the join key, so the verify join reuses this partitioning.
+    sc = spark.sparkContext
     banded = sessions.select(
         "user_id",
         "session_id",
@@ -2004,7 +2009,7 @@ def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " date_trunc('hour', s_end), interval 1 hour)"
             )
         ).alias("band"),
-    ).localCheckpoint(eager=False)
+    ).repartition(sc.defaultParallelism, "band").localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     overlaps = (
