@@ -5586,10 +5586,11 @@ def _fanned_out(df: DataFrame, key: str = "vec_id") -> DataFrame:
 def _assign_cells(df: DataFrame, cents: list | None = None) -> DataFrame:
     """(vec_id, embedding) -> (vec_id, emb, nrm, cell): the deterministic
     index row. Same expressions as sim_ann_ivf's inline assignment;
-    ``cents`` overrides the static seed centroids (trained mode). Fanned
-    out: the K×DIM fold per row is the whole cost."""
+    ``cents`` overrides the static seed centroids (trained mode).
+    Measured r13: fanning this out REGRESSED its consumers (+0.8 s on
+    sim_ann_trained_recall) — the K×DIM fold over the corpus is smaller
+    than the repartition + AQE overhead at query time. Left narrow."""
     dists = _DISTS_SPARK if cents is None else _dists_spark_for(cents)
-    df = _fanned_out(df)
     return df.select(
         "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
     ).select(
@@ -6391,10 +6392,7 @@ def sim_ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    # fanned out: the checkpointed frame feeds three per-variant probe
-    # pipelines, each computing a 16×64 distance fold per row — a
-    # one-split scan pins all of them to single tasks
-    emb_d = _fanned_out(emb_raw).select(
+    emb_d = emb_raw.select(
         "vec_id", F.expr(_SPARK_EMB_D).alias("emb")
     ).withColumn(
         "nrm", F.expr("sqrt(aggregate(emb, 0.0D, (acc, x) -> acc + x * x))")
@@ -6406,7 +6404,11 @@ def sim_ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained_cents = read_manifest(ann_index_path(sf_dir, "trained"))[
         "centroids"
     ]
-    seeded_idx = _assign_cells(emb_raw, seeds)
+    # materialize once: the seeded assignment (fan-out shuffle + K×DIM
+    # dists per row) feeds three consumers in one() — candidate join,
+    # cell sizes, scan counts — and re-derived per consumer it pays the
+    # whole pipeline each time
+    seeded_idx = _assign_cells(emb_raw, seeds).localCheckpoint(eager=False)
 
     q = emb_d.filter(F.col("vec_id") < RECALL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
