@@ -5572,15 +5572,13 @@ def ann_index_path(sf_dir: str, mode: str = "static") -> str:
 
 
 def _fanned_out(df: DataFrame, key: str = "vec_id") -> DataFrame:
-    """Fan a narrow scan out to the cluster's slots — ONLY when it has
-    fewer splits than slots (one parquet file at sandbox SF otherwise pins
-    heavy per-row folds like the K×DIM distance array to a single task;
-    the guard never fires on many-split scans). Same discipline as
-    dedup._fanned_out."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism, key)
-    return df
+    """Guarded scan fan-out — ONE implementation for the whole package
+    (r13 ADVICE: this module used to carry a byte-identical copy of the
+    scale-critical guard, which could drift). Thin wrapper only so
+    similarity call sites keep their vec_id default key."""
+    from .dedup import _fanned_out as _dedup_fanned_out
+
+    return _dedup_fanned_out(df, key=key)
 
 
 def _assign_cells(df: DataFrame, cents: list | None = None) -> DataFrame:
@@ -6405,9 +6403,13 @@ def sim_ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroids"
     ]
     # materialize once: the seeded assignment (fan-out shuffle + K×DIM
-    # dists per row) feeds three consumers in one() — candidate join,
-    # cell sizes, scan counts — and re-derived per consumer it pays the
-    # whole pipeline each time
+    # dists per row) feeds the tagged union in two places (candidate
+    # join, cell sizes) and re-derived per consumer it pays the whole
+    # pipeline each time. Measured r14 dead end: deriving this from the
+    # checkpointed emb_d instead of the raw scan (to save one corpus
+    # scan + fold) regressed the query 2-4x — stacking a second lazy
+    # localCheckpoint on emb_d makes the fused single-job plan's
+    # concurrent branches race to materialize both uncached RDDs.
     seeded_idx = _assign_cells(emb_raw, seeds).localCheckpoint(eager=False)
 
     q = emb_d.filter(F.col("vec_id") < RECALL_QUERIES).select(
@@ -6427,71 +6429,115 @@ def sim_ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ntot = emb_d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
-    def one(idx: DataFrame, cents: list, name: str) -> DataFrame:
-        dists = _dists_spark_for(cents)
-        probes = (
-            emb_d.filter(F.col("vec_id") < RECALL_QUERIES)
-            .select("vec_id", "emb", "nrm", F.expr(dists).alias("dists"))
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("emb").alias("qemb"),
-                F.col("nrm").alias("qnrm"),
-                F.explode(
-                    F.expr(
-                        f"transform(slice(array_sort(dists), 1, {NPROBE}),"
-                        " d -> cast(array_position(dists, d) as int))"
-                    )
-                ).alias("probe_cell"),
-            )
+    # ONE union-tagged pass over all three variants (optimization r14,
+    # guide §2.1/§2.6 — r13 left this as ~30 sequential 100-200 ms
+    # stages, 3 variants × probe/topk/hits/sizes pipelines; the same
+    # fusion sim_multistep_train_audit already uses for its iteration
+    # tag): one probe projection computes all three K×DIM distance
+    # arrays, one broadcast candidate join runs over the variant-tagged
+    # index union, one two-phase top-k ranks the composite
+    # (variant*1000 + query) key, and hits/sizes/scan are one grouped
+    # aggregate each. Per-variant arithmetic is untouched — the same
+    # per-variant literal centroid distances, the same cosine fold, the
+    # same (variant, query) rank windows — so every output value is
+    # bit-identical to the per-variant form.
+    variants = [
+        (0, "static", static_idx, CENTROIDS),
+        (1, "seeded", seeded_idx, seeds),
+        (2, "trained", trained_idx, trained_cents),
+    ]
+    dists_cols = [
+        F.expr(_dists_spark_for(c)).alias(f"d{v}") for v, _, _, c in variants
+    ]
+    probe_structs = ", ".join(
+        f"named_struct('v', {v}, 'cells',"
+        f" transform(slice(array_sort(d{v}), 1, {NPROBE}),"
+        f" d -> cast(array_position(d{v}, d) as int)))"
+        for v, _, _, _ in variants
+    )
+    probes = (
+        emb_d.filter(F.col("vec_id") < RECALL_QUERIES)
+        .select("vec_id", "emb", "nrm", *dists_cols)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(F.expr(f"array({probe_structs})")).alias("p"),
         )
-        vtop = _two_phase_topk(
-            idx.join(
-                F.broadcast(probes),
-                (F.col("cell") == F.col("probe_cell"))
-                & (F.col("vec_id") != F.col("query_id")),
-            ).select(
-                "query_id",
-                "vec_id",
-                (
-                    F.expr(_spark_dot("qemb", "emb"))
-                    / (F.col("qnrm") * F.col("nrm"))
-                ).alias("cosine"),
-            ),
-            TOP_K,
-            base=idx,
-        ).select("query_id", "vec_id")
-        hits = vtop.join(truth, ["query_id", "vec_id"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("hits")
+        .select(
+            "query_id",
+            "qemb",
+            "qnrm",
+            F.col("p.v").alias("pv"),
+            F.explode("p.cells").alias("probe_cell"),
         )
-        sizes = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
-        scan = (
-            probes.select("query_id", "probe_cell")
-            .distinct()
-            .join(sizes, F.col("probe_cell") == F.col("cell"))
-            .agg(F.sum("sz").cast("bigint").alias("tot"))
+    )
+    idx_all = None
+    for v, _, idx, _ in variants:
+        tagged = idx.select(
+            F.lit(v).alias("iv"), "vec_id", "emb", "nrm", "cell"
         )
-        return (
-            hits.crossJoin(F.broadcast(scan))
-            .crossJoin(F.broadcast(ntot))
-            .select(
-                F.lit(name).alias("variant"),
-                F.lit(NPROBE).cast("bigint").alias("nprobe"),
-                "hits",
-                (
-                    F.col("hits").cast("double")
-                    / F.lit(float(RECALL_QUERIES * TOP_K))
-                ).alias("recall"),
-                (
-                    F.col("tot").cast("double")
-                    / (F.col("n") * F.lit(float(RECALL_QUERIES)))
-                ).alias("scan_frac"),
-            )
+        idx_all = tagged if idx_all is None else idx_all.unionAll(tagged)
+    scored = idx_all.join(
+        F.broadcast(probes),
+        (F.col("iv") == F.col("pv"))
+        & (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        (F.col("iv").cast("bigint") * 1000 + F.col("query_id")).alias(
+            "query_id"
+        ),
+        "vec_id",
+        (
+            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    vtop = _two_phase_topk(scored, TOP_K, base=idx_all).select(
+        F.expr("query_id div 1000").cast("int").alias("iv"),
+        F.expr("query_id % 1000").alias("query_id"),
+        "vec_id",
+    )
+    hits = (
+        vtop.join(truth, ["query_id", "vec_id"])
+        .groupBy("iv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    sizes = idx_all.groupBy("iv", "cell").agg(F.count(F.lit(1)).alias("sz"))
+    scan = (
+        probes.select("pv", "query_id", "probe_cell")
+        .distinct()
+        .join(
+            sizes,
+            (F.col("pv") == F.col("iv"))
+            & (F.col("probe_cell") == F.col("cell")),
         )
-
+        .groupBy("pv")
+        .agg(F.sum("sz").cast("bigint").alias("tot"))
+    )
+    # 3-row variant spine: a variant with zero hits / zero scanned rows
+    # keeps its row (the per-variant aggs used to guarantee that)
+    spine = spark.createDataFrame(
+        [(v, name) for v, name, _, _ in variants], "iv int, variant string"
+    )
     return (
-        one(static_idx, CENTROIDS, "static")
-        .unionAll(one(seeded_idx, seeds, "seeded"))
-        .unionAll(one(trained_idx, trained_cents, "trained"))
+        spine.join(hits, "iv", "left")
+        .join(scan.withColumnRenamed("pv", "iv"), "iv", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "variant",
+            F.lit(NPROBE).cast("bigint").alias("nprobe"),
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(float(RECALL_QUERIES * TOP_K))
+            ).alias("recall"),
+            (
+                F.col("tot").cast("double")
+                / (F.col("n") * F.lit(float(RECALL_QUERIES)))
+            ).alias("scan_frac"),
+        )
         .orderBy("variant")
     )
 
@@ -6623,22 +6669,19 @@ def sim_trained_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("np", "query_id", "vec_id")
     )
 
-    q = emb_d.filter(F.col("vec_id") < RECALL_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("nrm").alias("qnrm"),
-    )
-    bcand = emb_d.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        (
-            F.expr(_spark_dot("qemb", "emb")) / (F.col("qnrm") * F.col("nrm"))
-        ).alias("cosine"),
-    )
-    truth = _two_phase_topk(bcand, TOP_K, base=emb_d).select(
-        "query_id", "vec_id"
+    # exact truth from the persisted ground-truth artifact (gt_topk.py) —
+    # r14: the one recall-audit query still paying a per-query
+    # brute-force corpus pass (its r13 siblings sim_ann_trained_recall /
+    # sim_multistep_train_audit / sim_lsh_multiprobe_recall already
+    # serve); the artifact stores exactly this truth (top-TOP_K cosine,
+    # ties by vec_id, probes vec_id < RECALL_QUERIES) and the unchanged
+    # from-scratch oracle re-audits it every sweep
+    from .gt_topk import serve_gt_topk
+
+    truth = (
+        serve_gt_topk(spark, sf_dir)
+        .filter(F.col("query_id") < RECALL_QUERIES)
+        .select("query_id", "vec_id")
     )
 
     hits = (

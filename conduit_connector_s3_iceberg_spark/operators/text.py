@@ -691,15 +691,17 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mass = elements with an equal sorted neighbor. Identical integers by
     # construction (multiset counting == sorted-run counting; the per-row
     # verdict form gopher_pass_col has asserted this equivalence since r8);
-    # the two doubles divide the same BIGINTs as before. The null-text
-    # filter preserves the original inner-join semantics (explode of a null
-    # token array dropped such docs).
+    # the two doubles divide the same BIGINTs as before. Null text needs no
+    # special-casing (r13 ADVICE): the greatest(n-2, 1) floor makes the gram
+    # array [''] for a null text in BOTH the old explode form and this one,
+    # so such a doc yields (n=1, top=1, dup=0) — exactly the oracle's output
+    # for its single NULL gram row.
     from .dedup import _fanned_out
 
     # fan the single-file scan out first: ALL the cost is per-row array
     # work now, and one parquet file = one task otherwise (the guard
     # never fires at 100 TB where the scan is naturally many-splits)
-    docs = _fanned_out(_docs(spark, sf_dir).filter(F.col("text").isNotNull()))
+    docs = _fanned_out(_docs(spark, sf_dir))
 
     def dup_mass(arr: str) -> str:
         # occurrences belonging to gram types with multiplicity >= 2

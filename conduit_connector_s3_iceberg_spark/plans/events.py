@@ -1996,8 +1996,12 @@ def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesces the tiny session aggregate to ~1 partition, which would
     # pin the quadratic per-band self-join below to a single task
     # (measured r13: 1.7 s of a 3.2 s query on one core); the band key is
-    # the join key, so the verify join reuses this partitioning.
-    sc = spark.sparkContext
+    # the join key, so the verify join reuses this partitioning. Width =
+    # spark.sql.shuffle.partitions (r13 verdict #6): the self-join pays a
+    # band exchange of exactly this width anyway, so pre-spreading to the
+    # configured value replaces that exchange instead of pinning the frame
+    # to the local core count at cluster scale.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     banded = sessions.select(
         "user_id",
         "session_id",
@@ -2009,7 +2013,7 @@ def q78_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " date_trunc('hour', s_end), interval 1 hour)"
             )
         ).alias("band"),
-    ).repartition(sc.defaultParallelism, "band").localCheckpoint(eager=False)
+    ).repartition(n_shuffle, "band").localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     overlaps = (
