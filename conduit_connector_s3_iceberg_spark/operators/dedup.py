@@ -444,11 +444,9 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .select("shingle_h")
     )
-    # occ stays LINEAGE over the cnts cache (persisting it too would
-    # nest InMemoryRelations — same physical reads, combinatorial plan
-    # prints): each consumer re-runs the cap join, but every input is
-    # the cache + the cache-derived kept set; the corpus is read once
-    occ = cnts.join(kept, "shingle_h")
+    # occ materialized once (r14): lineage-over-cache re-ran the cap
+    # join in all three consumers (totals + both self-join sides)
+    occ = cnts.join(kept, "shingle_h").localCheckpoint(eager=False)
     totals = occ.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("tot"))
     a, b = occ.alias("a"), occ.alias("b")
     pairs = (
